@@ -1,0 +1,225 @@
+"""Aggregation descriptors (reference: vaex-core/vaex/agg.py, 741 LoC).
+
+``vaex.agg.sum('x')`` style descriptors that compile to Spark aggregate
+Columns.  The descriptor algebra (agg.py:77-219: arithmetic on
+aggregators, e.g. ``agg.sum(x) / agg.count()``) maps to plain Column
+arithmetic *after* aggregation — Catalyst computes all parts in one
+Aggregate node, which is vaex's aggregation fusion (SURVEY §4 #4) for free.
+
+Per-agg ``selection=`` compiles to conditional aggregation
+(``F.sum(F.when(sel, x))``) — N selections in one pass (agg.py:223-228).
+``dropnan``/``dropmissing`` flags mirror agg.py:600-612.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class AggDescriptor:
+    """Base: compiles to a Spark Column via to_column(df)."""
+
+    def __init__(self, short_name: str, expression=None, selection=None,
+                 dropmissing=False, dropnan=False):
+        self.short_name = short_name
+        self.expression = expression
+        self.selection = selection
+        self.dropmissing = dropmissing
+        self.dropnan = dropnan
+
+    # pretty default output name: 'x_sum' like vaex's grid column naming
+    @property
+    def pretty_name(self) -> str:
+        if self.expression is None:
+            return self.short_name
+        return f"{self.expression}_{self.short_name}"
+
+    def _input(self, df) -> Column | None:
+        if self.expression is None or self.expression == "*":
+            col = None
+        else:
+            col = df._to_expr(self.expression).col
+        if col is not None:
+            if self.dropnan:
+                col = F.when(F.isnan(col.cast("double")) & col.isNotNull(), None).otherwise(col)
+            if self.dropmissing:
+                pass  # aggregates skip nulls natively
+        sel = df._selection_col(self.selection) if self.selection is not None else None
+        if sel is not None:
+            col = F.when(sel, col if col is not None else F.lit(1))
+        return col
+
+    def to_column(self, df) -> Column:
+        raise NotImplementedError
+
+    # -- descriptor algebra (agg.py:77-219) -----------------------------
+    def __add__(self, o): return _BinaryAgg("+", self, o)
+    def __radd__(self, o): return _BinaryAgg("+", o, self)
+    def __sub__(self, o): return _BinaryAgg("-", self, o)
+    def __rsub__(self, o): return _BinaryAgg("-", o, self)
+    def __mul__(self, o): return _BinaryAgg("*", self, o)
+    def __rmul__(self, o): return _BinaryAgg("*", o, self)
+    def __truediv__(self, o): return _BinaryAgg("/", self, o)
+    def __rtruediv__(self, o): return _BinaryAgg("/", o, self)
+    def __neg__(self): return _BinaryAgg("-", _LiteralAgg(0), self)
+
+
+class _LiteralAgg(AggDescriptor):
+    def __init__(self, value):
+        super().__init__("lit")
+        self.value = value
+
+    def to_column(self, df):
+        return F.lit(self.value)
+
+
+class _BinaryAgg(AggDescriptor):
+    def __init__(self, op, a, b):
+        super().__init__(op)
+        self.a = a if isinstance(a, AggDescriptor) else _LiteralAgg(a)
+        self.b = b if isinstance(b, AggDescriptor) else _LiteralAgg(b)
+
+    def to_column(self, df):
+        ca, cb = self.a.to_column(df), self.b.to_column(df)
+        return {"+": ca + cb, "-": ca - cb, "*": ca * cb, "/": ca / cb}[self.short_name]
+
+
+class _SimpleAgg(AggDescriptor):
+    def __init__(self, short_name, fn, expression, star_ok=False, **kw):
+        super().__init__(short_name, expression, **kw)
+        self.fn = fn
+        self.star_ok = star_ok
+
+    def to_column(self, df):
+        c = self._input(df)
+        if c is None:
+            if not self.star_ok:
+                raise ValueError(f"agg.{self.short_name} needs an expression")
+            return F.count(F.lit(1))
+        return self.fn(c)
+
+
+def count(expression=None, selection=None, **kw):
+    def fn(c):
+        return F.count(c)
+    d = _SimpleAgg("count", fn, expression, star_ok=True, selection=selection, **kw)
+    return d
+
+
+def sum(expression, selection=None, **kw):  # noqa: A001 — vaex name
+    return _SimpleAgg("sum", F.sum, expression, selection=selection, **kw)
+
+
+def mean(expression, selection=None, **kw):
+    return _SimpleAgg("mean", F.avg, expression, selection=selection, **kw)
+
+
+def min(expression, selection=None, **kw):  # noqa: A001
+    return _SimpleAgg("min", F.min, expression, selection=selection, **kw)
+
+
+def max(expression, selection=None, **kw):  # noqa: A001
+    return _SimpleAgg("max", F.max, expression, selection=selection, **kw)
+
+
+def std(expression, ddof=0, selection=None, **kw):
+    return _SimpleAgg("std", F.stddev_pop if ddof == 0 else F.stddev_samp,
+                      expression, selection=selection, **kw)
+
+
+def var(expression, ddof=0, selection=None, **kw):
+    return _SimpleAgg("var", F.var_pop if ddof == 0 else F.var_samp,
+                      expression, selection=selection, **kw)
+
+
+def skew(expression, selection=None, **kw):
+    return _SimpleAgg("skew", F.skewness, expression, selection=selection, **kw)
+
+
+def kurtosis(expression, selection=None, **kw):
+    return _SimpleAgg("kurtosis", F.kurtosis, expression, selection=selection, **kw)
+
+
+def sum_moment(expression, moment, selection=None, **kw):
+    """agg.py:546 _sum_moment — Σ x^k building block."""
+    return _SimpleAgg("sum_moment", lambda c: F.sum(F.pow(c, moment)),
+                      expression, selection=selection, **kw)
+
+
+def nunique(expression, dropna=False, dropnan=False, dropmissing=False, selection=None):
+    def fn(c):
+        base = F.countDistinct(c)
+        if not (dropna or dropmissing):
+            base = base + (F.max(c.isNull().cast("int")).cast("long"))
+        return base
+    return _SimpleAgg("nunique", fn, expression, selection=selection,
+                      dropnan=(dropna or dropnan))
+
+
+def any(expression=None, selection=None):  # noqa: A001
+    def fn(c):
+        return F.coalesce(F.max(c.cast("boolean").cast("int")) == 1, F.lit(False))
+    return _SimpleAgg("any", fn, expression, selection=selection)
+
+
+def all(expression=None, selection=None):  # noqa: A001
+    def fn(c):
+        return F.coalesce(F.min(c.cast("boolean").cast("int")) == 1, F.lit(False))
+    return _SimpleAgg("all", fn, expression, selection=selection)
+
+
+def first(expression, order_expression=None, selection=None):
+    """agg.py:556 — first by order expression.  Spark F.first is
+    nondeterministic; min_by gives the well-defined semantics."""
+    def fn(c):
+        if order_expression is None:
+            return F.first(c, ignorenulls=True)
+        return F.min_by(c, F.col(str(order_expression)))
+    return _SimpleAgg("first", fn, expression, selection=selection)
+
+
+def last(expression, order_expression=None, selection=None):
+    def fn(c):
+        if order_expression is None:
+            return F.last(c, ignorenulls=True)
+        return F.max_by(c, F.col(str(order_expression)))
+    return _SimpleAgg("last", fn, expression, selection=selection)
+
+
+def list(expression, selection=None, dropna=False):  # noqa: A001
+    return _SimpleAgg("list", F.collect_list, expression, selection=selection)
+
+
+def median_approx(expression, selection=None):
+    return _SimpleAgg("median_approx",
+                      lambda c: F.percentile_approx(c, 0.5, 10000),
+                      expression, selection=selection)
+
+
+def percentile_approx(expression, percentage=50.0, selection=None):
+    return _SimpleAgg("percentile_approx",
+                      lambda c: F.percentile_approx(c, percentage / 100.0, 10000),
+                      expression, selection=selection)
+
+
+_BY_NAME = {
+    "count": count, "sum": sum, "mean": mean, "avg": mean, "min": min,
+    "max": max, "std": std, "var": var, "skew": skew, "kurtosis": kurtosis,
+    "nunique": nunique, "first": first, "last": last, "list": list,
+    "any": any, "all": all, "median_approx": median_approx,
+}
+
+
+def from_spec(name_or_desc, expression=None):
+    """Normalize 'sum' / descriptor / callable specs (groupby agg dict)."""
+    if isinstance(name_or_desc, AggDescriptor):
+        return name_or_desc
+    if isinstance(name_or_desc, str):
+        maker = _BY_NAME.get(name_or_desc)
+        if maker is None:
+            raise ValueError(f"unknown aggregation {name_or_desc!r}")
+        if name_or_desc == "count" and expression in (None, "*"):
+            return maker()
+        return maker(expression)
+    raise TypeError(f"bad agg spec {name_or_desc!r}")

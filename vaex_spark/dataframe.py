@@ -1,0 +1,1043 @@
+"""The vaex-compatible lazy DataFrame façade over pyspark.sql.DataFrame.
+
+Reference: vaex-core/vaex/dataframe.py (DataFrame :146, DataFrameLocal
+:5717).  Architecture per SURVEY §7: one wrapper holds
+
+* ``_base``      — the underlying *unfiltered* Spark DataFrame (the
+  "Dataset" layer, dataset.py:323),
+* ``virtual_columns`` — ordered name -> Expression (dataframe.py:3783);
+  a virtual column is just an unevaluated Catalyst Column here,
+* ``variables``  — scalar bindings usable in expression strings
+  (dataframe.py:3052),
+* ``selections`` — named boolean expressions (dataframe.py:5041);
+  aggregations accept ``selection=`` and compile to conditional aggs
+  (``F.agg(F.when(sel, x))``) reproducing vaex's N-selections-one-pass,
+* ``_filter``    — the distinguished filter selection (dataframe.py:5332);
+  rows are hidden, not dropped: ``drop_filter`` restores them.
+
+Everything compiles lazily into one Spark plan in :meth:`_spark_df`;
+Catalyst performs column pruning / predicate pushdown / agg fusion that
+vaex implements manually (SURVEY §4 table).
+"""
+
+from __future__ import annotations
+
+import json
+from collections import OrderedDict
+from typing import Any, Iterable
+
+import numpy as np
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import DataFrame as SparkDataFrame
+from pyspark.sql import functions as F
+
+from .expression import Expression, _safe_isnan
+
+ROW_ID = "__row_id"
+FILTER_SELECTION_NAME = "__filter__"
+
+
+class DataFrame:
+    def __init__(self, sdf: SparkDataFrame):
+        self._base = sdf
+        self.virtual_columns: "OrderedDict[str, Expression]" = OrderedDict()
+        self.variables: dict[str, Any] = {}
+        self.selections: dict[str, Expression] = {}
+        self._filter: Expression | None = None
+        self._selection_history: list[tuple[str, Expression | None]] = []
+        self._selection_redo: list[tuple[str, Expression | None]] = []
+        self._renames: dict[str, str] = {}
+        self.executor = _Executor(self)
+
+    # ------------------------------------------------------------------
+    # plan assembly
+    # ------------------------------------------------------------------
+    def _spark_df(self, filtered: bool = True) -> SparkDataFrame:
+        """Compile wrapper state into a Spark plan: base -> virtual
+        columns (in dependency order) -> filter."""
+        sdf = self._base
+        for name, expr in self.virtual_columns.items():
+            sdf = sdf.withColumn(name, expr.col)
+        if filtered and self._filter is not None:
+            sdf = sdf.filter(self._filter.col)
+        return sdf
+
+    @property
+    def spark(self) -> SparkDataFrame:
+        """Escape hatch: the compiled Spark DataFrame."""
+        return self._spark_df()
+
+    def _copy(self) -> "DataFrame":
+        out = DataFrame(self._base)
+        out.virtual_columns = OrderedDict(self.virtual_columns)
+        out.variables = dict(self.variables)
+        out.selections = dict(self.selections)
+        out._filter = self._filter
+        out._renames = dict(self._renames)
+        return out
+
+    @property
+    def session(self) -> SparkSession:
+        return self._base.sparkSession
+
+    # ------------------------------------------------------------------
+    # schema / columns
+    # ------------------------------------------------------------------
+    def get_column_names(self, virtual: bool = True, hidden: bool = False) -> list[str]:
+        names = [f.name for f in self._base.schema.fields]
+        if virtual:
+            names += [n for n in self.virtual_columns if n not in names]
+        if not hidden:
+            names = [n for n in names if not n.startswith("__")]
+        return names
+
+    @property
+    def column_names(self) -> list[str]:
+        return self.get_column_names()
+
+    def data_type(self, name) -> str:
+        expr = self[name] if isinstance(name, str) else name
+        return self._spark_df(filtered=False).select(expr.col.alias("_t")).schema[0].dataType.simpleString()
+
+    @property
+    def schema(self) -> dict[str, str]:
+        sdf = self._spark_df(filtered=False)
+        return {f.name: f.dataType.simpleString() for f in sdf.schema.fields
+                if not f.name.startswith("__")}
+
+    def schema_arrow(self):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+        return to_arrow_schema(self._spark_df(filtered=False).schema)
+
+    # ------------------------------------------------------------------
+    # item access
+    # ------------------------------------------------------------------
+    def __getitem__(self, item):
+        if isinstance(item, str):
+            return Expression(self, F.col(item), sql=item)
+        if isinstance(item, Expression):  # boolean filter df[df.x > 0]
+            return self.filter(item)
+        if isinstance(item, (list, tuple)):  # projection
+            out = self._copy()
+            keep = set(item)
+            out_virtual = OrderedDict((n, e) for n, e in self.virtual_columns.items() if n in keep)
+            # keep virtual deps: conservative — keep all virtuals (cheap, pruned by Catalyst)
+            out.virtual_columns = OrderedDict(self.virtual_columns)
+            out._projection = list(item)
+            base_cols = [c for c in item if c not in self.virtual_columns]
+            out._project_to = list(item)
+            return _Projected(out, list(item))
+        if isinstance(item, slice):
+            return self._slice(item.start or 0, item.stop)
+        raise KeyError(item)
+
+    def __setitem__(self, name: str, value):
+        if isinstance(value, str):
+            value = Expression(self, value)
+        elif isinstance(value, Column):
+            value = Expression(self, value)
+        elif not isinstance(value, Expression):
+            value = Expression(self, F.lit(value))
+        self.add_virtual_column(name, value)
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in self.get_column_names(hidden=True):
+            return self[name]
+        raise AttributeError(name)
+
+    def __delitem__(self, name):
+        self.drop(name, inplace=True)
+
+    def __len__(self):
+        return int(self.count())
+
+    def __repr__(self):
+        cols = ", ".join(self.get_column_names()[:12])
+        return f"<vaex_spark.DataFrame [{cols}]>"
+
+    # ------------------------------------------------------------------
+    # virtual columns / variables (dataframe.py:3783, 3052)
+    # ------------------------------------------------------------------
+    def add_virtual_column(self, name: str, expression) -> None:
+        if not isinstance(expression, Expression):
+            expression = Expression(self, expression)
+        self.virtual_columns[name] = expression
+
+    def materialize(self, names: Iterable[str] | None = None) -> "DataFrame":
+        """dataframe.py:4927 — harden virtual columns into the base plan
+        and persist (Spark: cache the compiled plan)."""
+        sdf = self._spark_df(filtered=False)
+        out = DataFrame(sdf.persist())
+        out.variables = dict(self.variables)
+        out.selections = dict(self.selections)
+        out._filter = self._filter
+        return out
+
+    def set_variable(self, name: str, value) -> None:
+        self.variables[name] = value
+
+    def get_variable(self, name: str):
+        return self.variables[name]
+
+    def add_function(self, name: str, f) -> None:
+        from .functions import registry
+        registry.register(name, f)
+
+    def func(self):
+        from .functions import registry
+        return registry
+
+    # ------------------------------------------------------------------
+    # filter / selections (dataframe.py:5332, 5041; selections.py)
+    # ------------------------------------------------------------------
+    def _to_expr(self, e) -> Expression:
+        if isinstance(e, Expression):
+            return e
+        if isinstance(e, Column):
+            return Expression(self, e)
+        if isinstance(e, str):
+            return Expression(self, e)
+        raise TypeError(f"cannot interpret {e!r} as expression")
+
+    def filter(self, expression, mode: str = "and") -> "DataFrame":
+        out = self._copy()
+        expr = out._to_expr(expression if not isinstance(expression, Expression)
+                            else Expression(out, expression.col, expression._sql))
+        if out._filter is None or mode == "replace":
+            out._filter = expr
+        elif mode == "and":
+            out._filter = Expression(out, out._filter.col & expr.col)
+        elif mode == "or":
+            out._filter = Expression(out, out._filter.col | expr.col)
+        elif mode == "subtract":
+            out._filter = Expression(out, out._filter.col & ~expr.col)
+        elif mode == "xor":
+            out._filter = Expression(out, out._filter.col.bitwiseXOR(expr.col))
+        else:
+            raise ValueError(mode)
+        return out
+
+    def drop_filter(self) -> "DataFrame":
+        """dataframe.py:5325 — rows were hidden, not dropped."""
+        out = self._copy()
+        out._filter = None
+        return out
+
+    def extract(self) -> "DataFrame":
+        """dataframe.py:4484 — harden the filter.  In Spark filters are
+        already plan nodes; this folds the predicate into the base so
+        ``drop_filter`` no longer restores rows."""
+        out = DataFrame(self._spark_df())
+        out.variables = dict(self.variables)
+        return out
+
+    def select(self, expression, mode: str = "replace", name: str = "default") -> None:
+        expr = self._to_expr(expression)
+        old = self.selections.get(name)
+        self._selection_history.append((name, old))
+        self._selection_redo.clear()
+        if old is None or mode == "replace":
+            self.selections[name] = expr
+        elif mode == "and":
+            self.selections[name] = Expression(self, old.col & expr.col)
+        elif mode == "or":
+            self.selections[name] = Expression(self, old.col | expr.col)
+        elif mode == "subtract":
+            self.selections[name] = Expression(self, old.col & ~expr.col)
+        elif mode == "xor":
+            self.selections[name] = Expression(self, old.col.bitwiseXOR(expr.col))
+        else:
+            raise ValueError(mode)
+
+    def select_nothing(self, name: str = "default") -> None:
+        self._selection_history.append((name, self.selections.get(name)))
+        self.selections.pop(name, None)
+
+    def select_inverse(self, name: str = "default") -> None:
+        old = self.selections.get(name)
+        if old is not None:
+            self._selection_history.append((name, old))
+            self.selections[name] = Expression(self, ~old.col)
+
+    def has_selection(self, name: str = "default") -> bool:
+        return name in self.selections
+
+    def selection_undo(self) -> None:
+        if self._selection_history:
+            name, old = self._selection_history.pop()
+            self._selection_redo.append((name, self.selections.get(name)))
+            if old is None:
+                self.selections.pop(name, None)
+            else:
+                self.selections[name] = old
+
+    def selection_redo(self) -> None:
+        if self._selection_redo:
+            name, val = self._selection_redo.pop()
+            self._selection_history.append((name, self.selections.get(name)))
+            if val is None:
+                self.selections.pop(name, None)
+            else:
+                self.selections[name] = val
+
+    def _selection_col(self, selection) -> Column | None:
+        """Normalize a ``selection=`` argument into a boolean Column."""
+        if selection is None or selection is False:
+            return None
+        if selection is True:
+            sel = self.selections.get("default")
+            return None if sel is None else sel.col
+        if isinstance(selection, Expression):
+            return selection.col
+        if isinstance(selection, Column):
+            return selection
+        if isinstance(selection, str):
+            if selection in self.selections:
+                return self.selections[selection].col
+            return self._to_expr(selection).col
+        raise TypeError(f"bad selection {selection!r}")
+
+    # ------------------------------------------------------------------
+    # projections / row ops (SURVEY §2.3)
+    # ------------------------------------------------------------------
+    def rename(self, old: str, new: str) -> "DataFrame":
+        out = self._copy()
+        if old in out.virtual_columns:
+            out.virtual_columns = OrderedDict(
+                (new if k == old else k, v) for k, v in out.virtual_columns.items())
+        else:
+            out._base = out._base.withColumnRenamed(old, new)
+        out._renames[old] = new
+        return out
+
+    def drop(self, names, inplace: bool = False) -> "DataFrame":
+        if isinstance(names, str):
+            names = [names]
+        out = self if inplace else self._copy()
+        for n in names:
+            if n in out.virtual_columns:
+                del out.virtual_columns[n]
+            else:
+                out._base = out._base.drop(n)
+        return out
+
+    def dropna(self, column_names=None, how: str = "any") -> "DataFrame":
+        """dataframe.py:5101 — drop rows where any (all) of the columns
+        are NA (null or NaN)."""
+        cols = column_names or self.get_column_names()
+        conds = [self[c].isna().col for c in cols]
+        bad = conds[0]
+        for c in conds[1:]:
+            bad = (bad & c) if how == "all" else (bad | c)
+        return self.filter(Expression(self, ~bad))
+
+    def dropmissing(self, column_names=None, how: str = "any") -> "DataFrame":
+        cols = column_names or self.get_column_names()
+        conds = [F.col(c).isNull() if c not in self.virtual_columns else self.virtual_columns[c].col.isNull() for c in cols]
+        bad = conds[0]
+        for c in conds[1:]:
+            bad = (bad & c) if how == "all" else (bad | c)
+        return self.filter(Expression(self, ~bad))
+
+    def dropnan(self, column_names=None, how: str = "any") -> "DataFrame":
+        cols = column_names or self.get_column_names()
+        conds = [self[c].isnan().col for c in cols]
+        bad = conds[0]
+        for c in conds[1:]:
+            bad = (bad & c) if how == "all" else (bad | c)
+        return self.filter(Expression(self, ~bad))
+
+    def dropinf(self, column_names=None) -> "DataFrame":
+        cols = column_names or self.get_column_names()
+        conds = [(F.abs(self[c].col.cast("double")) == float("inf")) for c in cols]
+        bad = conds[0]
+        for c in conds[1:]:
+            bad = bad | c
+        return self.filter(Expression(self, ~bad))
+
+    def fillna(self, value, column_names=None) -> "DataFrame":
+        """dataframe.py:4888 — df-level NA fill (null *and* NaN)."""
+        out = self._copy()
+        for c in (column_names or self.get_column_names()):
+            out[c] = self[c].fillna(value)
+        return out
+
+    def head(self, n: int = 10):
+        return self._spark_df().limit(n)
+
+    def tail(self, n: int = 10):
+        return self.session.createDataFrame(self._spark_df().tail(n), self._spark_df().schema)
+
+    def first(self, n: int = 1):
+        return self._spark_df().take(n)
+
+    def _slice(self, start: int, stop: int | None) -> "DataFrame":
+        sdf = self._spark_df()
+        if start:
+            sdf = sdf.offset(start)
+        if stop is not None:
+            sdf = sdf.limit(stop - start)
+        out = DataFrame(sdf)
+        out.variables = dict(self.variables)
+        return out
+
+    def take(self, indices) -> "DataFrame":
+        """dataframe.py:4444 — positional row selection.  Distributed
+        via a broadcast semi-join on the materialized row id (no
+        collect of data columns)."""
+        from .operators.rowid import with_row_id
+        sdf = with_row_id(self._spark_df())
+        idx = self.session.createDataFrame([(int(i),) for i in indices], f"{ROW_ID} long")
+        out = sdf.join(F.broadcast(idx), on=ROW_ID, how="inner").drop(ROW_ID)
+        o = DataFrame(out)
+        o.variables = dict(self.variables)
+        return o
+
+    def sample(self, n=None, frac=None, replace: bool = False,
+               weights: str | None = None, random_state: int = 42) -> "DataFrame":
+        """dataframe.py:4550.  frac-sampling is fully distributed;
+        n-sampling needs a count first (same as vaex, which knows len)."""
+        sdf = self._spark_df()
+        if frac is None:
+            total = sdf.count()
+            frac = min(1.0, float(n) / max(total, 1) * 1.1)
+            out = sdf.sample(withReplacement=replace, fraction=frac, seed=random_state).limit(n)
+        else:
+            out = sdf.sample(withReplacement=replace, fraction=frac, seed=random_state)
+        o = DataFrame(out)
+        o.variables = dict(self.variables)
+        return o
+
+    def shuffle(self, random_state: int = 42) -> "DataFrame":
+        """dataframe.py:4522 — global random order."""
+        o = DataFrame(self._spark_df().orderBy(F.rand(random_state)))
+        o.variables = dict(self.variables)
+        return o
+
+    def split_random(self, into, random_state: int = 42) -> list["DataFrame"]:
+        """dataframe.py:4608 — randomSplit is Spark-native."""
+        if isinstance(into, int):
+            weights = [1.0 / into] * into
+        else:
+            weights = list(into)
+        parts = self._spark_df().randomSplit(weights, seed=random_state)
+        return [DataFrame(p) for p in parts]
+
+    def split(self, into) -> list["DataFrame"]:
+        """dataframe.py:4644 — sequential split by row-id ranges."""
+        from .operators.rowid import with_row_id
+        total = self.count()
+        if isinstance(into, int):
+            fracs = [1.0 / into] * into
+        else:
+            fracs = list(into)
+        bounds, acc = [], 0.0
+        for f in fracs:
+            acc += f
+            bounds.append(int(round(acc * total)))
+        sdf = with_row_id(self._spark_df())
+        out, lo = [], 0
+        for hi in bounds:
+            out.append(DataFrame(sdf.filter((F.col(ROW_ID) >= lo) & (F.col(ROW_ID) < hi)).drop(ROW_ID)))
+            lo = hi
+        return out
+
+    def sort(self, by, ascending: bool | list[bool] = True) -> "DataFrame":
+        """dataframe.py:4694 — NaN/NA to the end regardless of direction
+        (vaex uses arrow sort_indices with nulls last)."""
+        if not isinstance(by, (list, tuple)):
+            by = [by]
+        if isinstance(ascending, bool):
+            ascending = [ascending] * len(by)
+        cols = []
+        for b, asc in zip(by, ascending):
+            c = self._to_expr(b).col
+            cols.append(c.asc_nulls_last() if asc else c.desc_nulls_last())
+        o = DataFrame(self._spark_df().orderBy(*cols))
+        o.variables = dict(self.variables)
+        return o
+
+    def concat(self, *others, resolver: str = "flexible") -> "DataFrame":
+        """dataframe.py:6269 / dataset.py:687 DatasetConcatenated.
+        'flexible' = union by name, missing columns null-filled."""
+        sdf = self._spark_df()
+        for other in others:
+            osdf = other._spark_df() if isinstance(other, DataFrame) else other
+            if resolver == "flexible":
+                sdf = sdf.unionByName(osdf, allowMissingColumns=True)
+            else:
+                sdf = sdf.unionByName(osdf)
+        return DataFrame(sdf)
+
+    # ------------------------------------------------------------------
+    # ordered / window ops — delegated
+    # ------------------------------------------------------------------
+    def shift(self, periods: int, column=None, fill_value=None, order_key=None) -> "DataFrame":
+        from .operators.window import shift
+        return shift(self, periods, column=column, fill_value=fill_value, order_key=order_key)
+
+    def diff(self, periods: int = 1, column=None, order_key=None) -> "DataFrame":
+        from .operators.window import diff
+        return diff(self, periods=periods, column=column, order_key=order_key)
+
+    def rolling(self, window: int, trim: bool = False, column=None, edge="right", order_key=None):
+        from .operators.window import Rolling
+        return Rolling(self, window, trim=trim, column=column, edge=edge, order_key=order_key)
+
+    # ------------------------------------------------------------------
+    # joins — delegated (operators/join.py)
+    # ------------------------------------------------------------------
+    def join(self, other, on=None, how="left", left_on=None, right_on=None,
+             lprefix="", rprefix="", lsuffix="", rsuffix="",
+             allow_duplication=False, inplace=False) -> "DataFrame":
+        from .operators.join import join as _join
+        return _join(self, other, on=on, how=how, left_on=left_on, right_on=right_on,
+                     lprefix=lprefix, rprefix=rprefix, lsuffix=lsuffix, rsuffix=rsuffix,
+                     allow_duplication=allow_duplication)
+
+    # ------------------------------------------------------------------
+    # groupby / binby — delegated
+    # ------------------------------------------------------------------
+    def groupby(self, by=None, agg=None, sort: bool = False, ascending=True,
+                row_limit=None, copy=True):
+        from .groupby import GroupBy
+        gb = GroupBy(self, by, sort=sort, ascending=ascending, row_limit=row_limit)
+        if agg is not None:
+            return gb.agg(agg)
+        return gb
+
+    def binby(self, by=None, agg=None, shape=128, limits=None, delay=False):
+        from .operators.binby import binby as _binby
+        return _binby(self, by, agg=agg, shape=shape, limits=limits)
+
+    # ------------------------------------------------------------------
+    # statistics (dataframe.py:944-2006; SURVEY §2.5)
+    # ------------------------------------------------------------------
+    def _agg_scalar(self, agg_col: Column):
+        row = self._spark_df().agg(agg_col.alias("_r")).collect()[0]
+        return row["_r"]
+
+    def _agg_expr_col(self, expression, selection) -> Column | None:
+        """Column for an aggregation input, with selection masking."""
+        if expression is None or (isinstance(expression, str) and expression == "*"):
+            col = None
+        else:
+            col = self._to_expr(expression).col
+        sel = self._selection_col(selection)
+        if sel is not None:
+            col = F.when(sel, col if col is not None else F.lit(1))
+        return col
+
+    def _compute_agg(self, make_agg, expression=None, binby=None, shape=128,
+                     limits=None, selection=None, delay=False, edges=False):
+        """Single entry for scalar-vs-grid statistics (dataframe.py:842).
+
+        ``make_agg(col_or_none) -> Column`` builds the Spark aggregate.
+        With ``binby`` the statistic becomes a dense-grid aggregation:
+        groupBy on computed bin indices then driver-side densify —
+        Spark's partial+final hash aggregation is vaex's per-thread grid
+        + reduce (SURVEY §3.1 mapping).
+        """
+        selections = selection if isinstance(selection, (list, tuple)) else [selection]
+        if binby is None or (isinstance(binby, (list, tuple)) and len(binby) == 0):
+            cols = []
+            for i, sel in enumerate(selections):
+                c = self._agg_expr_col(expression, sel)
+                cols.append(make_agg(c).alias(f"_r{i}"))
+            if delay:
+                return self.executor.schedule(cols, unwrap=len(selections) == 1)
+            row = self._spark_df().agg(*cols).collect()[0]
+            vals = [row[f"_r{i}"] for i in range(len(selections))]
+            return vals[0] if not isinstance(selection, (list, tuple)) else np.array(vals)
+        from .operators.binby import grid_agg
+        return grid_agg(self, make_agg, expression, binby, shape, limits,
+                        selections, edges=edges,
+                        aslist=isinstance(selection, (list, tuple)))
+
+    # each public stat: count/sum/mean/... (dataframe.py lines in SURVEY §2.5)
+    def count(self, expression=None, binby=None, shape=128, limits=None,
+              selection=None, delay=False, edges=False):
+        def make(c):
+            return F.count(F.lit(1)) if c is None else F.count(F.when(~(c.isNull() | _safe_isnan(c)), 1))
+        return self._compute_agg(make, expression, binby, shape, limits, selection, delay, edges)
+
+    def sum(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False):
+        return self._compute_agg(lambda c: F.coalesce(F.sum(_dropnan(c)), F.lit(0)),
+                                 expression, binby, shape, limits, selection, delay, edges)
+
+    def mean(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False):
+        return self._compute_agg(lambda c: F.avg(_dropnan(c)), expression, binby, shape, limits, selection, delay, edges)
+
+    def min(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False):
+        return self._compute_agg(lambda c: F.min(_dropnan(c)), expression, binby, shape, limits, selection, delay, edges)
+
+    def max(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False):
+        return self._compute_agg(lambda c: F.max(_dropnan(c)), expression, binby, shape, limits, selection, delay, edges)
+
+    def minmax(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False):
+        if binby is None:
+            row = self._spark_df().agg(
+                F.min(_dropnan(self._agg_expr_col(expression, selection))).alias("_lo"),
+                F.max(_dropnan(self._agg_expr_col(expression, selection))).alias("_hi")).collect()[0]
+            return np.array([row["_lo"], row["_hi"]])
+        lo = self.min(expression, binby=binby, shape=shape, limits=limits, selection=selection)
+        hi = self.max(expression, binby=binby, shape=shape, limits=limits, selection=selection)
+        return np.stack([lo, hi], axis=-1)
+
+    def var(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, ddof=0):
+        """Population variance by default (agg.py:421-455 — vaex accepts
+        ddof but applies population formula; we honor ddof properly)."""
+        fn = F.var_pop if ddof == 0 else F.var_samp
+        return self._compute_agg(lambda c: fn(_dropnan(c)), expression, binby, shape, limits, selection, delay)
+
+    def std(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, ddof=0):
+        fn = F.stddev_pop if ddof == 0 else F.stddev_samp
+        return self._compute_agg(lambda c: fn(_dropnan(c)), expression, binby, shape, limits, selection, delay)
+
+    def skew(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False):
+        return self._compute_agg(lambda c: F.skewness(_dropnan(c)), expression, binby, shape, limits, selection, delay)
+
+    def kurtosis(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False):
+        """vaex population excess kurtosis (agg.py:458-518) == Spark F.kurtosis."""
+        return self._compute_agg(lambda c: F.kurtosis(_dropnan(c)), expression, binby, shape, limits, selection, delay)
+
+    def nunique(self, expression, dropna: bool = False, selection=None, delay=False, **kw):
+        def make(c):
+            base = F.countDistinct(c)
+            if not dropna:
+                has_null = (F.max(c.isNull().cast("int")) == 1).cast("long")
+                return base + has_null
+            return base
+        return self._compute_agg(make, expression, selection=selection, delay=delay, **kw)
+
+    def covar(self, x, y, selection=None, delay=False):
+        cx, cy = self._to_expr(x).col, self._to_expr(y).col
+        sel = self._selection_col(selection)
+        if sel is not None:
+            cx, cy = F.when(sel, cx), F.when(sel, cy)
+        return self._agg_scalar(F.covar_pop(cx, cy))
+
+    def correlation(self, x, y=None, selection=None, delay=False):
+        if y is None and isinstance(x, (list, tuple)):
+            # matrix form (dataframe.py:1377)
+            names = x
+            out = np.zeros((len(names), len(names)))
+            aggs = []
+            for i, a in enumerate(names):
+                for j, b in enumerate(names):
+                    aggs.append(F.corr(self._to_expr(a).col, self._to_expr(b).col).alias(f"_c_{i}_{j}"))
+            row = self._spark_df().agg(*aggs).collect()[0]
+            for i in range(len(names)):
+                for j in range(len(names)):
+                    out[i, j] = row[f"_c_{i}_{j}"]
+            return out
+        cx, cy = self._to_expr(x).col, self._to_expr(y).col
+        sel = self._selection_col(selection)
+        if sel is not None:
+            cx, cy = F.when(sel, cx), F.when(sel, cy)
+        return self._agg_scalar(F.corr(cx, cy))
+
+    def cov(self, x, y=None, selection=None):
+        if y is not None:
+            return self.covar(x, y, selection=selection)
+        names = x
+        aggs = []
+        for i, a in enumerate(names):
+            for j, b in enumerate(names):
+                aggs.append(F.covar_pop(self._to_expr(a).col, self._to_expr(b).col).alias(f"_c_{i}_{j}"))
+        row = self._spark_df().agg(*aggs).collect()[0]
+        out = np.zeros((len(names), len(names)))
+        for i in range(len(names)):
+            for j in range(len(names)):
+                out[i, j] = row[f"_c_{i}_{j}"]
+        return out
+
+    def percentile_approx(self, expression, percentage=50.0, selection=None, delay=False, **kw):
+        """dataframe.py:1632 — vaex interpolates a cumulative histogram
+        (approximate); we use Spark's approx (different approximation,
+        documented tolerance) — `percentile_exact` gives the exact one."""
+        if isinstance(percentage, (list, tuple, np.ndarray)):
+            pct = [float(p) / 100.0 for p in percentage]
+            val = self._agg_scalar(F.percentile_approx(self._agg_expr_col(expression, selection), pct, 10000))
+            return np.array(val)
+        return self._agg_scalar(F.percentile_approx(
+            self._agg_expr_col(expression, selection), float(percentage) / 100.0, 10000))
+
+    def percentile_exact(self, expression, percentage=50.0, selection=None):
+        return self._agg_scalar(F.percentile(
+            self._agg_expr_col(expression, selection), float(percentage) / 100.0))
+
+    def median_approx(self, expression, selection=None, delay=False, **kw):
+        return self.percentile_approx(expression, 50.0, selection=selection)
+
+    def mode(self, expression, selection=None, **kw):
+        return self._agg_scalar(F.mode(self._agg_expr_col(expression, selection)))
+
+    def limits(self, expression, value=None, selection=None):
+        """dataframe.py:1844 — bound finding for grids."""
+        from .operators.binby import compute_limits
+        return compute_limits(self, expression, value, selection=selection)
+
+    def limits_percentage(self, expression, percentage=99.73, selection=None):
+        from .operators.binby import compute_limits
+        return compute_limits(self, expression, f"{percentage}%", selection=selection)
+
+    def unique(self, expression, return_inverse=False, dropna=False, dropnan=False,
+               dropmissing=False, selection=None, limit=None, array_type="numpy"):
+        """dataframe.py:575 — distinct values of an expression."""
+        expr = self._to_expr(expression)
+        sdf = self._spark_df()
+        sel = self._selection_col(selection)
+        if sel is not None:
+            sdf = sdf.filter(sel)
+        col = expr.col
+        d = sdf.select(col.alias("_v")).distinct()
+        if dropna or dropmissing:
+            d = d.filter(F.col("_v").isNotNull())
+        if limit is not None:
+            rows = d.limit(limit + 1).collect()
+            if len(rows) > limit:
+                raise RuntimeError(f"unique yields more than limit={limit} values")
+        else:
+            rows = d.collect()
+        vals = np.array([r["_v"] for r in rows], dtype=object)
+        try:
+            vals = vals.astype(type(next(v for v in vals if v is not None)))
+        except Exception:
+            pass
+        return vals
+
+    def value_counts(self, expression, dropna=False, ascending=False, selection=None, **kw):
+        """expression.py:994 — pandas-like value counts as pandas Series,
+        NaN/missing included by default (vaex counts them as rows)."""
+        expr = self._to_expr(expression)
+        sdf = self._spark_df()
+        sel = self._selection_col(selection)
+        if sel is not None:
+            sdf = sdf.filter(sel)
+        out = sdf.groupBy(expr.col.alias("_v")).count()
+        if dropna:
+            out = out.filter(F.col("_v").isNotNull())
+        pdf = out.orderBy(F.col("count").asc() if ascending else F.col("count").desc()).toPandas()
+        import pandas as pd
+        return pd.Series(pdf["count"].values, index=pdf["_v"].values)
+
+    def mutual_information(self, x, y, mi_shape=256, limits="minmax", selection=None):
+        """dataframe.py:685 — MI from the 2-d density grid (driver-side
+        numpy on the collected grid, like vaex's kld.py)."""
+        counts = self.count(binby=[x, y], shape=mi_shape, limits=limits, selection=selection)
+        grid = np.asarray(counts, dtype="float64")
+        total = grid.sum()
+        if total == 0:
+            return 0.0
+        pxy = grid / total
+        px = pxy.sum(axis=1, keepdims=True)
+        py = pxy.sum(axis=0, keepdims=True)
+        mask = pxy > 0
+        return float((pxy[mask] * np.log(pxy[mask] / (px @ py)[mask])).sum())
+
+    def describe(self, strings: bool = False):
+        """agg.py:679 describe — struct of count/NA/mean/std/min/max per column."""
+        cols = [c for c in self.get_column_names()
+                if strings or not self.data_type(c).startswith("string")]
+        aggs = []
+        for c in cols:
+            col = self[c].col
+            aggs += [F.count(col).alias(f"{c}__count"),
+                     F.count(F.when(col.isNull() | _safe_isnan(col), 1)).alias(f"{c}__na")]
+            if not self.data_type(c).startswith(("string", "timestamp", "array", "struct", "boolean")):
+                aggs += [F.avg(col).alias(f"{c}__mean"), F.stddev_pop(col).alias(f"{c}__std"),
+                         F.min(col).alias(f"{c}__min"), F.max(col).alias(f"{c}__max")]
+        row = self._spark_df().agg(*aggs).collect()[0].asDict()
+        import pandas as pd
+        out = {}
+        for c in cols:
+            out[c] = {k.split("__")[1]: v for k, v in row.items() if k.startswith(f"{c}__")}
+        return pd.DataFrame(out)
+
+    # ------------------------------------------------------------------
+    # delayed execution (dataframe.py:407 execute; vaex/delayed.py)
+    # ------------------------------------------------------------------
+    def execute(self):
+        """Run all delayed statistics in ONE Spark job (reproduces
+        vaex's multi-query single-pass batching, SURVEY §4 #3)."""
+        self.executor.execute()
+
+    # ------------------------------------------------------------------
+    # UDF bridge (dataframe.py:440 apply)
+    # ------------------------------------------------------------------
+    def apply(self, f, arguments, vectorize: bool = False, multiprocessing: bool = True):
+        exprs = [self._to_expr(a) for a in arguments]
+        return self._apply_multi(exprs, f, vectorize=vectorize)
+
+    def _apply_expression(self, expr, f, vectorize: bool = False):
+        return self._apply_multi([expr], f, vectorize=vectorize)
+
+    def _apply_multi(self, exprs, f, vectorize: bool = False):
+        import pandas as pd
+        from pyspark.sql.pandas.functions import pandas_udf
+        # infer return type from a 1-row probe, like vaex's data_type
+        sample = self._spark_df().select(*[e.col.alias(f"_a{i}") for i, e in enumerate(exprs)]).limit(1).collect()
+        if sample:
+            args = [sample[0][f"_a{i}"] for i in range(len(exprs))]
+            probe = f(*[pd.Series([a]) for a in args]).iloc[0] if vectorize else f(*args)
+            rt = _infer_spark_type(probe)
+        else:
+            rt = "double"
+        if vectorize:
+            udf = pandas_udf(f, returnType=rt)
+        else:
+            udf = F.udf(f, returnType=rt)
+        return Expression(self, udf(*[e.col for e in exprs]))
+
+    # ------------------------------------------------------------------
+    # state (dataframe.py:2502-2885)
+    # ------------------------------------------------------------------
+    def state_get(self) -> dict:
+        """JSON-able derived-layer state: SQL text, not plan objects
+        (SURVEY §7 'state portability')."""
+        def text(e: Expression):
+            return e._sql if e._sql else e.col._jc.toString()
+        return {
+            "virtual_columns": {k: text(v) for k, v in self.virtual_columns.items()},
+            "variables": dict(self.variables),
+            "selections": {k: text(v) for k, v in self.selections.items()},
+            "filter": text(self._filter) if self._filter is not None else None,
+            "renames": dict(self._renames),
+        }
+
+    def state_set(self, state: dict) -> None:
+        self.variables = dict(state.get("variables", {}))
+        self.virtual_columns = OrderedDict()
+        for k, v in state.get("virtual_columns", {}).items():
+            try:
+                self.virtual_columns[k] = Expression(self, v)
+            except Exception:
+                self.virtual_columns[k] = Expression(self, F.expr(v), sql=v)
+        self.selections = {}
+        for k, v in state.get("selections", {}).items():
+            try:
+                self.selections[k] = Expression(self, v)
+            except Exception:
+                self.selections[k] = Expression(self, F.expr(v), sql=v)
+        f = state.get("filter")
+        if f:
+            try:
+                self._filter = Expression(self, f)
+            except Exception:
+                self._filter = Expression(self, F.expr(f), sql=f)
+
+    def state_write(self, path: str) -> None:
+        with open(path, "w") as fh:
+            json.dump(self.state_get(), fh, indent=2)
+
+    def state_load(self, path: str) -> None:
+        with open(path) as fh:
+            self.state_set(json.load(fh))
+
+    def fingerprint(self) -> str:
+        """Content hash of plan+state for result caching (dataset.py:365)."""
+        import hashlib
+        plan = self._spark_df()._jdf.queryExecution().logical().toString()
+        return hashlib.sha256((plan + json.dumps(self.state_get(), sort_keys=True, default=str)).encode()).hexdigest()[:16]
+
+    # ------------------------------------------------------------------
+    # materialization / sinks (SURVEY §2.2)
+    # ------------------------------------------------------------------
+    def to_pandas_df(self, column_names=None):
+        sdf = self._spark_df()
+        if column_names:
+            sdf = sdf.select(*column_names)
+        return sdf.toPandas()
+
+    def to_arrow_table(self, column_names=None):
+        sdf = self._spark_df()
+        if column_names:
+            sdf = sdf.select(*column_names)
+        return sdf.toArrow()
+
+    def to_dict(self, column_names=None):
+        t = self.to_arrow_table(column_names)
+        return {name: t.column(name).to_numpy(zero_copy_only=False) for name in t.column_names}
+
+    def to_items(self, column_names=None):
+        return list(self.to_dict(column_names).items())
+
+    def to_records(self, index=None):
+        pdf = self.to_pandas_df()
+        return pdf.to_dict(orient="records")
+
+    def to_arrays(self, column_names=None):
+        return list(self.to_dict(column_names).values())
+
+    def evaluate(self, expression, array_type="numpy"):
+        expr = self._to_expr(expression)
+        pdf = self._spark_df().select(expr.col.alias("_v")).toPandas()
+        return np.asarray(pdf["_v"].values)
+
+    def evaluate_iterator(self, expression, chunk_size=65536):
+        """dataframe.py:3112 — chunked evaluation; Arrow record batches
+        stream from executors (the prefetch is Spark's own pipelining)."""
+        expr = self._to_expr(expression)
+        sdf = self._spark_df().select(expr.col.alias("_v"))
+        i1 = 0
+        for batch in sdf.toArrow().to_batches(max_chunksize=chunk_size):
+            arr = batch.column(0).to_numpy(zero_copy_only=False)
+            yield i1, i1 + len(arr), arr
+            i1 += len(arr)
+
+    def export(self, path: str, **kwargs):
+        """dataframe.py:6731 — dispatch on extension."""
+        p = str(path)
+        if p.endswith(".parquet"):
+            return self.export_parquet(p, **kwargs)
+        if p.endswith(".csv"):
+            return self.export_csv(p, **kwargs)
+        if p.endswith(".json"):
+            return self.export_json(p, **kwargs)
+        if p.endswith((".arrow", ".feather")):
+            return self.export_arrow(p, **kwargs)
+        raise ValueError(f"unknown export format for {path}")
+
+    def export_parquet(self, path: str, mode: str = "overwrite", single_file: bool = True, **kw):
+        sdf = self._spark_df()
+        if single_file:
+            # vaex writes one file; write via Arrow on the driver
+            import pyarrow.parquet as pq
+            pq.write_table(sdf.toArrow(), path)
+        else:
+            sdf.write.mode(mode).parquet(path)
+
+    def export_partitioned(self, path: str, by, mode: str = "overwrite"):
+        """dataframe.py:6843 — hive-layout partitioned export."""
+        by = [by] if isinstance(by, str) else list(by)
+        self._spark_df().write.mode(mode).partitionBy(*by).parquet(path)
+
+    def export_csv(self, path: str, single_file: bool = True, **kw):
+        if single_file:
+            self.to_pandas_df().to_csv(path, index=False)
+        else:
+            self._spark_df().write.mode("overwrite").option("header", True).csv(path)
+
+    def export_json(self, path: str, single_file: bool = True, **kw):
+        if single_file:
+            self.to_pandas_df().to_json(path, orient="records")
+        else:
+            self._spark_df().write.mode("overwrite").json(path)
+
+    def export_arrow(self, path: str, **kw):
+        import pyarrow as pa
+        t = self.to_arrow_table()
+        with pa.OSFile(path, "wb") as sink, pa.ipc.new_file(sink, t.schema) as w:
+            w.write_table(t)
+
+    def export_feather(self, path: str, **kw):
+        import pyarrow.feather as feather
+        feather.write_feather(self.to_arrow_table(), path)
+
+    def export_many(self, path: str, n: int):
+        """dataframe.py:6894 — N output files."""
+        self._spark_df().repartition(n).write.mode("overwrite").parquet(path)
+
+    def cache(self) -> "DataFrame":
+        self._base = self._base.persist()
+        return self
+
+    def explain(self, mode: str = "formatted"):
+        self._spark_df().explain(mode)
+
+
+class _Projected(DataFrame):
+    """Projection view: df[['a','b']] — narrows visible columns while
+    keeping virtual-column definitions available."""
+
+    def __init__(self, parent: DataFrame, columns: list[str]):
+        super().__init__(parent._base)
+        self.virtual_columns = parent.virtual_columns
+        self.variables = parent.variables
+        self.selections = parent.selections
+        self._filter = parent._filter
+        self._columns = columns
+
+    def _spark_df(self, filtered: bool = True):
+        return super()._spark_df(filtered).select(*self._columns)
+
+    def get_column_names(self, virtual=True, hidden=False):
+        return list(self._columns)
+
+
+class _Executor:
+    """Delayed-statistics batcher (vaex execution.py:243-262 _pop_tasks /
+    _merge): all scheduled aggregates run as ONE ``.agg(...)`` job."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+        self.pending: list[tuple[list[Column], "_Delayed"]] = []
+        self.passes = 0  # exposed like vaex's executor.passes for tests
+
+    def schedule(self, cols: list[Column], unwrap: bool = True) -> "_Delayed":
+        d = _Delayed(unwrap=unwrap)
+        self.pending.append((cols, d))
+        return d
+
+    def execute(self):
+        if not self.pending:
+            return
+        all_cols, slots = [], []
+        for i, (cols, d) in enumerate(self.pending):
+            named = [c.alias(f"_t{i}_{j}") for j, c in enumerate(cols)]
+            all_cols += named
+            slots.append((d, [f"_t{i}_{j}" for j in range(len(cols))]))
+        row = self.df._spark_df().agg(*all_cols).collect()[0]
+        self.passes += 1
+        for d, names in slots:
+            vals = [row[n] for n in names]
+            d._value = vals[0] if d.unwrap else np.array(vals)
+            d._done = True
+        self.pending.clear()
+
+
+class _Delayed:
+    """Promise for a delayed statistic (vaex/promise.py)."""
+
+    def __init__(self, unwrap=True):
+        self._done = False
+        self._value = None
+        self.unwrap = unwrap
+
+    def get(self):
+        if not self._done:
+            raise RuntimeError("call df.execute() first")
+        return self._value
+
+    @property
+    def value(self):
+        return self.get()
+
+
+def _dropnan(c: Column | None) -> Column | None:
+    """vaex aggregations skip NaN (agg_sum.cpp:132 NaN-safe); Spark
+    sum/avg would propagate NaN — mask it to null."""
+    if c is None:
+        return c
+    return F.when(_safe_isnan(c), F.lit(None)).otherwise(c)
+
+
+def _infer_spark_type(value) -> str:
+    import datetime as _dt
+    if isinstance(value, (bool, np.bool_)):
+        return "boolean"
+    if isinstance(value, (int, np.integer)):
+        return "bigint"
+    if isinstance(value, (float, np.floating)):
+        return "double"
+    if isinstance(value, str):
+        return "string"
+    if isinstance(value, (_dt.datetime, np.datetime64)):
+        return "timestamp"
+    if isinstance(value, (list, np.ndarray)):
+        return "array<double>"
+    return "string"

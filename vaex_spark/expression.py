@@ -1,0 +1,300 @@
+"""Expression: the vaex user-facing column algebra, compiled to Catalyst.
+
+In the reference, an Expression is a *string* of Python-syntax code bound
+to a DataFrame (vaex-core/vaex/expression.py:386), with operator
+overloading concatenating bigger strings, later evaluated per-chunk by a
+Python ``eval`` (vaex-core/vaex/scopes.py:103).  Here an Expression wraps
+a :class:`pyspark.sql.Column` — an unevaluated Catalyst expression tree —
+so the "string algebra" becomes real logical-plan algebra and Catalyst's
+whole-stage codegen replaces the chunked evaluator.  We keep the string
+front-end too (:mod:`vaex_spark.expresso` compiles Python-syntax strings
+to Columns) for API parity and for JSON-serializable state.
+
+NaN-vs-missing policy (SURVEY §1.2): vaex distinguishes float NaN,
+"missing" (null), and NA = NaN | null.  Spark keeps null and NaN distinct
+inside double columns, so the triple maps exactly:
+``isnan -> F.isnan``, ``ismissing -> isNull``, ``isna -> isnan | isNull``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(other: Any) -> Column | Any:
+    """Unwrap an Expression into its Column; pass literals through."""
+    if isinstance(other, Expression):
+        return other.col
+    return other
+
+
+class Expression:
+    """A lazy column expression bound to a vaex_spark DataFrame.
+
+    Mirrors vaex-core/vaex/expression.py:386 (operator overloading via
+    metaclass at :53-186) but builds Catalyst trees instead of strings.
+    """
+
+    __slots__ = ("df", "col", "_sql")
+
+    def __init__(self, df, col: Column | str, sql: str | None = None):
+        self.df = df
+        if isinstance(col, str):
+            from . import expresso
+            self._sql = col
+            self.col = expresso.compile_expression(col, df)
+        else:
+            self.col = col
+            self._sql = sql
+
+    # -- representation -------------------------------------------------
+    def __repr__(self):
+        return f"Expression({self.col!r})"
+
+    def _wrap(self, col: Column) -> "Expression":
+        return Expression(self.df, col)
+
+    # -- binary arithmetic (expression.py:53-91) -------------------------
+    def __add__(self, o): return self._wrap(self.col + _col(o))
+    def __radd__(self, o): return self._wrap(_col(o) + self.col)
+    def __sub__(self, o): return self._wrap(self.col - _col(o))
+    def __rsub__(self, o): return self._wrap(_col(o) - self.col)
+    def __mul__(self, o): return self._wrap(self.col * _col(o))
+    def __rmul__(self, o): return self._wrap(_col(o) * self.col)
+    def __truediv__(self, o): return self._wrap(self.col / _col(o))
+    def __rtruediv__(self, o): return self._wrap(_col(o) / self.col)
+
+    def __floordiv__(self, o):
+        return self._wrap(F.floor(self.col / _col(o)))
+
+    def __rfloordiv__(self, o):
+        return self._wrap(F.floor(_col(o) / self.col))
+
+    def __mod__(self, o): return self._wrap(self.col % _col(o))
+    def __rmod__(self, o): return self._wrap(_col(o) % self.col)
+
+    def __pow__(self, o):
+        return self._wrap(F.pow(self.col, _col(o)))
+
+    def __rpow__(self, o):
+        return self._wrap(F.pow(_col(o), self.col))
+
+    def __neg__(self): return self._wrap(-self.col)
+    def __pos__(self): return self
+
+    def __abs__(self): return self._wrap(F.abs(self.col))
+
+    # -- comparisons -----------------------------------------------------
+    def __lt__(self, o): return self._wrap(self.col < _col(o))
+    def __le__(self, o): return self._wrap(self.col <= _col(o))
+    def __gt__(self, o): return self._wrap(self.col > _col(o))
+    def __ge__(self, o): return self._wrap(self.col >= _col(o))
+
+    def __eq__(self, o):  # noqa: D105 — expression equality, not identity
+        return self._wrap(self.col == _col(o))
+
+    def __ne__(self, o):
+        return self._wrap(self.col != _col(o))
+
+    __hash__ = object.__hash__
+
+    # -- boolean / bitwise (vaex uses & | ^ ~ on boolean expressions) ----
+    def __and__(self, o): return self._wrap(self.col & _col(o))
+    def __rand__(self, o): return self._wrap(_col(o) & self.col)
+    def __or__(self, o): return self._wrap(self.col | _col(o))
+    def __ror__(self, o): return self._wrap(_col(o) | self.col)
+
+    def __xor__(self, o):
+        return self._wrap(self.col.bitwiseXOR(_col(o)))
+
+    def __invert__(self):
+        return self._wrap(~self.col)
+
+    def __lshift__(self, o):
+        return self._wrap(self.col.cast("long") * F.pow(F.lit(2), _col(o)).cast("long"))
+
+    def __rshift__(self, o):
+        return self._wrap(F.floor(self.col.cast("long") / F.pow(F.lit(2), _col(o))).cast("long"))
+
+    def __getitem__(self, item):
+        # element access on array/struct cells (functions.py:2735 getitem)
+        if isinstance(item, slice):
+            start = item.start or 0
+            length = (item.stop - start) if item.stop is not None else 1 << 30
+            return self._wrap(F.slice(self.col, start + 1, length))
+        if isinstance(item, int):
+            # vaex/numpy 0-based; Spark element_at is 1-based
+            return self._wrap(F.element_at(self.col, item + 1 if item >= 0 else item))
+        return self._wrap(self.col.getField(item))
+
+    # -- null / NaN family (functions.py:147-268) ------------------------
+    def isna(self):
+        return self._wrap(self.col.isNull() | _safe_isnan(self.col))
+
+    def notna(self):
+        return self._wrap(~(self.col.isNull() | _safe_isnan(self.col)))
+
+    def ismissing(self):
+        return self._wrap(self.col.isNull())
+
+    def notmissing(self):
+        return self._wrap(self.col.isNotNull())
+
+    def isnan(self):
+        return self._wrap(_safe_isnan(self.col))
+
+    def notnan(self):
+        return self._wrap(~_safe_isnan(self.col))
+
+    def isin(self, values):
+        """Membership test (expression.py:1194). Small literal lists stay
+        in the plan (Catalyst turns long ones into a hash set / In-subquery);
+        a vaex_spark DataFrame column becomes a left-semi join upstream."""
+        return self._wrap(self.col.isin(list(values)))
+
+    def fillna(self, value):
+        """Replace NA (null or NaN) with ``value`` (expression.py:1087)."""
+        c = self.col
+        return self._wrap(F.when(c.isNull() | _safe_isnan(c), F.lit(value)).otherwise(c))
+
+    def fillmissing(self, value):
+        return self._wrap(F.coalesce(self.col, F.lit(value)))
+
+    def fillnan(self, value):
+        c = self.col
+        return self._wrap(F.when(_safe_isnan(c), F.lit(value)).otherwise(c))
+
+    # -- conversion ------------------------------------------------------
+    _ASTYPE = {
+        "float64": "double", "float32": "float", "f8": "double", "f4": "float",
+        "int64": "bigint", "int32": "int", "int16": "smallint", "int8": "tinyint",
+        "i8": "bigint", "i4": "int", "i2": "smallint", "i1": "tinyint",
+        "uint64": "bigint", "uint32": "bigint", "uint16": "int", "uint8": "smallint",
+        "bool": "boolean", "str": "string", "datetime64": "timestamp",
+        "datetime64[ns]": "timestamp", "datetime64[us]": "timestamp",
+    }
+
+    def astype(self, dtype: str):
+        """Cast (functions.py:2512); numpy dtype names map to Spark SQL types."""
+        return self._wrap(self.col.cast(self._ASTYPE.get(str(dtype), str(dtype))))
+
+    def to_string(self):
+        return self._wrap(self.col.cast("string"))
+
+    def abs(self): return self._wrap(F.abs(self.col))
+
+    def clip(self, lower=None, upper=None):
+        c = self.col
+        if lower is not None:
+            c = F.greatest(c, F.lit(lower))
+        if upper is not None:
+            c = F.least(c, F.lit(upper))
+        return self._wrap(c)
+
+    def where(self, cond, other):
+        """vaex functions.py:2657 where(cond, self, other) analogue."""
+        return self._wrap(F.when(_col(cond), self.col).otherwise(_col(other)))
+
+    def searchsorted(self, values):
+        raise NotImplementedError("use digitize/width_bucket")
+
+    def map(self, mapper: dict, nan_value=None, missing_value=None,
+            default_value=None, allow_missing=False):
+        """Dict mapping (expression.py:1298) via a chained CASE WHEN; for
+        large dicts prefer a broadcast-join against a literal DataFrame."""
+        c = None
+        for k, v in mapper.items():
+            cond = self.col == F.lit(k)
+            c = F.when(cond, F.lit(v)) if c is None else c.when(cond, F.lit(v))
+        if default_value is not None or allow_missing:
+            c = c.otherwise(F.lit(default_value))
+        return self._wrap(c)
+
+    # -- accessors -------------------------------------------------------
+    @property
+    def str(self):
+        from .functions.string import StringAccessor
+        return StringAccessor(self)
+
+    @property
+    def dt(self):
+        from .functions.datetime import DateTimeAccessor
+        return DateTimeAccessor(self)
+
+    @property
+    def td(self):
+        from .functions.datetime import TimeDeltaAccessor
+        return TimeDeltaAccessor(self)
+
+    @property
+    def struct(self):
+        from .functions.structs import StructAccessor
+        return StructAccessor(self)
+
+    # -- statistics shortcuts (expression.py:854-1077) -------------------
+    def _stat(self, name, **kwargs):
+        return getattr(self.df, name)(self, **kwargs)
+
+    def count(self, **kw): return self.df.count(self, **kw)
+    def sum(self, **kw): return self.df.sum(self, **kw)
+    def mean(self, **kw): return self.df.mean(self, **kw)
+    def std(self, **kw): return self.df.std(self, **kw)
+    def var(self, **kw): return self.df.var(self, **kw)
+    def min(self, **kw): return self.df.min(self, **kw)
+    def max(self, **kw): return self.df.max(self, **kw)
+    def minmax(self, **kw): return self.df.minmax(self, **kw)
+    def nunique(self, **kw): return self.df.nunique(self, **kw)
+    def unique(self, **kw): return self.df.unique(self, **kw)
+    def value_counts(self, **kw): return self.df.value_counts(self, **kw)
+    def kurtosis(self, **kw): return self.df.kurtosis(self, **kw)
+    def skew(self, **kw): return self.df.skew(self, **kw)
+
+    def countna(self):
+        return self.df._agg_scalar(F.count(F.when(self.isna().col, 1)))
+
+    def countnan(self):
+        return self.df._agg_scalar(F.count(F.when(self.isnan().col, 1)))
+
+    def countmissing(self):
+        return self.df._agg_scalar(F.count(F.when(self.col.isNull(), 1)))
+
+    def dropna(self):
+        return self.df.filter(self.notna())
+
+    def dropmissing(self):
+        return self.df.filter(self.notmissing())
+
+    def dropnan(self):
+        return self.df.filter(self.notnan())
+
+    # -- UDF bridge ------------------------------------------------------
+    def apply(self, f, vectorize: bool = False):
+        """Per-value Python function (expression.py:1238).
+
+        ``vectorize=True`` maps to an Arrow-batched pandas UDF (the honest
+        analogue of vaex's chunk-at-a-time apply); ``False`` wraps f in a
+        row UDF.  Both infer the return type from a 1-row sample like
+        vaex's data_type probe (dataframe.py:2253).
+        """
+        return self.df._apply_expression(self, f, vectorize=vectorize)
+
+    def evaluate(self):
+        """Materialize this expression to a numpy array (driver-side)."""
+        import numpy as np
+        pdf = self.df._spark_df().select(self.col.alias("__v")).toPandas()
+        return np.asarray(pdf["__v"].values)
+
+    def to_numpy(self):
+        return self.evaluate()
+
+
+def _safe_isnan(c: Column) -> Column:
+    """F.isnan errors on non-numeric types; guard with a try at plan time
+    is impossible, so we rely on double/float inputs.  For non-floating
+    columns NaN cannot occur: callers use `ismissing` there.  We use a
+    null-safe wrapper: isnan(cast) on numeric, false otherwise is decided
+    by Catalyst's type coercion (isnan(string) casts -> double)."""
+    return F.isnan(c.cast("double")) & c.isNotNull()

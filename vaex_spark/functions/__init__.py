@@ -1,0 +1,158 @@
+"""Expression-namespace registry (reference: vaex-core/vaex/registry.py:19).
+
+Every function callable inside expression strings and on Expression
+objects lives here, as a builder ``(*Column|literal) -> Column``.  The
+vaex registry inserts numpy-backed kernels into a per-chunk eval scope;
+ours maps each name onto the equivalent ``pyspark.sql.functions`` call so
+everything stays JVM-side in whole-stage codegen.  ``register_function``
+is the public extension hook (same contract as vaex's decorator).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class FunctionRegistry:
+    def __init__(self):
+        self._functions: dict[str, object] = {}
+
+    def register(self, name: str, fn, scope: str | None = None):
+        key = f"{scope}_{name}" if scope else name
+        self._functions[key] = fn
+
+    def lookup(self, name: str):
+        return self._functions.get(name)
+
+    def names(self):
+        return sorted(self._functions)
+
+
+registry = FunctionRegistry()
+
+
+def register_function(scope: str | None = None, name: str | None = None,
+                      on_expression: bool = True, df_accessor=None):
+    """Decorator mirroring ``@vaex.register_function`` (registry.py:19).
+
+    The wrapped callable receives Columns (plus literals) and must return
+    a Column.  For Python-bodied functions, wrap in a pandas_udf before
+    registering — this registry never does row-at-a-time Python.
+    """
+    def wrapper(fn):
+        registry.register(name or fn.__name__, fn, scope=scope)
+        return fn
+    return wrapper
+
+
+def _c(x) -> Column:
+    from ..expression import Expression
+    if isinstance(x, Expression):
+        return x.col
+    if isinstance(x, Column):
+        return x
+    return F.lit(x)
+
+
+# --- math ufuncs (SURVEY §2.8 "math ufuncs"; vaex exposes numpy's) -----
+_MATH = {
+    "sin": F.sin, "cos": F.cos, "tan": F.tan,
+    "arcsin": F.asin, "arccos": F.acos, "arctan": F.atan,
+    "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+    "arcsinh": F.asinh, "arccosh": F.acosh, "arctanh": F.atanh,
+    "log": F.log, "log10": F.log10, "log2": F.log2,
+    "log1p": F.log1p, "exp": F.exp, "expm1": F.expm1,
+    "sqrt": F.sqrt, "abs": F.abs, "floor": F.floor, "ceil": F.ceil,
+    "degrees": F.degrees, "radians": F.radians, "sign": F.signum,
+}
+for _name, _fn in _MATH.items():
+    registry.register(_name, (lambda f: lambda x, *a: f(_c(x), *[_c(v) for v in a]))(_fn))
+
+registry.register("arctan2", lambda y, x: F.atan2(_c(y), _c(x)))
+registry.register("maximum", lambda a, b: F.greatest(_c(a), _c(b)))
+registry.register("minimum", lambda a, b: F.least(_c(a), _c(b)))
+registry.register("round", lambda x, n=0: F.round(_c(x), int(n)))
+registry.register("isfinite", lambda x: ~(F.isnan(_c(x).cast("double")) | (F.abs(_c(x)) == float("inf"))) & _c(x).isNotNull())
+registry.register("isinf", lambda x: F.abs(_c(x).cast("double")) == float("inf"))
+registry.register("power", lambda a, b: F.pow(_c(a), _c(b)))
+registry.register("pi", lambda: F.lit(math.pi))
+
+
+@register_function()
+def where(cond, x, y):
+    """vaex functions.py:2657 — three-arg numpy.where."""
+    return F.when(_c(cond), _c(x)).otherwise(_c(y))
+
+
+@register_function()
+def clip(x, lo=None, hi=None):
+    c = _c(x)
+    if lo is not None:
+        c = F.greatest(c, _c(lo))
+    if hi is not None:
+        c = F.least(c, _c(hi))
+    return c
+
+
+@register_function()
+def digitize(x, bins, right=False):
+    """numpy.digitize — index of bin each value falls into.
+
+    Compiled to width_bucket-style nested CASE over the literal bin
+    edges; stays in codegen, no UDF."""
+    c = _c(x)
+    # index = number of edges at-or-below x (numpy semantics)
+    terms = [((F.lit(e) <= c) if not right else (F.lit(e) < c)).cast("int") for e in bins]
+    out = F.lit(0)
+    for t in terms:
+        out = out + t
+    return out
+
+
+@register_function()
+def searchsorted(a_edges, v, side="left"):
+    return digitize(v, list(a_edges), right=(side == "right"))
+
+
+@register_function()
+def dot_product(a, b):
+    """vaex functions.py:2741 — elementwise dot of two array columns.
+
+    F.zip_with + F.aggregate keeps it JVM-side (no Python)."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+# --- null / NaN family (flat names usable in strings) -------------------
+registry.register("isna", lambda x: _c(x).isNull() | (F.isnan(_c(x).cast("double")) & _c(x).isNotNull()))
+registry.register("notna", lambda x: ~(_c(x).isNull() | (F.isnan(_c(x).cast("double")) & _c(x).isNotNull())))
+registry.register("isnan", lambda x: F.isnan(_c(x).cast("double")) & _c(x).isNotNull())
+registry.register("notnan", lambda x: ~(F.isnan(_c(x).cast("double")) & _c(x).isNotNull()))
+registry.register("ismissing", lambda x: _c(x).isNull())
+registry.register("notmissing", lambda x: _c(x).isNotNull())
+registry.register("fillmissing", lambda x, v: F.coalesce(_c(x), _c(v)))
+registry.register("fillnan", lambda x, v: F.when(F.isnan(_c(x).cast("double")) & _c(x).isNotNull(), _c(v)).otherwise(_c(x)))
+registry.register("fillna", lambda x, v: F.when(_c(x).isNull() | (F.isnan(_c(x).cast("double")) & _c(x).isNotNull()), _c(v)).otherwise(_c(x)))
+
+
+# --- list/array (functions.py:110-142, 2716-2735) ----------------------
+registry.register("list_sum", lambda x: F.aggregate(_c(x), F.lit(0.0), lambda a, v: a + v.cast("double")))
+registry.register("array_sum", lambda x: F.aggregate(_c(x), F.lit(0.0), lambda a, v: a + v.cast("double")))
+registry.register("getitem", lambda x, i: F.element_at(_c(x), int(i) + 1 if int(i) >= 0 else int(i)))
+registry.register("stack", lambda *xs: F.array(*[_c(x) for x in xs]))
+registry.register("astype", lambda x, t: _c(x).cast({"float64": "double", "float32": "float", "int64": "bigint", "int32": "int", "str": "string", "bool": "boolean"}.get(str(t), str(t))))
+registry.register("to_string", lambda x: _c(x).cast("string"))
+registry.register("format", lambda fmt, *xs: F.format_string(str(fmt).replace("{}", "%s"), *[_c(x) for x in xs]))
+registry.register("scalar_datetime", lambda s: F.lit(s).cast("timestamp"))
+
+
+def _load_accessor_functions():
+    # Registers the flat str_*/dt_*/td_* names into the registry.
+    from . import string, datetime, structs  # noqa: F401
+
+
+_load_accessor_functions()

@@ -1,0 +1,187 @@
+"""GroupBy surface (reference: vaex-core/vaex/groupby.py, 1087 LoC;
+entry dataframe.py:7133).
+
+All of vaex's grouper machinery — hash-unique dictionary passes
+(Grouper :226), categorical fast path (GrouperCategory :398), multi-key
+mixed-radix compression (GrouperCombined :330), sparse/dense heuristics
+(:652-668) — collapses into Spark's hash aggregation: ONE
+``df.groupBy(keys).agg(...)`` with partial (map-side) + final agg over
+the shuffle.  What we keep from the reference surface:
+
+* ``agg`` spec forms: string, list-of-strings, dict {col: spec | [specs]},
+  dict {name: descriptor}, descriptor list (groupby.py:688+ naming rules),
+* ``sort=``/``ascending=`` multi-key result ordering (groupby.py:619-627),
+* time binning: ``BinnerTime(expr, resolution='W')`` -> ``date_trunc``
+  (groupby.py:64-137),
+* value-limited grouping: ``GrouperLimited`` -> CASE WHEN other-bin
+  (groupby.py:468),
+* ``row_limit`` guard (RowLimitException, __init__.py:870),
+* binners: ``Binner(expr, lo, hi, bins)`` scalar range bins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from . import agg as vagg
+
+
+class RowLimitException(Exception):
+    pass
+
+
+class BinnerTime:
+    """groupby.py:64-137 — datetime resampling grouper."""
+
+    _RES = {"Y": "year", "M": "month", "W": "week", "D": "day",
+            "h": "hour", "m": "minute", "s": "second", "Q": "quarter"}
+
+    def __init__(self, expression, resolution="W", df=None, every=1):
+        if every != 1:
+            raise NotImplementedError("every>1 not supported yet")
+        self.expression = expression
+        self.resolution = resolution
+
+    def key_column(self, df, name):
+        unit = self._RES.get(self.resolution, self.resolution)
+        return F.date_trunc(unit, df._to_expr(self.expression).col).alias(name)
+
+    def default_name(self):
+        return str(self.expression)
+
+
+class GrouperLimited:
+    """groupby.py:468 — group on a fixed value set; the rest -> 'other'."""
+
+    def __init__(self, expression, values, other_value="other", df=None):
+        self.expression = expression
+        self.values = list(values)
+        self.other_value = other_value
+
+    def key_column(self, df, name):
+        c = df._to_expr(self.expression).col
+        return F.when(c.isin(self.values), c).otherwise(F.lit(self.other_value)).alias(name)
+
+    def default_name(self):
+        return str(self.expression)
+
+
+class Binner:
+    """Scalar range binner (groupby.py:45): key = bin center."""
+
+    def __init__(self, expression, minimum, maximum, bins, df=None):
+        self.expression = expression
+        self.lo, self.hi, self.bins = float(minimum), float(maximum), int(bins)
+
+    def key_column(self, df, name):
+        c = df._to_expr(self.expression).col.cast("double")
+        width = (self.hi - self.lo) / self.bins
+        idx = F.floor((c - self.lo) / width)
+        idx = F.when(c == self.hi, self.bins - 1).otherwise(idx)
+        center = F.lit(self.lo) + (idx + 0.5) * F.lit(width)
+        return center.alias(name)
+
+    def default_name(self):
+        return str(self.expression)
+
+
+class GroupBy:
+    def __init__(self, df, by, sort=False, ascending=True, row_limit=None):
+        self.df = df
+        self.sort = sort
+        self.ascending = ascending
+        self.row_limit = row_limit
+        if by is None:
+            by = []
+        if not isinstance(by, (list, tuple)):
+            by = [by]
+        self.by = list(by)
+
+    def _key_columns(self) -> tuple[list[Column], list[str]]:
+        cols, names = [], []
+        for i, b in enumerate(self.by):
+            if isinstance(b, (BinnerTime, GrouperLimited, Binner)):
+                name = b.default_name()
+                cols.append(b.key_column(self.df, name))
+            elif isinstance(b, str):
+                name = b
+                cols.append(self.df._to_expr(b).col.alias(name))
+            else:  # Expression
+                name = getattr(b, "_sql", None) or f"key_{i}"
+                cols.append(b.col.alias(name))
+            names.append(name)
+        return cols, names
+
+    def _agg_columns(self, spec) -> list[Column]:
+        out: list[Column] = []
+
+        def emit(desc: vagg.AggDescriptor, name: str):
+            out.append(desc.to_column(self.df).alias(name))
+
+        if isinstance(spec, str):
+            if spec == "count":
+                emit(vagg.count(), "count")
+            else:
+                # apply to every non-key column (vaex: agg='mean')
+                keys = {str(b) for b in self.by if isinstance(b, str)}
+                for c in self.df.get_column_names():
+                    if c not in keys and not self.df.data_type(c).startswith(("string", "timestamp", "array")):
+                        emit(vagg.from_spec(spec, c), c)
+        elif isinstance(spec, vagg.AggDescriptor):
+            emit(spec, spec.pretty_name)
+        elif isinstance(spec, (list, tuple)):
+            for s in spec:
+                if isinstance(s, vagg.AggDescriptor):
+                    emit(s, s.pretty_name)
+                else:
+                    raise TypeError(f"bad agg list entry {s!r}")
+        elif isinstance(spec, dict):
+            for key, s in spec.items():
+                if isinstance(s, vagg.AggDescriptor):
+                    emit(s, key)  # {'name': descriptor} -> output column 'name'
+                elif isinstance(s, str):
+                    emit(vagg.from_spec(s, key), key)  # {'col': 'sum'} -> column 'col'
+                elif isinstance(s, (list, tuple)):
+                    for sub in s:  # {'col': ['sum','mean']} -> col_sum, col_mean
+                        emit(vagg.from_spec(sub, key), f"{key}_{sub}")
+                else:
+                    raise TypeError(f"bad agg spec for {key!r}: {s!r}")
+        else:
+            raise TypeError(f"bad agg spec {spec!r}")
+        return out
+
+    def agg(self, spec, sort=None, ascending=None):
+        """Returns a vaex_spark.DataFrame of groups × aggregates."""
+        from .dataframe import DataFrame
+        key_cols, key_names = self._key_columns()
+        agg_cols = self._agg_columns(spec)
+        sdf = self.df._spark_df()
+        if key_cols:
+            grouped = sdf.groupBy(*key_cols).agg(*agg_cols)
+        else:
+            grouped = sdf.agg(*agg_cols)
+        if self.row_limit is not None:
+            n = grouped.count()
+            if n > self.row_limit:
+                raise RowLimitException(f"groupby has {n} > row_limit={self.row_limit} groups")
+        sort = self.sort if sort is None else sort
+        ascending = self.ascending if ascending is None else ascending
+        if sort and key_names:
+            asc = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(key_names)
+            order = [F.col(k).asc_nulls_last() if a else F.col(k).desc_nulls_last()
+                     for k, a in zip(key_names, asc)]
+            grouped = grouped.orderBy(*order)
+        out = DataFrame(grouped)
+        out.variables = dict(self.df.variables)
+        return out
+
+    # vaex also exposes direct shortcuts
+    def count(self):
+        return self.agg("count")
+
+    def sum(self, expression):
+        return self.agg({str(expression): "sum"})
+
+    def mean(self, expression):
+        return self.agg({str(expression): "mean"})

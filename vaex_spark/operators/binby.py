@@ -1,0 +1,158 @@
+"""binby: N-dimensional dense-grid aggregation (vaex's signature op).
+
+Reference: every vaex statistic accepts ``binby=`` and aggregates onto an
+N-d grid (dataframe.py:842 _compute_agg; binners dataframe.py:7282;
+C++ src/binners.cpp).  Edge-bin convention with ``edges=True``: index 0 =
+NaN/null, 1 = underflow, 2..shape+1 = data bins, shape+2 = overflow
+(agg.py:326-334, groupby.py:37-43).
+
+Spark mapping (SURVEY §4 closing note): the grid IS a groupBy on a
+computed bin index ``clip(floor((x - lo) / (hi - lo) * shape))`` —
+partial+final hash aggregation over the shuffle reproduces vaex's
+per-thread grids + reduce.  The *sparse* grouped result (≤ number of
+occupied cells, never shape^N) is collected and densified driver-side
+into a numpy ndarray — same memory envelope as vaex, which also holds
+the dense grid in RAM.  At 100 TB the shuffle carries only
+(cells × aggs) rows: grid aggregation is the textbook scalable pattern.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def compute_limits(df, expression, value=None, selection=None, delay=False):
+    """dataframe.py:1844 limits / :1795 limits_percentage.
+
+    value: None/'minmax' -> min/max; '99.7%' -> central percentile span;
+    [lo, hi] -> passthrough; list-of-expressions -> per-expression.
+    """
+    if isinstance(expression, (list, tuple)):
+        return [compute_limits(df, e, value, selection) for e in expression]
+    if isinstance(value, (list, tuple)) and len(value) == 2 and not isinstance(value[0], str):
+        return [float(value[0]), float(value[1])]
+    if value is None or value == "minmax":
+        mm = df.minmax(expression, selection=selection)
+        return [float(mm[0]), float(mm[1])]
+    if isinstance(value, str) and value.endswith("%"):
+        p = float(value[:-1])
+        tail = (100.0 - p) / 2
+        lo, hi = df.percentile_approx(expression, [tail, 100.0 - tail], selection=selection)
+        return [float(lo), float(hi)]
+    raise ValueError(f"cannot interpret limits {value!r}")
+
+
+def _normalize_limits(df, binby, limits):
+    """Normalize the many accepted limits spellings into per-dim [lo,hi].
+
+    Accepted: None | 'minmax' | '99.7%' | [lo,hi] | per-dim list of any
+    of those (dataframe.py:1844 semantics)."""
+    ndim = len(binby)
+    if limits is None or isinstance(limits, str):
+        return [compute_limits(df, b, limits) for b in binby]
+    limits = list(limits)
+    is_per_dim = (len(limits) == ndim and
+                  all(isinstance(li, (list, tuple, np.ndarray, str)) or li is None for li in limits))
+    if is_per_dim and not (ndim == 2 and all(isinstance(li, (int, float)) for li in limits)):
+        return [compute_limits(df, b, li) for b, li in zip(binby, limits)]
+    # single [lo, hi] shared across dims
+    lo, hi = float(limits[0]), float(limits[1])
+    return [[lo, hi] for _ in binby]
+
+
+def bin_index_col(col, lo, hi, shape, edges: bool):
+    """Compute the bin index column.  With edges, vaex convention:
+    0=NaN, 1=underflow, 2..shape+1=data, shape+2=overflow."""
+    scaled = F.floor((col.cast("double") - F.lit(lo)) / F.lit(hi - lo) * F.lit(shape)).cast("long")
+    # top edge inclusive (vaex clips x==hi into the last bin)
+    data_bin = F.when(col.cast("double") == F.lit(float(hi)), F.lit(shape - 1)).otherwise(scaled)
+    if edges:
+        return (F.when(col.isNull() | F.isnan(col.cast("double")), F.lit(0))
+                .when(data_bin < 0, F.lit(1))
+                .when(data_bin >= shape, F.lit(shape + 2))
+                .otherwise(data_bin + 2))
+    return F.when((data_bin >= 0) & (data_bin < shape), data_bin)
+
+
+def grid_agg(df, make_agg, expression, binby, shape, limits, selections,
+             edges=False, aslist=False):
+    """Shared implementation behind df.count(binby=...), df.sum(binby=...)."""
+    binby = binby if isinstance(binby, (list, tuple)) else [binby]
+    ndim = len(binby)
+    shapes = list(shape) if isinstance(shape, (list, tuple)) else [shape] * ndim
+    lims = _normalize_limits(df, binby, limits)
+
+    sdf = df._spark_df()
+    bin_cols = []
+    for i, (b, (lo, hi), sh) in enumerate(zip(binby, lims, shapes)):
+        c = df._to_expr(b).col
+        bin_cols.append(bin_index_col(c, lo, hi, sh, edges).alias(f"_b{i}"))
+
+    aggs = []
+    for j, sel in enumerate(selections):
+        c = df._agg_expr_col(expression, sel)
+        aggs.append(make_agg(c).alias(f"_a{j}"))
+
+    grouped = sdf.groupBy(*bin_cols).agg(*aggs)
+    if not edges:
+        for i in range(ndim):
+            grouped = grouped.filter(F.col(f"_b{i}").isNotNull())
+    rows = grouped.collect()
+
+    full_shapes = [(s + 3) if edges else s for s in shapes]
+    out = []
+    for j in range(len(selections)):
+        grid = np.zeros(full_shapes, dtype="float64")
+        for r in rows:
+            idx = tuple(int(r[f"_b{i}"]) for i in range(ndim))
+            v = r[f"_a{j}"]
+            grid[idx] = 0.0 if v is None else float(v)
+        out.append(grid)
+    if aslist:
+        return np.stack(out)
+    return out[0]
+
+
+def binby(df, by, agg=None, shape=128, limits=None):
+    """df.binby(...) returning an xarray.DataArray when xarray is
+    available (vaex returns xarray, dataframe.py:7208), else a plain
+    (grid, coords) pair."""
+    by = by if isinstance(by, (list, tuple)) else [by]
+    shapes = list(shape) if isinstance(shape, (list, tuple)) else [shape] * len(by)
+    lims = _normalize_limits(df, by, limits)
+
+    from .. import agg as vagg
+    if agg is None:
+        agg = vagg.count()
+    single = not isinstance(agg, (list, dict, tuple))
+    aggs = [agg] if single else (list(agg.values()) if isinstance(agg, dict) else list(agg))
+    names = ["agg"] if single else (list(agg.keys()) if isinstance(agg, dict) else [f"agg_{i}" for i in range(len(aggs))])
+
+    sdf = df._spark_df()
+    bin_cols = [bin_index_col(df._to_expr(b).col, lo, hi, sh, False).alias(f"_b{i}")
+                for i, (b, (lo, hi), sh) in enumerate(zip(by, lims, shapes))]
+    agg_cols = [a.to_column(df).alias(f"_a{i}") for i, a in enumerate(aggs)]
+    rows = sdf.groupBy(*bin_cols).agg(*agg_cols).collect()
+
+    grids = [np.zeros(shapes) for _ in aggs]
+    for r in rows:
+        if any(r[f"_b{i}"] is None for i in range(len(by))):
+            continue
+        idx = tuple(int(r[f"_b{i}"]) for i in range(len(by)))
+        for g, grid in enumerate(grids):
+            v = r[f"_a{g}"]
+            grid[idx] = 0.0 if v is None else float(v)
+
+    centers = [np.linspace(lo, hi, sh + 1)[:-1] + (hi - lo) / sh / 2
+               for (lo, hi), sh in zip(lims, shapes)]
+    dims = [str(b) for b in by]
+    try:
+        import xarray
+        data = grids[0] if single else np.stack(grids)
+        if single:
+            return xarray.DataArray(data, coords=dict(zip(dims, centers)), dims=dims)
+        return xarray.DataArray(data, coords={"statistic": names, **dict(zip(dims, centers))},
+                                dims=["statistic"] + dims)
+    except ImportError:
+        return (grids[0] if single else grids), centers

@@ -1,0 +1,52 @@
+"""Row-id discipline (SURVEY §2.6 / §7 'Row order').
+
+vaex's order-based operators (shift/diff/rolling, positional join, take,
+sequential split) assume the physical row order of the dataset.  Spark
+row order is undefined, so we materialize an explicit ``__row_id``.
+
+Two strategies:
+
+* ``with_row_id`` — contiguous 0..n-1 ids matching the scan order.
+  Implemented as a two-job zipWithIndex equivalent on the DataFrame
+  level: per-partition counts (tiny job) -> per-partition offset added
+  to a partition-local index.  This is exactly how RDD.zipWithIndex
+  works, but kept in DataFrame land so Catalyst can still prune columns
+  underneath.  Cost: one extra pass over partition *counts* (metadata-
+  sized), not the data.
+* ``with_monotonic_id`` — one-pass, non-contiguous but order-preserving
+  ids (monotonically_increasing_id).  Enough for ordering windows, not
+  for positional equality; used when only relative order matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDataFrame
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+ROW_ID = "__row_id"
+
+
+def with_monotonic_id(sdf: SparkDataFrame, name: str = ROW_ID) -> SparkDataFrame:
+    return sdf.withColumn(name, F.monotonically_increasing_id())
+
+
+def with_row_id(sdf: SparkDataFrame, name: str = ROW_ID) -> SparkDataFrame:
+    """Contiguous row ids in scan order, distributed.
+
+    monotonically_increasing_id encodes (partition_id << 33) + local_idx;
+    we subtract per-partition bases and add cumulative row offsets.  The
+    offsets table is partition-count-sized -> broadcast join is free.
+    At 100 TB this stays two metadata-light jobs; no global sort, no
+    single-task bottleneck (contrast with Window.orderBy over everything).
+    """
+    tagged = sdf.withColumn("__mono", F.monotonically_increasing_id())
+    tagged = tagged.withColumn("__pid", F.spark_partition_id())
+    counts = (tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"),
+                                          F.min("__mono").alias("__base")))
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("__offset", F.coalesce(F.sum("__cnt").over(w), F.lit(0)))
+    out = (tagged.join(F.broadcast(offsets.select("__pid", "__base", "__offset")), on="__pid")
+           .withColumn(name, F.col("__mono") - F.col("__base") + F.col("__offset"))
+           .drop("__mono", "__pid", "__base", "__offset"))
+    return out
