@@ -1,0 +1,223 @@
+"""Deduplication operators for training-data pipelines, Spark-first.
+
+Five families, each designed for the 100 TB regime:
+
+* exact_dedup        — hash-groupBy on a normalized fingerprint; the
+  shuffle carries (hash, row) pairs only, AQE handles skew.
+* minhash_lsh_dedup  — shingle -> minhash signature -> band-bucket ->
+  bucket join.  All signature math is Column expressions (xxhash64 with
+  per-permutation seeds + array aggregates), so the O(n·perm) work is
+  JVM-side; only candidate pairs shuffle.
+* simhash            — 64-bit simhash from token hashes; near-dup =
+  small hamming distance within blocking buckets.
+* ngram_jaccard      — exact Jaccard on shingle sets for candidate
+  pairs (the verification stage after LSH).
+* embedding near-dup — cosine threshold over LSH-bucketed embeddings
+  (see similarity.py).
+
+Scale notes: naive all-pairs similarity is O(n²) and is never
+materialized here — every near-dup path goes shingle->bucket->join so
+the candidate set stays near-linear for realistic duplicate rates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame as SparkDataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, shingles
+
+
+def _sdf(df):
+    from ..dataframe import DataFrame
+    return df._spark_df() if isinstance(df, DataFrame) else df
+
+
+def _wrap(sdf):
+    from ..dataframe import DataFrame
+    return DataFrame(sdf)
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+def exact_dedup(df, text_col: str = "text", id_col: str = "doc_id",
+                normalize: bool = True, keep: str = "min"):
+    """Keep one row per distinct (normalized) text.
+
+    Implementation: groupBy(fingerprint) -> min/max(id) -> semi-join back.
+    Two shuffles of (hash, id) pairs only; document bodies never shuffle
+    (the join is on the id, and Catalyst prunes columns into the scan).
+    """
+    sdf = _sdf(df)
+    fp = fingerprint(F.col(text_col), normalize=normalize).alias("__fp")
+    keep_agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    keepers = (sdf.select(fp, F.col(id_col))
+               .groupBy("__fp").agg(keep_agg.alias(id_col))
+               .select(id_col))
+    out = sdf.join(keepers, on=id_col, how="left_semi")
+    return _wrap(out)
+
+
+def exact_dup_groups(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Groups of exact duplicates: fingerprint, n_dups, member ids."""
+    sdf = _sdf(df)
+    fp = fingerprint(F.col(text_col)).alias("fp")
+    out = (sdf.select(fp, F.col(id_col))
+           .groupBy("fp")
+           .agg(F.count(F.lit(1)).alias("n_dups"),
+                F.sort_array(F.collect_list(id_col)).alias("ids"))
+           .filter(F.col("n_dups") > 1))
+    return _wrap(out)
+
+
+# --------------------------------------------------------------------------
+# minhash + LSH
+# --------------------------------------------------------------------------
+def minhash_signature(text, num_perm: int = 64, shingle_k: int = 5,
+                      precomputed_shingles: Column | None = None) -> Column:
+    """MinHash signature as array<bigint>, pure Column math.
+
+    h_i(doc) = min over shingles of xxhash64(shingle, seed=i).  Spark's
+    xxhash64 takes a seed via its multi-arg form; we emulate per-
+    permutation hash families by hashing (shingle, i).  array_min over
+    a transform keeps everything in codegen — no UDF, no explode."""
+    sh = precomputed_shingles if precomputed_shingles is not None else shingles(_colify(text), k=shingle_k)
+    sigs = [F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_perm)]
+    return F.array(*sigs)
+
+
+def minhash_bands(sig: Column, num_bands: int, rows_per_band: int) -> list[Column]:
+    """Band hashes: hash of each contiguous signature slice."""
+    return [F.xxhash64(F.array_join(
+        F.transform(F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string")), "_"), F.lit(1000 + b))
+        for b in range(num_bands)]
+
+
+def minhash_lsh_candidates(df, text_col: str = "text", id_col: str = "doc_id",
+                           num_perm: int = 64, num_bands: int = 16,
+                           shingle_k: int = 5) -> SparkDataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    doc -> signature -> per-band bucket key -> self-join per bucket.
+    Only same-bucket pairs materialize; distinct() dedups pairs found
+    in several bands.  Returns (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = num_perm // num_bands
+    sdf = _sdf(df).select(F.col(id_col), F.col(text_col))
+    sig = minhash_signature(F.col(text_col), num_perm=num_perm, shingle_k=shingle_k)
+    with_sig = sdf.select(F.col(id_col), sig.alias("__sig"))
+    bands = minhash_bands(F.col("__sig"), num_bands, rows_per_band)
+    # long-format (band, bucket, id): posexplode of band array
+    banded = (with_sig
+              .select(F.col(id_col), F.posexplode(F.array(*bands)).alias("band", "bucket")))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (left.join(right, on=[F.col("l.band") == F.col("r.band"),
+                                  F.col("l.bucket") == F.col("r.bucket"),
+                                  F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+             .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+             .distinct())
+    return pairs
+
+
+def ngram_jaccard(df, pairs: SparkDataFrame | None = None, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_k: int = 5,
+                  threshold: float | None = None) -> SparkDataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (LSH verification).
+
+    With pairs=None, verifies minhash_lsh_candidates output.  The join
+    brings each side's shingle set to the pair; array_intersect/union
+    are codegen'd."""
+    sdf = _sdf(df)
+    if pairs is None:
+        pairs = minhash_lsh_candidates(df, text_col=text_col, id_col=id_col, shingle_k=shingle_k)
+    sets_df = sdf.select(F.col(id_col), F.array_distinct(shingles(F.col(text_col), k=shingle_k)).alias("__set"))
+    a = sets_df.alias("a")
+    b = sets_df.alias("b")
+    out = (pairs
+           .join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
+           .join(b, pairs["id_b"] == F.col(f"b.{id_col}"))
+           .select("id_a", "id_b",
+                   (F.size(F.array_intersect("a.__set", "b.__set")).cast("double") /
+                    F.size(F.array_union("a.__set", "b.__set"))).alias("jaccard")))
+    if threshold is not None:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def minhash_lsh_dedup(df, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 64, num_bands: int = 16,
+                      shingle_k: int = 5, threshold: float = 0.8):
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard filter ->
+    drop the higher id of each confirmed pair (connected-component-lite:
+    iteratively keep min id; one pass suffices for pairwise drops)."""
+    sdf = _sdf(df)
+    confirmed = ngram_jaccard(df, text_col=text_col, id_col=id_col,
+                              shingle_k=shingle_k, threshold=threshold,
+                              pairs=minhash_lsh_candidates(
+                                  df, text_col, id_col, num_perm, num_bands, shingle_k))
+    to_drop = confirmed.select(F.col("id_b").alias(id_col)).distinct()
+    return _wrap(sdf.join(to_drop, on=id_col, how="left_anti"))
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+def simhash(text, num_bits: int = 64) -> Column:
+    """64-bit SimHash from whitespace tokens, pure Column math.
+
+    For each bit b: sum over tokens of sign(bit b of xxhash64(token));
+    bit set if the sum is positive.  aggregate() over the token array
+    does the voting without explode."""
+    tokens = F.split(F.trim(F.regexp_replace(F.lower(_colify(text)), r"\s+", " ")), " ")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    out = F.lit(0).cast("long")
+    for b in range(num_bits):
+        vote = F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+        # bit b set -> add 1<<b; shiftleft wraps at bit 63 (sign bit), which
+        # is fine — we only care about the 64-bit pattern, not the sign
+        out = out + F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id",
+                      max_hamming: int = 3, num_bits: int = 64) -> SparkDataFrame:
+    """Near-dups by simhash within blocking buckets.
+
+    Blocking: split the 64-bit hash into (max_hamming+1) chunks — two
+    docs within the distance share at least one exact chunk (pigeonhole),
+    so the self-join runs per chunk bucket, not all-pairs."""
+    sdf = _sdf(df)
+    sh = simhash(F.col(text_col), num_bits=num_bits).alias("__sim")
+    base = sdf.select(F.col(id_col), sh)
+    n_chunks = max_hamming + 1
+    bits = num_bits // n_chunks
+    chunks = [F.shiftrightunsigned(F.col("__sim"), i * bits).bitwiseAND(F.lit((1 << bits) - 1)).alias("chunk")
+              for i in range(n_chunks)]
+    blocked = base.select(F.col(id_col), F.col("__sim"),
+                          F.posexplode(F.array(*[c for c in chunks])).alias("ci", "chunk"))
+    l, r = blocked.alias("l"), blocked.alias("r")
+    pairs = (l.join(r, on=[F.col("l.ci") == F.col("r.ci"),
+                           F.col("l.chunk") == F.col("r.chunk"),
+                           F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"),
+                     hamming64(F.col("l.__sim"), F.col("r.__sim")).alias("hamming"))
+             .filter(F.col("hamming") <= max_hamming)
+             .distinct())
+    return pairs
+
+
+def _colify(x):
+    if isinstance(x, Column):
+        return x
+    return F.col(x)

@@ -1,0 +1,232 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale plan:
+
+* brute-force cosine top-k — the exactness baseline.  Dot products via
+  F.zip_with + F.aggregate (JVM-side); queries broadcast to the corpus;
+  per-partition top-k via window rank after AQE-coalesced shuffle.
+  O(q · n · d) but embarrassingly parallel — correct choice when q is
+  small (interactive lookup) at any corpus size.
+* LSH-bucketed (random hyperplane signs) — the scale path: corpus and
+  queries hash into sign-pattern buckets; only same-bucket pairs score.
+  Recall < 1 traded for candidate sets ~n/2^bits; multi-probe via
+  several independent tables.
+* IVF-style (coarse k-means-lite) — centroid assignment with literal
+  centroids (trained driver-side on a sample), probe nearest cells.
+
+All distance math is deterministic: per-element products accumulate in
+array order, so results are bit-stable across partitionings (needed for
+the oracle harness).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame as SparkDataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sdf(df):
+    from ..dataframe import DataFrame
+    return df._spark_df() if isinstance(df, DataFrame) else df
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic dot product of two array columns (array-order sum)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0),
+                              lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def normalize(a: Column) -> Column:
+    n = l2_norm(a)
+    return F.transform(a, lambda v: v.cast("double") / n)
+
+
+# --------------------------------------------------------------------------
+# brute force top-k
+# --------------------------------------------------------------------------
+def brute_force_topk(corpus, queries, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     query_id_col: str | None = None) -> SparkDataFrame:
+    """Exact cosine top-k for each query vector.
+
+    ``queries`` may be a (small) DataFrame or a list of (id, vector).
+    The query side is broadcast — the corpus never shuffles; per-query
+    ranking uses a window over (query_id) partitions.
+    """
+    spark = _sdf(corpus).sparkSession
+    corpus_sdf = _sdf(corpus)
+    query_id_col = query_id_col or id_col
+    if isinstance(queries, (list, tuple)):
+        qdf = spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in queries],
+            f"{query_id_col} bigint, {vec_col} array<double>")
+    else:
+        qdf = _sdf(queries)
+    q = F.broadcast(qdf.select(F.col(query_id_col).alias("query_id"),
+                               F.col(vec_col).alias("__qvec")))
+    scored = (corpus_sdf.select(F.col(id_col), F.col(vec_col))
+              .crossJoin(q)
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      F.round(cosine(F.col("__qvec"), F.col(vec_col)), 8).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))
+
+
+def pairwise_cosine(corpus, subset_filter: Column, vec_col: str = "embedding",
+                    id_col: str = "vec_id", round_to: int = 6) -> SparkDataFrame:
+    """All (subset x corpus) cosine values — the oracle-friendly form
+    (no top-k boundary, deterministic rounding)."""
+    sdf = _sdf(corpus)
+    left = sdf.filter(subset_filter).select(F.col(id_col).alias("id_a"),
+                                            F.col(vec_col).alias("__va"))
+    right = sdf.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (F.broadcast(left).crossJoin(right)
+            .select("id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), round_to).alias("cos")))
+
+
+# --------------------------------------------------------------------------
+# LSH (random hyperplanes)
+# --------------------------------------------------------------------------
+def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(bits, dim)
+
+
+def hyperplane_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-pattern bucket id from literal hyperplanes — pure expressions:
+    bucket = sum_b (dot(vec, plane_b) > 0) << b."""
+    out = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in plane]),
+                       lambda x, p: x.cast("double") * p),
+            F.lit(0.0), lambda acc, v: acc + v)
+        out = out + F.when(d > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def lsh_topk(corpus, queries, k: int = 10, bits: int = 8, n_tables: int = 2,
+             dim: int | None = None, vec_col: str = "embedding",
+             id_col: str = "vec_id", seed: int = 42) -> SparkDataFrame:
+    """Approximate top-k: only same-bucket (any table) pairs are scored.
+
+    Candidate volume ~ n * q / 2^bits per table.  At 100 TB this is the
+    path: buckets shard the corpus so each query touches a sliver.
+    """
+    spark = _sdf(corpus).sparkSession
+    corpus_sdf = _sdf(corpus)
+    if dim is None:
+        first = corpus_sdf.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        dim = int(first[0]["d"])
+    if isinstance(queries, (list, tuple)):
+        qdf = spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in queries],
+            f"{id_col} bigint, {vec_col} array<double>")
+    else:
+        qdf = _sdf(queries)
+
+    def bucketize(sdf, label):
+        buckets = F.array(*[hyperplane_bucket(F.col(vec_col), _hyperplanes(dim, bits, seed + t))
+                            for t in range(n_tables)])
+        return sdf.select(F.col(id_col).alias(f"{label}_id"),
+                          F.col(vec_col).alias(f"__{label}_vec"),
+                          F.posexplode(buckets).alias("table", f"{label}_bucket"))
+
+    c = bucketize(corpus_sdf, "c")
+    q = F.broadcast(bucketize(qdf, "q"))
+    cand = (c.join(q, on=[c["table"] == q["table"], c["c_bucket"] == q["q_bucket"]])
+            .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"),
+                    F.col("__q_vec").alias("__qv"), F.col("__c_vec").alias("__cv"))
+            .distinct())
+    scored = cand.select("query_id", "neighbor_id",
+                         F.round(cosine(F.col("__qv"), F.col("__cv")), 8).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))
+
+
+# --------------------------------------------------------------------------
+# IVF-lite
+# --------------------------------------------------------------------------
+def train_centroids(corpus, n_cells: int = 16, vec_col: str = "embedding",
+                    sample_rows: int = 2000, iters: int = 5, seed: int = 42) -> np.ndarray:
+    """Tiny driver-side k-means on a sample (centroids are small; the
+    heavy assignment runs distributed as expressions)."""
+    sdf = _sdf(corpus)
+    sample = [r[0] for r in sdf.select(vec_col).limit(sample_rows).collect()]
+    X = np.array([list(map(float, v)) for v in sample])
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(cent)):
+            pts = X[assign == j]
+            if len(pts):
+                cent[j] = pts.mean(0)
+    return cent
+
+
+def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid cell id, pure expressions (argmin via chained when)."""
+    best_id = F.lit(0)
+    best_d = None
+    for j, c in enumerate(centroids):
+        d = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]),
+                       lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc)),
+            F.lit(0.0), lambda acc, v: acc + v)
+        if best_d is None:
+            best_d = d
+        else:
+            better = d < best_d
+            best_id = F.when(better, F.lit(j)).otherwise(best_id)
+            best_d = F.when(better, d).otherwise(best_d)
+    return best_id
+
+
+def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 42) -> SparkDataFrame:
+    """IVF search: corpus partitioned by nearest centroid; each query
+    scores only its n_probe nearest cells."""
+    spark = _sdf(corpus).sparkSession
+    corpus_sdf = _sdf(corpus)
+    cent = train_centroids(corpus, n_cells=n_cells, vec_col=vec_col, seed=seed)
+    assigned = corpus_sdf.withColumn("__cell", ivf_assign(F.col(vec_col), cent))
+    if isinstance(queries, (list, tuple)):
+        qrows = [(int(i), [float(x) for x in v]) for i, v in queries]
+        qdf = spark.createDataFrame(qrows, f"{id_col} bigint, {vec_col} array<double>")
+    else:
+        qdf = _sdf(queries)
+    # per-query probe cells, computed distributed (no driver loop):
+    # sort (distance, cell) structs, take the first n_probe cell ids
+    dists = F.array(*[
+        F.aggregate(F.zip_with(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]),
+                               lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc)),
+                    F.lit(0.0), lambda acc, v: acc + v)
+        for c in cent])
+    zipped = F.arrays_zip(dists.alias("d"), F.sequence(F.lit(0), F.lit(len(cent) - 1)).alias("i"))
+    probe_cells = F.slice(F.transform(F.array_sort(zipped), lambda s: s.getField("i")), 1, n_probe)
+    q = F.broadcast(qdf.select(F.col(id_col).alias("query_id"),
+                               F.col(vec_col).alias("__qvec"),
+                               F.explode(probe_cells).alias("__cell")))
+    scored = (assigned.join(q, on="__cell")
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      F.round(cosine(F.col("__qvec"), F.col(vec_col)), 8).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))

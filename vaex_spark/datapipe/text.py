@@ -1,0 +1,162 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (whole-stage codegen, no Python in the hot
+path) so they run at 100 TB without UDF serialization overhead:
+
+* token_count      — whitespace tokens + a BPE-ish word/punct regex count
+* quality_score    — length / punctuation / stopword-ratio heuristics
+* lang_id          — n-gram/stopword-hit heuristic over a small language set
+* fingerprint      — 64-bit rolling-hash document fingerprint (xxhash64)
+
+Each returns a Column; DataFrame-level helpers add them as columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    from ..expression import Expression
+    if isinstance(x, Expression):
+        return x.col
+    if isinstance(x, Column):
+        return x
+    return F.col(x)
+
+
+# --------------------------------------------------------------------------
+# token counting
+# --------------------------------------------------------------------------
+def token_count_whitespace(text) -> Column:
+    """Number of whitespace-separated tokens."""
+    t = F.trim(_c(text))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+")))
+
+
+_BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(text) -> Column:
+    """BPE-ish token estimate: letter runs, single digits, punctuation
+    marks — a cheap, deterministic proxy for subword tokenizers."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(_BPE_TOKEN_RE), 0))
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+# --------------------------------------------------------------------------
+_STOPWORDS_EN = ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"]
+
+
+def quality_features(text) -> dict[str, Column]:
+    """The classic C4/Gopher-style cheap quality signals."""
+    t = _c(text)
+    n_chars = F.length(t)
+    n_tokens = token_count_whitespace(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.!?,;:]", ""))
+    n_digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    stop_hits = F.lit(0)
+    low = F.lower(t)
+    for w in _STOPWORDS_EN:
+        stop_hits = stop_hits + F.size(F.regexp_extract_all(low, F.lit(rf"\b{w}\b"), 0))
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_word_len": (n_chars.cast("double") / safe_tokens),
+        "alpha_ratio": (n_alpha.cast("double") / safe_chars),
+        "punct_ratio": (n_punct.cast("double") / safe_chars),
+        "digit_ratio": (n_digits.cast("double") / safe_chars),
+        "stopword_ratio": (stop_hits.cast("double") / safe_tokens),
+    }
+
+
+def quality_score(text) -> Column:
+    """Scalar quality score in [0,1]: product of clipped signal scores.
+    Deterministic, expression-only."""
+    f = quality_features(text)
+    # each component scaled into [0,1]
+    len_score = F.least(f["n_tokens"].cast("double") / 20.0, F.lit(1.0))
+    alpha_score = f["alpha_ratio"]
+    stop_score = F.least(f["stopword_ratio"] * 4.0, F.lit(1.0))
+    not_digit = F.greatest(F.lit(0.0), F.lit(1.0) - f["digit_ratio"] * 3.0)
+    return F.round(len_score * alpha_score * stop_score * not_digit, 6)
+
+
+# --------------------------------------------------------------------------
+# language identification (heuristic)
+# --------------------------------------------------------------------------
+_LANG_MARKERS = {
+    "en": ["the", "and", "is", "of", "you", "that"],
+    "de": ["der", "die", "und", "ist", "nicht", "das"],
+    "fr": ["le", "la", "les", "et", "est", "vous"],
+    "es": ["el", "la", "los", "es", "que", "para"],
+    "it": ["il", "la", "che", "di", "non", "per"],
+}
+
+
+def lang_id(text) -> Column:
+    """Stopword-hit language guess over a small closed set; 'und'
+    (undetermined) when nothing matches.  One pass, pure expressions."""
+    low = F.lower(_c(text))
+    scores = []
+    for lang, words in _LANG_MARKERS.items():
+        s = F.lit(0)
+        for w in words:
+            s = s + F.size(F.regexp_extract_all(low, F.lit(rf"\b{w}\b"), 0))
+        scores.append((lang, s))
+    # argmax via chained when; ties break by dict order (deterministic)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, s in scores:
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+# --------------------------------------------------------------------------
+# fingerprinting
+# --------------------------------------------------------------------------
+def fingerprint(text, normalize: bool = True) -> Column:
+    """64-bit document fingerprint.  xxhash64 over the (optionally
+    whitespace/case-normalized) text — the Spark-native rolling hash."""
+    t = _c(text)
+    if normalize:
+        t = F.regexp_replace(F.lower(t), r"\s+", " ")
+        t = F.trim(t)
+    return F.xxhash64(t)
+
+
+def shingles(text, k: int = 5) -> Column:
+    """Array of k-word shingles (for MinHash / Jaccard)."""
+    words = F.split(F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " ")), " ")
+    n = F.size(words)
+    # transform over 0..n-k producing space-joined k-grams
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.array_join(words, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")))
+
+
+# --------------------------------------------------------------------------
+# DataFrame-level helpers
+# --------------------------------------------------------------------------
+def with_text_stats(df, text_col: str = "text"):
+    """Attach token counts / quality / language columns (vaex_spark or
+    Spark DataFrame in, same type out)."""
+    from ..dataframe import DataFrame
+    wrapped = isinstance(df, DataFrame)
+    sdf = df._spark_df() if wrapped else df
+    t = F.col(text_col)
+    out = (sdf
+           .withColumn("n_tokens", token_count_whitespace(t))
+           .withColumn("n_tokens_bpe", token_count_bpe(t))
+           .withColumn("quality", quality_score(t))
+           .withColumn("lang_guess", lang_id(t))
+           .withColumn("fingerprint", fingerprint(t)))
+    return DataFrame(out) if wrapped else out

@@ -1,0 +1,144 @@
+"""Structured Streaming surface (beyond-parity; SURVEY §2.10 — the
+reference has no streaming subsystem, so this is designed Spark-first).
+
+The same expression/aggregation layer drives streams: ``open_stream``
+returns a vaex_spark DataFrame whose base is a streaming DataFrame;
+windowed aggregations, watermarking and streaming dedup are thin
+wrappers over the native operators.
+
+Tested with file sources + ``availableNow`` triggers (bounded replay of
+a directory), which is exactly how a 100 TB backfill runs in production;
+swapping in kafka/kinesis sources is a config change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDataFrame
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..dataframe import DataFrame
+from ..session import get_session
+
+
+def open_stream(path, schema=None, fmt: str = "parquet",
+                spark: SparkSession | None = None, **options) -> DataFrame:
+    """readStream over a directory; schema required by Spark for file
+    streams — pass one or we infer from existing files."""
+    spark = spark or get_session()
+    reader = spark.readStream.format(fmt)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    ns_cols: list[str] = []
+    if fmt == "parquet":
+        # same TIMESTAMP(NANOS) tolerance as the batch reader: scan as
+        # int64 nanos, rebuild micro-truncated timestamps
+        import glob as g
+        import os
+        matches = sorted(g.glob(os.path.join(str(path), "*.parquet"))) or sorted(g.glob(str(path)))
+        if matches:
+            try:
+                import pyarrow.parquet as pq
+                fschema = pq.read_schema(matches[0])
+                ns_cols = [f.name for f in fschema if str(f.type).startswith("timestamp[ns")]
+                if ns_cols:
+                    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            except Exception:
+                ns_cols = []
+    if schema is None:
+        import glob as g
+        import os
+        matches = sorted(g.glob(os.path.join(str(path), "*"))) or [str(path)]
+        schema = spark.read.format(fmt).load(matches[0]).schema
+    sdf = reader.schema(schema).load(str(path))
+    for c in ns_cols:
+        if dict(sdf.dtypes).get(c) == "bigint":
+            sdf = sdf.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+    return DataFrame(sdf)
+
+
+def with_watermark(df: DataFrame, time_col: str, delay: str) -> DataFrame:
+    out = DataFrame(df._spark_df().withWatermark(time_col, delay))
+    out.variables = dict(df.variables)
+    return out
+
+
+def _agg_columns(df, agg: dict):
+    """{output_name: descriptor | 'count' | ('sum', 'col')} -> agg Columns.
+    A bare 'count' string means count(*) (the output name is free-form)."""
+    from .. import agg as vagg
+    out = []
+    for name, spec in agg.items():
+        if isinstance(spec, vagg.AggDescriptor):
+            desc = spec
+        elif spec == "count":
+            desc = vagg.count()
+        elif isinstance(spec, (tuple, list)) and len(spec) == 2:
+            desc = vagg.from_spec(spec[0], spec[1])
+        else:
+            desc = vagg.from_spec(spec, name)
+        out.append(desc.to_column(df).alias(name))
+    return out
+
+
+def window_agg(df: DataFrame, time_col: str, window: str, agg: dict,
+               slide: str | None = None, watermark: str | None = None,
+               extra_keys: list[str] | None = None) -> SparkDataFrame:
+    """Tumbling/sliding window aggregation usable on batch AND stream
+    (same code path — the Spark unification the reference lacks)."""
+    from .. import agg as vagg
+    sdf = df._spark_df()
+    if watermark is not None:
+        sdf = sdf.withWatermark(time_col, watermark)
+    win = F.window(time_col, window, slide) if slide else F.window(time_col, window)
+    keys = [win.alias("window")] + [F.col(k) for k in (extra_keys or [])]
+    aggs = _agg_columns(df, agg)
+    return sdf.groupBy(*keys).agg(*aggs)
+
+
+def session_window_agg(df: DataFrame, time_col: str, gap: str, agg: dict,
+                       keys: list[str] | None = None,
+                       watermark: str | None = None) -> SparkDataFrame:
+    from .. import agg as vagg
+    sdf = df._spark_df()
+    if watermark is not None:
+        sdf = sdf.withWatermark(time_col, watermark)
+    group = [F.session_window(F.col(time_col), gap).alias("session")] + [F.col(k) for k in (keys or [])]
+    aggs = _agg_columns(df, agg)
+    return sdf.groupBy(*group).agg(*aggs)
+
+
+def stream_dedup(df: DataFrame, keys: list[str], time_col: str | None = None,
+                 watermark: str | None = None) -> SparkDataFrame:
+    """Streaming dedup; with a watermark uses the bounded-state variant
+    (dropDuplicatesWithinWatermark) so state doesn't grow forever."""
+    sdf = df._spark_df()
+    if watermark is not None and time_col is not None:
+        sdf = sdf.withWatermark(time_col, watermark)
+        return sdf.dropDuplicatesWithinWatermark(keys)
+    return sdf.dropDuplicates(keys)
+
+
+def run_available_now(stream_sdf: SparkDataFrame, sink_path: str, checkpoint: str,
+                      fmt: str = "parquet", output_mode: str = "append"):
+    """Bounded execution: process everything currently in the source,
+    then stop — the batch-backfill pattern."""
+    q = (stream_sdf.writeStream.format(fmt)
+         .option("path", sink_path)
+         .option("checkpointLocation", checkpoint)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
+def run_to_memory(stream_sdf: SparkDataFrame, name: str, output_mode: str = "complete"):
+    """availableNow into an in-memory table — the test/debug sink."""
+    q = (stream_sdf.writeStream.format("memory")
+         .queryName(name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
