@@ -1,38 +1,825 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001.  ``queries()`` maps
+operator names (SURVEY.md §2 inventory + datapipe extras) to callables
+``(spark, sf_dir) -> DataFrame``, each built through the vaex_spark API.
+``oracle_sql()`` holds DuckDB-equivalent SQL for each oracle-checkable
+query.
+
+Float-parity discipline: double sums are order-dependent across
+partitionings, so every aggregated double goes through
+``CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE)`` on BOTH engines —
+decimal accumulation is exact and order-independent, and the final
+double cast is deterministic.  Means divide that by COUNT.  Per-row
+arithmetic (no aggregation) is IEEE-deterministic and needs no rounding.
+Every aggregate/computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+import vaex_spark as vs
+from vaex_spark import agg as vagg
+
+DEC = "decimal(25,6)"
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str):
+    return vs.open(f"{sf_dir}/{name}.parquet", spark=spark)
+
+
+def dsum(col) -> Column:
+    """Order-independent double sum (exact decimal accumulation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def davg(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+
+
+def isum(col) -> Column:
+    """Exact sum for integral-valued columns (order-independent)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c)
+
+
+# ===========================================================================
+# flagship
+# ===========================================================================
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """TPC-H Q1-shaped pricing summary on sf0.001 through the full
+    vaex_spark stack (virtual columns, filter, groupby, agg descriptors)."""
+    return _q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+# ===========================================================================
+# relational core (SURVEY §2.3-2.6)
+# ===========================================================================
+def _q01_pricing_summary(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem")
+    df["disc_price"] = df.l_extendedprice * (1 - df.l_discount)
+    df["charge"] = df.disc_price * (1 + df.l_tax)
+    flt = df[df.l_shipdate <= "1998-09-02"]
+    out = flt.groupby(["l_returnflag", "l_linestatus"], agg={
+        "sum_qty": isum("l_quantity"),
+        "sum_base_price": dsum("l_extendedprice"),
+        "sum_disc_price": dsum("disc_price"),
+        "sum_charge": dsum("charge"),
+        "avg_qty": davg("l_quantity"),
+        "avg_price": davg("l_extendedprice"),
+        "avg_disc": davg("l_discount"),
+        "count_order": F.count(F.lit(1)),
+    }, sort=True)
+    return out.spark
+
+
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST((l_extendedprice*(1-l_discount))*(1+l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)/COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)/COUNT(l_extendedprice) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE)/COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q02_filter_project(spark, sf_dir):
+    """Predicate + projection pushdown (filters reach the parquet scan)."""
+    df = _t(spark, sf_dir, "lineitem")
+    flt = df[(df.l_quantity > 45) & (df.l_discount >= 0.05)]
+    sub = flt[["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]]
+    return sub.spark
+
+
+_Q02_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05
+"""
+
+
+def _q03_revenue_by_segment(spark, sf_dir):
+    """Join (broadcast small side) + groupby."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(cust, left_on="o_custkey", right_on="c_custkey",
+                    how="inner", allow_duplication=True)
+    return j.groupby("c_mktsegment", agg={
+        "revenue": dsum("o_totalprice"),
+        "n_orders": F.count(F.lit(1)),
+    }, sort=True).spark
+
+
+_Q03_SQL = """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def _q04_priority_count(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders")
+    flt = df[(df.o_totalprice > 100000.0) & (df.o_orderstatus == "F")]
+    return flt.groupby("o_orderpriority", agg={"n": F.count(F.lit(1))}, sort=True).spark
+
+
+_Q04_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+def _q05_revenue_by_nation(spark, sf_dir):
+    """Three-way join chain through dims (all broadcastable)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = (orders.join(cust, left_on="o_custkey", right_on="c_custkey",
+                     how="inner", allow_duplication=True)
+         .join(nation, left_on="c_nationkey", right_on="n_nationkey",
+               how="inner", allow_duplication=True)
+         .join(region, left_on="n_regionkey", right_on="r_regionkey",
+               how="inner", allow_duplication=True))
+    return j.groupby(["r_name", "n_name"], agg={
+        "revenue": dsum("o_totalprice"),
+        "n_orders": F.count(F.lit(1)),
+    }, sort=True).spark
+
+
+_Q05_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def _q06_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: tight scan-filter-aggregate (full pushdown)."""
+    df = _t(spark, sf_dir, "lineitem")
+    df["rev"] = df.l_extendedprice * df.l_discount
+    flt = df[(df.l_shipdate >= "1995-01-01") & (df.l_shipdate < "1997-01-01")
+             & (df.l_discount >= 0.03) & (df.l_quantity < 24)]
+    return flt.groupby(None, agg={"revenue": dsum("rev")}).spark
+
+
+_Q06_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03 AND l_quantity < 24
+"""
+
+
+def _q07_orders_by_month(spark, sf_dir):
+    """BinnerTime groupby (date_trunc month)."""
+    df = _t(spark, sf_dir, "orders")
+    g = df.groupby(vs.BinnerTime("o_orderdate", resolution="M"), agg={
+        "n": F.count(F.lit(1)),
+        "total": dsum("o_totalprice"),
+    }, sort=True)
+    return g.spark.withColumnRenamed("o_orderdate", "month")
+
+
+_Q07_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+FROM orders GROUP BY 1
+"""
+
+
+def _q08_value_counts(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    return df.groupby("event_type", agg={"cnt": F.count(F.lit(1))}, sort=True).spark
+
+
+_Q08_SQL = "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type"
+
+
+def _q09_nunique(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    return df.groupby("event_type", agg={
+        "users": vagg.nunique("user_id", dropna=True),
+        "n": F.count(F.lit(1)),
+    }, sort=True).spark
+
+
+_Q09_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def _q10_window_diff(spark, sf_dir):
+    """diff over explicit order (SURVEY §2.6 shift/diff)."""
+    df = _t(spark, sf_dir, "events")
+    d = df.diff(column="value", order_key="event_id")
+    out = d.spark.select("event_id", F.col("value").alias("diff"))
+    return out
+
+
+_Q10_SQL = """
+SELECT event_id, value - LAG(value) OVER (ORDER BY event_id) AS diff
+FROM events
+"""
+
+
+def _q11_rolling_avg(spark, sf_dir):
+    """Rolling window, partitioned by user (the scalable form)."""
+    df = _t(spark, sf_dir, "events")
+    r = df.rolling(5, column="value", order_key="event_id", partition_by="user_id").mean()
+    return r.spark.select("event_id", "user_id", F.round(F.col("value"), 6).alias("roll_avg"))
+
+
+_Q11_SQL = """
+SELECT event_id, user_id,
+       ROUND(CASE WHEN COUNT(value) OVER w >= 5 THEN AVG(value) OVER w END, 6) AS roll_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q12_rank_topk(spark, sf_dir):
+    """row_number ranking per partition (extended window surface)."""
+    sdf = _t(spark, sf_dir, "orders").spark
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (sdf.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk"))
+
+
+_Q12_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders) WHERE rk <= 3
+"""
+
+
+def _q13_sort_topn(spark, sf_dir):
+    df = _t(spark, sf_dir, "customer")
+    s = df.sort(["c_acctbal", "c_custkey"], ascending=[False, True])
+    return s.spark.select("c_custkey", "c_name", "c_acctbal").limit(10)
+
+
+_Q13_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10
+"""
+
+
+def _q14_string_funcs(spark, sf_dir):
+    """String kernel family (SURVEY §2.8) — all JVM-side."""
+    df = _t(spark, sf_dir, "part")
+    df["name_upper"] = df.p_name.str.upper()
+    df["name_len"] = df.p_name.str.len()
+    df["has_green"] = df.p_name.str.contains("green", regex=False)
+    df["brand_num"] = df.p_brand.str.replace("Brand#", "")
+    df["type_first"] = df.p_type.str.split(" ")[0]
+    sub = df[["p_partkey", "name_upper", "name_len", "has_green", "brand_num", "type_first"]]
+    return sub.spark
+
+
+_Q14_SQL = """
+SELECT p_partkey, UPPER(p_name) AS name_upper,
+       CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+       CONTAINS(p_name, 'green') AS has_green,
+       REPLACE(p_brand, 'Brand#', '') AS brand_num,
+       regexp_split_to_array(p_type, ' ')[1] AS type_first
+FROM part
+"""
+
+
+def _q15_datetime_funcs(spark, sf_dir):
+    """dt accessor family; dayofweek uses vaex/pandas Monday=0."""
+    df = _t(spark, sf_dir, "orders")
+    df["o_year"] = df.o_orderdate.dt.year
+    df["o_month"] = df.o_orderdate.dt.month
+    df["o_day"] = df.o_orderdate.dt.day
+    df["o_quarter"] = df.o_orderdate.dt.quarter
+    df["o_dow"] = df.o_orderdate.dt.dayofweek
+    df["o_doy"] = df.o_orderdate.dt.dayofyear
+    sub = df[["o_orderkey", "o_year", "o_month", "o_day", "o_quarter", "o_dow", "o_doy"]]
+    return sub.spark
+
+
+_Q15_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(month(o_orderdate) AS INTEGER) AS o_month,
+       CAST(day(o_orderdate) AS INTEGER) AS o_day,
+       CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+       CAST((dayofweek(o_orderdate) + 6) % 7 AS INTEGER) AS o_dow,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS o_doy
+FROM orders
+"""
+
+
+def _q16_bucket_case(spark, sf_dir):
+    """where()/map() conditional bucketing + groupby."""
+    df = _t(spark, sf_dir, "orders")
+    df["bucket"] = "where(o_totalprice < 50000, 'small', where(o_totalprice < 150000, 'medium', 'large'))"
+    return df.groupby("bucket", agg={"n": F.count(F.lit(1)),
+                                     "total": dsum("o_totalprice")}, sort=True).spark
+
+
+_Q16_SQL = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            ELSE 'large' END AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+FROM orders GROUP BY 1
+"""
+
+
+def _q17_isin(spark, sf_dir):
+    df = _t(spark, sf_dir, "nation")
+    flt = df[df.n_name.isin(["NATION_3", "NATION_7", "NATION_11", "NATION_19"])]
+    return flt.spark.select("n_nationkey", "n_name", "n_regionkey")
+
+
+_Q17_SQL = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_name IN ('NATION_3','NATION_7','NATION_11','NATION_19')
+"""
+
+
+def _q18_histogram(spark, sf_dir):
+    """binby 1-d grid as its sparse groupBy form (SURVEY §2.5 binby):
+    bin index = clip(floor((x-lo)/(hi-lo)*shape))."""
+    sdf = _t(spark, sf_dir, "orders").spark
+    lo, hi, shape = 0.0, 600000.0, 24
+    scaled = F.floor((F.col("o_totalprice") - lo) / (hi - lo) * shape).cast("long")
+    b = F.when(F.col("o_totalprice") == hi, shape - 1).otherwise(scaled)
+    b = F.when((b >= 0) & (b < shape), b)
+    return (sdf.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("bin").isNotNull()))
+
+
+_Q18_SQL = """
+SELECT CAST(CASE WHEN o_totalprice = 600000.0 THEN 23
+            ELSE FLOOR((o_totalprice - 0.0) / 600000.0 * 24) END AS BIGINT) AS bin,
+       COUNT(*) AS cnt
+FROM orders
+WHERE o_totalprice >= 0 AND o_totalprice <= 600000.0
+  AND FLOOR((o_totalprice - 0.0) / 600000.0 * 24) BETWEEN 0 AND 23
+GROUP BY 1
+"""
+
+
+def _q19_distinct(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem")
+    return (df.spark.select("l_returnflag", "l_linestatus").distinct())
+
+
+_Q19_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def _q20_concat(spark, sf_dir):
+    """Vertical concat (DatasetConcatenated) then aggregate."""
+    df = _t(spark, sf_dir, "lineitem")
+    a = df[df.l_quantity <= 10]
+    b = df[df.l_quantity >= 45]
+    u = a.concat(b)
+    return u.groupby("l_returnflag", agg={"n": F.count(F.lit(1)),
+                                          "qty": isum("l_quantity")}, sort=True).spark
+
+
+_Q20_SQL = """
+WITH u AS (
+  SELECT * FROM lineitem WHERE l_quantity <= 10
+  UNION ALL
+  SELECT * FROM lineitem WHERE l_quantity >= 45)
+SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS qty
+FROM u GROUP BY l_returnflag
+"""
+
+
+def _q21_null_handling(spark, sf_dir):
+    """NaN/missing triple + fillna family (SURVEY §1.2 policy layer)."""
+    df = _t(spark, sf_dir, "customer")
+    df["bal_null"] = "where(c_acctbal < 0, None, c_acctbal)"
+    df["bal_filled"] = df.bal_null.fillmissing(0.0)
+    df["is_na"] = df.bal_null.ismissing()
+    return df.groupby("c_mktsegment", agg={
+        "n_na": F.count(F.when(F.col("is_na"), 1)),
+        "filled_total": dsum("bal_filled"),
+        "orig_total": dsum(F.col("bal_null")),
+    }, sort=True).spark
+
+
+_Q21_SQL = """
+SELECT c_mktsegment,
+       COUNT(CASE WHEN c_acctbal < 0 THEN 1 END) AS n_na,
+       CAST(SUM(CAST(CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS DECIMAL(25,6))) AS DOUBLE) AS filled_total,
+       CAST(SUM(CAST(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS DECIMAL(25,6))) AS DOUBLE) AS orig_total
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def _q22_quantile(spark, sf_dir):
+    """Exact interpolated percentiles per group (vaex percentile_approx
+    is itself approximate; we expose the exact form for the oracle)."""
+    sdf = _t(spark, sf_dir, "lineitem").spark
+    return (sdf.groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90")))
+
+
+_Q22_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _q23_corr_var(spark, sf_dir):
+    """Correlation/variance from order-independent moment sums
+    (population formulas, agg.py:421-518 parity)."""
+    sdf = _t(spark, sf_dir, "lineitem").spark
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    agg = sdf.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(DEC)).cast("double").alias("syy"),
+        F.sum((x * y).cast(DEC)).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    vx = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    vy = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    return agg.select(
+        "l_returnflag",
+        F.round(cov / F.sqrt(vx * vy), 6).alias("corr_qty_price"),
+        F.round(vx, 6).alias("var_qty"),
+        F.round(F.sqrt(vy), 6).alias("std_price"),
+    )
+
+
+_Q23_SQL = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       ROUND((sxy/n - (sx/n)*(sy/n)) / sqrt((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n))), 6) AS corr_qty_price,
+       ROUND(sxx/n - (sx/n)*(sx/n), 6) AS var_qty,
+       ROUND(sqrt(syy/n - (sy/n)*(sy/n)), 6) AS std_price
+FROM m
+"""
+
+
+def _q24_window_tumbling(spark, sf_dir):
+    """Tumbling time-window aggregation (same code path as streaming)."""
+    from vaex_spark import streaming as st
+    df = _t(spark, sf_dir, "events")
+    win = st.window_agg(df, "ts", "1 hour", {
+        "n": "count", "total": dsum(F.col("value"))})
+    return win.select(F.col("window.start").alias("window_start"), "n", "total")
+
+
+_Q24_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+FROM events GROUP BY 1
+"""
+
+
+def _q25_shift(spark, sf_dir):
+    """Partitioned shift with fill (DatasetShifted semantics)."""
+    df = _t(spark, sf_dir, "events")
+    from vaex_spark.operators.window import shift_expression
+    prev = shift_expression(df, "value", 1, fill_value=0.0,
+                            order_key="event_id", partition_by="user_id")
+    df["prev_value"] = prev
+    return df.spark.select("event_id", "user_id", "value", "prev_value")
+
+
+_Q25_SQL = """
+SELECT event_id, user_id, value,
+       COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY event_id), 0.0) AS prev_value
+FROM events
+"""
+
+
+# ===========================================================================
+# datapipe: text analysis
+# ===========================================================================
+def _q26_dedup_exact(spark, sf_dir):
+    """Exact dedup on normalized text; survivors per lang."""
+    from vaex_spark.datapipe import dedup
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup(docs, text_col="text", id_col="doc_id", keep="min")
+    return kept.groupby("lang", agg={"n_docs": F.count(F.lit(1)),
+                                     "chars": isum("n_chars")}, sort=True).spark
+
+
+_Q26_SQL = """
+WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents)
+  GROUP BY norm)
+SELECT d.lang, COUNT(*) AS n_docs, SUM(d.n_chars) AS chars
+FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+GROUP BY d.lang
+"""
+
+
+def _q27_token_stats(spark, sf_dir):
+    """Token counting per language (whitespace + BPE-ish regex)."""
+    from vaex_spark.datapipe import text as vtext
+    docs = _t(spark, sf_dir, "documents")
+    sdf = docs.spark.select(
+        "lang",
+        vtext.token_count_whitespace(F.col("text")).alias("tok"),
+        vtext.token_count_bpe(F.col("text")).alias("tok_bpe"))
+    return (sdf.groupBy("lang")
+            .agg(isum("tok").alias("tokens"),
+                 isum("tok_bpe").alias("tokens_bpe"),
+                 F.count(F.lit(1)).alias("docs")))
+
+
+_Q27_SQL = """
+SELECT lang,
+       SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END) AS tokens,
+       SUM(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS tokens_bpe,
+       COUNT(*) AS docs
+FROM documents GROUP BY lang
+"""
+
+
+def _q28_quality(spark, sf_dir):
+    """Quality-score heuristics; per-source aggregate."""
+    from vaex_spark.datapipe import text as vtext
+    docs = _t(spark, sf_dir, "documents")
+    feats = vtext.quality_features(F.col("text"))
+    sdf = docs.spark.select(
+        "source",
+        F.round(feats["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(feats["stopword_ratio"], 6).alias("stop_ratio"))
+    return (sdf.groupBy("source")
+            .agg(dsum(F.col("alpha_ratio")).alias("alpha_total"),
+                 dsum(F.col("stop_ratio")).alias("stop_total"),
+                 F.count(F.lit(1)).alias("docs")))
+
+
+def _q29_langid(spark, sf_dir):
+    """Heuristic language-ID distribution vs the labeled lang column."""
+    from vaex_spark.datapipe import text as vtext
+    docs = _t(spark, sf_dir, "documents")
+    sdf = docs.spark.select("lang", vtext.lang_id(F.col("text")).alias("lang_guess"))
+    return sdf.groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _langid_oracle_sql() -> str:
+    from vaex_spark.datapipe.text import _LANG_MARKERS
+    score_exprs = []
+    for lang, words in _LANG_MARKERS.items():
+        parts = " + ".join(
+            f"LEN(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in words)
+        score_exprs.append(f"({parts}) AS s_{lang}")
+    langs = list(_LANG_MARKERS)
+    # replicate the chained strictly-greater argmax (dict order, ties keep earlier)
+    guess = "CASE"
+    # build iteratively: best = und/0, each lang with s > best wins
+    # equivalent closed form: pick first lang (in order) with s == max and max > 0
+    max_expr = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    for lang in langs:
+        guess += f" WHEN s_{lang} > 0 AND s_{lang} = {max_expr} THEN '{lang}'"
+    guess += " ELSE 'und' END"
+    return f"""
+WITH scored AS (
+  SELECT lang, {', '.join(score_exprs)} FROM documents)
+SELECT lang, {guess} AS lang_guess, COUNT(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+def _q30_fingerprint(spark, sf_dir):
+    """Document fingerprints -> distinct count per source (rolling-hash
+    fingerprint parity is engine-specific; oracle checks the dedup
+    cardinality, not hash values)."""
+    from vaex_spark.datapipe import text as vtext
+    docs = _t(spark, sf_dir, "documents")
+    sdf = docs.spark.select("source", vtext.fingerprint(F.col("text")).alias("fp"))
+    return sdf.groupBy("source").agg(
+        F.countDistinct("fp").alias("uniq"), F.count(F.lit(1)).alias("docs"))
+
+
+_Q30_SQL = """
+SELECT source,
+       COUNT(DISTINCT trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS uniq,
+       COUNT(*) AS docs
+FROM documents GROUP BY source
+"""
+
+
+# ===========================================================================
+# datapipe: similarity / embeddings
+# ===========================================================================
+def _q31_cosine_pairs(spark, sf_dir):
+    """Brute-force cosine, oracle-friendly form (no top-k boundary)."""
+    from vaex_spark.datapipe import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.pairwise_cosine(emb, F.col("vec_id") < 5, round_to=6)
+    return pairs.filter(F.col("id_a") != F.col("id_b"))
+
+
+_Q31_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+             (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+              sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+FROM embeddings a, embeddings b
+WHERE a.vec_id < 5 AND a.vec_id != b.vec_id
+"""
+
+
+def _q32_embedding_norms(spark, sf_dir):
+    from vaex_spark.datapipe import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.spark.select(
+        "vec_id", "label",
+        F.round(similarity.l2_norm(F.col("embedding")), 6).alias("norm"))
+
+
+_Q32_SQL = """
+SELECT vec_id, label,
+       ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS norm
+FROM embeddings
+"""
+
+
+def _q33_topk_ann(spark, sf_dir):
+    """Brute-force top-k (exact baseline; rows-only check — top-k tie
+    boundaries make value-hash oracles flaky by design)."""
+    from vaex_spark.datapipe import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb._slice(0, 3)
+    return similarity.brute_force_topk(emb, queries, k=10)
+
+
+def _q34_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (approximate; rows-only)."""
+    from vaex_spark.datapipe import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb._slice(0, 3)
+    return similarity.lsh_topk(emb, queries, k=10, bits=6, n_tables=2)
+
+
+def _q35_minhash_near_dups(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs verified by Jaccard
+    (non-SQL-expressible pipeline; rows-only)."""
+    from vaex_spark.datapipe import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard(docs, threshold=0.5)
+
+
+def _q36_simhash_near_dups(spark, sf_dir):
+    """SimHash hamming-distance near-dups (rows-only)."""
+    from vaex_spark.datapipe import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, max_hamming=3)
+
+
+def _q37_ngram_jaccard_exact(spark, sf_dir):
+    """Exact 3-gram Jaccard for a fixed small pair set — SQL-checkable
+    (shingle sets + intersect/union are deterministic)."""
+    from vaex_spark.datapipe.text import shingles
+    docs = _t(spark, sf_dir, "documents").spark
+    sets_df = docs.filter(F.col("doc_id") < 20).select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), k=3)).alias("s"))
+    a, b = sets_df.alias("a"), sets_df.alias("b")
+    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+                    F.round(F.size(F.array_intersect("a.s", "b.s")).cast("double") /
+                            F.size(F.array_union("a.s", "b.s")), 6).alias("jaccard")))
+
+
+_Q37_SQL = """
+WITH sets AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        FOR i IN range(1, CASE WHEN LEN(words) < 3 THEN 2 ELSE LEN(words) - 1 END)]) AS s
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+        FROM documents WHERE doc_id < 20))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE) /
+             LEN(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sets a, sets b WHERE a.doc_id < b.doc_id
+"""
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": _q01_pricing_summary,
+        "q02_filter_project": _q02_filter_project,
+        "q03_revenue_by_segment": _q03_revenue_by_segment,
+        "q04_priority_count": _q04_priority_count,
+        "q05_revenue_by_nation": _q05_revenue_by_nation,
+        "q06_forecast_revenue": _q06_forecast_revenue,
+        "q07_orders_by_month": _q07_orders_by_month,
+        "q08_value_counts": _q08_value_counts,
+        "q09_nunique": _q09_nunique,
+        "q10_window_diff": _q10_window_diff,
+        "q11_rolling_avg": _q11_rolling_avg,
+        "q12_rank_topk": _q12_rank_topk,
+        "q13_sort_topn": _q13_sort_topn,
+        "q14_string_funcs": _q14_string_funcs,
+        "q15_datetime_funcs": _q15_datetime_funcs,
+        "q16_bucket_case": _q16_bucket_case,
+        "q17_isin": _q17_isin,
+        "q18_histogram": _q18_histogram,
+        "q19_distinct": _q19_distinct,
+        "q20_concat": _q20_concat,
+        "q21_null_handling": _q21_null_handling,
+        "q22_quantile": _q22_quantile,
+        "q23_corr_var": _q23_corr_var,
+        "q24_window_tumbling": _q24_window_tumbling,
+        "q25_shift": _q25_shift,
+        "q26_dedup_exact": _q26_dedup_exact,
+        "q27_token_stats": _q27_token_stats,
+        "q28_quality": _q28_quality,
+        "q29_langid": _q29_langid,
+        "q30_fingerprint": _q30_fingerprint,
+        "q31_cosine_pairs": _q31_cosine_pairs,
+        "q32_embedding_norms": _q32_embedding_norms,
+        "q33_topk_ann": _q33_topk_ann,
+        "q34_lsh_topk": _q34_lsh_topk,
+        "q35_minhash_near_dups": _q35_minhash_near_dups,
+        "q36_simhash_near_dups": _q36_simhash_near_dups,
+        "q37_ngram_jaccard_exact": _q37_ngram_jaccard_exact,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": _Q01_SQL,
+        "q02_filter_project": _Q02_SQL,
+        "q03_revenue_by_segment": _Q03_SQL,
+        "q04_priority_count": _Q04_SQL,
+        "q05_revenue_by_nation": _Q05_SQL,
+        "q06_forecast_revenue": _Q06_SQL,
+        "q07_orders_by_month": _Q07_SQL,
+        "q08_value_counts": _Q08_SQL,
+        "q09_nunique": _Q09_SQL,
+        "q10_window_diff": _Q10_SQL,
+        "q11_rolling_avg": _Q11_SQL,
+        "q12_rank_topk": _Q12_SQL,
+        "q13_sort_topn": _Q13_SQL,
+        "q14_string_funcs": _Q14_SQL,
+        "q15_datetime_funcs": _Q15_SQL,
+        "q16_bucket_case": _Q16_SQL,
+        "q17_isin": _Q17_SQL,
+        "q18_histogram": _Q18_SQL,
+        "q19_distinct": _Q19_SQL,
+        "q20_concat": _Q20_SQL,
+        "q21_null_handling": _Q21_SQL,
+        "q22_quantile": _Q22_SQL,
+        "q23_corr_var": _Q23_SQL,
+        "q24_window_tumbling": _Q24_SQL,
+        "q25_shift": _Q25_SQL,
+        "q26_dedup_exact": _Q26_SQL,
+        "q27_token_stats": _Q27_SQL,
+        "q29_langid": _langid_oracle_sql(),
+        "q30_fingerprint": _Q30_SQL,
+        "q31_cosine_pairs": _Q31_SQL,
+        "q32_embedding_norms": _Q32_SQL,
+        "q37_ngram_jaccard_exact": _Q37_SQL,
+        # rows-only (non-SQL-expressible): q28 quality heuristics,
+        # q33/q34 top-k ANN (tie boundaries), q35/q36 LSH pipelines
+    }

@@ -1,0 +1,76 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing excludes SparkSession startup (measured once, reported inside
+the JSON as "startup_sec" for context).  Each query is timed as
+plan-build + full execution to a driver-side count/collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",   # scan + groupby + 8 aggs
+    "q02_filter_project",    # pushdown scan
+    "q03_revenue_by_segment",  # broadcast join + agg
+    "q05_revenue_by_nation",   # 3-way join chain
+    "q06_forecast_revenue",    # tight scan-filter-agg
+    "q07_orders_by_month",     # time binning
+    "q10_window_diff",         # global window
+    "q11_rolling_avg",         # partitioned rolling window
+    "q18_histogram",           # binby grid
+    "q22_quantile",            # exact percentiles
+    "q26_dedup_exact",         # exact dedup pipeline
+    "q27_token_stats",         # text token counting
+    "q31_cosine_pairs",        # embedding similarity
+    "q35_minhash_near_dups",   # MinHash LSH + Jaccard
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    t0 = time.time()
+    import vaex_spark as vs
+    spark = vs.get_session(app_name="vaex_spark_bench")
+    spark.range(1).count()  # force JVM+session init
+    startup = time.time() - t0
+
+    import __spark_entry__ as entry
+    qs = entry.queries()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t, 4)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 4)
+    out = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "startup_sec": round(startup, 2),
+        "n_queries": len(times),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

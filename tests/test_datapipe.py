@@ -1,0 +1,133 @@
+"""Dedup / similarity / text / multimodal / streaming operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_exact_dedup(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe import dedup
+    texts = ["hello world", "Hello   World", "unique one", "another doc", "hello world"]
+    df = vs.from_arrays(spark=spark, doc_id=list(range(5)), text=texts)
+    kept = dedup.exact_dedup(df, normalize=True)
+    ids = sorted(kept.to_pandas_df()["doc_id"])
+    assert ids == [0, 2, 3]  # 0/1/4 normalize-equal, min id kept
+    groups = dedup.exact_dup_groups(df)
+    g = groups.to_pandas_df()
+    assert len(g) == 1 and g.iloc[0]["n_dups"] == 3
+
+
+def test_minhash_recovers_near_dups(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe import dedup
+    base = "the quick brown fox jumps over the lazy dog again and again for testing purposes"
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about distributed query engines and columnar formats"
+    df = vs.from_arrays(spark=spark, doc_id=[1, 2, 3], text=[base, near, other])
+    pairs = dedup.minhash_lsh_candidates(df, num_perm=32, num_bands=16, shingle_k=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    jac = dedup.ngram_jaccard(df, shingle_k=3)
+    jrows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jac.collect()}
+    assert jrows[(1, 2)] > 0.5
+    deduped = dedup.minhash_lsh_dedup(df, num_perm=32, num_bands=16,
+                                      shingle_k=3, threshold=0.5)
+    assert sorted(deduped.to_pandas_df()["doc_id"]) == [1, 3]
+
+
+def test_simhash_hamming(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe import dedup
+    a = "spark is a distributed engine for large scale data processing workloads"
+    b = "spark is a distributed engine for large scale data processing jobs"
+    c = "cats enjoy sleeping on warm windowsills during quiet rainy afternoons"
+    df = vs.from_arrays(spark=spark, doc_id=[1, 2, 3], text=[a, b, c])
+    pairs = dedup.simhash_near_dups(df, max_hamming=10)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_cosine_topk_exact(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe import similarity
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(50, 8).astype("float64")
+    df = vs.from_arrays(spark=spark, vec_id=list(range(50)),
+                        embedding=[list(v) for v in vecs])
+    queries = [(0, list(vecs[0]))]
+    topk = similarity.brute_force_topk(df, queries, k=5)
+    rows = topk.collect()
+    assert rows[0]["neighbor_id"] == 0 and abs(rows[0]["cos"] - 1.0) < 1e-9
+    # numpy oracle
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms[0]
+    expected = set(np.argsort(-sims)[:5])
+    got = {r["neighbor_id"] for r in rows}
+    assert got == expected
+
+
+def test_lsh_and_ivf_recall(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe import similarity
+    rng = np.random.RandomState(1)
+    vecs = rng.randn(200, 16)
+    df = vs.from_arrays(spark=spark, vec_id=list(range(200)),
+                        embedding=[list(v) for v in vecs])
+    queries = [(0, list(vecs[0])), (1, list(vecs[1]))]
+    exact = similarity.brute_force_topk(df, queries, k=5)
+    etop = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    lsh = similarity.lsh_topk(df, queries, k=5, bits=4, n_tables=4)
+    ltop = {(r["query_id"], r["neighbor_id"]) for r in lsh.collect()}
+    assert len(etop & ltop) >= 4  # decent recall incl. self-matches
+    ivf = similarity.ivf_topk(df, queries, k=5, n_cells=8, n_probe=4)
+    itop = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    assert (0, 0) in itop and (1, 1) in itop
+
+
+def test_text_stats(docs):
+    from vaex_spark.datapipe import text
+    out = text.with_text_stats(docs)
+    pdf = out.to_pandas_df()
+    assert (pdf["n_tokens"] > 0).all()
+    assert pdf["quality"].between(0, 1).all()
+    assert pdf["lang_guess"].notna().all()
+    # fingerprint: identical normalized text -> identical fingerprint
+    assert pdf["fingerprint"].nunique() == pdf["fingerprint"].count()
+
+
+def test_shingles(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import shingles
+    df = vs.from_arrays(spark=spark, t=["a b c d e"])
+    arr = df._spark_df().select(shingles(F.col("t"), k=3).alias("s")).collect()[0]["s"]
+    assert arr == ["a b c", "b c d", "c d e"]
+
+
+def test_multimodal_features(spark):
+    from vaex_spark.datapipe import multimodal as mm
+    t = mm.make_fake_image_table(spark, n=10)
+    feats = mm.image_features(t)
+    rows = feats.collect()
+    assert len(rows) == 10
+    assert all(len(r["features"]) == 8 for r in rows)
+    # deterministic: same run twice gives same features
+    rows2 = mm.image_features(t).collect()
+    assert [r["features"] for r in rows] == [r["features"] for r in rows2]
+
+
+def test_streaming_window(spark, tmp_path):
+    import shutil
+    from vaex_spark import streaming as st
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", str(src / "events.parquet"))
+    s = st.open_stream(str(src), spark=spark)
+    assert s.schema["ts"] == "timestamp"
+    win = st.window_agg(s, "ts", "1 hour", {"n": "count"}, watermark="1 hour")
+    # complete mode emits every window; append would hold back windows
+    # still within the watermark (those 2 remain in state at EOF)
+    st.run_to_memory(win, "t_win", output_mode="complete")
+    total = spark.sql("select sum(n) from t_win").collect()[0][0]
+    assert total == 1000

@@ -1,0 +1,132 @@
+"""Expression algebra, string compiler, NaN/missing triple.
+
+Mirrors the reference's expression/strings/datetime test intent
+(tests/{strings,datetime}_test.py) with numpy oracles.
+"""
+
+import numpy as np
+import pytest
+
+
+def test_operator_overloading(base_df):
+    z = (base_df.x * 2 + 1).evaluate()
+    np.testing.assert_allclose(z, np.arange(-2.0, 19.0) * 2 + 1)
+
+
+def test_virtual_column_and_variable(base_df):
+    # z = x + t*y with t=1 (common.py:378-380)
+    z = base_df.z.evaluate()
+    x = np.arange(-2.0, 19.0)
+    np.testing.assert_allclose(np.sort(z), np.sort(x + x ** 2))
+
+
+def test_string_expression_compiler(base_df):
+    v = base_df["(x + 1) ** 2"] if False else None
+    import vaex_spark as vs
+    e = vs.Expression(base_df, "(x + 1) ** 2")
+    np.testing.assert_allclose(np.sort(e.evaluate()), np.sort((np.arange(-2.0, 19.0) + 1) ** 2))
+
+
+def test_expression_functions_in_strings(base_df):
+    import vaex_spark as vs
+    e = vs.Expression(base_df, "where(x > 0, sqrt(abs(x)), 0.0)")
+    x = np.arange(-2.0, 19.0)
+    expected = np.where(x > 0, np.sqrt(np.abs(x)), 0.0)
+    np.testing.assert_allclose(np.sort(e.evaluate()), np.sort(expected))
+
+
+def test_chained_comparison(base_df):
+    import vaex_spark as vs
+    e = vs.Expression(base_df, "(0 <= x) & (x < 10)")
+    assert int(e.astype("int64").sum()) == 10
+
+
+def test_nan_missing_triple(base_df):
+    # n has 2 NaN, m has 2 null, nm has 2 NaN + 2 null (FIXTURES F1)
+    assert base_df.n.countnan() == 2
+    assert base_df.n.countmissing() == 0
+    assert base_df.m.countmissing() == 2
+    assert base_df.m.countnan() == 0
+    assert base_df.nm.countna() == 4
+    assert base_df.nm.countnan() == 2
+    assert base_df.nm.countmissing() == 2
+
+
+def test_fillna_family(base_df):
+    filled = base_df.nm.fillna(-99.0).evaluate()
+    assert np.sum(filled == -99.0) == 4
+    fm = base_df.nm.fillmissing(-98.0).evaluate()
+    assert np.sum(fm == -98.0) == 2
+    assert np.isnan(fm).sum() == 2
+    fn = base_df.nm.fillnan(-97.0).evaluate()
+    assert np.sum(fn == -97.0) == 2
+
+
+def test_dropna_dropnan_dropmissing(base_df):
+    assert base_df.nm.dropna().count() == 17
+    assert base_df.nm.dropnan().count() == 19
+    assert base_df.nm.dropmissing().count() == 19
+
+
+def test_astype_and_clip(base_df):
+    v = base_df.x.clip(0, 5).evaluate()
+    np.testing.assert_allclose(np.sort(v), np.sort(np.clip(np.arange(-2.0, 19.0), 0, 5)))
+    assert base_df.x.astype("int32").evaluate().dtype in (np.int32, np.int64)
+
+
+def test_isin(base_df):
+    assert base_df[base_df.x.isin([0.0, 1.0, 2.0])].count() == 3
+
+
+def test_map(base_df):
+    m = base_df.x.map({0.0: 100.0, 1.0: 200.0}, default_value=-1.0).evaluate()
+    assert np.sum(m == 100.0) == 1 and np.sum(m == 200.0) == 1
+    assert np.sum(m == -1.0) == 19
+
+
+def test_string_accessor(base_df):
+    upper = base_df.name.str.upper().evaluate()
+    assert all(s == s.upper() for s in upper)
+    lens = base_df.name.str.len().evaluate()
+    names = base_df.name.evaluate()
+    assert all(int(l) == len(s) for l, s in zip(lens, names))
+    assert base_df[base_df.name.str.contains("bla", regex=False)].count() == 21
+    assert base_df[base_df.name.str.startswith("1")].count() == 10  # 1.0bla + 10..18
+    sliced = base_df.name.str.slice(0, 3).evaluate()
+    assert all(s == n[:3] for s, n in zip(sliced, names))
+
+
+def test_datetime_accessor(base_df):
+    years = base_df.datetime.dt.year.evaluate()
+    assert years.min() >= 1991
+    dows = base_df.datetime.dt.dayofweek.evaluate()
+    assert set(int(d) for d in dows) <= set(range(7))
+    # pandas oracle for dayofweek (Monday=0)
+    import pandas as pd
+    pdf = base_df.to_pandas_df()
+    expected = pd.to_datetime(pdf["datetime"]).dt.dayofweek.values
+    got = base_df.datetime.dt.dayofweek.evaluate()
+    np.testing.assert_array_equal(np.sort(got), np.sort(expected))
+
+
+def test_int64_extremes_sum(base_df):
+    # ints holds 2^62+1 and -2^62+1 (overflow-safety, FIXTURES F1)
+    total = base_df.ints.sum()
+    expected = (2 ** 62 + 1) + (-(2 ** 62) + 1) + sum(range(0, 19))
+    assert int(total) == expected
+
+
+def test_apply_udf(base_df):
+    doubled = base_df.x.apply(lambda v: v * 2.0)
+    np.testing.assert_allclose(np.sort(doubled.evaluate()),
+                               np.sort(np.arange(-2.0, 19.0) * 2))
+
+
+def test_apply_vectorized(base_df):
+    import pandas as pd
+
+    def f(s: pd.Series) -> pd.Series:
+        return s + 1.0
+
+    out = base_df.x.apply(f, vectorize=True)
+    np.testing.assert_allclose(np.sort(out.evaluate()), np.sort(np.arange(-2.0, 19.0) + 1))

@@ -1,0 +1,214 @@
+"""Filters, joins, groupby, sort, concat, row ops — duckdb/numpy oracles.
+
+Mirrors the reference join_test.py / groupby_test.py scenarios
+(FIXTURES.md F5 join fixtures included)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def df_a(spark):
+    import vaex_spark as vs
+    return vs.from_arrays(spark=spark, a=["A", "B", "C"], x=[0.0, 1.0, 2.0],
+                          y=[0.0, None, 2.0])
+
+
+@pytest.fixture(scope="module")
+def df_b(spark):
+    import vaex_spark as vs
+    return vs.from_arrays(spark=spark, b=["A", "B", "D"], xb=[2.0, 1.0, 0.0])
+
+
+def test_join_left(df_a, df_b):
+    j = df_a.join(df_b, left_on="a", right_on="b", how="left")
+    pdf = j.to_pandas_df().sort_values("a").reset_index(drop=True)
+    assert len(pdf) == 3
+    assert pdf.loc[pdf.a == "C", "xb"].isna().all()  # no match -> null fill
+    assert pdf.loc[pdf.a == "A", "xb"].iloc[0] == 2.0
+
+
+def test_join_inner(df_a, df_b):
+    j = df_a.join(df_b, left_on="a", right_on="b", how="inner")
+    assert j.count() == 2
+
+
+def test_join_right(df_a, df_b):
+    j = df_a.join(df_b, left_on="a", right_on="b", how="right")
+    pdf = j.to_pandas_df()
+    assert len(pdf) == 3
+    assert set(pdf["b"]) == {"A", "B", "D"}
+
+
+def test_join_duplicate_guard(spark, df_a):
+    import vaex_spark as vs
+    df_dup = vs.from_arrays(spark=spark, b=["A", "B", "A"], v=[1, 2, 3])
+    with pytest.raises(ValueError, match="duplicate"):
+        df_a.join(df_dup, left_on="a", right_on="b")
+    j = df_a.join(df_dup, left_on="a", right_on="b", allow_duplication=True)
+    assert j.count() == 4  # A duplicated
+
+
+def test_join_positional(spark):
+    import vaex_spark as vs
+    l = vs.from_arrays(spark=spark, x=[10, 20, 30])
+    r = vs.from_arrays(spark=spark, y=[1, 2, 3])
+    j = l.join(r)
+    pdf = j.to_pandas_df().sort_values("x")
+    np.testing.assert_array_equal(pdf["y"].values, [1, 2, 3])
+
+
+def test_join_suffix_collision(spark):
+    import vaex_spark as vs
+    l = vs.from_arrays(spark=spark, k=["A", "B"], v=[1, 2])
+    r = vs.from_arrays(spark=spark, k2=["A", "B"], v=[10, 20])
+    j = l.join(r, left_on="k", right_on="k2", rsuffix="_r")
+    names = set(j.get_column_names())
+    assert "v" in names and "v_r" in names
+
+
+def test_groupby_multi_key_sorted(lineitem):
+    g = lineitem.groupby(["l_returnflag", "l_linestatus"],
+                         agg={"l_quantity": "sum"}, sort=True)
+    pdf = g.to_pandas_df()
+    keys = list(zip(pdf.l_returnflag, pdf.l_linestatus))
+    assert keys == sorted(keys)
+    # oracle via duckdb
+    import duckdb
+    d = duckdb.connect().execute(
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) s "
+        "FROM '/root/testdata/sf0.001/lineitem.parquet' GROUP BY 1,2 ORDER BY 1,2").df()
+    np.testing.assert_allclose(pdf["l_quantity"].values, d["s"].values)
+
+
+def test_groupby_agg_forms(lineitem):
+    import vaex_spark as vs
+    g1 = lineitem.groupby("l_returnflag", agg={"l_quantity": ["sum", "mean"]})
+    assert {"l_quantity_sum", "l_quantity_mean"} <= set(g1.get_column_names())
+    g2 = lineitem.groupby("l_returnflag", agg=vs.agg.sum("l_quantity"))
+    assert "l_quantity_sum" in g2.get_column_names()
+    g3 = lineitem.groupby("l_returnflag", agg="count")
+    assert "count" in g3.get_column_names()
+
+
+def test_groupby_binner_time(spark):
+    import vaex_spark as vs
+    import pandas as pd
+    pdf = pd.DataFrame({"t": pd.date_range("2020-01-01", periods=100, freq="6h"),
+                        "v": np.arange(100.0)})
+    df = vs.from_pandas(pdf, spark=spark)
+    g = df.groupby(vs.BinnerTime("t", resolution="D"), agg={"v": "sum"}, sort=True)
+    out = g.to_pandas_df()
+    assert len(out) == 25  # 100 * 6h = 25 days
+    np.testing.assert_allclose(out["v"].sum(), np.arange(100.0).sum())
+
+
+def test_grouper_limited(spark, lineitem):
+    import vaex_spark as vs
+    g = lineitem.groupby(vs.GrouperLimited("l_returnflag", ["A", "N"], other_value="other"),
+                         agg="count", sort=True)
+    pdf = g.to_pandas_df()
+    assert set(pdf["l_returnflag"]) == {"A", "N", "other"}
+    assert pdf["count"].sum() == 6000
+
+
+def test_row_limit_guard(lineitem):
+    import vaex_spark as vs
+    with pytest.raises(vs.RowLimitException):
+        lineitem.groupby("l_orderkey", agg="count", row_limit=10).count()
+
+
+def test_sort_nulls_last(base_df):
+    s = base_df.sort("m", ascending=True)
+    vals = s.to_pandas_df()["m"].values
+    assert np.isnan(vals[-2:]).all()  # nulls at the end
+    s2 = base_df.sort("m", ascending=False)
+    vals2 = s2.to_pandas_df()["m"].values
+    assert np.isnan(vals2[-2:]).all()  # nulls at the end regardless of direction
+
+
+def test_concat_flexible(spark):
+    import vaex_spark as vs
+    a = vs.from_arrays(spark=spark, x=[1, 2], y=[10.0, 20.0])
+    b = vs.from_arrays(spark=spark, x=[3, 4])
+    u = a.concat(b)
+    pdf = u.to_pandas_df().sort_values("x")
+    assert len(pdf) == 4
+    assert pdf["y"].isna().sum() == 2
+
+
+def test_slice_head_tail(lineitem):
+    assert lineitem[10:20].count() == 10
+    assert lineitem.head(5).count() == 5
+
+
+def test_take(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(spark=spark, x=list(range(100)))
+    t = df.take([0, 5, 7])
+    assert sorted(t.to_pandas_df()["x"]) == [0, 5, 7]
+
+
+def test_sample_split_shuffle(lineitem):
+    s = lineitem.sample(n=100, random_state=1)
+    assert s.count() == 100
+    parts = lineitem.split_random([0.5, 0.5], random_state=2)
+    total = parts[0].count() + parts[1].count()
+    assert total == 6000
+    parts_seq = lineitem.split([0.25, 0.75])
+    assert parts_seq[0].count() + parts_seq[1].count() == 6000
+
+
+def test_filter_modes_and_drop_filter(lineitem):
+    f = lineitem.filter("l_quantity > 25")
+    n1 = f.count()
+    f2 = f.filter("l_discount > 0.05", mode="and")
+    assert f2.count() <= n1
+    restored = f2.drop_filter()
+    assert restored.count() == 6000
+    hardened = f2.extract()
+    assert hardened.count() == f2.count()
+
+
+def test_rename_drop(base_df):
+    r = base_df.rename("x", "xx")
+    assert "xx" in r.get_column_names() and "x" not in r.get_column_names()
+    d = base_df.drop("y")
+    assert "y" not in d.get_column_names()
+
+
+def test_shift_diff_rolling(events):
+    d = events.diff(column="value", order_key="event_id")
+    pdf = d.to_pandas_df().sort_values("event_id")
+    raw = events.to_pandas_df().sort_values("event_id")
+    expected = raw["value"].diff().values
+    np.testing.assert_allclose(pdf["value"].values, expected, equal_nan=True)
+
+    r = events.rolling(3, column="value", order_key="event_id").sum()
+    got = r.to_pandas_df().sort_values("event_id")["value"].values
+    exp = raw["value"].rolling(3).sum().values
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_state_roundtrip(lineitem, spark):
+    import vaex_spark as vs
+    df = lineitem._copy()
+    df["vv"] = "l_quantity * 3"
+    df.select("l_discount > 0.05")
+    state = df.state_get()
+    df2 = vs.open("/root/testdata/sf0.001/lineitem.parquet", spark=spark)
+    df2.state_set(state)
+    assert df2.vv.sum() == df.vv.sum()
+    assert df2.count("vv", selection=True) == df.count("vv", selection=True)
+
+
+def test_export_roundtrip(tmp_path, base_df, spark):
+    import vaex_spark as vs
+    p = str(tmp_path / "out.parquet")
+    base_df.export_parquet(p)
+    back = vs.open(p, spark=spark)
+    assert back.count() == 21
+    csv = str(tmp_path / "out.csv")
+    base_df[["x", "y"]].export_csv(csv)
+    back2 = vs.from_csv(csv, spark=spark)
+    assert back2.count() == 21

@@ -1,0 +1,142 @@
+"""Statistics: scalar aggs, selections, delay batching, binby grids.
+
+Mirrors the reference agg_test.py intent with numpy oracles.
+"""
+
+import numpy as np
+
+X = np.arange(-2.0, 19.0)
+
+
+def test_basic_stats(base_df):
+    assert base_df.count() == 21
+    np.testing.assert_allclose(base_df.x.sum(), X.sum())
+    np.testing.assert_allclose(base_df.x.mean(), X.mean())
+    np.testing.assert_allclose(base_df.x.min(), X.min())
+    np.testing.assert_allclose(base_df.x.max(), X.max())
+    np.testing.assert_allclose(base_df.x.std(), X.std())
+    np.testing.assert_allclose(base_df.x.var(), X.var())
+    mm = base_df.minmax("x")
+    np.testing.assert_allclose(mm, [X.min(), X.max()])
+
+
+def test_nan_null_agg_semantics(base_df):
+    # vaex aggregations skip NaN AND null
+    n = np.array([v for i, v in enumerate(X) if i not in (3, 4)])
+    np.testing.assert_allclose(base_df.n.sum(), n.sum())
+    np.testing.assert_allclose(base_df.n.mean(), n.mean())
+    m = np.array([v for i, v in enumerate(X) if i not in (1, 2)])
+    np.testing.assert_allclose(base_df.m.sum(), m.sum())
+    assert base_df.count("n") == 19  # count skips NA
+    assert base_df.count("m") == 19
+
+
+def test_selection_aggregation(base_df):
+    base_df.select("x > 5")
+    assert base_df.count("x", selection=True) == 13
+    # multi-selection one pass (vaex selection lists)
+    counts = base_df.count("x", selection=[None, "x > 5", "x < 0"])
+    np.testing.assert_array_equal(counts, [21, 13, 2])
+    base_df.select_nothing()
+
+
+def test_selection_modes_and_undo(base_df):
+    base_df.select("x > 0")
+    base_df.select("x < 5", mode="and")
+    assert base_df.count("x", selection=True) == 4
+    base_df.selection_undo()
+    assert base_df.count("x", selection=True) == 18
+    base_df.selection_redo()
+    assert base_df.count("x", selection=True) == 4
+    base_df.select_nothing()
+
+
+def test_delay_execute_one_pass(base_df):
+    passes0 = base_df.executor.passes
+    s = base_df.sum("x", delay=True)
+    m = base_df.mean("y", delay=True)
+    c = base_df.count(delay=True)
+    base_df.execute()
+    assert base_df.executor.passes == passes0 + 1
+    np.testing.assert_allclose(s.get(), X.sum())
+    np.testing.assert_allclose(m.get(), (X ** 2).mean())
+    assert c.get() == 21
+
+
+def test_binby_grid(base_df):
+    grid = base_df.count(binby="x", shape=7, limits=[-2.0, 19.0])
+    assert grid.shape == (7,)
+    assert grid.sum() == 21
+    np.testing.assert_array_equal(grid, np.full(7, 3.0))
+
+
+def test_binby_2d(base_df):
+    grid = base_df.count(binby=["x", "y"], shape=[4, 4], limits=[[-2, 19], [0, 400]])
+    assert grid.shape == (4, 4)
+    assert grid.sum() <= 21
+
+
+def test_binby_sum_agg(base_df):
+    grid = base_df.sum("x", binby="x", shape=3, limits=[-2.0, 19.0])
+    np.testing.assert_allclose(grid.sum(), X.sum())
+
+
+def test_binby_edges(base_df):
+    grid = base_df.count(binby="nm", shape=5, limits=[0.0, 10.0], edges=True)
+    # vaex layout: [nan/null, underflow, bins..., overflow]
+    assert grid.shape == (5 + 3,)
+    assert grid[0] == 4  # 2 NaN + 2 null
+    assert grid.sum() == 21
+
+
+def test_unique_nunique(base_df):
+    assert base_df.nunique("bool") == 2
+    vals = base_df.unique("bool")
+    assert set(vals) == {True, False}
+    # nunique counts null as a value unless dropna (vaex semantics)
+    assert base_df.nunique("m") == 20  # 19 numbers + null
+    assert base_df.nunique("m", dropna=True) == 19
+
+
+def test_value_counts(base_df):
+    vc = base_df.value_counts("bool")
+    assert vc.sum() == 21
+    assert vc.loc[True] == 15
+
+
+def test_percentile_and_median(base_df):
+    med = base_df.percentile_exact("x", 50.0)
+    np.testing.assert_allclose(med, np.percentile(X, 50))
+    approx = base_df.median_approx("x")
+    assert abs(approx - np.median(X)) <= 1.0
+
+
+def test_correlation_covar(base_df):
+    c = base_df.correlation("x", "y")
+    expected = np.corrcoef(X, X ** 2)[0, 1]
+    np.testing.assert_allclose(c, expected, rtol=1e-9)
+    cov = base_df.covar("x", "y")
+    np.testing.assert_allclose(cov, np.cov(X, X ** 2, ddof=0)[0, 1], rtol=1e-9)
+
+
+def test_mutual_information(base_df):
+    mi = base_df.mutual_information("x", "y", mi_shape=8, limits="minmax")
+    assert mi > 0  # y = x^2 is dependent
+
+
+def test_agg_descriptor_algebra(lineitem):
+    import vaex_spark as vs
+    g = lineitem.groupby("l_returnflag", agg={
+        "ratio": vs.agg.sum("l_quantity") / vs.agg.count(),
+    })
+    pdf = g.to_pandas_df()
+    assert (pdf["ratio"] > 0).all()
+
+
+def test_skew_kurtosis(base_df):
+    # population skew/excess-kurtosis numpy oracle (agg.py:458-518 formulas)
+    mu, sd = X.mean(), X.std()
+    skew = ((X - mu) ** 3).mean() / sd ** 3
+    kurt = ((X - mu) ** 4).mean() / sd ** 4 - 3
+    np.testing.assert_allclose(base_df.skew("x"), skew, rtol=1e-6)
+    np.testing.assert_allclose(base_df.kurtosis("x"), kurt, rtol=1e-6)

@@ -483,9 +483,11 @@ class DataFrame:
         from .operators.window import diff
         return diff(self, periods=periods, column=column, order_key=order_key)
 
-    def rolling(self, window: int, trim: bool = False, column=None, edge="right", order_key=None):
+    def rolling(self, window: int, trim: bool = False, column=None, edge="right",
+                order_key=None, partition_by=None):
         from .operators.window import Rolling
-        return Rolling(self, window, trim=trim, column=column, edge=edge, order_key=order_key)
+        return Rolling(self, window, trim=trim, column=column, edge=edge,
+                       order_key=order_key, partition_by=partition_by)
 
     # ------------------------------------------------------------------
     # joins — delegated (operators/join.py)

@@ -74,26 +74,38 @@ def exact_dup_groups(df, text_col: str = "text", id_col: str = "doc_id"):
 # --------------------------------------------------------------------------
 # minhash + LSH
 # --------------------------------------------------------------------------
+def _let(col: Column, fn) -> Column:
+    """Poor man's LET: evaluate ``col`` once per row, bind it as a lambda
+    variable inside ``fn``.  ``transform(array(x), v -> f(v))`` computes x
+    a single time — without this, an expensive subexpression referenced N
+    times (e.g. the shingle array in N minhash permutations) is inlined
+    and recomputed N times by codegen (measured 150x slowdown)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def minhash_signature(text, num_perm: int = 64, shingle_k: int = 5,
                       precomputed_shingles: Column | None = None) -> Column:
     """MinHash signature as array<bigint>, pure Column math.
 
-    h_i(doc) = min over shingles of xxhash64(shingle, seed=i).  Spark's
-    xxhash64 takes a seed via its multi-arg form; we emulate per-
-    permutation hash families by hashing (shingle, i).  array_min over
-    a transform keeps everything in codegen — no UDF, no explode."""
+    h_i(doc) = min over shingles of xxhash64(shingle, i) — the multi-arg
+    xxhash64 acts as a per-permutation hash family.  The permutation loop
+    is ``transform`` over sequence(0, num_perm-1) with the shingle array
+    let-bound once; everything stays in codegen — no UDF, no explode."""
     sh = precomputed_shingles if precomputed_shingles is not None else shingles(_colify(text), k=shingle_k)
-    sigs = [F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_perm)]
-    return F.array(*sigs)
+    return _let(sh, lambda arr: F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(F.transform(arr, lambda s: F.xxhash64(s, i)))))
 
 
-def minhash_bands(sig: Column, num_bands: int, rows_per_band: int) -> list[Column]:
-    """Band hashes: hash of each contiguous signature slice."""
-    return [F.xxhash64(F.array_join(
-        F.transform(F.slice(sig, b * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string")), "_"), F.lit(1000 + b))
-        for b in range(num_bands)]
+def minhash_bands_col(sig: Column, num_bands: int, rows_per_band: int) -> Column:
+    """Array of band hashes: hash of each contiguous signature slice.
+    The signature is let-bound so it is computed once, not per band."""
+    return _let(sig, lambda s: F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.xxhash64(
+            F.array_join(F.transform(F.slice(s, b * rows_per_band + 1, rows_per_band),
+                                     lambda x: x.cast("string")), "_"),
+            b + 1000)))
 
 
 def minhash_lsh_candidates(df, text_col: str = "text", id_col: str = "doc_id",
@@ -108,11 +120,9 @@ def minhash_lsh_candidates(df, text_col: str = "text", id_col: str = "doc_id",
     rows_per_band = num_perm // num_bands
     sdf = _sdf(df).select(F.col(id_col), F.col(text_col))
     sig = minhash_signature(F.col(text_col), num_perm=num_perm, shingle_k=shingle_k)
-    with_sig = sdf.select(F.col(id_col), sig.alias("__sig"))
-    bands = minhash_bands(F.col("__sig"), num_bands, rows_per_band)
-    # long-format (band, bucket, id): posexplode of band array
-    banded = (with_sig
-              .select(F.col(id_col), F.posexplode(F.array(*bands)).alias("band", "bucket")))
+    bands = minhash_bands_col(sig, num_bands, rows_per_band)
+    # long-format (band, bucket, id): posexplode of the band array
+    banded = sdf.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket"))
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (left.join(right, on=[F.col("l.band") == F.col("r.band"),
@@ -174,15 +184,24 @@ def simhash(text, num_bits: int = 64) -> Column:
     does the voting without explode."""
     tokens = F.split(F.trim(F.regexp_replace(F.lower(_colify(text)), r"\s+", " ")), " ")
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    out = F.lit(0).cast("long")
-    for b in range(num_bits):
-        vote = F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
-        # bit b set -> add 1<<b; shiftleft wraps at bit 63 (sign bit), which
-        # is fine — we only care about the 64-bit pattern, not the sign
-        out = out + F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-    return out
+
+    def _make_merge(b):
+        # closure (not a default arg: pyspark reads lambda arity to pick
+        # the (acc, x) vs (acc, x, i) calling convention)
+        return lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+    def _vote_bits(hs: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for b in range(num_bits):
+            vote = F.aggregate(hs, F.lit(0), _make_merge(b))
+            # bit b set -> add 1<<b; shiftleft wraps at bit 63 (sign bit),
+            # fine — we care about the 64-bit pattern, not the sign
+            out = out + F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        return out
+
+    # let-bind the hash array: 64 per-bit aggregates reference it without
+    # re-running tokenization+hashing per bit
+    return _let(hashes, _vote_bits)
 
 
 def hamming64(a: Column, b: Column) -> Column:

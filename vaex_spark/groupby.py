@@ -138,7 +138,9 @@ class GroupBy:
                     raise TypeError(f"bad agg list entry {s!r}")
         elif isinstance(spec, dict):
             for key, s in spec.items():
-                if isinstance(s, vagg.AggDescriptor):
+                if isinstance(s, Column):
+                    out.append(s.alias(key))  # raw Spark aggregate Column
+                elif isinstance(s, vagg.AggDescriptor):
                     emit(s, key)  # {'name': descriptor} -> output column 'name'
                 elif isinstance(s, str):
                     emit(vagg.from_spec(s, key), key)  # {'col': 'sum'} -> column 'col'

@@ -75,8 +75,8 @@ def join(left, right, on=None, how="left", left_on=None, right_on=None,
     lcols = set(lsdf.columns)
     rename = {}
     for c in rsdf.columns:
-        if c == right_on and right_on == left_on:
-            continue
+        if c == right_on:
+            continue  # join key: shared when on=, dropped when right_on=
         if c in lcols or lprefix or rprefix or lsuffix or rsuffix:
             newl = f"{lprefix}{c}{lsuffix}" if (lprefix or lsuffix) else c
             newr = f"{rprefix}{c}{rsuffix}" if (rprefix or rsuffix) else c

@@ -13,6 +13,7 @@ swapping in kafka/kinesis sources is a config change.
 
 from __future__ import annotations
 
+from pyspark.sql import Column
 from pyspark.sql import DataFrame as SparkDataFrame
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -69,6 +70,9 @@ def _agg_columns(df, agg: dict):
     from .. import agg as vagg
     out = []
     for name, spec in agg.items():
+        if isinstance(spec, Column):
+            out.append(spec.alias(name))
+            continue
         if isinstance(spec, vagg.AggDescriptor):
             desc = spec
         elif spec == "count":
