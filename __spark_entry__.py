@@ -548,10 +548,12 @@ WITH keepers AS (
   SELECT MIN(doc_id) AS doc_id
   FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents)
   GROUP BY norm)
-SELECT d.lang, COUNT(*) AS n_docs, SUM(d.n_chars) AS chars
+SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(d.n_chars) AS BIGINT) AS chars
 FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
 GROUP BY d.lang
 """
+# ^ DuckDB SUM(BIGINT) yields HUGEINT (int128) while Spark sums to BIGINT;
+#   the CAST realigns the hash-compared types (values are identical).
 
 
 def _q27_token_stats(spark, sf_dir):
@@ -570,12 +572,13 @@ def _q27_token_stats(spark, sf_dir):
 
 _Q27_SQL = """
 SELECT lang,
-       SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END) AS tokens,
-       SUM(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS tokens_bpe,
+       CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END) AS BIGINT) AS tokens,
+       CAST(SUM(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS tokens_bpe,
        COUNT(*) AS docs
 FROM documents GROUP BY lang
 """
+# ^ CAST(... AS BIGINT): DuckDB integer SUM is HUGEINT, Spark's is BIGINT.
 
 
 def _q28_quality(spark, sf_dir):
@@ -593,6 +596,29 @@ def _q28_quality(spark, sf_dir):
                  F.count(F.lit(1)).alias("docs")))
 
 
+def _q28_oracle_sql() -> str:
+    """Generated from the same stopword list the Spark operator uses, so
+    the two sides cannot drift.  A single alternation regex counts the
+    same hits as per-word scans (\\b-guarded matches are disjoint)."""
+    from vaex_spark.datapipe.text import _STOPWORDS_EN
+    stop_re = "\\b(" + "|".join(_STOPWORDS_EN) + ")\\b"
+    return f"""
+WITH f AS (
+  SELECT source,
+    ROUND(CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+          GREATEST(LENGTH(text), 1), 6) AS alpha_ratio,
+    ROUND(CAST(LEN(regexp_extract_all(lower(text), '{stop_re}')) AS DOUBLE) /
+          GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                   ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END, 1), 6) AS stop_ratio
+  FROM documents)
+SELECT source,
+       CAST(SUM(CAST(alpha_ratio AS DECIMAL(25,6))) AS DOUBLE) AS alpha_total,
+       CAST(SUM(CAST(stop_ratio AS DECIMAL(25,6))) AS DOUBLE) AS stop_total,
+       COUNT(*) AS docs
+FROM f GROUP BY source
+"""
+
+
 def _q29_langid(spark, sf_dir):
     """Heuristic language-ID distribution vs the labeled lang column."""
     from vaex_spark.datapipe import text as vtext
@@ -605,9 +631,9 @@ def _langid_oracle_sql() -> str:
     from vaex_spark.datapipe.text import _LANG_MARKERS
     score_exprs = []
     for lang, words in _LANG_MARKERS.items():
-        parts = " + ".join(
-            f"LEN(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in words)
-        score_exprs.append(f"({parts}) AS s_{lang}")
+        alt = "|".join(words)
+        score_exprs.append(
+            f"LEN(regexp_extract_all(lower(text), '\\b({alt})\\b')) AS s_{lang}")
     langs = list(_LANG_MARKERS)
     # replicate the chained strictly-greater argmax (dict order, ties keep earlier)
     guess = "CASE"
@@ -681,35 +707,133 @@ FROM embeddings
 
 
 def _q33_topk_ann(spark, sf_dir):
-    """Brute-force top-k (exact baseline; rows-only check — top-k tie
-    boundaries make value-hash oracles flaky by design)."""
+    """Brute-force top-k (exact baseline).  Deterministic: cos rounded
+    to 6 digits on both engines, ties broken by neighbor_id — so the
+    top-k boundary is identical and the output hash-checkable."""
     from vaex_spark.datapipe import similarity
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb._slice(0, 3)
-    return similarity.brute_force_topk(emb, queries, k=10)
+    queries = emb[emb.vec_id < 3]
+    return similarity.brute_force_topk(emb, queries, k=10, round_to=6)
+
+
+_Q33_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos
+  FROM embeddings q, embeddings c WHERE q.vec_id < 3),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+"""
 
 
 def _q34_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (approximate; rows-only)."""
+    """Hyperplane-LSH ANN.  Oracle-checkable: the hyperplanes are
+    deterministic literals (seeded numpy), so the oracle SQL embeds the
+    SAME plane constants and replicates bucket -> candidate -> rank."""
     from vaex_spark.datapipe import similarity
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb._slice(0, 3)
-    return similarity.lsh_topk(emb, queries, k=10, bits=6, n_tables=2)
+    queries = emb[emb.vec_id < 3]
+    return similarity.lsh_topk(emb, queries, k=10, bits=6, n_tables=2, round_to=6)
+
+
+def _q34_oracle_sql(dim: int = 64, bits: int = 6, n_tables: int = 2,
+                    seed: int = 42, k: int = 10) -> str:
+    """Replicates lsh_topk with the same hyperplane literals.  The dot
+    products are written as explicit left-to-right sums so the IEEE
+    operation order matches Spark's aggregate() fold bit-for-bit."""
+    from vaex_spark.datapipe.similarity import _hyperplanes
+
+    def dot_sql(plane):
+        return " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE)*({plane[i]!r})" for i in range(dim))
+
+    table_selects = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, bits, seed + t)
+        bucket = " + ".join(
+            f"CASE WHEN {dot_sql(planes[b])} > 0 THEN {1 << b} ELSE 0 END"
+            for b in range(bits))
+        table_selects.append(
+            f"SELECT vec_id, {t} AS tbl, ({bucket}) AS bucket FROM embeddings")
+    cb = " UNION ALL ".join(table_selects)
+    return f"""
+WITH cb AS ({cb}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM cb q JOIN cb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < 3),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(list_dot_product(CAST(qq.embedding AS DOUBLE[]), CAST(cc.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(qq.embedding AS DOUBLE[]), CAST(qq.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(cc.embedding AS DOUBLE[]), CAST(cc.embedding AS DOUBLE[])))), 6) AS cos
+  FROM cand
+  JOIN embeddings qq ON qq.vec_id = cand.query_id
+  JOIN embeddings cc ON cc.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def _q35_minhash_near_dups(spark, sf_dir):
-    """MinHash-LSH near-dup candidate pairs verified by Jaccard
-    (non-SQL-expressible pipeline; rows-only)."""
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified, one-pass.
+
+    Engine-independent output: with r=2/b=32 banding the per-pair LSH
+    recall at jaccard 0.5 is ~0.9999, so the verified result equals the
+    exact all-pairs >= 0.5 set, which the oracle computes via a shingle
+    inverted-index join (no minhash needed on the DuckDB side)."""
     from vaex_spark.datapipe import dedup
     docs = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard(docs, threshold=0.5)
+    return dedup.near_dup_pairs(docs, threshold=0.5, num_perm=64, num_bands=32)
+
+
+def _jaccard_pairs_sql(threshold: float) -> str:
+    """All-pairs exact 5-gram Jaccard >= threshold, via an inverted-index
+    join on shingles (only pairs sharing a shingle are candidates —
+    a superset of any pair with jaccard > 0)."""
+    return f"""
+WITH sets AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+4], ' ')
+                        FOR i IN range(1, CASE WHEN LEN(words) < 5 THEN 2 ELSE LEN(words) - 3 END)]) AS s
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+        FROM documents)),
+tok AS (SELECT doc_id, unnest(s) AS sh FROM sets),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+j AS (SELECT c.id_a, c.id_b,
+             ROUND(CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE) /
+                   LEN(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+      FROM cand c
+      JOIN sets a ON a.doc_id = c.id_a
+      JOIN sets b ON b.doc_id = c.id_b)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
+"""
 
 
 def _q36_simhash_near_dups(spark, sf_dir):
-    """SimHash hamming-distance near-dups (rows-only)."""
+    """SimHash near-dups, exact-Jaccard verified.
+
+    Pigeonhole blocking is COMPLETE for hamming <= 6 (7 chunks, one must
+    match exactly); verification keeps candidates with exact jaccard
+    >= 0.9.  Near-identical docs (jaccard >= 0.9) have small simhash
+    hamming distance (measured max 5 on this corpus), so the output
+    equals the exact all-pairs >= 0.9 set — engine-independent, same
+    oracle family as q35."""
     from vaex_spark.datapipe import dedup
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(docs, max_hamming=3)
+    return dedup.simhash_verified_pairs(docs, max_hamming=6, threshold=0.9)
 
 
 def _q37_ngram_jaccard_exact(spark, sf_dir):
@@ -815,11 +939,14 @@ def oracle_sql() -> dict[str, str]:
         "q25_shift": _Q25_SQL,
         "q26_dedup_exact": _Q26_SQL,
         "q27_token_stats": _Q27_SQL,
+        "q28_quality": _q28_oracle_sql(),
         "q29_langid": _langid_oracle_sql(),
         "q30_fingerprint": _Q30_SQL,
         "q31_cosine_pairs": _Q31_SQL,
         "q32_embedding_norms": _Q32_SQL,
+        "q33_topk_ann": _Q33_SQL,
+        "q34_lsh_topk": _q34_oracle_sql(),
+        "q35_minhash_near_dups": _jaccard_pairs_sql(0.5),
+        "q36_simhash_near_dups": _jaccard_pairs_sql(0.9),
         "q37_ngram_jaccard_exact": _Q37_SQL,
-        # rows-only (non-SQL-expressible): q28 quality heuristics,
-        # q33/q34 top-k ANN (tie boundaries), q35/q36 LSH pipelines
     }

