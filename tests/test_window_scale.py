@@ -1,0 +1,78 @@
+"""Global-order window operators: correctness of the partition-boundary
+exchange (operators/window.py) against the naive single-task global
+window, plus a plan-shape assertion that the data path never funnels
+through an Exchange SinglePartition."""
+
+import re
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _naive(sdf, col_expr, alias):
+    return sdf.select("event_id", col_expr.alias(alias))
+
+
+def _as_map(sdf, key, val):
+    return {r[key]: r[val] for r in sdf.collect()}
+
+
+def test_global_diff_matches_naive(events):
+    got = events.diff(column="value", order_key="event_id").spark.select("event_id", "value")
+    w = Window.orderBy("event_id")
+    ref = _naive(events.spark, F.col("value") - F.lag("value").over(w), "value")
+    assert _as_map(got, "event_id", "value") == _as_map(ref, "event_id", "value")
+
+
+def test_global_shift_fill_matches_naive(events):
+    got = events.shift(3, column="value", fill_value=-1.0, order_key="event_id").spark.select("event_id", "value")
+    w = Window.orderBy("event_id")
+    ref = _naive(events.spark, F.lag("value", 3, -1.0).over(w), "value")
+    assert _as_map(got, "event_id", "value") == _as_map(ref, "event_id", "value")
+
+
+def test_global_negative_shift_lead(events):
+    got = events.shift(-2, column="value", order_key="event_id").spark.select("event_id", "value")
+    w = Window.orderBy("event_id")
+    ref = _naive(events.spark, F.lag("value", -2).over(w), "value")
+    assert _as_map(got, "event_id", "value") == _as_map(ref, "event_id", "value")
+
+
+@pytest.mark.parametrize("edge,lo,hi", [("right", -4, 0), ("left", 0, 4), ("center", -2, 2)])
+def test_global_rolling_edges(events, edge, lo, hi):
+    got = events.rolling(5, column="value", order_key="event_id", edge=edge).mean()
+    got = got.spark.select("event_id", "value")
+    w = Window.orderBy("event_id").rowsBetween(lo, hi)
+    ref = _naive(events.spark,
+                 F.when(F.count("value").over(w) >= 5, F.avg("value").over(w)), "value")
+
+    def rnd(m):
+        return {k: (None if v is None else round(v, 9)) for k, v in m.items()}
+
+    assert rnd(_as_map(got, "event_id", "value")) == rnd(_as_map(ref, "event_id", "value"))
+
+
+def test_rolling_trim_drops_incomplete(events):
+    n = events.spark.count()
+    trimmed = events.rolling(5, column="value", order_key="event_id", trim=True).mean()
+    assert trimmed.spark.count() == n - 4
+    # and no nulls remain
+    assert trimmed.spark.filter(F.col("value").isNull()).count() == 0
+
+
+def test_no_single_partition_data_exchange(events):
+    """The scale guarantee: without partition_by, shift/diff must NOT
+    plan a single-partition exchange over the data.  The only allowed
+    SinglePartition is the metadata-sized partition-id map (a distinct
+    over spark_partition_id, <= #partitions rows)."""
+    out = events.diff(column="value", order_key="event_id").spark
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            below = "\n".join(lines[i + 1:i + 3])
+            assert re.search(r"HashAggregate\(keys=\[__rpid", below), (
+                "data-path SinglePartition exchange found:\n" + "\n".join(lines[i - 3:i + 3]))
+    # the parallel total order must be present
+    assert "rangepartitioning" in plan

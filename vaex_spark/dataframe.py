@@ -475,13 +475,17 @@ class DataFrame:
     # ------------------------------------------------------------------
     # ordered / window ops — delegated
     # ------------------------------------------------------------------
-    def shift(self, periods: int, column=None, fill_value=None, order_key=None) -> "DataFrame":
+    def shift(self, periods: int, column=None, fill_value=None, order_key=None,
+              partition_by=None) -> "DataFrame":
         from .operators.window import shift
-        return shift(self, periods, column=column, fill_value=fill_value, order_key=order_key)
+        return shift(self, periods, column=column, fill_value=fill_value,
+                     order_key=order_key, partition_by=partition_by)
 
-    def diff(self, periods: int = 1, column=None, order_key=None) -> "DataFrame":
+    def diff(self, periods: int = 1, column=None, order_key=None,
+             partition_by=None) -> "DataFrame":
         from .operators.window import diff
-        return diff(self, periods=periods, column=column, order_key=order_key)
+        return diff(self, periods=periods, column=column, order_key=order_key,
+                    partition_by=partition_by)
 
     def rolling(self, window: int, trim: bool = False, column=None, edge="right",
                 order_key=None, partition_by=None):

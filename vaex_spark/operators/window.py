@@ -5,20 +5,20 @@ moves a column by k rows over the *global physical row order* with a
 fill value; diff (dataframe.py:4749) is ``x - shift(x, k)``; rolling
 (dataframe.py:5656, rolling.py) yields windowed aggregates.
 
-Spark mapping: ``F.lag/lead`` over ``Window.orderBy(order_key)``.
+Spark mapping: ``F.lag/lead`` over a window.  Two plan shapes:
 
-Scale note: a single global Window.orderBy funnels ALL rows through one
-task — fine at sf0.1, catastrophic at 100 TB.  So:
-
-* when the caller gives ``partition_by``, the window is per-partition
-  (shuffle by key, parallel) — the idiomatic Spark form;
-* for the global form we implement a **partition-boundary exchange**:
-  rows keep their natural partitions; only the k boundary rows of each
-  partition are exchanged (k << partition size), via a per-partition
-  window plus a broadcast of per-partition edge rows.  That keeps the
-  global shift fully parallel.  (Here we implement the per-partition +
-  boundary-fix for shift of columns; rolling uses frame windows which
-  are cheap once ordered by an indexed key.)
+* with ``partition_by`` — ``Window.partitionBy(...).orderBy(...)``,
+  the idiomatic parallel form (shuffle by key, per-group windows);
+* without ``partition_by`` — the naive ``Window.orderBy(...)`` funnels
+  ALL rows through one task (Exchange SinglePartition), which is
+  catastrophic at scale.  Instead we run a **partition-boundary
+  exchange**: range-partition on the order key (parallel total order),
+  then donate each partition's k edge rows to its neighbor so a frame
+  of ``[-before, +after]`` rows is exact *within* every partition; the
+  window runs per-partition and borrowed rows are dropped afterwards.
+  Cost: one range shuffle + one hash shuffle of (data + tiny borrowed
+  fraction) — both fully parallel; the borrowed volume is
+  O(k × partitions), independent of table size.
 
 For oracle-checked queries we always pass an explicit order_key so
 results are deterministic on any cluster.
@@ -31,31 +31,91 @@ from pyspark.sql import functions as F
 
 from .rowid import ROW_ID, with_row_id
 
+_PID = "__pid"
+_BORROWED = "__borrowed"
 
-def _ordered_window(df, order_key, partition_by=None):
+
+def _resolve_order(df, order_key):
+    """Return (sdf, order_cols).  order_key=None materializes a scan-
+    order row id (distributed, no global sort — see rowid.py)."""
     if order_key is None:
         sdf = with_row_id(df._spark_df())
-        order_cols = [F.col(ROW_ID)]
-    else:
-        sdf = df._spark_df()
-        keys = order_key if isinstance(order_key, (list, tuple)) else [order_key]
-        order_cols = [df._to_expr(k).col for k in keys]
-    w = Window.orderBy(*order_cols)
-    if partition_by is not None:
-        parts = partition_by if isinstance(partition_by, (list, tuple)) else [partition_by]
-        w = Window.partitionBy(*[df._to_expr(p).col for p in parts]).orderBy(*order_cols)
+        return sdf, [F.col(ROW_ID)]
+    sdf = df._spark_df()
+    keys = order_key if isinstance(order_key, (list, tuple)) else [order_key]
+    return sdf, [df._to_expr(k).col for k in keys]
+
+
+def _partitioned_window(df, order_key, partition_by):
+    """The idiomatic per-key window (parallel, no exchange needed)."""
+    sdf, order_cols = _resolve_order(df, order_key)
+    parts = partition_by if isinstance(partition_by, (list, tuple)) else [partition_by]
+    w = Window.partitionBy(*[df._to_expr(p).col for p in parts]).orderBy(*order_cols)
     return sdf, w
 
 
-def shift(df, periods, column=None, fill_value=None, order_key=None, partition_by=None):
-    """Return a new DataFrame with column(s) shifted by ``periods``."""
+def _exchange_window(sdf, order_cols, before: int, after: int):
+    """Global-order window without a single-task sort.
+
+    1. ``repartitionByRange`` on the order key — a parallel total order
+       (partition i holds keys below partition i+1's).
+    2. Densify partition ids (range partitioning can leave empty
+       partitions; donors must target the *next non-empty* one).  The
+       id map is partition-count-sized — the rank window over it is a
+       metadata-sized single task, same envelope as rowid.py offsets.
+    3. Donate the last ``before`` rows of each partition to its
+       successor and the first ``after`` rows to its predecessor,
+       flagged ``__borrowed``.
+    4. Window over ``partitionBy(__pid).orderBy(order)`` — every frame
+       of [-before, +after] rows sees exactly the rows it would under a
+       global sort; borrowed rows (whose own frames are incomplete) are
+       dropped by the caller.
+
+    Returns (augmented_sdf, window_spec); caller filters ``~__borrowed``
+    and drops helper columns.
+    """
+    part = sdf.repartitionByRange(*order_cols).withColumn(
+        "__rpid", F.spark_partition_id())
+    pidmap = (part.select("__rpid").distinct()
+              .withColumn(_PID, F.row_number().over(Window.orderBy("__rpid")) - 1))
+    part = part.join(F.broadcast(pidmap), on="__rpid").drop("__rpid")
+    aug = part.withColumn(_BORROWED, F.lit(False))
+    if before > 0:
+        w_desc = Window.partitionBy(_PID).orderBy(*[c.desc() for c in order_cols])
+        don = (part.withColumn("__rn", F.row_number().over(w_desc))
+               .filter(F.col("__rn") <= before).drop("__rn")
+               .withColumn(_PID, F.col(_PID) + 1)
+               .withColumn(_BORROWED, F.lit(True)))
+        aug = aug.unionByName(don)
+    if after > 0:
+        w_asc = Window.partitionBy(_PID).orderBy(*order_cols)
+        don = (part.withColumn("__rn", F.row_number().over(w_asc))
+               .filter(F.col("__rn") <= after).drop("__rn")
+               .withColumn(_PID, F.col(_PID) - 1)
+               .filter(F.col(_PID) >= 0)
+               .withColumn(_BORROWED, F.lit(True)))
+        aug = aug.unionByName(don)
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    return aug, w
+
+
+def _apply_windowed(df, order_key, partition_by, before, after, columns, make_col):
+    """Shared driver for shift/diff/rolling: apply ``make_col(name, w)``
+    per column over the right window shape, clean up helpers."""
     from ..dataframe import DataFrame
-    sdf, w = _ordered_window(df, order_key, partition_by)
-    cols = [column] if isinstance(column, str) else (column or df.get_column_names())
-    out = sdf
-    for c in cols:
-        shifted = F.lag(F.col(c), periods, fill_value).over(w)
-        out = out.withColumn(c, shifted)
+    cols = [columns] if isinstance(columns, str) else (columns or df.get_column_names())
+    if partition_by is not None:
+        sdf, w = _partitioned_window(df, order_key, partition_by)
+        out = sdf
+        for c in cols:
+            out = out.withColumn(c, make_col(c, w))
+    else:
+        sdf, order_cols = _resolve_order(df, order_key)
+        aug, w = _exchange_window(sdf, order_cols, before, after)
+        out = aug
+        for c in cols:
+            out = out.withColumn(c, make_col(c, w))
+        out = out.filter(~F.col(_BORROWED)).drop(_PID, _BORROWED)
     if order_key is None:
         out = out.drop(ROW_ID)
     o = DataFrame(out)
@@ -63,27 +123,43 @@ def shift(df, periods, column=None, fill_value=None, order_key=None, partition_b
     return o
 
 
+def shift(df, periods, column=None, fill_value=None, order_key=None, partition_by=None):
+    """Return a new DataFrame with column(s) shifted by ``periods``."""
+    before = max(periods, 0)
+    after = max(-periods, 0)
+
+    def make(c, w):
+        return F.lag(F.col(c), periods, fill_value).over(w)
+
+    return _apply_windowed(df, order_key, partition_by, before, after, column, make)
+
+
 def shift_expression(df, expr, periods, fill_value=None, order_key=None, partition_by=None):
     """Expression-level shift: returns an Expression usable in further
-    algebra (the common vaex pattern df['prev'] = df.x.shift(1))."""
+    algebra (the common vaex pattern df['prev'] = df.x.shift(1)).
+
+    Note: as a composable Column this cannot carry the boundary-exchange
+    rewrite — without ``partition_by`` it compiles to a global-order
+    window (single task).  Pass ``partition_by`` for the scalable form,
+    or use ``df.shift(...)`` which always plans the exchange."""
     from ..expression import Expression
-    _, w = _ordered_window(df, order_key, partition_by)
+    if partition_by is not None:
+        _, w = _partitioned_window(df, order_key, partition_by)
+    else:
+        _, order_cols = _resolve_order(df, order_key)
+        w = Window.orderBy(*order_cols)
     return Expression(df, F.lag(df._to_expr(expr).col, periods, fill_value).over(w))
 
 
 def diff(df, periods=1, column=None, order_key=None, partition_by=None):
     """dataframe.py:4749 — discrete difference over row order."""
-    from ..dataframe import DataFrame
-    sdf, w = _ordered_window(df, order_key, partition_by)
-    cols = [column] if isinstance(column, str) else (column or df.get_column_names())
-    out = sdf
-    for c in cols:
-        out = out.withColumn(c, F.col(c) - F.lag(F.col(c), periods).over(w))
-    if order_key is None:
-        out = out.drop(ROW_ID)
-    o = DataFrame(out)
-    o.variables = dict(df.variables)
-    return o
+    before = max(periods, 0)
+    after = max(-periods, 0)
+
+    def make(c, w):
+        return F.col(c) - F.lag(F.col(c), periods).over(w)
+
+    return _apply_windowed(df, order_key, partition_by, before, after, column, make)
 
 
 class Rolling:
@@ -92,6 +168,8 @@ class Rolling:
 
     Spark frame windows (`rowsBetween`) compute these with running
     aggregation — O(n) per partition, no per-row recompute for sum/avg.
+    ``trim=False`` (vaex default) nulls incomplete windows; ``trim=True``
+    drops those rows (reference dataframe.py:5656 trims the frame).
     """
 
     def __init__(self, df, window, trim=False, column=None, edge="right",
@@ -104,32 +182,42 @@ class Rolling:
         self.order_key = order_key
         self.partition_by = partition_by
 
-    def _frame(self):
-        sdf, w = _ordered_window(self.df, self.order_key, self.partition_by)
+    def _bounds(self):
         if self.edge == "right":
-            frame = w.rowsBetween(-(self.window - 1), 0)
-        elif self.edge == "left":
-            frame = w.rowsBetween(0, self.window - 1)
-        else:  # center
-            left = self.window // 2
-            frame = w.rowsBetween(-left, self.window - 1 - left)
-        return sdf, w, frame
+            return self.window - 1, 0
+        if self.edge == "left":
+            return 0, self.window - 1
+        left = self.window // 2
+        return left, self.window - 1 - left
 
     def _apply(self, fn):
-        from ..dataframe import DataFrame
-        sdf, w, frame = self._frame()
-        cols = self.columns or [c for c in self.df.get_column_names()]
-        out = sdf
-        for c in cols:
+        before, after = self._bounds()
+        need_n = "__winn"
+
+        def make(c, w):
+            frame = w.rowsBetween(-before, after)
             val = fn(F.col(c)).over(frame)
-            if self.trim or True:
-                # vaex default: incomplete windows -> NaN/null
-                n = F.count(F.col(c)).over(frame)
-                val = F.when(n >= self.window, val)
-            out = out.withColumn(c, val)
-        if self.order_key is None:
-            out = out.drop(ROW_ID)
-        o = DataFrame(out)
+            n = F.count(F.col(c)).over(frame)
+            # null (or later drop) incomplete windows; stash the count
+            return F.struct(F.when(n >= self.window, val).alias("v"),
+                            n.alias(need_n))
+
+        # compute value+count in one struct, then unpack so trim can
+        # filter on the count of ANY of the rolled columns
+        out_df = _apply_windowed(self.df, self.order_key, self.partition_by,
+                                 before, after, self.columns, make)
+        sdf = out_df._spark_df()
+        cols = self.columns or [c for c in self.df.get_column_names()]
+        if self.trim:
+            conds = [F.col(c).getField(need_n) >= self.window for c in cols]
+            keep = conds[0]
+            for cnd in conds[1:]:
+                keep = keep & cnd
+            sdf = sdf.filter(keep)
+        for c in cols:
+            sdf = sdf.withColumn(c, F.col(c).getField("v"))
+        from ..dataframe import DataFrame
+        o = DataFrame(sdf)
         o.variables = dict(self.df.variables)
         return o
 
