@@ -1,0 +1,121 @@
+"""Regression tests for previously silent-wrong API paths:
+lstrip/rstrip(to_strip), td.microseconds, sample(weights=),
+unique(return_inverse=), nunique with selection, xor modes, and
+projection narrowing through derived ops."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def strings(spark):
+    import vaex_spark as vs
+    return vs.from_arrays(s=["xxabcxx", "yyy", "abc", "xya"], spark=spark)
+
+
+def test_lstrip_rstrip_to_strip(strings):
+    df = strings
+    df["l"] = df.s.str.lstrip("x")
+    df["r"] = df.s.str.rstrip("x")
+    df["b"] = df.s.str.strip("xy")
+    rows = {r.s: (r.l, r.r, r.b) for r in df.spark.select("s", "l", "r", "b").collect()}
+    assert rows["xxabcxx"] == ("abcxx", "xxabc", "abc")
+    assert rows["yyy"] == ("yyy", "yyy", "")
+    assert rows["xya"] == ("ya", "xya", "a")
+
+
+def test_td_microseconds(spark):
+    import datetime as dt
+    import vaex_spark as vs
+    t0 = dt.datetime(2020, 1, 1)
+    deltas = [dt.timedelta(days=2, seconds=5, microseconds=678901),
+              dt.timedelta(seconds=59, microseconds=1),
+              dt.timedelta(hours=1)]
+    df = vs.from_arrays(a=[t0] * 3, b=[t0 + d for d in deltas], spark=spark)
+    df["td"] = df.b - df.a
+    df["us"] = df.td.td.microseconds
+    df["sec"] = df.td.td.seconds
+    df["days"] = df.td.td.days
+    got = [(r.days, r.sec, r.us) for r in df.spark.select("days", "sec", "us").collect()]
+    want = [(d.days, d.seconds, d.microseconds) for d in deltas]
+    assert got == want
+
+
+def test_sample_weights(spark):
+    import vaex_spark as vs
+    # one row has overwhelming weight: it must (virtually) always appear
+    df = vs.from_arrays(k=list(range(100)),
+                        w=[1e9 if i == 7 else 1e-9 for i in range(100)], spark=spark)
+    s = df.sample(n=1, weights="w")
+    rows = s.spark.select("k").collect()
+    assert len(rows) == 1 and rows[0].k == 7
+    with pytest.raises(NotImplementedError):
+        df.sample(n=2, weights="w", replace=True)
+
+
+def test_unique_return_inverse(spark):
+    import vaex_spark as vs
+    data = ["b", "a", "c", "a", "b", "b"]
+    df = vs.from_arrays(v=data, spark=spark)
+    vals, inv = df.unique("v", return_inverse=True)
+    assert sorted(vals) == ["a", "b", "c"]
+    assert [vals[i] for i in inv] == data
+
+
+def test_nunique_selection_no_phantom_null(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[1, 1, 2, None], g=[True, True, False, False], spark=spark)
+    # within the selection x is all 1s and never null -> exactly 1
+    assert df.nunique("x", selection=df["g"]) == 1
+    # whole column: {1, 2, null} -> 3
+    assert df.nunique("x") == 3
+    # selection covering the null row counts it
+    df.select(df["x"] != 1, mode="replace")  # rows 2 (x=2) and... null!=1 is null -> excluded
+    assert df.nunique("x", selection=True) == 1
+    # groupby-path descriptor with selection
+    from vaex_spark import agg as vagg
+    out = df.groupby(None, agg={"n": vagg.nunique("x", selection=df["g"])}).spark.collect()
+    assert out[0].n == 1
+
+
+def test_xor_modes(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(x=list(range(10)), spark=spark)
+    f = df[df.x < 6].filter(df.x >= 3, mode="xor")  # (x<6) xor (x>=3): {0,1,2} | {6..9}
+    got = sorted(r.x for r in f.spark.select("x").collect())
+    assert got == [0, 1, 2, 6, 7, 8, 9]
+    # expression-level ^ on booleans
+    df["b"] = (df.x < 6) ^ (df.x >= 3)
+    assert sorted(r.x for r in df[df.b].spark.select("x").collect()) == [0, 1, 2, 6, 7, 8, 9]
+    # integral xor still bitwise
+    df["ix"] = df.x ^ 1
+    assert [r.ix for r in df.spark.select("ix").limit(2).collect()] == [1, 0]
+    # named-selection xor
+    df.select(df.x < 6)
+    df.select(df.x >= 3, mode="xor")
+    assert df.count(selection=True) == 7
+
+
+def test_projection_survives_filter(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(a=[1, 2, 3], b=[4, 5, 6], x=[-1.0, 0.5, 2.0], spark=spark)
+    sub = df[["a", "b"]]
+    flt = sub[df.x > 0]  # filter on a column outside the projection
+    assert flt.get_column_names() == ["a", "b"]
+    assert flt.spark.columns == ["a", "b"]
+    assert flt.spark.count() == 2
+    ren = sub.rename("a", "aa")
+    assert ren.get_column_names() == ["aa", "b"]
+    assert ren.spark.columns == ["aa", "b"]
+    drp = sub.drop("b")
+    assert drp.get_column_names() == ["a"]
+
+
+def test_len_memoized(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(a=list(range(5)), spark=spark)
+    assert len(df) == 5
+    assert df._len_cache[1] == 5
+    df2 = df[df.a > 2]
+    assert len(df2) == 2

@@ -147,14 +147,28 @@ def sum_moment(expression, moment, selection=None, **kw):
                       expression, selection=selection, **kw)
 
 
-def nunique(expression, dropna=False, dropnan=False, dropmissing=False, selection=None):
-    def fn(c):
-        base = F.countDistinct(c)
-        if not (dropna or dropmissing):
-            base = base + (F.max(c.isNull().cast("int")).cast("long"))
+class _NUniqueAgg(AggDescriptor):
+    """countDistinct + null-presence term.  The null check runs on the
+    RAW column gated by the selection — the masked input can't tell
+    "row not selected" apart from "selected row is null" (both null)."""
+
+    def __init__(self, expression, count_null, selection=None, dropnan=False):
+        super().__init__("nunique", expression, selection=selection, dropnan=dropnan)
+        self.count_null = count_null
+
+    def to_column(self, df) -> Column:
+        base = F.countDistinct(self._input(df))
+        if self.count_null:
+            raw = df._to_expr(self.expression).col
+            sel = df._selection_col(self.selection) if self.selection is not None else None
+            gated = raw.isNull() if sel is None else (sel & raw.isNull())
+            base = base + F.coalesce(F.max(F.when(gated, 1)), F.lit(0)).cast("long")
         return base
-    return _SimpleAgg("nunique", fn, expression, selection=selection,
-                      dropnan=(dropna or dropnan))
+
+
+def nunique(expression, dropna=False, dropnan=False, dropmissing=False, selection=None):
+    return _NUniqueAgg(expression, count_null=not (dropna or dropmissing),
+                       selection=selection, dropnan=(dropna or dropnan))
 
 
 def any(expression=None, selection=None):  # noqa: A001

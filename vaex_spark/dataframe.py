@@ -119,15 +119,8 @@ class DataFrame:
         if isinstance(item, Expression):  # boolean filter df[df.x > 0]
             return self.filter(item)
         if isinstance(item, (list, tuple)):  # projection
-            out = self._copy()
-            keep = set(item)
-            out_virtual = OrderedDict((n, e) for n, e in self.virtual_columns.items() if n in keep)
-            # keep virtual deps: conservative — keep all virtuals (cheap, pruned by Catalyst)
-            out.virtual_columns = OrderedDict(self.virtual_columns)
-            out._projection = list(item)
-            base_cols = [c for c in item if c not in self.virtual_columns]
-            out._project_to = list(item)
-            return _Projected(out, list(item))
+            # virtual columns stay defined (Catalyst prunes unused ones)
+            return _Projected(self._copy(), list(item))
         if isinstance(item, slice):
             return self._slice(item.start or 0, item.stop)
         raise KeyError(item)
@@ -152,7 +145,13 @@ class DataFrame:
         self.drop(name, inplace=True)
 
     def __len__(self):
-        return int(self.count())
+        """Length is memoized on the plan fingerprint — vaex knows its
+        length for free; re-running a count job per len() call would be
+        pathological in loops."""
+        fp = self.fingerprint()
+        if getattr(self, "_len_cache", None) is None or self._len_cache[0] != fp:
+            self._len_cache = (fp, int(self.count()))
+        return self._len_cache[1]
 
     def __repr__(self):
         cols = ", ".join(self.get_column_names()[:12])
@@ -215,7 +214,8 @@ class DataFrame:
         elif mode == "subtract":
             out._filter = Expression(out, out._filter.col & ~expr.col)
         elif mode == "xor":
-            out._filter = Expression(out, out._filter.col.bitwiseXOR(expr.col))
+            # boolean XOR == inequality (bitwiseXOR raises on booleans)
+            out._filter = Expression(out, out._filter.col != expr.col)
         else:
             raise ValueError(mode)
         return out
@@ -248,7 +248,7 @@ class DataFrame:
         elif mode == "subtract":
             self.selections[name] = Expression(self, old.col & ~expr.col)
         elif mode == "xor":
-            self.selections[name] = Expression(self, old.col.bitwiseXOR(expr.col))
+            self.selections[name] = Expression(self, old.col != expr.col)
         else:
             raise ValueError(mode)
 
@@ -399,9 +399,23 @@ class DataFrame:
     def sample(self, n=None, frac=None, replace: bool = False,
                weights: str | None = None, random_state: int = 42) -> "DataFrame":
         """dataframe.py:4550.  frac-sampling is fully distributed;
-        n-sampling needs a count first (same as vaex, which knows len)."""
+        n-sampling needs a count first (same as vaex, which knows len).
+
+        ``weights=`` implements Efraimidis-Spirakis A-Res weighted
+        sampling without replacement: key = rand()^(1/w), take top-n —
+        a distributed top-k (TakeOrderedAndProject), no global sort.
+        """
         sdf = self._spark_df()
-        if frac is None:
+        if weights is not None:
+            if replace:
+                raise NotImplementedError("weighted sampling with replace=True")
+            if n is None:
+                n = int(round(frac * sdf.count()))
+            w = self._to_expr(weights).col.cast("double")
+            key = F.pow(F.rand(random_state), F.lit(1.0) / w)
+            out = (sdf.withColumn("__wkey", key)
+                   .orderBy(F.col("__wkey").desc()).limit(int(n)).drop("__wkey"))
+        elif frac is None:
             total = sdf.count()
             frac = min(1.0, float(n) / max(total, 1) * 1.1)
             out = sdf.sample(withReplacement=replace, fraction=frac, seed=random_state).limit(n)
@@ -547,12 +561,15 @@ class DataFrame:
         Spark's partial+final hash aggregation is vaex's per-thread grid
         + reduce (SURVEY §3.1 mapping).
         """
+        import inspect
+        two_arg = len(inspect.signature(make_agg).parameters) >= 2
         selections = selection if isinstance(selection, (list, tuple)) else [selection]
         if binby is None or (isinstance(binby, (list, tuple)) and len(binby) == 0):
             cols = []
             for i, sel in enumerate(selections):
                 c = self._agg_expr_col(expression, sel)
-                cols.append(make_agg(c).alias(f"_r{i}"))
+                made = make_agg(c, self._selection_col(sel)) if two_arg else make_agg(c)
+                cols.append(made.alias(f"_r{i}"))
             if delay:
                 return self.executor.schedule(cols, unwrap=len(selections) == 1)
             row = self._spark_df().agg(*cols).collect()[0]
@@ -611,10 +628,16 @@ class DataFrame:
         return self._compute_agg(lambda c: F.kurtosis(_dropnan(c)), expression, binby, shape, limits, selection, delay)
 
     def nunique(self, expression, dropna: bool = False, selection=None, delay=False, **kw):
-        def make(c):
+        raw = self._to_expr(expression).col
+
+        def make(c, sel=None):
             base = F.countDistinct(c)
             if not dropna:
-                has_null = (F.max(c.isNull().cast("int")) == 1).cast("long")
+                # count a null only if a SELECTED row is actually null —
+                # the masked input can't distinguish "unselected" from
+                # "null within the selection"
+                gated = raw.isNull() if sel is None else (sel & raw.isNull())
+                has_null = F.coalesce(F.max(F.when(gated, 1)), F.lit(0)).cast("long")
                 return base + has_null
             return base
         return self._compute_agg(make, expression, selection=selection, delay=delay, **kw)
@@ -693,13 +716,34 @@ class DataFrame:
 
     def unique(self, expression, return_inverse=False, dropna=False, dropnan=False,
                dropmissing=False, selection=None, limit=None, array_type="numpy"):
-        """dataframe.py:575 — distinct values of an expression."""
+        """dataframe.py:575 — distinct values of an expression.
+
+        ``return_inverse=True`` additionally returns dense codes (one
+        per row, in scan order) such that ``values[inverse] == column``.
+        Codes are assigned by sorted value order (deterministic); the
+        code assignment is a distributed broadcast join on the distinct
+        set — only the final int array is collected (the inverse is
+        inherently row-count-sized, same as the reference's output).
+        """
         expr = self._to_expr(expression)
         sdf = self._spark_df()
         sel = self._selection_col(selection)
         if sel is not None:
             sdf = sdf.filter(sel)
         col = expr.col
+        if return_inverse:
+            from pyspark.sql import Window as _W
+            from .operators.rowid import with_row_id
+            tagged = with_row_id(sdf.select(col.alias("_v")))
+            d = tagged.select("_v").distinct()
+            codes = d.withColumn(
+                "_code", F.row_number().over(_W.orderBy(F.col("_v").asc_nulls_last())) - 1)
+            inv_rows = (tagged.join(F.broadcast(codes), on=tagged["_v"].eqNullSafe(codes["_v"]), how="left")
+                        .select(ROW_ID, "_code").orderBy(ROW_ID).collect())
+            inverse = np.array([r["_code"] for r in inv_rows])
+            vrows = codes.orderBy("_code").collect()
+            vals = _np_values([r["_v"] for r in vrows])
+            return vals, inverse
         d = sdf.select(col.alias("_v")).distinct()
         if dropna or dropmissing:
             d = d.filter(F.col("_v").isNotNull())
@@ -709,12 +753,7 @@ class DataFrame:
                 raise RuntimeError(f"unique yields more than limit={limit} values")
         else:
             rows = d.collect()
-        vals = np.array([r["_v"] for r in rows], dtype=object)
-        try:
-            vals = vals.astype(type(next(v for v in vals if v is not None)))
-        except Exception:
-            pass
-        return vals
+        return _np_values([r["_v"] for r in rows])
 
     def value_counts(self, expression, dropna=False, ascending=False, selection=None, **kw):
         """expression.py:994 — pandas-like value counts as pandas Series,
@@ -974,6 +1013,22 @@ class _Projected(DataFrame):
     def get_column_names(self, virtual=True, hidden=False):
         return list(self._columns)
 
+    def _copy(self) -> "DataFrame":
+        # preserve the column narrowing across derived ops (filter/
+        # rename/drop all route through _copy)
+        return _Projected(super()._copy(), list(self._columns))
+
+    def rename(self, old: str, new: str) -> "DataFrame":
+        out = super().rename(old, new)
+        out._columns = [new if c == old else c for c in out._columns]
+        return out
+
+    def drop(self, names, inplace: bool = False) -> "DataFrame":
+        out = super().drop(names, inplace=inplace)
+        gone = {names} if isinstance(names, str) else set(names)
+        out._columns = [c for c in out._columns if c not in gone]
+        return out
+
 
 class _Executor:
     """Delayed-statistics batcher (vaex execution.py:243-262 _pop_tasks /
@@ -1022,6 +1077,15 @@ class _Delayed:
     @property
     def value(self):
         return self.get()
+
+
+def _np_values(raw: list) -> np.ndarray:
+    vals = np.array(raw, dtype=object)
+    try:
+        vals = vals.astype(type(next(v for v in vals if v is not None)))
+    except Exception:
+        pass
+    return vals
 
 
 def _dropnan(c: Column | None) -> Column | None:

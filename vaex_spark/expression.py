@@ -57,6 +57,12 @@ class Expression:
     def _wrap(self, col: Column) -> "Expression":
         return Expression(self.df, col)
 
+    @property
+    def dtype(self) -> str:
+        """Spark SQL type name of this expression (schema resolution
+        only — no job runs)."""
+        return self.df.data_type(self)
+
     # -- binary arithmetic (expression.py:53-91) -------------------------
     def __add__(self, o): return self._wrap(self.col + _col(o))
     def __radd__(self, o): return self._wrap(_col(o) + self.col)
@@ -108,6 +114,15 @@ class Expression:
     def __ror__(self, o): return self._wrap(_col(o) | self.col)
 
     def __xor__(self, o):
+        # Spark's bitwiseXOR rejects booleans (DATATYPE_MISMATCH); vaex
+        # uses ^ on boolean predicates, where XOR == inequality.  Probe
+        # the dtype (schema-only, no job) and pick the right operator.
+        try:
+            is_bool = self.dtype == "boolean"
+        except Exception:
+            is_bool = False
+        if is_bool:
+            return self._wrap(self.col != _col(o))
         return self._wrap(self.col.bitwiseXOR(_col(o)))
 
     def __invert__(self):

@@ -131,8 +131,13 @@ class TimeDeltaAccessor:
 
     @property
     def microseconds(self):
-        total = self.expr.col.cast("interval day to second").cast("bigint")  # micros? cast gives seconds
-        return self._w(((total % 1) * 0).cast("long"))
+        """pandas .microseconds component: the sub-second part in
+        microseconds (0..999999).  Interval cast to bigint truncates to
+        whole seconds; EXTRACT(SECOND) keeps the fraction as
+        DECIMAL(8,6) — the difference times 1e6 is the component."""
+        c = self.expr.col.cast("interval day to second")
+        sec = F.date_part(F.lit("SECOND"), c)
+        return self._w(((sec % 1) * 1000000).cast("long"))
 
     @property
     def nanoseconds(self):

@@ -111,10 +111,11 @@ class StringAccessor:
         return self._w(F.trim(self.expr.col) if to_strip is None else F.btrim(self.expr.col, F.lit(to_strip)))
 
     def lstrip(self, to_strip=None):
-        return self._w(F.ltrim(self.expr.col) if to_strip is None else F.ltrim(F.lit(to_strip), self.expr.col))
+        # PySpark 4 signature is ltrim(src, trim) — source column FIRST
+        return self._w(F.ltrim(self.expr.col) if to_strip is None else F.ltrim(self.expr.col, F.lit(to_strip)))
 
     def rstrip(self, to_strip=None):
-        return self._w(F.rtrim(self.expr.col) if to_strip is None else F.rtrim(F.lit(to_strip), self.expr.col))
+        return self._w(F.rtrim(self.expr.col) if to_strip is None else F.rtrim(self.expr.col, F.lit(to_strip)))
 
     def match(self, pattern):
         return self._w(self.expr.col.rlike(f"^(?:{pattern})"))

@@ -89,10 +89,13 @@ def grid_agg(df, make_agg, expression, binby, shape, limits, selections,
         c = df._to_expr(b).col
         bin_cols.append(bin_index_col(c, lo, hi, sh, edges).alias(f"_b{i}"))
 
+    import inspect
+    two_arg = len(inspect.signature(make_agg).parameters) >= 2
     aggs = []
     for j, sel in enumerate(selections):
         c = df._agg_expr_col(expression, sel)
-        aggs.append(make_agg(c).alias(f"_a{j}"))
+        made = make_agg(c, df._selection_col(sel)) if two_arg else make_agg(c)
+        aggs.append(made.alias(f"_a{j}"))
 
     grouped = sdf.groupBy(*bin_cols).agg(*aggs)
     if not edges:
