@@ -947,10 +947,14 @@ class DataFrame:
             return self.export_arrow(p, **kwargs)
         raise ValueError(f"unknown export format for {path}")
 
-    def export_parquet(self, path: str, mode: str = "overwrite", single_file: bool = True, **kw):
+    def export_parquet(self, path: str, mode: str = "overwrite", single_file: bool = False, **kw):
+        """Distributed parquet write by default (executors write their
+        partitions in parallel — the only shape that survives 100 TB).
+        ``single_file=True`` opts into the vaex-style one-file layout by
+        funneling through driver Arrow — driver-memory-bounded, for
+        small results only."""
         sdf = self._spark_df()
         if single_file:
-            # vaex writes one file; write via Arrow on the driver
             import pyarrow.parquet as pq
             pq.write_table(sdf.toArrow(), path)
         else:

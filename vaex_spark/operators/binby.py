@@ -47,18 +47,46 @@ def _normalize_limits(df, binby, limits):
     """Normalize the many accepted limits spellings into per-dim [lo,hi].
 
     Accepted: None | 'minmax' | '99.7%' | [lo,hi] | per-dim list of any
-    of those (dataframe.py:1844 semantics)."""
+    of those (dataframe.py:1844 semantics).
+
+    All dims that need a min/max pre-pass are BATCHED through the
+    delayed executor into ONE Spark job (vaex's single-pass trick,
+    SURVEY §4 #3) — a 2-d auto-limit grid costs one stats job + one
+    grid job, not three."""
     ndim = len(binby)
     if limits is None or isinstance(limits, str):
-        return [compute_limits(df, b, limits) for b in binby]
-    limits = list(limits)
-    is_per_dim = (len(limits) == ndim and
-                  all(isinstance(li, (list, tuple, np.ndarray, str)) or li is None for li in limits))
-    if is_per_dim and not (ndim == 2 and all(isinstance(li, (int, float)) for li in limits)):
-        return [compute_limits(df, b, li) for b, li in zip(binby, limits)]
-    # single [lo, hi] shared across dims
-    lo, hi = float(limits[0]), float(limits[1])
-    return [[lo, hi] for _ in binby]
+        specs = [limits] * ndim
+    else:
+        limits = list(limits)
+        is_per_dim = (len(limits) == ndim and
+                      all(isinstance(li, (list, tuple, np.ndarray, str)) or li is None for li in limits))
+        if is_per_dim and not (ndim == 2 and all(isinstance(li, (int, float)) for li in limits)):
+            specs = limits
+        else:
+            lo, hi = float(limits[0]), float(limits[1])
+            return [[lo, hi] for _ in binby]
+    out: list = [None] * ndim
+    minmax_dims = []
+    for i, (b, spec) in enumerate(zip(binby, specs)):
+        if spec is None or spec == "minmax":
+            minmax_dims.append(i)
+        elif (isinstance(spec, (list, tuple, np.ndarray)) and len(spec) == 2
+              and not isinstance(spec[0], str)):
+            out[i] = [float(spec[0]), float(spec[1])]
+        else:
+            out[i] = compute_limits(df, b, spec)
+    if minmax_dims:
+        from ..dataframe import _dropnan
+        delayed = []
+        for i in minmax_dims:
+            c = df._to_expr(binby[i]).col
+            delayed.append(df.executor.schedule(
+                [F.min(_dropnan(c)), F.max(_dropnan(c))], unwrap=False))
+        df.executor.execute()
+        for i, d in zip(minmax_dims, delayed):
+            lo, hi = d.get()
+            out[i] = [float(lo), float(hi)]
+    return out
 
 
 def bin_index_col(col, lo, hi, shape, edges: bool):

@@ -40,6 +40,10 @@ def _size_hint_bytes(sdf) -> int | None:
 
 def join(left, right, on=None, how="left", left_on=None, right_on=None,
          lprefix="", rprefix="", lsuffix="", rsuffix="", allow_duplication=False):
+    """allow_duplication: False (vaex default) runs the duplicate-key
+    precheck and raises on duplicates; True permits duplication without
+    checking; None skips the check entirely (trust the caller — at 100 TB
+    the guard is a full pre-scan of the right side's key column)."""
     from ..dataframe import DataFrame
 
     if how == "right":
@@ -64,7 +68,7 @@ def join(left, right, on=None, how="left", left_on=None, right_on=None,
         rsdf = with_row_id(rsdf, ROW_ID)
         left_on = right_on = ROW_ID
 
-    if not allow_duplication and not positional:
+    if allow_duplication is False and not positional:
         dup = (rsdf.groupBy(F.col(right_on)).count().filter(F.col("count") > 1).limit(1).count())
         if dup:
             raise ValueError(
