@@ -171,6 +171,57 @@ def nunique(expression, dropna=False, dropnan=False, dropmissing=False, selectio
                        selection=selection, dropnan=(dropna or dropnan))
 
 
+class _PandasAgg(AggDescriptor):
+    """User-defined aggregation as an Arrow-batched GROUPED_AGG pandas
+    UDF (SURVEY §2.9; the public UDAF escape hatch vaex exposes through
+    register/TaskMapReduce).  ``fn`` is pandas.Series -> scalar; runs
+    per group on executors, Arrow transfer, no row-at-a-time Python."""
+
+    def __init__(self, fn, expression, return_type="double", selection=None):
+        super().__init__("udaf", expression, selection=selection)
+        self.fn = fn
+        self.return_type = return_type
+
+    def to_column(self, df) -> Column:
+        import pandas as pd
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        inner = self.fn
+
+        def _wrapped(s):
+            return inner(s)
+
+        # pandas_udf infers GROUPED_AGG from Series -> scalar type hints
+        _wrapped.__annotations__ = {"s": pd.Series, "return": float}
+        udf = pandas_udf(_wrapped, returnType=self.return_type)
+        return udf(self._input(df))
+
+
+def pandas_agg(fn, expression, return_type="double", selection=None):
+    """vaex.agg-style descriptor for a custom aggregation:
+    ``df.groupby('g', agg={'iqr': agg.pandas_agg(lambda s: s.quantile(.75) - s.quantile(.25), 'x')})``."""
+    return _PandasAgg(fn, expression, return_type=return_type, selection=selection)
+
+
+_AGG_REGISTRY: dict = {}
+
+
+def register_agg(name, fn=None, return_type="double"):
+    """Register a named UDAF usable as ``agg.<name>`` lookup via
+    ``agg.registered(name, expression)``.  Decorator or direct call."""
+    def deco(f):
+        _AGG_REGISTRY[name] = (f, return_type)
+        return f
+    if fn is not None:
+        return deco(fn)
+    return deco
+
+
+def registered(name, expression, selection=None):
+    fn, rt = _AGG_REGISTRY[name]
+    return _PandasAgg(fn, expression, return_type=rt, selection=selection)
+
+
 def any(expression=None, selection=None):  # noqa: A001
     def fn(c):
         return F.coalesce(F.max(c.cast("boolean").cast("int")) == 1, F.lit(False))

@@ -74,6 +74,8 @@ class DataFrame:
         out.selections = dict(self.selections)
         out._filter = self._filter
         out._renames = dict(self._renames)
+        if isinstance(getattr(self, "_categories", None), dict):
+            out._categories = dict(self._categories)
         return out
 
     @property
@@ -202,6 +204,23 @@ class DataFrame:
         raise TypeError(f"cannot interpret {e!r} as expression")
 
     def filter(self, expression, mode: str = "and") -> "DataFrame":
+        # scale path for isin against a large value set: rewrite into a
+        # broadcast left-semi join instead of a giant literal (the
+        # Expression itself stays correct as array_contains for any
+        # other algebraic use)
+        spec = getattr(expression, "_isin_spec", None)
+        if spec is not None and mode in ("and", "replace"):
+            target, vals = spec
+            vtype = _infer_spark_type(next(v for v in vals if v is not None))
+            vdf = self.session.createDataFrame([(v,) for v in vals], f"__isin_v {vtype}")
+            folded = self._spark_df(filtered=False)
+            joined = folded.join(F.broadcast(vdf.distinct()),
+                                 on=target.col == F.col("__isin_v"), how="left_semi")
+            out = DataFrame(joined)
+            out.variables = dict(self.variables)
+            out.selections = dict(self.selections)
+            out._filter = self._filter if mode == "and" else None
+            return out
         out = self._copy()
         expr = out._to_expr(expression if not isinstance(expression, Expression)
                             else Expression(out, expression.col, expression._sql))
@@ -837,6 +856,111 @@ class DataFrame:
         else:
             udf = F.udf(f, returnType=rt)
         return Expression(self, udf(*[e.col for e in exprs]))
+
+    def map_reduce(self, map_fn, reduce_fn, arguments, to_numpy: bool = True):
+        """dataframe.py:431 TaskMapReduce parity: ``map_fn(*chunk_arrays)
+        -> value`` per Arrow batch, ``reduce_fn(a, b) -> value`` combines.
+
+        The map runs distributed via ``mapInPandas`` (Arrow batches on
+        executors); per-batch results — small by contract — are pickled,
+        collected, and reduced driver-side.  ``reduce_fn`` must be
+        associative (same contract as the reference's pairwise reduce).
+        """
+        import pickle
+
+        import pandas as pd
+        exprs = [self._to_expr(a) for a in arguments]
+        sdf = self._spark_df().select(*[e.col.alias(f"_a{i}") for i, e in enumerate(exprs)])
+        n = len(exprs)
+
+        def _mapper(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                args = [pdf[f"_a{i}"].to_numpy() if to_numpy else pdf[f"_a{i}"]
+                        for i in range(n)]
+                yield pd.DataFrame({"r": [pickle.dumps(map_fn(*args))]})
+
+        parts = [pickle.loads(r.r) for r in sdf.mapInPandas(_mapper, "r binary").collect()]
+        if not parts:
+            return None
+        from functools import reduce as _reduce
+        return _reduce(reduce_fn, parts)
+
+    def iterrows(self):
+        """dataframe.py:5542 — (index, row-dict) iterator; streams via
+        toLocalIterator (one partition in driver memory at a time)."""
+        for i, row in enumerate(self._spark_df().toLocalIterator()):
+            yield i, row.asDict()
+
+    def __iter__(self):
+        """Iterate column names (reference DataFrame.__iter__)."""
+        return iter(self.get_column_names())
+
+    # ------------------------------------------------------------------
+    # categoricals (reference groupby.py:398 GrouperCategory,
+    # functions.py:2455 _ordinal_values)
+    # ------------------------------------------------------------------
+    def categorize(self, column, labels=None, inplace: bool = True):
+        """Register ``column`` as categorical.  ``labels=None`` computes
+        the sorted distinct values (one job, cardinality-sized result).
+        Spark's hash aggregation doesn't need the codes fast path — this
+        keeps the user-facing labels<->codes API."""
+        name = column if isinstance(column, str) else str(column)
+        if labels is None:
+            labels = [v for v in self.unique(name) if v is not None]
+            try:
+                labels = sorted(labels)
+            except TypeError:
+                pass
+        target = self if inplace else self._copy()
+        if not hasattr(target, "_categories"):
+            target._categories = {}
+        target._categories[name] = list(labels)
+        return target
+
+    def is_category(self, column) -> bool:
+        return isinstance(getattr(self, "_categories", None), dict) and \
+            (column if isinstance(column, str) else str(column)) in self._categories
+
+    def category_labels(self, column) -> list:
+        return list(self._categories[column])
+
+    def category_count(self, column) -> int:
+        return len(self._categories[column])
+
+    def category_offset(self, column) -> int:
+        return 0
+
+    def ordinal_values(self, column, labels=None) -> "Expression":
+        """Dense ordinal codes for a categorical column: position in the
+        label list (0-based), -1 for values outside it.  A single literal
+        array lookup — categories are small by definition."""
+        labels = labels if labels is not None else self.category_labels(
+            column if isinstance(column, str) else str(column))
+        col = self._to_expr(column).col
+        arr = F.array(*[F.lit(v) for v in labels])
+        return Expression(self, (F.array_position(arr, col) - 1).cast("int"))
+
+    # ------------------------------------------------------------------
+    # active range (reference dataframe.py:4363-4406)
+    # ------------------------------------------------------------------
+    def set_active_range(self, i1: int, i2: int) -> None:
+        """Restrict the visible row window to [i1, i2) of the current
+        base order (reference semantics: dataset-level, below filters)."""
+        base = self._base
+        if i1:
+            base = base.offset(int(i1))
+        self._base = base.limit(int(i2 - i1))
+
+    def set_active_fraction(self, fraction: float) -> None:
+        n = self._base.count()
+        self.set_active_range(0, int(fraction * n))
+
+    def trim(self, inplace: bool = False) -> "DataFrame":
+        """Spark plans never carry dead rows — trim is a logical no-op
+        kept for API-compatible scripts (reference dataframe.py:4363)."""
+        return self if inplace else self._copy()
 
     # ------------------------------------------------------------------
     # state (dataframe.py:2502-2885)

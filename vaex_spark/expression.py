@@ -38,10 +38,11 @@ class Expression:
     metaclass at :53-186) but builds Catalyst trees instead of strings.
     """
 
-    __slots__ = ("df", "col", "_sql")
+    __slots__ = ("df", "col", "_sql", "_isin_spec")
 
     def __init__(self, df, col: Column | str, sql: str | None = None):
         self.df = df
+        self._isin_spec = None
         if isinstance(col, str):
             from . import expresso
             self._sql = col
@@ -164,11 +165,20 @@ class Expression:
     def notnan(self):
         return self._wrap(~_safe_isnan(self.col))
 
+    _ISIN_LITERAL_MAX = 1024
+
     def isin(self, values):
-        """Membership test (expression.py:1194). Small literal lists stay
-        in the plan (Catalyst turns long ones into a hash set / In-subquery);
-        a vaex_spark DataFrame column becomes a left-semi join upstream."""
-        return self._wrap(self.col.isin(list(values)))
+        """Membership test (expression.py:1194).  Small lists stay as a
+        literal IN (Catalyst hash set).  Large lists compile to a single
+        array-literal ``array_contains`` (compact plan node, not N
+        comparisons) AND carry a spec that ``DataFrame.filter`` rewrites
+        into a broadcast left-semi join — the SURVEY §2.4 scale mapping."""
+        vals = list(values)
+        if len(vals) <= self._ISIN_LITERAL_MAX:
+            return self._wrap(self.col.isin(vals))
+        out = self._wrap(F.array_contains(F.lit(vals), self.col))
+        out._isin_spec = (self, vals)
+        return out
 
     def fillna(self, value):
         """Replace NA (null or NaN) with ``value`` (expression.py:1087)."""

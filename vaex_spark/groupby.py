@@ -113,11 +113,15 @@ class GroupBy:
             names.append(name)
         return cols, names
 
-    def _agg_columns(self, spec) -> list[Column]:
-        out: list[Column] = []
+    def _agg_columns(self, spec) -> list[tuple[str, Column, bool]]:
+        """Returns ordered (name, column, is_pandas_udaf) triples —
+        GROUPED_AGG pandas UDFs can't share an Aggregate node with
+        regular aggregates, so the caller splits them."""
+        out: list[tuple[str, Column, bool]] = []
 
         def emit(desc: vagg.AggDescriptor, name: str):
-            out.append(desc.to_column(self.df).alias(name))
+            is_pandas = isinstance(desc, vagg._PandasAgg)
+            out.append((name, desc.to_column(self.df).alias(name), is_pandas))
 
         if isinstance(spec, str):
             if spec == "count":
@@ -139,7 +143,7 @@ class GroupBy:
         elif isinstance(spec, dict):
             for key, s in spec.items():
                 if isinstance(s, Column):
-                    out.append(s.alias(key))  # raw Spark aggregate Column
+                    out.append((key, s.alias(key), False))  # raw Spark aggregate Column
                 elif isinstance(s, vagg.AggDescriptor):
                     emit(s, key)  # {'name': descriptor} -> output column 'name'
                 elif isinstance(s, str):
@@ -157,12 +161,24 @@ class GroupBy:
         """Returns a vaex_spark.DataFrame of groups × aggregates."""
         from .dataframe import DataFrame
         key_cols, key_names = self._key_columns()
-        agg_cols = self._agg_columns(spec)
+        triples = self._agg_columns(spec)
+        reg = [c for _, c, p in triples if not p]
+        pud = [c for _, c, p in triples if p]
         sdf = self.df._spark_df()
-        if key_cols:
-            grouped = sdf.groupBy(*key_cols).agg(*agg_cols)
+
+        def _run(cols):
+            return sdf.groupBy(*key_cols).agg(*cols) if key_cols else sdf.agg(*cols)
+
+        if reg and pud:
+            # Spark forbids mixing GROUPED_AGG pandas UDFs with built-in
+            # aggregates in one Aggregate node: run two grouped aggs over
+            # the same shuffle keys and join on the group keys
+            g1, g2 = _run(reg), _run(pud)
+            grouped = (g1.join(g2, on=key_names, how="inner") if key_names
+                       else g1.crossJoin(g2))
+            grouped = grouped.select(*key_names, *[n for n, _, _ in triples])
         else:
-            grouped = sdf.agg(*agg_cols)
+            grouped = _run(reg or pud)
         if self.row_limit is not None:
             n = grouped.count()
             if n > self.row_limit:
