@@ -1,0 +1,169 @@
+"""Geo accessor and ML transformer parity against driver-side numpy."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def xyz(spark):
+    import vaex_spark as vs
+    rng = np.random.RandomState(7)
+    n = 200
+    return vs.from_arrays(
+        x=rng.randn(n), y=rng.randn(n), z=rng.randn(n),
+        vx=rng.randn(n), vy=rng.randn(n), vz=rng.randn(n),
+        alpha=rng.uniform(-180, 180, n), delta=rng.uniform(-89, 89, n),
+        r=rng.uniform(0.1, 10, n), spark=spark), rng
+
+
+def _np(df, col):
+    return df.evaluate(col).astype("float64")
+
+
+def test_spherical_cartesian_roundtrip(xyz):
+    df, _ = xyz
+    d1 = df.geo.spherical2cartesian("alpha", "delta", "r", xname="cx", yname="cy", zname="cz")
+    a, d, r = _np(df, "alpha"), _np(df, "delta"), _np(df, "r")
+    np.testing.assert_allclose(_np(d1, "cx"), np.cos(np.radians(a)) * np.cos(np.radians(d)) * r, rtol=1e-12)
+    np.testing.assert_allclose(_np(d1, "cz"), np.sin(np.radians(d)) * r, rtol=1e-12)
+    # roundtrip back
+    d2 = d1.geo.cartesian2spherical(x="cx", y="cy", z="cz", alpha="a2", delta="d2", distance="r2")
+    np.testing.assert_allclose(_np(d2, "r2"), r, rtol=1e-9)
+    np.testing.assert_allclose(_np(d2, "a2"), a, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(_np(d2, "d2"), d, rtol=1e-7, atol=1e-9)
+
+
+def test_polar_and_velocities(xyz):
+    df, _ = xyz
+    p = df.geo.cartesian_to_polar()
+    x, y = _np(df, "x"), _np(df, "y")
+    np.testing.assert_allclose(_np(p, "r_polar"), np.hypot(x, y), rtol=1e-12)
+    np.testing.assert_allclose(_np(p, "phi_polar"), np.degrees(np.arctan2(y, x)), rtol=1e-9, atol=1e-12)
+    vp = df.geo.velocity_cartesian2polar()
+    vx, vy = _np(df, "vx"), _np(df, "vy")
+    rp = np.hypot(x, y)
+    np.testing.assert_allclose(_np(vp, "vr_polar"), (x * vx + y * vy) / rp, rtol=1e-9)
+    # polar -> cartesian roundtrip
+    vc = vp.geo.velocity_polar2cartesian(vx_out="vx2", vy_out="vy2")
+    np.testing.assert_allclose(_np(vc, "vx2"), vx, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(_np(vc, "vy2"), vy, rtol=1e-9, atol=1e-12)
+    vs_ = df.geo.velocity_cartesian2spherical()
+    z, vz = _np(df, "z"), _np(df, "vz")
+    dist = np.sqrt(x * x + y * y + z * z)
+    np.testing.assert_allclose(_np(vs_, "vr"), (x * vx + y * vy + z * vz) / dist, rtol=1e-9)
+
+
+def test_projections_rotation_bearing(xyz):
+    df, _ = xyz
+    pa = df.geo.project_aitoff("alpha", "delta", x="ax", y="ay", radians=False)
+    a, d = np.radians(_np(df, "alpha")), np.radians(_np(df, "delta"))
+    aa = np.arccos(np.cos(d) * np.cos(a / 2))
+    sinc = np.sinc(aa / np.pi)
+    np.testing.assert_allclose(_np(pa, "ax"), 2 * np.cos(d) * np.sin(a / 2) / sinc / np.pi, rtol=1e-9)
+    np.testing.assert_allclose(_np(pa, "ay"), np.sin(d) / sinc / np.pi, rtol=1e-9)
+    rot = df.geo.rotation_2d("x", "y", "rx", "ry", angle_degrees=30.0)
+    th = np.radians(30.0)
+    x, y = _np(df, "x"), _np(df, "y")
+    np.testing.assert_allclose(_np(rot, "rx"), np.cos(th) * x - np.sin(th) * y, rtol=1e-12)
+    b = df.geo.bearing("x", "y", "vx", "vy", bearing="brg")
+    l1, p1, l2, p2 = (np.radians(v) for v in (x, y, _np(df, "vx"), _np(df, "vy")))
+    want = np.arctan2(np.sin(l2 - l1) * np.cos(p2),
+                      np.cos(p1) * np.sin(p2) - np.sin(p1) * np.cos(p2) * np.cos(l2 - l1))
+    np.testing.assert_allclose(_np(b, "brg"), want, rtol=1e-9, atol=1e-12)
+
+
+def test_inside_polygon(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[0.5, 2.0, 0.0, 0.9], y=[0.5, 0.5, 2.0, 0.1], spark=spark)
+    px, py = [0, 1, 1, 0], [0, 0, 1, 1]  # unit square
+    df["inside"] = df.geo.inside_polygon("x", "y", px, py)
+    assert [r.inside for r in df.spark.select("inside").collect()] == [True, False, False, True]
+    tri_x, tri_y = [2, 3, 2.5], [0, 0, 1]
+    df["which"] = df.geo.inside_which_polygon("x", "y", [px, tri_x], [py, tri_y])
+    assert [r.which for r in df.spark.select("which").collect()] == [0, None, None, 0]
+    df2 = vs.from_arrays(x=[2.5], y=[0.25], spark=spark)
+    df2["which"] = df2.geo.inside_which_polygon("x", "y", [px, tri_x], [py, tri_y])
+    assert df2.spark.collect()[0].which == 1
+
+
+def test_scalers_parity(spark):
+    import vaex_spark as vs
+    from vaex_spark import ml
+    rng = np.random.RandomState(3)
+    x = rng.randn(100) * 5 + 2
+    y = rng.uniform(-3, 9, 100)
+    df = vs.from_arrays(x=x, y=y, spark=spark)
+
+    ss = ml.StandardScaler(["x", "y"])
+    out = ss.fit_transform(df)
+    np.testing.assert_allclose(_np(out, "standard_scaled_x"), (x - x.mean()) / x.std(), rtol=1e-9)
+
+    mm = ml.MinMaxScaler(["x"], feature_range=(-1, 1))
+    out = mm.fit_transform(df)
+    np.testing.assert_allclose(_np(out, "minmax_scaled_x"),
+                               -1 + 2 * (x - x.min()) / (x.max() - x.min()), rtol=1e-9)
+
+    ma = ml.MaxAbsScaler(["y"])
+    out = ma.fit_transform(df)
+    np.testing.assert_allclose(_np(out, "absmax_scaled_y"), y / np.abs(y).max(), rtol=1e-9)
+
+    rs = ml.RobustScaler(["x"])
+    rs.fit(df)
+    out = rs.transform(df)
+    got = _np(out, "robust_scaled_x")
+    assert np.isfinite(got).all()
+    # center/scale within approx-percentile tolerance of exact quartiles
+    assert abs(rs.center_["x"] - np.median(x)) < 0.5
+    # state roundtrip
+    rs2 = ml.RobustScaler(["x"])
+    rs2.state_set(rs.state_get())
+    np.testing.assert_allclose(_np(rs2.transform(df), "robust_scaled_x"), got)
+
+
+def test_encoders_parity(spark):
+    import vaex_spark as vs
+    from vaex_spark import ml
+    df = vs.from_arrays(color=["red", "green", "green", "blue", "red"], spark=spark)
+    le = ml.LabelEncoder(["color"])
+    out = le.fit_transform(df)
+    codes = [r["label_encoded_color"] for r in out.spark.collect()]
+    assert codes == [2, 1, 1, 0, 2]  # sorted: blue=0, green=1, red=2
+    fe = ml.FrequencyEncoder(["color"], unseen="zero")
+    out = fe.fit_transform(df)
+    freqs = [r["frequency_encoded_color"] for r in out.spark.collect()]
+    np.testing.assert_allclose(freqs, [0.4, 0.4, 0.4, 0.2, 0.4])
+    # unseen value handling
+    df2 = vs.from_arrays(color=["purple"], spark=spark)
+    assert fe.transform(df2).spark.collect()[0]["frequency_encoded_color"] == 0.0
+    le_unseen = ml.LabelEncoder(["color"], allow_unseen=True)
+    le_unseen.fit(df)
+    assert le_unseen.transform(df2).spark.collect()[0]["label_encoded_color"] == -1
+    oh = ml.OneHotEncoder(["color"])
+    out = oh.fit_transform(df)
+    assert [r["color_blue"] for r in out.spark.collect()] == [0, 0, 0, 1, 0]
+
+
+def test_pca_parity(spark):
+    import vaex_spark as vs
+    from vaex_spark import ml
+    rng = np.random.RandomState(11)
+    base = rng.randn(300)
+    X = np.column_stack([base + rng.randn(300) * 0.1,
+                         2 * base + rng.randn(300) * 0.1,
+                         rng.randn(300)])
+    df = vs.from_arrays(a=X[:, 0], b=X[:, 1], c=X[:, 2], spark=spark)
+    pca = ml.PCA(["a", "b", "c"], n_components=2)
+    out = pca.fit_transform(df)
+    got = np.column_stack([_np(out, "PCA_0"), _np(out, "PCA_1")])
+    # numpy reference: eigh of population covariance, centered projection
+    C = np.cov(X.T, bias=True)
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1]
+    V = V[:, order]
+    want = (X - X.mean(0)) @ V[:, :2]
+    # eigenvectors are sign-ambiguous: compare up to per-component sign
+    for j in range(2):
+        assert (np.allclose(got[:, j], want[:, j], atol=1e-8) or
+                np.allclose(got[:, j], -want[:, j], atol=1e-8))
+    # explained variance ordering
+    assert pca.eigen_values_[0] >= pca.eigen_values_[1] >= pca.eigen_values_[2]

@@ -11,6 +11,7 @@ similarity search, text analysis, multimodal plumbing).
 """
 
 from . import agg  # noqa: F401
+from . import ml  # noqa: F401
 from .dataframe import DataFrame  # noqa: F401
 from .expression import Expression  # noqa: F401
 from .functions import register_function, registry  # noqa: F401

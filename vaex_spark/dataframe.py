@@ -78,6 +78,16 @@ class DataFrame:
             out._categories = dict(self._categories)
         return out
 
+    def copy(self) -> "DataFrame":
+        """Public shallow copy (reference DataFrame.copy)."""
+        return self._copy()
+
+    @property
+    def geo(self):
+        """Geo accessor (reference vaex-core/vaex/geo.py:7)."""
+        from .functions.geo import DataFrameAccessorGeo
+        return DataFrameAccessorGeo(self)
+
     @property
     def session(self) -> SparkSession:
         return self._base.sparkSession
