@@ -38,6 +38,19 @@ def _wrap(sdf):
     return DataFrame(sdf)
 
 
+def _spread(sdf):
+    """Minhash/simhash are CPU-bound Column math whose parallelism is
+    the input split count, not the data size — a small file arrives as
+    ONE partition and serializes 64-permutation hashing onto one core.
+    Spread under-partitioned inputs to the session parallelism; at real
+    scale (100 TB -> thousands of splits) this is a no-op, so the extra
+    shuffle only ever touches small inputs."""
+    target = sdf.sparkSession.sparkContext.defaultParallelism
+    if sdf.rdd.getNumPartitions() < target:
+        return sdf.repartition(target)
+    return sdf
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -52,7 +65,7 @@ def exact_dedup(df, text_col: str = "text", id_col: str = "doc_id",
     sdf = _sdf(df)
     fp = fingerprint(F.col(text_col), normalize=normalize).alias("__fp")
     keep_agg = F.min(id_col) if keep == "min" else F.max(id_col)
-    keepers = (sdf.select(fp, F.col(id_col))
+    keepers = (_spread(sdf.select(F.col(text_col), F.col(id_col))).select(fp, F.col(id_col))
                .groupBy("__fp").agg(keep_agg.alias(id_col))
                .select(id_col))
     out = sdf.join(keepers, on=id_col, how="left_semi")
@@ -109,7 +122,7 @@ def minhash_lsh_candidates(df, text_col: str = "text", id_col: str = "doc_id",
     in several bands.  Returns (id_a, id_b) with id_a < id_b.
     """
     rows_per_band = num_perm // num_bands
-    sdf = _sdf(df).select(F.col(id_col), F.col(text_col))
+    sdf = _spread(_sdf(df).select(F.col(id_col), F.col(text_col)))
     sig = minhash_signature(F.col(text_col), num_perm=num_perm, shingle_k=shingle_k)
     bands = minhash_bands_col(sig, num_bands, rows_per_band)
     # long-format (band, bucket, id): posexplode of the band array
@@ -132,7 +145,7 @@ def ngram_jaccard(df, pairs: SparkDataFrame | None = None, text_col: str = "text
     With pairs=None, verifies minhash_lsh_candidates output.  The join
     brings each side's shingle set to the pair; array_intersect/union
     are codegen'd."""
-    sdf = _sdf(df)
+    sdf = _spread(_sdf(df).select(F.col(id_col), F.col(text_col)))
     if pairs is None:
         pairs = minhash_lsh_candidates(df, text_col=text_col, id_col=id_col, shingle_k=shingle_k)
     sets_df = sdf.select(F.col(id_col), F.array_distinct(shingles(F.col(text_col), k=shingle_k)).alias("__set"))
@@ -168,7 +181,7 @@ def near_dup_pairs(df, text_col: str = "text", id_col: str = "doc_id",
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    sdf = _sdf(df)
+    sdf = _spread(_sdf(df).select(F.col(id_col), F.col(text_col)))
     rows_per_band = num_perm // num_bands
     base = sdf.select(
         F.col(id_col),
@@ -255,7 +268,7 @@ def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id",
     Blocking: split the 64-bit hash into (max_hamming+1) chunks — two
     docs within the distance share at least one exact chunk (pigeonhole),
     so the self-join runs per chunk bucket, not all-pairs."""
-    sdf = _sdf(df)
+    sdf = _spread(_sdf(df).select(F.col(id_col), F.col(text_col)))
     sh = simhash(F.col(text_col), num_bits=num_bits).alias("__sim")
     base = sdf.select(F.col(id_col), sh)
     n_chunks = max_hamming + 1
@@ -291,7 +304,7 @@ def simhash_verified_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     """
     pairs = simhash_near_dups(df, text_col=text_col, id_col=id_col,
                               max_hamming=max_hamming)
-    sdf = _sdf(df)
+    sdf = _spread(_sdf(df).select(F.col(id_col), F.col(text_col)))
     sets_df = sdf.select(F.col(id_col),
                          F.array_distinct(shingles(F.col(text_col), k=shingle_k)).alias("__set"))
     a, b = sets_df.alias("a"), sets_df.alias("b")
