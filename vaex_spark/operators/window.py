@@ -71,6 +71,13 @@ def _exchange_window(sdf, order_cols, before: int, after: int):
        global sort; borrowed rows (whose own frames are incomplete) are
        dropped by the caller.
 
+    The static plan prints the range exchange once per donor branch
+    (``spark_partition_id`` is nondeterministic, which defeats
+    Catalyst's static ReuseExchange), but AQE's runtime stage reuse
+    deduplicates the identical shuffle stages — measured: this form
+    beats both an eager driver-side pid probe (extra action per call)
+    and a single-reference explode rewrite.  Keep AQE on.
+
     Returns (augmented_sdf, window_spec); caller filters ``~__borrowed``
     and drops helper columns.
     """
