@@ -820,8 +820,11 @@ class DataFrame:
         aggs = []
         for c in cols:
             col = self[c].col
+            non_float = self.data_type(c).startswith(
+                ("string", "timestamp", "array", "struct", "boolean", "date", "binary"))
+            na = col.isNull() if non_float else (col.isNull() | _safe_isnan(col))
             aggs += [F.count(col).alias(f"{c}__count"),
-                     F.count(F.when(col.isNull() | _safe_isnan(col), 1)).alias(f"{c}__na")]
+                     F.count(F.when(na, 1)).alias(f"{c}__na")]
             if not self.data_type(c).startswith(("string", "timestamp", "array", "struct", "boolean")):
                 aggs += [F.avg(col).alias(f"{c}__mean"), F.stddev_pop(col).alias(f"{c}__std"),
                          F.min(col).alias(f"{c}__min"), F.max(col).alias(f"{c}__max")]

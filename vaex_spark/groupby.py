@@ -32,23 +32,108 @@ class RowLimitException(Exception):
 
 
 class BinnerTime:
-    """groupby.py:64-137 — datetime resampling grouper."""
+    """groupby.py:64-137 — datetime resampling grouper.
+
+    ``every=1`` maps to ``date_trunc`` (no pre-pass).  ``every>1``
+    follows the reference exactly: bins of ``every`` resolution units
+    anchored at the DATA MINIMUM truncated to the resolution (numpy
+    ``M8[R]`` cast semantics — note numpy weeks anchor on Thursdays,
+    i.e. epoch-multiples of 7 days).  That needs one tiny min() job at
+    plan-build time, same as the reference's eager minmax."""
 
     _RES = {"Y": "year", "M": "month", "W": "week", "D": "day",
             "h": "hour", "m": "minute", "s": "second", "Q": "quarter"}
 
     def __init__(self, expression, resolution="W", df=None, every=1):
-        if every != 1:
-            raise NotImplementedError("every>1 not supported yet")
         self.expression = expression
         self.resolution = resolution
+        self.every = int(every)
+
+    @classmethod
+    def per_day(cls, expression, df=None, every=1):
+        return cls(expression, "D", df, every=every)
+
+    @classmethod
+    def per_week(cls, expression, df=None, every=1):
+        return cls(expression, "W", df, every=every)
+
+    @classmethod
+    def per_month(cls, expression, df=None, every=1):
+        return cls(expression, "M", df, every=every)
+
+    @classmethod
+    def per_quarter(cls, expression, df=None, every=1):
+        return cls(expression, "M", df, every=3 * every)
+
+    @classmethod
+    def per_year(cls, expression, df=None, every=1):
+        return cls(expression, "Y", df, every=every)
+
+    def _r_index(self, col):
+        """Integer index of a timestamp in resolution units since epoch
+        (numpy M8[R] cast parity)."""
+        r = self.resolution
+        if r == "Y":
+            return F.year(col) - 1970
+        if r in ("M", "Q"):
+            return (F.year(col) - 1970) * 12 + F.month(col) - 1
+        if r == "W":
+            return F.floor(F.datediff(col, F.lit("1970-01-01")) / 7).cast("long")
+        if r == "D":
+            return F.datediff(col, F.lit("1970-01-01")).cast("long")
+        secs = {"h": 3600, "m": 60, "s": 1}[r]
+        return F.floor(F.unix_timestamp(col) / secs).cast("long")
+
+    def _r_value(self, idx):
+        """Timestamp for resolution-unit index ``idx`` (bin label)."""
+        r = self.resolution
+        if r == "Y":
+            return F.make_date(idx + 1970, F.lit(1), F.lit(1)).cast("timestamp")
+        if r in ("M", "Q"):
+            return F.make_date(F.floor(idx / 12).cast("int") + 1970,
+                               (idx % 12).cast("int") + 1, F.lit(1)).cast("timestamp")
+        if r == "W":
+            return F.date_add(F.lit("1970-01-01").cast("date"), (idx * 7).cast("int")).cast("timestamp")
+        if r == "D":
+            return F.date_add(F.lit("1970-01-01").cast("date"), idx.cast("int")).cast("timestamp")
+        secs = {"h": 3600, "m": 60, "s": 1}[r]
+        return F.timestamp_seconds(idx * secs)
 
     def key_column(self, df, name):
-        unit = self._RES.get(self.resolution, self.resolution)
-        return F.date_trunc(unit, df._to_expr(self.expression).col).alias(name)
+        col = df._to_expr(self.expression).col
+        if self.every == 1:
+            if self.resolution == "W":
+                # numpy M8[W] truncation: epoch-anchored (Thursday) weeks,
+                # NOT Spark's Monday-anchored date_trunc('week')
+                return self._r_value(self._r_index(col)).alias(name)
+            unit = self._RES.get(self.resolution, self.resolution)
+            return F.date_trunc(unit, col).alias(name)
+        tmin = df._spark_df().agg(F.min(col).alias("_t")).collect()[0]["_t"]
+        r0 = self._r_index_py(tmin)
+        idx = F.floor((self._r_index(col) - F.lit(r0)) / self.every)
+        return self._r_value(F.lit(r0) + idx * self.every).alias(name)
+
+    def _r_index_py(self, t) -> int:
+        """Driver-side twin of _r_index for the anchor value."""
+        import datetime as _dt
+        r = self.resolution
+        if r == "Y":
+            return t.year - 1970
+        if r in ("M", "Q"):
+            return (t.year - 1970) * 12 + t.month - 1
+        d = (t.date() if isinstance(t, _dt.datetime) else t)
+        days = (d - _dt.date(1970, 1, 1)).days
+        if r == "W":
+            return days // 7
+        if r == "D":
+            return days
+        secs = {"h": 3600, "m": 60, "s": 1}[r]
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=getattr(t, "tzinfo", None))
+        return int((t - epoch).total_seconds() // secs)
 
     def default_name(self):
-        return str(self.expression)
+        sql = getattr(self.expression, "_sql", None)
+        return sql if sql else str(self.expression)
 
 
 class GrouperLimited:
@@ -64,7 +149,8 @@ class GrouperLimited:
         return F.when(c.isin(self.values), c).otherwise(F.lit(self.other_value)).alias(name)
 
     def default_name(self):
-        return str(self.expression)
+        sql = getattr(self.expression, "_sql", None)
+        return sql if sql else str(self.expression)
 
 
 class Binner:
@@ -83,7 +169,8 @@ class Binner:
         return center.alias(name)
 
     def default_name(self):
-        return str(self.expression)
+        sql = getattr(self.expression, "_sql", None)
+        return sql if sql else str(self.expression)
 
 
 class GroupBy:
