@@ -866,6 +866,148 @@ FROM sets a, sets b WHERE a.doc_id < b.doc_id
 
 
 # ===========================================================================
+# geo / ml / misc surface (round-2 coverage widening)
+# ===========================================================================
+def _q38_geo_polar(spark, sf_dir):
+    """Geo accessor: cartesian->polar + bearing, pure Column trig."""
+    df = _t(spark, sf_dir, "supplier")
+    df["px"] = df.s_acctbal
+    df["py"] = df.s_suppkey + 1.0
+    g = df.geo.cartesian_to_polar(x="px", y="py")
+    g = g.geo.bearing("px", "py", "py", "px", bearing="brg")
+    return g.spark.select(
+        "s_suppkey",
+        F.round(F.col("r_polar"), 6).alias("r_polar"),
+        F.round(F.col("phi_polar"), 6).alias("phi_polar"),
+        F.round(F.col("brg"), 6).alias("brg"))
+
+
+_Q38_SQL = """
+SELECT s_suppkey,
+       ROUND(sqrt(s_acctbal*s_acctbal + (s_suppkey+1.0)*(s_suppkey+1.0)), 6) AS r_polar,
+       ROUND(atan2(s_suppkey+1.0, s_acctbal) * 180.0 / pi(), 6) AS phi_polar,
+       ROUND(atan2(sin(((s_suppkey+1.0) - s_acctbal)*pi()/180) * cos(s_acctbal*pi()/180),
+                   cos((s_suppkey+1.0)*pi()/180)*sin(s_acctbal*pi()/180)
+                   - sin((s_suppkey+1.0)*pi()/180)*cos(s_acctbal*pi()/180)*cos(((s_suppkey+1.0) - s_acctbal)*pi()/180)), 6) AS brg
+FROM supplier
+"""
+
+
+def _q39_ml_scalers(spark, sf_dir):
+    """Fitted StandardScaler + MinMaxScaler as virtual columns; the
+    oracle recomputes the fit constants from scratch in SQL (rounded —
+    fitted literals vs recomputed aggregates agree well past 6 digits)."""
+    from vaex_spark import ml
+    df = _t(spark, sf_dir, "customer")
+    out = ml.StandardScaler(["c_acctbal"]).fit_transform(df)
+    out = ml.MinMaxScaler(["c_acctbal"], feature_range=(0.0, 1.0)).fit_transform(out)
+    return out.spark.select(
+        "c_custkey",
+        F.round(F.col("standard_scaled_c_acctbal"), 6).alias("std_bal"),
+        F.round(F.col("minmax_scaled_c_acctbal"), 6).alias("mm_bal"))
+
+
+_Q39_SQL = """
+WITH s AS (SELECT AVG(c_acctbal) AS m, STDDEV_POP(c_acctbal) AS sd,
+                  MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+           FROM customer)
+SELECT c_custkey,
+       ROUND((c_acctbal - s.m) / s.sd, 6) AS std_bal,
+       ROUND((c_acctbal - s.lo) / (s.hi - s.lo), 6) AS mm_bal
+FROM customer, s
+"""
+
+
+def _q40_any_all(spark, sf_dir):
+    """any/all aggregation descriptors per group."""
+    df = _t(spark, sf_dir, "lineitem")
+    df["big"] = df.l_quantity >= 48
+    df["pos"] = df.l_extendedprice > 0
+    return df.groupby("l_returnflag", agg={
+        "any_big": vagg.any("big"),
+        "all_pos": vagg.all("pos"),
+        "n": F.count(F.lit(1))}, sort=True).spark
+
+
+_Q40_SQL = """
+SELECT l_returnflag,
+       BOOL_OR(l_quantity >= 48) AS any_big,
+       BOOL_AND(l_extendedprice > 0) AS all_pos,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _q41_orders_by_fortnight(spark, sf_dir):
+    """BinnerTime(every=2, 'W'): 14-day buckets anchored at the data
+    minimum truncated to numpy epoch weeks."""
+    df = _t(spark, sf_dir, "orders")
+    g = df.groupby(vs.BinnerTime("o_orderdate", resolution="W", every=2), agg={
+        "n": F.count(F.lit(1))}, sort=True)
+    return g.spark.withColumnRenamed("o_orderdate", "bucket")
+
+
+def _q41_oracle_sql() -> str:
+    # numpy M8[W]: weeks are epoch-anchored (1970-01-01, a Thursday);
+    # every=2 anchors at the data-min week, so the origin is
+    # min-week rounded down to epoch weeks — computed in SQL directly
+    return """
+WITH t0 AS (
+  SELECT DATE '1970-01-01'
+         + CAST(FLOOR(DATE_DIFF('day', DATE '1970-01-01', MIN(o_orderdate)::DATE) / 7) * 7 AS INTEGER) AS w0
+  FROM orders)
+SELECT CAST(t0.w0 + CAST(FLOOR(DATE_DIFF('day', t0.w0, o_orderdate::DATE) / 14) * 14 AS INTEGER) AS TIMESTAMP) AS bucket,
+       COUNT(*) AS n
+FROM orders, t0
+GROUP BY 1
+"""
+
+
+def _q42_ordinal_codes(spark, sf_dir):
+    """categorize + ordinal_values: dense codes by sorted label order ==
+    DENSE_RANK - 1."""
+    df = _t(spark, sf_dir, "orders")
+    df.categorize("o_orderpriority")
+    df["prio_code"] = df.ordinal_values("o_orderpriority")
+    return df.groupby(["o_orderpriority", "prio_code"], agg={
+        "n": F.count(F.lit(1))}, sort=True).spark
+
+
+_Q42_SQL = """
+SELECT o_orderpriority,
+       CAST(DENSE_RANK() OVER (ORDER BY o_orderpriority) - 1 AS INTEGER) AS prio_code,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def _q43_isin_large(spark, sf_dir):
+    """isin against a large literal set — compiles to a broadcast
+    left-semi join (SURVEY §2.4 scale mapping) instead of an IN list."""
+    df = _t(spark, sf_dir, "orders")
+    keys = _isin_keys()
+    flt = df[df.o_custkey.isin(keys)]
+    return flt.groupby("o_orderstatus", agg={
+        "n": F.count(F.lit(1)),
+        "total": dsum("o_totalprice")}, sort=True).spark
+
+
+def _isin_keys() -> list[int]:
+    return [k for k in range(0, 6000, 3)]
+
+
+def _q43_oracle_sql() -> str:
+    keys = ",".join(str(k) for k in _isin_keys())
+    return f"""
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+FROM orders WHERE o_custkey IN ({keys})
+GROUP BY o_orderstatus
+"""
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -907,6 +1049,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_minhash_near_dups": _q35_minhash_near_dups,
         "q36_simhash_near_dups": _q36_simhash_near_dups,
         "q37_ngram_jaccard_exact": _q37_ngram_jaccard_exact,
+        "q38_geo_polar": _q38_geo_polar,
+        "q39_ml_scalers": _q39_ml_scalers,
+        "q40_any_all": _q40_any_all,
+        "q41_orders_by_fortnight": _q41_orders_by_fortnight,
+        "q42_ordinal_codes": _q42_ordinal_codes,
+        "q43_isin_large": _q43_isin_large,
     }
 
 
@@ -949,4 +1097,10 @@ def oracle_sql() -> dict[str, str]:
         "q35_minhash_near_dups": _jaccard_pairs_sql(0.5),
         "q36_simhash_near_dups": _jaccard_pairs_sql(0.9),
         "q37_ngram_jaccard_exact": _Q37_SQL,
+        "q38_geo_polar": _Q38_SQL,
+        "q39_ml_scalers": _Q39_SQL,
+        "q40_any_all": _Q40_SQL,
+        "q41_orders_by_fortnight": _q41_oracle_sql(),
+        "q42_ordinal_codes": _Q42_SQL,
+        "q43_isin_large": _q43_oracle_sql(),
     }
