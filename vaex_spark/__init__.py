@@ -18,6 +18,7 @@ from .functions import register_function, registry  # noqa: F401
 from .groupby import Binner, BinnerTime, GrouperLimited, RowLimitException  # noqa: F401
 from .session import get_session  # noqa: F401
 from .sources import (  # noqa: F401
+    connect,
     example,
     from_arrays,
     from_arrow_table,
