@@ -131,3 +131,27 @@ def test_streaming_window(spark, tmp_path):
     st.run_to_memory(win, "t_win", output_mode="complete")
     total = spark.sql("select sum(n) from t_win").collect()[0][0]
     assert total == 1000
+
+
+def test_streaming_stateful_running_agg(spark, tmp_path):
+    import shutil
+    from vaex_spark import streaming as st
+    src = tmp_path / "src2"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", str(src / "events.parquet"))
+    s = st.open_stream(str(src), spark=spark)
+    run = st.stream_running_agg(s, ["event_type"], "value")
+    st.run_to_memory(run, "t_run", output_mode="update")
+    rows = {r.event_type: r for r in spark.sql("select * from t_run").collect()}
+    # cross-check the lifetime aggregates against a batch groupby
+    import vaex_spark as vs
+    from pyspark.sql import functions as F
+    batch = vs.open("/root/testdata/sf0.001/events.parquet", spark=spark)
+    want = {r.event_type: r for r in batch.spark.groupBy("event_type").agg(
+        F.count("value").alias("n"), F.sum("value").alias("s"),
+        F.max("value").alias("m")).collect()}
+    assert set(rows) == set(want)
+    for k in want:
+        assert rows[k].running_count == want[k].n
+        assert abs(rows[k].running_sum - want[k].s) < 1e-6
+        assert rows[k].running_max == want[k].m

@@ -123,6 +123,61 @@ def stream_dedup(df: DataFrame, keys: list[str], time_col: str | None = None,
     return sdf.dropDuplicates(keys)
 
 
+def stateful_map(df: DataFrame, keys: list[str], fn, output_schema,
+                 state_schema, time_col: str | None = None,
+                 watermark: str | None = None, output_mode: str = "append",
+                 timeout: str = "NoTimeout") -> SparkDataFrame:
+    """Custom stateful per-key streaming operator —
+    ``applyInPandasWithState`` (SURVEY §2.10 beyond-parity surface).
+
+    ``fn(key, pdf_iter, state)`` receives the group key tuple, an
+    iterator of Arrow-batched pandas frames for this trigger, and a
+    ``GroupState`` handle (get/update/remove + timeouts); it yields
+    output frames.  State lives in the state store per key — bounded by
+    watermark/timeout, survives restarts via the checkpoint.  This is
+    the escape hatch for operators with custom state machines
+    (sessionization variants, CDC folding, online features).
+    """
+    sdf = df._spark_df() if isinstance(df, DataFrame) else df
+    if watermark is not None and time_col is not None:
+        sdf = sdf.withWatermark(time_col, watermark)
+    return (sdf.groupBy(*[F.col(k) for k in keys])
+            .applyInPandasWithState(fn, output_schema, state_schema,
+                                    output_mode, timeout))
+
+
+def stream_running_agg(df: DataFrame, keys: list[str], value_col: str,
+                       time_col: str | None = None,
+                       watermark: str | None = None) -> SparkDataFrame:
+    """Canonical stateful_map use: per-key running (count, sum, max)
+    carried across triggers — emits one row per key per trigger with the
+    lifetime-so-far aggregates."""
+    import pandas as pd
+    key_names = list(keys)
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            n, s, mx = state.get
+        else:
+            n, s, mx = 0, 0.0, float("-inf")
+        for pdf in pdfs:
+            v = pdf[value_col]
+            n += int(v.count())
+            s += float(v.sum())
+            mx = max(mx, float(v.max())) if len(v) else mx
+        state.update((n, s, mx))
+        yield pd.DataFrame({**{k: [key[i]] for i, k in enumerate(key_names)},
+                            "running_count": [n], "running_sum": [s],
+                            "running_max": [mx]})
+
+    key_fields = ", ".join(f"{k} string" for k in key_names)
+    out_schema = f"{key_fields}, running_count bigint, running_sum double, running_max double"
+    state_schema = "n bigint, s double, mx double"
+    return stateful_map(df, key_names, fn, out_schema, state_schema,
+                        time_col=time_col, watermark=watermark,
+                        output_mode="update")
+
+
 def run_available_now(stream_sdf: SparkDataFrame, sink_path: str, checkpoint: str,
                       fmt: str = "parquet", output_mode: str = "append"):
     """Bounded execution: process everything currently in the source,
