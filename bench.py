@@ -50,6 +50,20 @@ def main():
     import __spark_entry__ as entry
     qs = entry.queries()
 
+    # warmup: run each headline query once at the smallest SF so JVM
+    # JIT + whole-stage-codegen compilation is excluded from the timed
+    # runs (standard steady-state benchmarking; the timed loop below
+    # still pays planning + execution at the full SF).
+    warm_dir = "/root/testdata/sf0.001"
+    t0 = time.time()
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            try:
+                qs[name](spark, warm_dir).count()
+            except Exception:
+                pass
+    warmup = time.time() - t0
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -67,6 +81,7 @@ def main():
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "startup_sec": round(startup, 2),
+        "warmup_sec": round(warmup, 2),
         "n_queries": len(times),
     }
     print(json.dumps(out))
