@@ -155,3 +155,27 @@ def test_streaming_stateful_running_agg(spark, tmp_path):
         assert rows[k].running_count == want[k].n
         assert abs(rows[k].running_sum - want[k].s) < 1e-6
         assert rows[k].running_max == want[k].m
+
+
+def test_embedding_near_dups_recall(spark):
+    """Planted near-identical vectors must all be found (LSH blocking +
+    exact cosine verify); unrelated random pairs must not pass."""
+    import numpy as np
+    from vaex_spark.datapipe import similarity
+    rng = np.random.RandomState(5)
+    base = rng.randn(200, 32)
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    # plant 10 near-dups: tiny perturbations of existing vectors
+    planted = []
+    for j in range(10):
+        src = j * 17
+        noisy = base[src] + rng.randn(32) * 0.01
+        rows.append((1000 + j, noisy.tolist()))
+        planted.append((src, 1000 + j))
+    sdf = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = similarity.embedding_near_dups(sdf, threshold=0.95)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    for a, b in planted:
+        assert (a, b) in pairs, f"planted pair {(a, b)} missed"
+    # random gaussian pairs essentially never reach cos 0.95 in 32-d
+    assert len(pairs) == len(planted)
