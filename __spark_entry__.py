@@ -825,15 +825,15 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
 def _q36_simhash_near_dups(spark, sf_dir):
     """SimHash near-dups, exact-Jaccard verified.
 
-    Pigeonhole blocking is COMPLETE for hamming <= 6 (7 chunks, one must
+    Pigeonhole blocking is COMPLETE for hamming <= 8 (9 chunks, one must
     match exactly); verification keeps candidates with exact jaccard
     >= 0.9.  Near-identical docs (jaccard >= 0.9) have small simhash
-    hamming distance (measured max 5 on this corpus), so the output
-    equals the exact all-pairs >= 0.9 set — engine-independent, same
-    oracle family as q35."""
+    hamming distance (measured max 5 at sf0.01, 7 at sf0.001), so the
+    output equals the exact all-pairs >= 0.9 set — engine-independent,
+    same oracle family as q35."""
     from vaex_spark.datapipe import dedup
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_verified_pairs(docs, max_hamming=6, threshold=0.9)
+    return dedup.simhash_verified_pairs(docs, max_hamming=8, threshold=0.9)
 
 
 def _q37_ngram_jaccard_exact(spark, sf_dir):
