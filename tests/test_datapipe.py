@@ -179,3 +179,23 @@ def test_embedding_near_dups_recall(spark):
         assert (a, b) in pairs, f"planted pair {(a, b)} missed"
     # random gaussian pairs essentially never reach cos 0.95 in 32-d
     assert len(pairs) == len(planted)
+
+
+def test_connected_components_and_cc_dedup(spark, docs):
+    from vaex_spark.datapipe import dedup
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 30), (20, 30), (40, 50)], "id_a bigint, id_b bigint")
+    comp = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
+    # cluster dedup keeps exactly one survivor per component
+    kept = dedup.minhash_lsh_dedup_cc(docs, threshold=0.5)
+    n_kept = kept.count()
+    pairwise = dedup.minhash_lsh_dedup(docs, threshold=0.5)
+    assert n_kept <= pairwise.count()
+    # survivors contain every component representative exactly once
+    verified = dedup.near_dup_pairs(docs, threshold=0.5)
+    comp2 = dedup.connected_components(verified).collect()
+    n_docs = docs.count()
+    dup_nodes = {r.id for r in comp2}
+    reps = {r.comp for r in comp2}
+    assert n_kept == n_docs - len(dup_nodes) + len(reps)

@@ -289,6 +289,65 @@ def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id",
     return pairs
 
 
+def connected_components(pairs: SparkDataFrame, max_iter: int = 20) -> SparkDataFrame:
+    """Distributed connected components over an edge list (id_a, id_b):
+    returns (id, component) where component = min id reachable.
+
+    Label-propagation to the minimum neighbor, iterated to fixpoint —
+    each round is one groupBy shuffle of the (node, label) relation;
+    converges in O(diameter) rounds (near-dup graphs are star/chain
+    shaped, so a handful).  This is the simplified alternating-star
+    scheme: propagate min(label of self, labels of neighbors), stop when
+    no label changes.  At 100 TB the edge list is the near-dup pair set
+    (tiny versus the corpus), so the iteration cost is negligible next
+    to candidate generation.
+    """
+    F_ = F
+    edges = (pairs.select(F_.col("id_a").alias("src"), F_.col("id_b").alias("dst"))
+             .union(pairs.select(F_.col("id_b").alias("src"), F_.col("id_a").alias("dst"))))
+    edges = edges.persist()
+    labels = (edges.select("src").distinct()
+              .select(F_.col("src").alias("id"), F_.col("src").alias("comp")))
+    for _ in range(max_iter):
+        # candidate label for each node: min over its own label and its
+        # neighbors' labels
+        neighbor = (edges.join(labels, edges["dst"] == labels["id"])
+                    .select(edges["src"].alias("id"), F_.col("comp")))
+        new_labels = (labels.select("id", "comp").union(neighbor)
+                      .groupBy("id").agg(F_.min("comp").alias("comp"))
+                      .persist())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), on="id")
+                   .filter(F_.col("n.comp") != F_.col("o.comp"))
+                   .limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def minhash_lsh_dedup_cc(df, text_col: str = "text", id_col: str = "doc_id",
+                         num_perm: int = 64, num_bands: int = 32,
+                         shingle_k: int = 5, threshold: float = 0.8):
+    """Cluster-level near-dup removal: verified pairs -> connected
+    components -> keep the minimum id of each duplicate CLUSTER.
+
+    Pairwise drops (minhash_lsh_dedup) are wrong for star graphs: with
+    pairs (a,b) and (c,b) where a<c<b, dropping the higher id of each
+    pair keeps both a and c even though {a,b,c} is one duplicate
+    cluster.  Components give canonical one-survivor-per-cluster
+    semantics."""
+    sdf = _sdf(df)
+    confirmed = near_dup_pairs(df, text_col=text_col, id_col=id_col,
+                               shingle_k=shingle_k, num_perm=num_perm,
+                               num_bands=num_bands, threshold=threshold)
+    comp = connected_components(confirmed)
+    to_drop = comp.filter(F.col("id") != F.col("comp")).select(F.col("id").alias(id_col))
+    return _wrap(sdf.join(to_drop, on=id_col, how="left_anti"))
+
+
 def simhash_verified_pairs(df, text_col: str = "text", id_col: str = "doc_id",
                            max_hamming: int = 3, shingle_k: int = 5,
                            threshold: float = 0.9) -> SparkDataFrame:
