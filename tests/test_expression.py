@@ -130,3 +130,16 @@ def test_apply_vectorized(base_df):
 
     out = base_df.x.apply(f, vectorize=True)
     np.testing.assert_allclose(np.sort(out.evaluate()), np.sort(np.arange(-2.0, 19.0) + 1))
+
+
+def test_searchsorted_numpy_parity(spark):
+    import numpy as np
+    import vaex_spark as vs
+    bins = [0.0, 1.5, 3.0, 7.0]
+    vals = [-1.0, 0.0, 1.5, 2.0, 3.0, 6.9, 7.0, 8.0]
+    df = vs.from_arrays(x=vals, spark=spark)
+    for side in ("left", "right"):
+        df[f"idx_{side}"] = df.x.searchsorted(bins, side=side)
+        got = [r[f"idx_{side}"] for r in df.spark.select(f"idx_{side}").collect()]
+        want = np.searchsorted(bins, vals, side=side).tolist()
+        assert got == want, (side, got, want)

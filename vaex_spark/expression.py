@@ -223,8 +223,20 @@ class Expression:
         """vaex functions.py:2657 where(cond, self, other) analogue."""
         return self._wrap(F.when(_col(cond), self.col).otherwise(_col(other)))
 
-    def searchsorted(self, values):
-        raise NotImplementedError("use digitize/width_bucket")
+    def searchsorted(self, values, side: str = "left"):
+        """numpy.searchsorted parity against a (driver-side, sorted)
+        literal array: insertion index = count of elements < v ('left')
+        or <= v ('right').  One literal array + codegen'd filter/size;
+        null input yields null."""
+        arr = F.array(*[F.lit(v) for v in values])
+        v = self.col
+        if side == "left":
+            n = F.size(F.filter(arr, lambda x: x < v))
+        elif side == "right":
+            n = F.size(F.filter(arr, lambda x: x <= v))
+        else:
+            raise ValueError(f"side={side!r}")
+        return self._wrap(F.when(v.isNotNull(), n.cast("long")))
 
     def map(self, mapper: dict, nan_value=None, missing_value=None,
             default_value=None, allow_missing=False):
