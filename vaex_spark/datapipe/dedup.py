@@ -183,23 +183,30 @@ def near_dup_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     """
     sdf = _spread(_sdf(df).select(F.col(id_col), F.col(text_col)))
     rows_per_band = num_perm // num_bands
-    base = sdf.select(
-        F.col(id_col),
-        F.array_distinct(shingles(F.col(text_col), k=shingle_k)).alias("__set"))
-    base = base.withColumn(
-        "__sig", minhash_signature(None, num_perm=num_perm,
-                                   precomputed_shingles=F.col("__set")))
-    base = base.persist()
-    bands = minhash_bands_col(F.col("__sig"), num_bands, rows_per_band)
-    banded = base.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket"))
+    # candidate generation: one scan computing signatures directly
+    sig = minhash_signature(F.col(text_col), num_perm=num_perm, shingle_k=shingle_k)
+    bands = minhash_bands_col(sig, num_bands, rows_per_band)
+    banded = sdf.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket"))
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (l.join(r, on=[F.col("l.band") == F.col("r.band"),
                            F.col("l.bucket") == F.col("r.bucket"),
                            F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
              .select(F.col(f"l.{id_col}").alias("id_a"),
                      F.col(f"r.{id_col}").alias("id_b"))
-             .distinct())
-    sets_df = base.select(F.col(id_col), F.col("__set"))
+             .distinct()
+             .persist())  # pair-count-sized; referenced by involved + verify
+    # verification scales with the PAIR set, not the corpus: semi-join
+    # the docs down to ids that appear in a candidate pair, and compute
+    # shingle sets only for those (duplicate rates are low, so this is
+    # a sliver of the table; the full-corpus alternative is persisting
+    # every shingle set — several times the raw text size)
+    involved = (pairs.select(F.col("id_a").alias(id_col))
+                .union(pairs.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    small = sdf.join(F.broadcast(involved), on=id_col, how="left_semi")
+    sets_df = small.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), k=shingle_k)).alias("__set")).persist()
     a, b = sets_df.alias("a"), sets_df.alias("b")
     out = (pairs
            .join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
