@@ -119,3 +119,16 @@ def test_len_memoized(spark):
     assert df._len_cache[1] == 5
     df2 = df[df.a > 2]
     assert len(df2) == 2
+
+
+def test_shape_dtypes_col_namespace(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(a=[1, 2, 3], sum=[4.0, 5.0, 6.0], spark=spark)  # 'sum' clashes with method
+    assert df.shape == (3, 2)
+    assert df.dtypes["a"] == "bigint"
+    assert df.column_count() == 2
+    # df.col survives name clashes with DataFrame methods
+    expr = df.col.sum
+    assert df.count(expr) == 3
+    flt = df[df.a > 1]
+    assert flt.length_original() == 3 and len(flt) == 2

@@ -83,6 +83,36 @@ class DataFrame:
         return self._copy()
 
     @property
+    def shape(self) -> tuple[int, int]:
+        """(n_rows, n_cols) — reference dataframe.py:6213."""
+        return (len(self), len(self.get_column_names()))
+
+    @property
+    def dtypes(self):
+        """Column name -> type mapping as a pandas Series (reference
+        dataframe.py:2330)."""
+        import pandas as pd
+        s = self.schema
+        return pd.Series(list(s.values()), index=list(s.keys()))
+
+    @property
+    def col(self):
+        """Attribute-style column namespace: ``df.col.x`` (reference
+        dataframe.py:2185) — survives column names that clash with
+        DataFrame methods."""
+        return _ColNamespace(self)
+
+    def column_count(self, hidden: bool = False) -> int:
+        return len(self.get_column_names(hidden=hidden))
+
+    def length_original(self) -> int:
+        """Row count ignoring the filter (reference dataframe.py:4347)."""
+        return int(self._spark_df(filtered=False).count())
+
+    def length_unfiltered(self) -> int:
+        return self.length_original()
+
+    @property
     def geo(self):
         """Geo accessor (reference vaex-core/vaex/geo.py:7)."""
         from .functions.geo import DataFrameAccessorGeo
@@ -1134,6 +1164,21 @@ class DataFrame:
 
     def explain(self, mode: str = "formatted"):
         self._spark_df().explain(mode)
+
+
+class _ColNamespace:
+    """df.col.<name> accessor (reference dataframe.py:2185)."""
+
+    def __init__(self, df: DataFrame):
+        object.__setattr__(self, "_df", df)
+
+    def __getattr__(self, name: str):
+        if name in self._df.get_column_names(hidden=True):
+            return self._df[name]
+        raise AttributeError(name)
+
+    def __dir__(self):
+        return self._df.get_column_names()
 
 
 class _Projected(DataFrame):
