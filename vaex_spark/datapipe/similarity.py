@@ -204,7 +204,16 @@ def train_centroids(corpus, n_cells: int = 16, vec_col: str = "embedding",
     """Tiny driver-side k-means on a sample (centroids are small; the
     heavy assignment runs distributed as expressions)."""
     sdf = _sdf(corpus)
-    sample = [r[0] for r in sdf.select(vec_col).limit(sample_rows).collect()]
+    # a REAL random sample, not limit(): the first rows of a sorted/
+    # clustered table are a biased centroid seed.  Oversample the
+    # fraction slightly, cap at sample_rows.
+    total = sdf.count()
+    frac = min(1.0, sample_rows / max(total, 1) * 1.2)
+    sample = [r[0] for r in sdf.select(vec_col)
+              .sample(withReplacement=False, fraction=frac, seed=seed)
+              .limit(sample_rows).collect()]
+    if not sample:  # tiny tables: fall back to everything
+        sample = [r[0] for r in sdf.select(vec_col).limit(sample_rows).collect()]
     X = np.array([list(map(float, v)) for v in sample])
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
