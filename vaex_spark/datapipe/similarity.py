@@ -228,21 +228,22 @@ def train_centroids(corpus, n_cells: int = 16, vec_col: str = "embedding",
 
 
 def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
-    """Nearest-centroid cell id, pure expressions (argmin via chained when)."""
-    best_id = F.lit(0)
-    best_d = None
-    for j, c in enumerate(centroids):
-        d = F.aggregate(
+    """Nearest-centroid cell id, pure expressions.
+
+    Argmin via a let-bound distance array + array_position(array_min):
+    each centroid's distance expression appears ONCE in the plan.  (The
+    naive chained-when argmin nests every previous distance inside each
+    comparison — exponential expression size that OOMs plan construction
+    at realistic dim × n_cells; same pathology as the lang_id argmax.)
+    Ties keep the first (lowest) cell id, matching a strict-less scan."""
+    from .text import _let
+    dists = F.array(*[
+        F.aggregate(
             F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]),
                        lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc)),
             F.lit(0.0), lambda acc, v: acc + v)
-        if best_d is None:
-            best_d = d
-        else:
-            better = d < best_d
-            best_id = F.when(better, F.lit(j)).otherwise(best_id)
-            best_d = F.when(better, d).otherwise(best_d)
-    return best_id
+        for c in centroids])
+    return _let(dists, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"))
 
 
 def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
