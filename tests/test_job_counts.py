@@ -1,0 +1,66 @@
+"""Spark job-count assertions (SURVEY §5: the reference asserts executor
+pass counts; the Spark analogue is jobs per operation via the status
+tracker's job-group API). These are performance-semantic regression nets:
+an operator silently growing an extra full-scan job fails here."""
+
+import contextlib
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def count_jobs(spark, bucket: list):
+    group = f"probe-{uuid.uuid4().hex[:8]}"
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "job-count probe")
+    try:
+        yield
+    finally:
+        sc.setJobGroup(None, None)
+    bucket.append(len(sc.statusTracker().getJobIdsForGroup(group)))
+
+
+@pytest.fixture(scope="module")
+def agg_job_cost(spark, lineitem):
+    """Jobs per single-aggregate query on this Spark config. AQE
+    materializes each shuffle stage as its own job, so the absolute
+    number is config-dependent; all assertions below are relative to
+    this calibrated cost."""
+    lineitem.sum("l_quantity")  # warm codegen / scan caches
+    n = []
+    with count_jobs(spark, n):
+        lineitem.sum("l_quantity")
+    return n[0]
+
+
+def test_delayed_stats_batch_into_one_query(spark, lineitem, agg_job_cost):
+    """3 delayed stats + execute() must cost exactly what 1 stat costs
+    (the reference's single-pass executor contract, SURVEY §4 #3)."""
+    d1 = lineitem.sum("l_quantity", delay=True)
+    d2 = lineitem.mean("l_extendedprice", delay=True)
+    d3 = lineitem.count(delay=True)
+    n = []
+    with count_jobs(spark, n):
+        lineitem.execute()
+    assert n[0] == agg_job_cost
+    assert d1.get() > 0 and d2.get() > 0 and d3.get() > 0
+
+
+def test_binby_auto_limits_is_two_queries(spark, lineitem, agg_job_cost):
+    """binby with limits=None = 1 batched min/max stats query + 1 grid
+    query — regardless of the number of binby dimensions."""
+    n = []
+    with count_jobs(spark, n):
+        grid = lineitem.count(binby=["l_quantity", "l_extendedprice"],
+                              shape=8, limits=None)
+    assert grid.shape == (8, 8)
+    assert n[0] <= 2 * agg_job_cost
+
+
+def test_explicit_limits_is_one_query(spark, lineitem, agg_job_cost):
+    n = []
+    with count_jobs(spark, n):
+        lineitem.count(binby="l_quantity", shape=8, limits=[0.0, 50.0])
+    assert n[0] <= agg_job_cost
