@@ -91,14 +91,19 @@ def minhash_signature(text, num_perm: int = 64, shingle_k: int = 5,
                       precomputed_shingles: Column | None = None) -> Column:
     """MinHash signature as array<bigint>, pure Column math.
 
-    h_i(doc) = min over shingles of xxhash64(shingle, i) — the multi-arg
-    xxhash64 acts as a per-permutation hash family.  The permutation loop
-    is ``transform`` over sequence(0, num_perm-1) with the shingle array
-    let-bound once; everything stays in codegen — no UDF, no explode."""
+    h_i(doc) = min over shingles of xxhash64(xxhash64(shingle), i) —
+    each shingle string is hashed ONCE to a bigint, and the num_perm
+    family members re-hash that 8-byte int (seeded xxhash64 of an int64
+    is a valid universal family and ~an order of magnitude cheaper than
+    re-hashing a ~30-byte string per permutation).  The permutation loop
+    is ``transform`` over sequence(0, num_perm-1) with the base-hash
+    array let-bound once; everything stays in codegen — no UDF, no
+    explode."""
     sh = precomputed_shingles if precomputed_shingles is not None else shingles(_colify(text), k=shingle_k)
-    return _let(sh, lambda arr: F.transform(
+    base = F.transform(sh, lambda s: F.xxhash64(s))
+    return _let(base, lambda arr: F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(F.transform(arr, lambda s: F.xxhash64(s, i)))))
+        lambda i: F.array_min(F.transform(arr, lambda h: F.xxhash64(h, i)))))
 
 
 def minhash_bands_col(sig: Column, num_bands: int, rows_per_band: int) -> Column:
