@@ -167,3 +167,123 @@ def test_pca_parity(spark):
                 np.allclose(got[:, j], -want[:, j], atol=1e-8))
     # explained variance ordering
     assert pca.eigen_values_[0] >= pca.eigen_values_[1] >= pca.eigen_values_[2]
+
+
+def test_cycle_transformer(spark):
+    import vaex_spark as vs
+    from vaex_spark import ml
+    days = np.arange(7.0)
+    df = vs.from_arrays(days=days, spark=spark)
+    out = ml.CycleTransformer(["days"], n=7).fit_transform(df)
+    np.testing.assert_allclose(_np(out, "days_x"), np.cos(2 * np.pi * days / 7), atol=1e-12)
+    np.testing.assert_allclose(_np(out, "days_y"), np.sin(2 * np.pi * days / 7), atol=1e-12)
+
+
+def test_bayesian_target_encoder(spark):
+    """Reference docstring example (transformations.py:916): weight=4
+    on x=[a*4, b*4], y=[1,1,1,0, 0,0,0,1] -> a=0.625, b=0.375."""
+    import vaex_spark as vs
+    from vaex_spark import ml
+    df = vs.from_arrays(x=["a"] * 4 + ["b"] * 4,
+                        y=[1, 1, 1, 0, 0, 0, 0, 1], spark=spark)
+    enc = ml.BayesianTargetEncoder(["x"], target="y", weight=4)
+    out = enc.fit_transform(df)
+    vals = [r["mean_encoded_x"] for r in out.spark.collect()]
+    np.testing.assert_allclose(vals, [0.625] * 4 + [0.375] * 4)
+    df2 = vs.from_arrays(x=["zz"], spark=spark)
+    assert np.isnan(enc.transform(df2).spark.collect()[0]["mean_encoded_x"])
+
+
+def test_woe_encoder(spark):
+    """Reference docstring example (transformations.py:988)."""
+    import vaex_spark as vs
+    from vaex_spark import ml
+    df = vs.from_arrays(x=["a", "a", "b", "b", "b", "c", "c"],
+                        y=[1, 1, 0, 0, 1, 1, 0], spark=spark)
+    enc = ml.WeightOfEvidenceEncoder(["x"], target="y")
+    out = enc.fit_transform(df)
+    vals = {r["x"]: r["woe_encoded_x"] for r in out.spark.collect()}
+    np.testing.assert_allclose(vals["a"], 13.8155, atol=1e-3)
+    np.testing.assert_allclose(vals["b"], np.log((1 / 3) / (2 / 3)), atol=1e-9)
+    np.testing.assert_allclose(vals["c"], 0.0, atol=1e-9)
+    import pytest as _pytest
+    bad = vs.from_arrays(x=["a"], y=[2], spark=spark)
+    with _pytest.raises(ValueError):
+        ml.WeightOfEvidenceEncoder(["x"], target="y").fit(bad)
+
+
+def test_kbins_discretizer(spark):
+    """Reference docstring example (transformations.py:1067): uniform
+    3-bin on [0..15] -> [0,0,1,1,2,2,2]."""
+    import vaex_spark as vs
+    from vaex_spark import ml
+    x = [0.0, 2.5, 5.0, 7.5, 10.0, 12.5, 15.0]
+    df = vs.from_arrays(x=x, spark=spark)
+    out = ml.KBinsDiscretizer(["x"], n_bins=3, strategy="uniform").fit_transform(df)
+    assert [r["binned_x"] for r in out.spark.collect()] == [0, 0, 1, 1, 2, 2, 2]
+    kb = ml.KBinsDiscretizer(["x"], n_bins=3, strategy="quantile")
+    out = kb.fit_transform(df)
+    codes = [r["binned_x"] for r in out.spark.collect()]
+    assert min(codes) == 0 and max(codes) == 2 and sorted(codes) == codes
+    # out-of-range samples clip into the closest bin
+    df2 = vs.from_arrays(x=[-100.0, 100.0], spark=spark)
+    kb2 = ml.KBinsDiscretizer(["x"], n_bins=3, strategy="uniform")
+    kb2.fit(df)
+    assert [r["binned_x"] for r in kb2.transform(df2).spark.collect()] == [0, 2]
+
+
+def test_multihot_encoder(spark):
+    """Reference docstring example (transformations.py:444)."""
+    import vaex_spark as vs
+    from vaex_spark import ml
+    df = vs.from_arrays(color=["red", "green", "green", "blue", "red"], spark=spark)
+    out = ml.MultiHotEncoder(["color"]).fit_transform(df)
+    rows = out.spark.collect()
+    got = [(r["color_0"], r["color_1"], r["color_2"]) for r in rows]
+    assert got == [(0, 1, 1), (0, 1, 0), (0, 1, 0), (0, 0, 1), (0, 1, 1)]
+
+
+def test_groupby_transformer(spark):
+    """Reference docstring example (transformations.py:1193)."""
+    import vaex_spark as vs
+    from vaex_spark import ml
+    df_train = vs.from_arrays(x=["dog", "dog", "dog", "cat", "cat"],
+                              y=[2, 3, 4, 10, 20], spark=spark)
+    df_test = vs.from_arrays(x=["dog", "cat", "dog", "mouse"],
+                             y=[5, 5, 5, 5], spark=spark)
+    gt = ml.GroupByTransformer(by="x", agg={"mean_y": vs.agg.mean("y")})
+    out = gt.fit_transform(df_train)
+    assert {(r["x"], r["mean_y"]) for r in out.spark.collect()} == \
+        {("dog", 3.0), ("cat", 15.0)}
+    rows = {r["x"]: r["mean_y"] for r in gt.transform(df_test).spark.collect()}
+    assert rows["dog"] == 3.0 and rows["cat"] == 15.0 and rows["mouse"] is None
+
+
+def test_random_projections(spark):
+    import vaex_spark as vs
+    from vaex_spark import ml
+    rng = np.random.RandomState(5)
+    X = rng.randn(50, 3)
+    df = vs.from_arrays(a=X[:, 0], b=X[:, 1], c=X[:, 2], spark=spark)
+    rp = ml.RandomProjections(["a", "b", "c"], n_components=2, random_state=7)
+    out = rp.fit_transform(df)
+    got = np.column_stack([_np(out, "random_projection_0"), _np(out, "random_projection_1")])
+    M = np.asarray(rp.matrix_)
+    np.testing.assert_allclose(got, X @ M, atol=1e-10)
+    # state roundtrip reproduces identically
+    rp2 = ml.RandomProjections(["a", "b", "c"])
+    rp2.state_set(rp.state_get())
+    got2 = np.column_stack([_np(rp2.transform(df), "random_projection_0"),
+                            _np(rp2.transform(df), "random_projection_1")])
+    np.testing.assert_allclose(got2, got)
+
+
+def test_pca_incremental_alias(spark):
+    import vaex_spark as vs
+    from vaex_spark import ml
+    rng = np.random.RandomState(2)
+    X = rng.randn(100, 2)
+    df = vs.from_arrays(a=X[:, 0], b=X[:, 1], spark=spark)
+    p1 = ml.PCA(["a", "b"]).fit_transform(df)
+    p2 = ml.PCAIncremental(["a", "b"], batch_size=10).fit_transform(df)
+    np.testing.assert_allclose(_np(p1, "PCA_0"), _np(p2, "PCA_0"))

@@ -424,11 +424,19 @@ class DataFrame:
             out[c] = self[c].fillna(value)
         return out
 
-    def head(self, n: int = 10):
-        return self._spark_df().limit(n)
+    def head(self, n: int = 10) -> "DataFrame":
+        """dataframe.py:3346 — first n rows as a DataFrame (vaex returns
+        a frame, not rows; rows come from .first/.take)."""
+        return self._wrap_rows(self._spark_df().limit(n))
 
-    def tail(self, n: int = 10):
-        return self.session.createDataFrame(self._spark_df().tail(n), self._spark_df().schema)
+    def tail(self, n: int = 10) -> "DataFrame":
+        return self._wrap_rows(self.session.createDataFrame(
+            self._spark_df().tail(n), self._spark_df().schema))
+
+    def _wrap_rows(self, sdf) -> "DataFrame":
+        out = DataFrame(sdf)
+        out.variables = dict(self.variables)
+        return out
 
     def first(self, n: int = 1):
         return self._spark_df().take(n)

@@ -310,3 +310,333 @@ class PCA(Transformer):
                 expr = term if expr is None else expr + term
             out[f"{self.prefix}{comp}"] = expr
         return out
+
+
+class PCAIncremental(PCA):
+    """transformations.py:134 — the reference fits sklearn
+    IncrementalPCA chunk-by-chunk because a single node can't hold the
+    data; our PCA fit is already a distributed one-pass covariance
+    aggregation, so the incremental variant is the same fit.  Kept as a
+    distinct class (with the reference's ``batch_size`` knob accepted)
+    so state files round-trip."""
+
+    def __init__(self, features, n_components=None, batch_size=1000, prefix=None):
+        super().__init__(features, n_components=n_components, prefix=prefix)
+        self.batch_size = batch_size
+
+
+class RandomProjections(Transformer):
+    """transformations.py:199 — Johnson-Lindenstrauss Gaussian random
+    projection.  fit draws the d x k projection matrix on the driver
+    (seeded, N(0, 1/k) like sklearn's GaussianRandomProjection);
+    transform is k linear-combination virtual columns."""
+
+    prefix = "random_projection_"
+    _state_keys = ("n_components", "matrix_")
+
+    def __init__(self, features, n_components=None, eps=0.1, random_state=42, prefix=None):
+        super().__init__(features, prefix)
+        self.eps = eps
+        self.random_state = random_state
+        self.n_components = n_components
+        self.matrix_: list = []
+
+    def fit(self, df):
+        d = len(self.features)
+        k = self.n_components
+        if k is None:
+            # Johnson-Lindenstrauss minimum dimension for n samples
+            n = len(df)
+            k = int(np.ceil(4 * np.log(n) / (self.eps ** 2 / 2 - self.eps ** 3 / 3)))
+        self.n_components = k
+        rng = np.random.default_rng(self.random_state)
+        self.matrix_ = (rng.standard_normal((d, k)) / np.sqrt(k)).tolist()
+
+    def transform(self, df):
+        out = df._copy()
+        M = np.asarray(self.matrix_)
+        cols = [df._to_expr(f).col.cast("double") for f in self.features]
+        for comp in range(self.n_components):
+            expr = None
+            for i in range(len(self.features)):
+                term = cols[i] * float(M[i, comp])
+                expr = term if expr is None else expr + term
+            out[f"{self.prefix}{comp}"] = expr
+        return out
+
+
+class MultiHotEncoder(Transformer):
+    """transformations.py:444 — binary ("multi-hot") encoding: ordinal
+    code 1..n (None first when present), emitted as binary digits, MSB
+    in column <feature>_0.  floor(log2 n)+1+(n mod 2) digits, matching
+    the reference's _get_n_dims."""
+
+    prefix = ""
+    _state_keys = ("labels_",)
+
+    def __init__(self, features, prefix=None):
+        super().__init__(features, prefix)
+        self.labels_: dict = {}
+
+    def fit(self, df):
+        import math
+        for f in self.features:
+            labels = list(df.unique(f))
+            if None in labels:
+                labels.remove(None)
+                labels.sort()
+                labels.insert(0, None)
+            else:
+                labels.sort()
+            self.labels_[f] = {v: int(i) for i, v in enumerate(labels, start=1)}
+
+    @staticmethod
+    def _get_n_dims(n_labels: int) -> int:
+        import math
+        return math.floor(math.log2(n_labels)) + 1 + (n_labels % 2)
+
+    def transform(self, df):
+        out = df._copy()
+        for f in self.features:
+            c = df._to_expr(f).col
+            labels = self.labels_[f]
+            non_null = {k: v for k, v in labels.items() if k is not None}
+            code = F.coalesce(F.element_at(
+                F.map_from_arrays(F.array(*[F.lit(k) for k in non_null]),
+                                  F.array(*[F.lit(v) for v in non_null.values()])),
+                c), F.lit(labels.get(None, 0)))
+            n_dims = self._get_n_dims(len(labels))
+            for i, j in enumerate(range(n_dims - 1, -1, -1)):
+                out[f"{self.prefix}{f}_{i}"] = F.shiftright(code, j).bitwiseAND(F.lit(1))
+        return out
+
+
+class CycleTransformer(Transformer):
+    """transformations.py:859 — cyclical feature -> (cos, sin) unit
+    circle projection; stateless (fit is a no-op)."""
+
+    _state_keys = ("n", "prefix_x", "prefix_y", "suffix_x", "suffix_y")
+
+    def __init__(self, features, n, prefix_x="", prefix_y="", suffix_x="_x", suffix_y="_y"):
+        super().__init__(features)
+        self.n = n
+        self.prefix_x, self.prefix_y = prefix_x, prefix_y
+        self.suffix_x, self.suffix_y = suffix_x, suffix_y
+
+    def fit(self, df):
+        pass
+
+    def transform(self, df):
+        out = df._copy()
+        for f in self.features:
+            c = df._to_expr(f).col.cast("double")
+            theta = c * (2.0 * float(np.pi) / float(self.n))
+            out[self.prefix_x + f + self.suffix_x] = F.cos(theta)
+            out[self.prefix_y + f + self.suffix_y] = F.sin(theta)
+        return out
+
+
+class BayesianTargetEncoder(Transformer):
+    """transformations.py:916 — category -> smoothed target mean:
+    (count*mean + weight*global_mean) / (count + weight).  fit is one
+    groupBy per feature (count+mean in a single aggregation); transform
+    is a literal-map lookup."""
+
+    prefix = "mean_encoded_"
+    _state_keys = ("mappings_", "weight", "unseen")
+
+    def __init__(self, features, target, weight=100.0, unseen="nan", prefix=None):
+        super().__init__(features, prefix)
+        self.target = target
+        self.weight = float(weight)
+        self.unseen = unseen
+        self.mappings_: dict = {}
+
+    def fit(self, df):
+        tcol = df._to_expr(self.target).col.cast("double")
+        global_mean = float(df._spark_df().agg(F.avg(tcol)).collect()[0][0])
+        for f in self.features:
+            rows = (df._spark_df()
+                    .groupBy(df._to_expr(f).col.alias("_v"))
+                    .agg(F.count(tcol).alias("_n"), F.avg(tcol).alias("_m"))
+                    .collect())
+            self.mappings_[f] = {
+                r["_v"]: (r["_n"] * r["_m"] + self.weight * global_mean) / (r["_n"] + self.weight)
+                for r in rows if r["_v"] is not None}
+
+    def transform(self, df):
+        out = df._copy()
+        default = {"zero": 0.0, "nan": float("nan")}[self.unseen]
+        for f in self.features:
+            c = df._to_expr(f).col
+            m = self.mappings_[f]
+            mapping = F.map_from_arrays(F.array(*[F.lit(k) for k in m]),
+                                        F.array(*[F.lit(float(v)) for v in m.values()]))
+            out[self.prefix + f] = F.coalesce(F.element_at(mapping, c), F.lit(default))
+        return out
+
+
+class WeightOfEvidenceEncoder(Transformer):
+    """transformations.py:988 — category -> ln(p_positive/p_negative)
+    with epsilon clamping; target must be boolean / {0,1}."""
+
+    prefix = "woe_encoded_"
+    _state_keys = ("mappings_", "unseen", "epsilon")
+
+    def __init__(self, features, target, unseen="nan", epsilon=1e-6, prefix=None):
+        super().__init__(features, prefix)
+        self.target = target
+        self.unseen = unseen
+        self.epsilon = float(epsilon)
+        self.mappings_: dict = {}
+
+    def fit(self, df):
+        tcol = df._to_expr(self.target).col.cast("double")
+        distinct = [r[0] for r in df._spark_df().select(tcol.alias("_t")).distinct().collect()
+                    if r[0] is not None]
+        if not set(distinct) <= {0.0, 1.0}:
+            raise ValueError(
+                "Target contains values different from True/1 and False/0: %r" % distinct)
+        eps = self.epsilon
+        for f in self.features:
+            rows = (df._spark_df()
+                    .groupBy(df._to_expr(f).col.alias("_v"))
+                    .agg(F.avg(tcol).alias("_p")).collect())
+            out = {}
+            for r in rows:
+                if r["_v"] is None:
+                    continue
+                pos = r["_p"] if r["_p"] != 0 else eps
+                neg = 1.0 - pos
+                if neg == 0:
+                    neg = eps
+                out[r["_v"]] = float(np.log(pos / neg))
+            self.mappings_[f] = out
+
+    def transform(self, df):
+        out = df._copy()
+        default = {"zero": 0.0, "nan": float("nan")}[self.unseen]
+        for f in self.features:
+            c = df._to_expr(f).col
+            m = self.mappings_[f]
+            mapping = F.map_from_arrays(F.array(*[F.lit(k) for k in m]),
+                                        F.array(*[F.lit(float(v)) for v in m.values()]))
+            out[self.prefix + f] = F.coalesce(F.element_at(mapping, c), F.lit(default))
+        return out
+
+
+class KBinsDiscretizer(Transformer):
+    """transformations.py:1067 — bin continuous features into ordinal
+    bin labels.  strategy='uniform' fits from one batched min/max
+    aggregation; 'quantile' from percentile_approx ('kmeans' is not
+    supported — raise, don't silently substitute).  transform clips
+    out-of-range samples into the closest bin like the reference."""
+
+    prefix = "binned_"
+    _state_keys = ("bin_edges_", "n_bins_", "epsilon")
+
+    def __init__(self, features, n_bins=5, strategy="uniform", epsilon=1e-8, prefix=None):
+        super().__init__(features, prefix)
+        assert n_bins > 1, "Kwarg `n_bins` must be greater than 1."
+        if strategy == "kmeans":
+            raise NotImplementedError("strategy='kmeans' is not supported")
+        assert strategy in ("uniform", "quantile")
+        self.n_bins = n_bins
+        self.strategy = strategy
+        self.epsilon = float(epsilon)
+        self.bin_edges_: dict = {}
+        self.n_bins_: dict = {}
+
+    def fit(self, df):
+        import warnings
+        sdf = df._spark_df()
+        if self.strategy == "uniform":
+            aggs = []
+            for f in self.features:
+                c = df._to_expr(f).col
+                aggs += [F.min(c).alias(f"{f}__lo"), F.max(c).alias(f"{f}__hi")]
+            row = sdf.agg(*aggs).collect()[0]
+            # exact edges: boundary samples bin upward (digitize
+            # right-open) and the max clips into the last bin, matching
+            # the reference docstring (x=5 on [0,15]/3 bins -> bin 1)
+            edges = {f: np.linspace(float(row[f"{f}__lo"]),
+                                    float(row[f"{f}__hi"]),
+                                    self.n_bins + 1)
+                     for f in self.features}
+        else:
+            qs = np.linspace(0.0, 1.0, self.n_bins + 1).tolist()
+            aggs = [F.percentile_approx(df._to_expr(f).col.cast("double"), qs, 10000).alias(f)
+                    for f in self.features]
+            row = sdf.agg(*aggs).collect()[0]
+            edges = {f: np.asarray([float(v) for v in row[f]]) for f in self.features}
+        for f in self.features:
+            mask = np.diff(edges[f], append=np.inf) > 1e-8
+            be = edges[f][mask]
+            if len(be) - 1 != self.n_bins:
+                warnings.warn(f"Bins whose width are too small (i.e., <= 1e-8) in {f} are removed. "
+                              f"Consider decreasing the number of bins.")
+            self.bin_edges_[f] = be.tolist()
+            self.n_bins_[f] = len(be) - 1
+
+    def transform(self, df):
+        from .functions import digitize
+        out = df._copy()
+        for f in self.features:
+            c = df._to_expr(f).col.cast("double")
+            code = digitize(c, [float(e) for e in self.bin_edges_[f]]) - 1
+            hi = self.n_bins_[f] - 1
+            out[self.prefix + f] = F.greatest(F.least(code, F.lit(hi)), F.lit(0)).cast("long")
+        return out
+
+
+class GroupByTransformer(Transformer):
+    """transformations.py:1193 — aggregate features joined back to the
+    frame.  The reference routes the join through a driver-side map
+    because joins aren't state-serializable there; Spark-first the
+    fitted group table IS small (category-sized), so transform is a
+    broadcast left join — no driver materialization of the big side."""
+
+    _state_keys = ("rprefix", "rsuffix")
+
+    def __init__(self, by, agg, rprefix="", rsuffix=""):
+        super().__init__([])
+        if not agg:
+            raise ValueError("You have to specify a dict for the `agg` keyword.")
+        if not by:
+            raise ValueError("Please specify a value for the `by` keyword.")
+        self.by = by
+        self.agg = agg
+        self.rprefix, self.rsuffix = rprefix, rsuffix
+        self.df_group_ = None
+
+    def fit(self, df):
+        self.df_group_ = df.groupby(by=self.by, agg=self.agg)
+
+    def transform(self, df):
+        from pyspark.sql.functions import broadcast
+        existing = set(df.get_column_names())
+        right = self.df_group_._spark_df()
+        renames = {}
+        for name in right.columns:
+            if name == self.by:
+                continue
+            if name in existing:
+                renames[name] = self.rprefix + name + self.rsuffix
+        for old, new in renames.items():
+            right = right.withColumnRenamed(old, new)
+        joined = df._spark_df().join(broadcast(right), on=self.by, how="left")
+        from .dataframe import DataFrame
+        return DataFrame(joined)
+
+    def state_get(self) -> dict:
+        state = {"by": self.by, "rprefix": self.rprefix, "rsuffix": self.rsuffix,
+                 "group": {c: self.df_group_.to_pandas_df()[c].tolist()
+                           for c in self.df_group_.get_column_names()} if self.df_group_ is not None else None}
+        return state
+
+    def state_set(self, state: dict) -> None:
+        self.by = state["by"]
+        self.rprefix, self.rsuffix = state["rprefix"], state["rsuffix"]
+        if state.get("group") is not None:
+            from .sources import from_dict
+            self.df_group_ = from_dict(state["group"])
