@@ -109,3 +109,33 @@ def test_binner_time_every_quarter(spark):
     # anchored at Feb (min month), quarters: Feb-Apr, May-Jul, Aug-Oct, Nov-Dec
     assert [r.n for r in rows] == [3, 3, 3, 2]
     assert rows[0].t.month == 2
+
+
+def test_struct_flatten(spark):
+    """Reference struct.py:24 docstring example + nested recursion."""
+    import pyarrow as pa
+    import vaex_spark as vs
+    arr = pa.StructArray.from_arrays(arrays=[pa.array([1, 2]), pa.array(["a", "b"]), pa.array([3, 4])],
+                                     names=["col1", "col2", "col3"])
+    df = vs.from_arrow_table(pa.table({"array": arr}), spark=spark)
+    flat = df.struct.flatten()
+    assert flat.get_column_names() == ["array_col1", "array_col2", "array_col3"]
+    assert flat.to_pandas_df()["array_col2"].tolist() == ["a", "b"]
+    # nested struct, recursive on/off
+    inner = pa.StructArray.from_arrays([pa.array([10, 20])], names=["deep"])
+    outer = pa.StructArray.from_arrays([pa.array([1, 2]), inner], names=["a", "b"])
+    df2 = vs.from_arrow_table(pa.table({"s": outer}), spark=spark)
+    assert df2.struct.flatten().get_column_names() == ["s_a", "s_b_deep"]
+    assert df2.struct.flatten(recursive=False).get_column_names() == ["s_a", "s_b"]
+
+
+def test_explode(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(k=[1, 2, 3], v=[[10, 20], [], None], spark=spark)
+    out = df.explode("v")
+    rows = [(r.k, r.v) for r in out.spark.collect()]
+    assert rows == [(1, 10), (1, 20)]
+    out2 = df.explode("v", keep_nulls=True)
+    rows2 = sorted([(r.k, r.v) for r in out2.spark.collect()],
+                   key=lambda t: (t[0], t[1] if t[1] is not None else -1))
+    assert rows2 == [(1, 10), (1, 20), (2, None), (3, None)]

@@ -119,6 +119,25 @@ class DataFrame:
         return DataFrameAccessorGeo(self)
 
     @property
+    def struct(self):
+        """DataFrame-level struct accessor (reference struct.py:19 —
+        expression-level; flatten lives df-level here like vaex's
+        df.struct usage in docs)."""
+        from .functions.structs import DataFrameStructAccessor
+        return DataFrameStructAccessor(self)
+
+    def explode(self, column: str, keep_nulls: bool = False) -> "DataFrame":
+        """UDTF surface (SURVEY §2.9 optional extension): one output row
+        per element of an array column — Spark-native ``explode`` /
+        ``explode_outer``, fully distributed (row expansion happens
+        inside the scan stage, no shuffle)."""
+        sdf = self._spark_df()
+        fn = F.explode_outer if keep_nulls else F.explode
+        others = [c for c in sdf.columns if c != column]
+        return self._wrap_rows(sdf.select(*others, fn(F.col(column)).alias(column))
+                               .select(*sdf.columns))
+
+    @property
     def session(self) -> SparkSession:
         return self._base.sparkSession
 

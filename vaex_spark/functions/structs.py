@@ -38,3 +38,36 @@ class StructAccessor:
 register_function(scope="struct", name="get")(lambda x, f: _c(x).getField(f))
 register_function(scope="struct", name="project")(
     lambda x, fields: F.struct(*[_c(x).getField(f).alias(f) for f in fields]))
+
+
+class DataFrameStructAccessor:
+    """df.struct — DataFrame-level struct operations (struct.py:24)."""
+
+    def __init__(self, df):
+        self.df = df
+
+    def flatten(self, column=None, recursive: bool = True, join_char: str = "_"):
+        """struct.py:24 — expand each struct column into one column per
+        field, named <col><join_char><field>; recursive expands nested
+        structs.  Pure projection — Catalyst prunes unaccessed fields
+        from the parquet scan."""
+        from pyspark.sql.types import StructType
+
+        sdf = self.df._spark_df()
+        filter_columns = set(sdf.columns if column is None
+                             else ([column] if isinstance(column, str) else list(column)))
+        schema = {f.name: f.dataType for f in sdf.schema.fields}
+        out_cols, queue = [], [(c, F.col(c), schema[c]) for c in sdf.columns]
+        while queue:
+            name, col, dtype = queue.pop(0)
+            if name in filter_columns and isinstance(dtype, StructType):
+                children = []
+                for fld in dtype.fields:
+                    child_name = f"{name}{join_char}{fld.name}"
+                    if recursive:
+                        filter_columns.add(child_name)
+                    children.append((child_name, col.getField(fld.name), fld.dataType))
+                queue = children + queue
+            else:
+                out_cols.append(col.alias(name))
+        return self.df._wrap_rows(sdf.select(*out_cols))
