@@ -1007,6 +1007,89 @@ GROUP BY o_orderstatus
 """
 
 
+def _q44_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: hyperplane-LSH blocking + exact
+    cosine verify.  Engine-independent output: bits=2 / n_tables=24
+    gives per-pair recall 1-(1-p^2)^24 with p = 1-θ/π ≈ 0.64 at the
+    0.42 threshold -> miss ~4e-6, so the verified result equals the
+    exact all-pairs cosine >= threshold set the oracle computes.
+    (The synthetic embeddings have no pairs above ~0.51, hence the low
+    threshold; production near-dup at 0.95 uses the default bits=6.)"""
+    from vaex_spark.datapipe import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(
+        emb, threshold=0.42, bits=2, n_tables=24, round_to=6)
+
+
+_Q44_SQL = """
+WITH c AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos FROM c WHERE cos >= 0.42
+"""
+
+
+def _q45_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: minhash-LSH pairs (exact-Jaccard verified,
+    same set as q35) -> distributed connected components (iterated
+    min-label propagation).  Output (doc_id, component) where component
+    is the min doc_id reachable; the oracle computes the same closure
+    with a recursive CTE over the exact all-pairs Jaccard graph."""
+    from vaex_spark.datapipe import dedup
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(docs, threshold=0.5, num_perm=64, num_bands=32)
+    labels = dedup.connected_components(pairs)
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("comp").cast("long").alias("component"))
+
+
+def _q45_oracle_sql() -> str:
+    jac = _jaccard_pairs_sql(0.5).strip()
+    return f"""
+WITH RECURSIVE pairs AS ({jac}),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id)
+SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+FROM reach GROUP BY id
+"""
+
+
+def _q46_word_topk(spark, sf_dir):
+    """Explode-based word frequency top-k: the UDTF surface
+    (df.explode) driving a groupBy — row expansion happens inside the
+    scan stage; ties at the cutoff break on the word for determinism."""
+    from pyspark.sql import Window
+    df = _t(spark, sf_dir, "documents")
+    df["words"] = df.text.str.lower().str.replace(r"\s+", " ", regex=True).str.strip().str.split(" ")
+    exploded = df[["words"]].explode("words")
+    counts = exploded.groupby("words", agg={"n": F.count(F.lit(1))})
+    # top-k via sort+limit (distributed TakeOrdered — per-partition
+    # heaps, no single-partition window); rank only the k survivors
+    top = counts.spark.orderBy(F.col("n").desc(), F.col("words").asc()).limit(20)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col("words").asc())).cast("int"))
+    return ranked.select(F.col("words").alias("word"), F.col("n"), F.col("rank"))
+
+
+_Q46_SQL = """
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents),
+counts AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY word),
+ranked AS (SELECT word, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) AS INTEGER) AS rank
+           FROM counts)
+SELECT word, n, rank FROM ranked WHERE rank <= 20
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1055,6 +1138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_orders_by_fortnight": _q41_orders_by_fortnight,
         "q42_ordinal_codes": _q42_ordinal_codes,
         "q43_isin_large": _q43_isin_large,
+        "q44_embedding_near_dups": _q44_embedding_near_dups,
+        "q45_dedup_clusters": _q45_dedup_clusters,
+        "q46_word_topk": _q46_word_topk,
     }
 
 
@@ -1103,4 +1189,7 @@ def oracle_sql() -> dict[str, str]:
         "q41_orders_by_fortnight": _q41_oracle_sql(),
         "q42_ordinal_codes": _Q42_SQL,
         "q43_isin_large": _q43_oracle_sql(),
+        "q44_embedding_near_dups": _Q44_SQL,
+        "q45_dedup_clusters": _q45_oracle_sql(),
+        "q46_word_topk": _Q46_SQL,
     }

@@ -163,7 +163,7 @@ def lsh_topk(corpus, queries, k: int = 10, bits: int = 8, n_tables: int = 2,
 def embedding_near_dups(corpus, threshold: float = 0.95, bits: int = 6,
                         n_tables: int = 8, dim: int | None = None,
                         vec_col: str = "embedding", id_col: str = "vec_id",
-                        seed: int = 42) -> SparkDataFrame:
+                        seed: int = 42, round_to: int = 8) -> SparkDataFrame:
     """Near-duplicate pairs by embedding cosine: hyperplane-LSH blocking
     + exact cosine verification (the embedding member of the dedup
     family — datapipe/dedup.py holds the text ones).
@@ -192,7 +192,7 @@ def embedding_near_dups(corpus, threshold: float = 0.95, bits: int = 6,
                     F.col(f"r.{vec_col}").alias("__vb"))
             .dropDuplicates(["id_a", "id_b"]))
     return (cand.select("id_a", "id_b",
-                        F.round(cosine(F.col("__va"), F.col("__vb")), 8).alias("cos"))
+                        F.round(cosine(F.col("__va"), F.col("__vb")), round_to).alias("cos"))
             .filter(F.col("cos") >= threshold))
 
 
