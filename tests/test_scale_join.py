@@ -1,0 +1,76 @@
+"""Scale-join strategies: bucketed co-located joins (no Exchange in the
+physical plan) and skew salting (SURVEY §4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vaex_spark.operators import scale
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    import vaex_spark as vs
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", None)
+    orders = vs.open("/root/testdata/sf0.001/orders.parquet", spark=spark)
+    customer = vs.open("/root/testdata/sf0.001/customer.parquet", spark=spark)
+    scale.export_bucketed(orders, "orders_b", by="o_custkey", n_buckets=8,
+                          sort_by="o_custkey")
+    scale.export_bucketed(customer, "customer_b", by="c_custkey", n_buckets=8,
+                          sort_by="c_custkey")
+    yield "orders_b", "customer_b"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    to, tc = bucketed_tables
+    o = scale.open_bucketed(to, spark=spark)
+    c = scale.open_bucketed(tc, spark=spark)
+    # disable broadcast so the join would otherwise shuffle both sides
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = o.spark.join(c.spark, o.spark["o_custkey"] == c.spark["c_custkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        n = joined.count()
+        assert n > 0
+    finally:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
+    import vaex_spark as vs
+    to, tc = bucketed_tables
+    o = scale.open_bucketed(to, spark=spark)
+    c = scale.open_bucketed(tc, spark=spark)
+    got = (o.spark.join(c.spark, o.spark["o_custkey"] == c.spark["c_custkey"])
+           .count())
+    orders = vs.open("/root/testdata/sf0.001/orders.parquet", spark=spark)
+    customer = vs.open("/root/testdata/sf0.001/customer.parquet", spark=spark)
+    want = (orders.spark.join(customer.spark,
+                              orders.spark["o_custkey"] == customer.spark["c_custkey"])
+            .count())
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark):
+    import vaex_spark as vs
+    # skewed left: 90% of rows share key 1
+    left = vs.from_arrays(k=[1] * 900 + list(range(2, 102)),
+                          v=list(range(1000)), spark=spark)
+    right = vs.from_arrays(k=list(range(1, 102)),
+                           name=[f"n{i}" for i in range(1, 102)], spark=spark)
+    got = scale.salted_join(left, right, on="k", salt=8)
+    plain = left.spark.join(right.spark, on="k")
+    assert got.count() == plain.count()
+    assert (sorted(r.name for r in got.filter(F.col("k") == 1).select("name").distinct().collect())
+            == ["n1"])
+
+
+def test_salted_group_count_matches(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(k=[7] * 500 + [1, 2, 3] * 10, spark=spark)
+    got = {r.k: r["count"] for r in scale.salted_group_count(df, "k", salt=4).collect()}
+    assert got == {7: 500, 1: 10, 2: 10, 3: 10}

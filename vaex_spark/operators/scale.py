@@ -1,0 +1,96 @@
+"""Scale-out join strategies: bucketing and skew salting.
+
+These are the two levers SURVEY §4 names for the 100 TB regime that
+plain Catalyst doesn't apply automatically:
+
+* **Bucketing** — pre-shuffle a table ON DISK by its join/group key.
+  Two tables bucketed on the same key with the same bucket count join
+  with ZERO exchange (the sort-merge join reads co-located buckets).
+  Worth it for fact tables joined repeatedly on the same key: one
+  write-time shuffle amortizes over every subsequent join/aggregation.
+
+* **Salting** — explicit skew mitigation when one key dominates.  AQE's
+  skew-join (on by default in our sessions) splits oversized partitions
+  at runtime and is the right default; explicit salting remains for
+  aggregations (AQE skew handling only covers joins) and for engines or
+  sinks where AQE is off.
+
+Bucketed tables go through the session catalog (``saveAsTable``) —
+Spark's bucket metadata lives in the catalog, not in raw parquet paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDataFrame
+from pyspark.sql import functions as F
+
+
+def _sdf(df):
+    from ..dataframe import DataFrame
+    return df._spark_df() if isinstance(df, DataFrame) else df
+
+
+def _wrap(sdf):
+    from ..dataframe import DataFrame
+    return DataFrame(sdf)
+
+
+def export_bucketed(df, table_name: str, by, n_buckets: int = 32,
+                    sort_by=None, mode: str = "overwrite"):
+    """Write ``df`` as a bucketed catalog table.
+
+    Joins/aggregations between tables bucketed on the same key with the
+    same ``n_buckets`` run without any Exchange (verified by
+    tests/test_scale_join.py asserting the physical plan).  ``sort_by``
+    additionally sorts within buckets so sort-merge joins skip the sort.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    writer = _sdf(df).write.mode(mode).bucketBy(n_buckets, *by)
+    if sort_by is not None:
+        sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table_name)
+    return table_name
+
+
+def open_bucketed(table_name: str, spark=None):
+    """Read a bucketed table back (bucket metadata comes from the
+    catalog, so joins on the bucket key skip the shuffle)."""
+    if spark is None:
+        from ..session import get_session
+        spark = get_session()
+    return _wrap(spark.table(table_name))
+
+
+def salted_join(left, right, on: str, how: str = "inner",
+                salt: int = 16) -> SparkDataFrame:
+    """Equi-join with the left side's hot keys spread over ``salt``
+    sub-keys and the (smaller) right side replicated ``salt`` times.
+
+    Use when a handful of keys dominate the left table AND AQE skew
+    handling isn't available (it only rewrites sort-merge/shuffle-hash
+    joins); the replication factor costs ``salt``× the right side's
+    shuffle volume, so keep the right side the dimension table.  The
+    left salt comes from a per-row uniform draw — correctness does not
+    depend on which sub-key a row lands on.
+    """
+    lsdf, rsdf = _sdf(left), _sdf(right)
+    lsalted = lsdf.withColumn("__salt", (F.rand(seed=0) * salt).cast("int"))
+    rsalted = rsdf.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = lsalted.join(rsalted, on=[on, "__salt"], how=how).drop("__salt")
+    return out
+
+
+def salted_group_count(df, key: str, salt: int = 16) -> SparkDataFrame:
+    """Two-phase count for a skewed grouping key: partial count on
+    (key, salt) then final sum on key.  The first shuffle spreads the
+    hot key over ``salt`` reducers; the second only moves ``salt`` rows
+    per distinct key.  (Spark's hash aggregate already does map-side
+    partials; the explicit salt matters when one key exceeds a single
+    reducer's memory/CPU — the 100 TB straggler case AQE's join-only
+    skew handling does not cover.)"""
+    sdf = _sdf(df)
+    partial = (sdf.withColumn("__salt", (F.rand(seed=0) * salt).cast("int"))
+               .groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__n")))
+    return partial.groupBy(key).agg(F.sum("__n").alias("count"))
