@@ -1,0 +1,142 @@
+"""API-parity batch: selection geometry, current-row bookkeeping, type
+predicates, conversion/metadata shims (reference dataframe.py lines in
+each docstring)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def xy(spark):
+    import vaex_spark as vs
+    x = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
+    y = np.array([0.0, 1.0, 0.5, 3.0, 0.1])
+    return vs.from_arrays(x=x, y=y, name=["a", "b", "c", "d", "e"], spark=spark)
+
+
+def test_select_rectangle_and_box(xy):
+    xy.select_rectangle("x", "y", [[0.5, 3.5], [0.0, 1.5]])
+    assert xy.selected_length() == 2  # (1,1), (2,0.5)
+    xy.select_box(["x"], [[0, 2.5]])
+    assert xy.selected_length() == 3
+
+
+def test_select_circle_and_ellipse(xy):
+    xy.select_circle("x", "y", 1.0, 1.0, 1.1)
+    got = xy.selected_length()
+    # exact membership check
+    import math
+    inside = sum(1 for a, b in [(0, 0), (1, 1), (2, 0.5), (3, 3), (4, 0.1)]
+                 if (a - 1) ** 2 + (b - 1) ** 2 <= 1.1 ** 2)
+    assert got == inside
+    xy.select_ellipse("x", "y", 2.0, 1.0, 4.0, 1.0, angle=0)
+    want = 0
+    for a, b in [(0, 0), (1, 1), (2, 0.5), (3, 3), (4, 0.1)]:
+        xr, yr = 2.0, 0.5
+        r = max(xr, yr)
+        aa, bb = xr / r, yr / r
+        q = ((a - 2.0)) ** 2 / aa ** 2 + ((b - 1.0)) ** 2 / bb ** 2
+        want += q <= r ** 2
+    assert xy.selected_length() == want
+
+
+def test_select_lasso_and_non_missing(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[0.5, 2.0, 0.2], y=[0.5, 2.0, 0.8], spark=spark)
+    df.select_lasso("x", "y", [0, 1, 1, 0], [0, 0, 1, 1])
+    assert df.selected_length() == 2
+    df2 = vs.from_arrays(a=[1.0, None, 3.0], b=[1.0, 2.0, float("nan")], spark=spark)
+    df2.select_non_missing()
+    assert df2.selected_length() == 1
+    df2.select_non_missing(drop_nan=False)
+    assert df2.selected_length() == 2
+    assert df2.selection_can_undo()
+    df2.selection_undo()
+    assert df2.selected_length() == 1
+    assert df2.selection_can_redo()
+
+
+def test_current_row_and_predicates(xy):
+    assert not xy.has_current_row()
+    xy.set_current_row(2)
+    assert xy.get_current_row() == 2 and xy.has_current_row()
+    with pytest.raises(IndexError):
+        xy.set_current_row(99)
+    assert xy.is_string("name")
+    assert not xy.is_string("x")
+    assert not xy.is_datetime("x")
+    assert xy.is_local()
+
+
+def test_values_and_array(xy):
+    vals = xy[["x", "y"]].values
+    assert vals.shape == (5, 2)
+    np.testing.assert_allclose(np.asarray(vals[:, 0], dtype=float),
+                               [0, 1, 2, 3, 4])
+    arr = np.array(xy[["x", "y"]])
+    assert arr.shape == (5, 2)
+
+
+def test_validate_expression(xy):
+    assert xy.validate_expression("x + y") == "x + y"
+    with pytest.raises(Exception):
+        xy.validate_expression("no_such_col * 2")
+
+
+def test_add_column_and_variables(xy):
+    xy.add_column("z", [10, 20, 30, 40, 50])
+    got = sorted(r.z for r in xy.spark.select("z").collect())
+    assert got == [10, 20, 30, 40, 50]
+    # positional: z must line up with x
+    pairs = {r.x: r.z for r in xy.spark.select("x", "z").collect()}
+    assert pairs == {0.0: 10, 1.0: 20, 2.0: 30, 3.0: 40, 4.0: 50}
+    xy.add_variable("k", 42)
+    assert xy.variables["k"] == 42
+    assert "k" in xy.get_names()
+    xy.delete_variable("k")
+    assert "k" not in xy.variables
+    xy["v2"] = xy.x * 2
+    xy.delete_virtual_column("v2")
+    assert "v2" not in xy.get_column_names()
+
+
+def test_byte_size_and_misc(xy):
+    n = xy.byte_size()
+    assert n >= 5 * (8 + 8)  # two doubles + string content
+    assert xy.nbytes == n
+    assert xy.as_arrow() is xy and xy.as_numpy() is xy
+    xy.close()
+    xy.nop("x + y")
+    assert xy.shallow_copy().get_column_names() == xy.get_column_names()
+    assert xy.to_copy(["x"]).get_column_names() == ["x"]
+    assert xy.length() == 5 == xy.active_length()
+
+
+def test_compare(spark):
+    import vaex_spark as vs
+    a = vs.from_arrays(x=[1, 2], y=[3.0, 4.0], spark=spark)
+    b = vs.from_arrays(x=[1, 2], z=[5, 6], spark=spark)
+    missing, extra, different, meta = a.compare(b)
+    assert missing == ["z"] and extra == ["y"] and different == []
+    c = vs.from_arrays(x=[1, 99], y=[3.0, 4.0], spark=spark)
+    _, _, different, _ = a.compare(c)
+    assert different == ["x"]
+
+
+def test_ordinal_encode_alias(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(s=["b", "a", "b"], spark=spark)
+    out = df.ordinal_encode("s")
+    assert out.is_category("s") and out.iscategory("s")
+
+
+def test_export_csv_variants(tmp_path, spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[1, 2], y=["a", "b"], spark=spark)
+    p1 = str(tmp_path / "a.csv")
+    p2 = str(tmp_path / "b.csv")
+    df.export_csv_arrow(p1)
+    df.export_csv_pandas(p2)
+    import pandas as pd
+    assert pd.read_csv(p1)["x"].tolist() == [1, 2]
+    assert pd.read_csv(p2)["y"].tolist() == ["a", "b"]

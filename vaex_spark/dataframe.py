@@ -112,6 +112,188 @@ class DataFrame:
     def length_unfiltered(self) -> int:
         return self.length_original()
 
+    def length(self, selection: bool = False) -> int:
+        """dataframe.py:6182."""
+        return self.selected_length() if selection else len(self)
+
+    def active_length(self) -> int:
+        return len(self)
+
+    # -- current row bookkeeping (dataframe.py:4249-4270) --------------
+    def get_current_row(self):
+        return getattr(self, "_current_row", None)
+
+    def set_current_row(self, value) -> None:
+        if value is not None and (value < 0 or value >= len(self)):
+            raise IndexError(f"row index {value} out of range")
+        self._current_row = value
+
+    def has_current_row(self) -> bool:
+        return getattr(self, "_current_row", None) is not None
+
+    # -- type predicates (dataframe.py:2293-2325) ----------------------
+    def is_datetime(self, expression) -> bool:
+        return self.data_type(expression) in ("timestamp", "timestamp_ntz", "date")
+
+    def is_string(self, expression) -> bool:
+        return self.data_type(expression) == "string"
+
+    def is_masked(self, column) -> bool:
+        """Nullable-ness stands in for numpy masking (Spark columns are
+        nullable by default; reference dataframe.py:2301)."""
+        sdf = self._spark_df(filtered=False)
+        name = column if isinstance(column, str) else str(column)
+        for f in sdf.schema.fields:
+            if f.name == name:
+                return bool(f.nullable)
+        return True
+
+    def is_local(self) -> bool:
+        """True like DataFrameLocal — data is reachable without a vaex
+        server (Spark executors are this engine's locality)."""
+        return True
+
+    def iscategory(self, column) -> bool:
+        return self.is_category(column)
+
+    # -- misc parity shims --------------------------------------------
+    def close(self) -> None:
+        """dataframe.py:6580 — release resources; Spark frames hold no
+        file handles on the driver, so this is a no-op."""
+
+    def nop(self, expression=None, progress=False, delay=False):
+        """dataframe.py:482 — evaluate and discard (cache warmer /
+        benchmark primitive): a count job over the materialized
+        expression."""
+        cols = ([self._to_expr(expression).col.alias("_nop")]
+                if expression is not None else [F.lit(1).alias("_nop")])
+        self._spark_df().select(*cols).write.format("noop").mode("overwrite").save()
+
+    def shallow_copy(self) -> "DataFrame":
+        return self._copy()
+
+    def to_copy(self, column_names=None) -> "DataFrame":
+        out = self._copy()
+        return out[column_names] if column_names is not None else out
+
+    @property
+    def values(self):
+        """dataframe.py:7246 — full 2-d numpy array (driver-side; small
+        frames only, like the reference's memory-copy warning)."""
+        return self.to_pandas_df().to_numpy()
+
+    def __array__(self, dtype=None):
+        arr = self.values
+        return arr.astype(dtype) if dtype is not None else arr
+
+    def validate_expression(self, expression) -> str:
+        """dataframe.py:3448 — raise if the expression doesn't resolve
+        against the schema; returns the expression text."""
+        text = expression if isinstance(expression, str) else str(expression)
+        # force analysis without running a job
+        self._spark_df().select(self._to_expr(expression).col.alias("_v")).schema
+        return text
+
+    def get_names(self, hidden: bool = False) -> list[str]:
+        """dataframe.py:4272 — column names + variable names."""
+        return self.get_column_names(hidden=hidden) + list(self.variables)
+
+    def add_column(self, name: str, data) -> None:
+        """dataframe.py:3238 — attach driver-side data as a new column.
+        Positionally zips via a row-id join; meant for small arrays
+        (the distributed path is a virtual column)."""
+        import pandas as pd
+        from .operators.rowid import with_row_id
+        pdf = pd.DataFrame({name: list(data)})
+        pdf["__rid"] = range(len(pdf))
+        col_df = self.session.createDataFrame(pdf)
+        base = with_row_id(self._base, "__rid")
+        self._base = (base.join(col_df, on="__rid", how="left").drop("__rid"))
+
+    def add_columns(self, names, columns) -> None:
+        for n, c in zip(names, columns):
+            self.add_column(n, c)
+
+    def add_variable(self, name: str, value, overwrite: bool = True) -> None:
+        if not overwrite and name in self.variables:
+            return
+        self.variables[name] = value
+
+    def delete_variable(self, name: str) -> None:
+        del self.variables[name]
+
+    def delete_virtual_column(self, name: str) -> None:
+        del self.virtual_columns[name]
+
+    def ordinal_encode(self, column, values=None, inplace: bool = False, lazy: bool = False):
+        """dataframe.py:5906 (deprecated in the reference in favour of
+        categorize — kept for API-compatible scripts)."""
+        df = self if inplace else self._copy()
+        return df.categorize(column, labels=values, inplace=True)
+
+    def byte_size(self, selection: bool = False, virtual: bool = False) -> int:
+        """dataframe.py:2216 — approximate in-memory size: schema fixed
+        widths; strings/arrays estimated via an avg-length aggregate."""
+        sdf = self._spark_df()
+        if selection:
+            sel = self._selection_col(True)
+            if sel is not None:
+                sdf = sdf.filter(sel)
+        fixed = {"bigint": 8, "double": 8, "int": 4, "float": 4, "smallint": 2,
+                 "tinyint": 1, "boolean": 1, "date": 4, "timestamp": 8,
+                 "timestamp_ntz": 8}
+        names = self.get_column_names(virtual=virtual)
+        per_row = 0
+        var_cols = []
+        for f in sdf.schema.fields:
+            if f.name not in names:
+                continue
+            t = f.dataType.simpleString()
+            if t in fixed:
+                per_row += fixed[t]
+            else:
+                var_cols.append(f.name)
+        n = sdf.count()
+        total = per_row * n
+        if var_cols and n:
+            aggs = [F.sum(F.coalesce(F.length(F.col(c).cast("string")), F.lit(0))).alias(c)
+                    for c in var_cols]
+            row = sdf.agg(*aggs).collect()[0]
+            total += sum(int(row[c] or 0) for c in var_cols)
+        return int(total)
+
+    @property
+    def nbytes(self) -> int:
+        return self.byte_size()
+
+    def as_arrow(self) -> "DataFrame":
+        """dataframe.py:6620 — layout conversion is Tungsten's concern;
+        the frame is returned as-is (Arrow is already the interchange
+        format for toPandas/pandas_udf)."""
+        return self
+
+    def as_numpy(self, strict: bool = False) -> "DataFrame":
+        return self
+
+    def compare(self, other, report_missing: bool = True,
+                report_difference: bool = False, show: int = 10,
+                orderby=None, column_names=None):
+        """dataframe.py:6587 — (missing, extra, different, meta) column
+        comparison; value differences found with a distributed
+        exceptAll on the shared columns."""
+        cols_self = set(self.get_column_names())
+        cols_other = set(other.get_column_names())
+        missing = sorted(cols_other - cols_self)
+        extra = sorted(cols_self - cols_other)
+        shared = sorted(cols_self & cols_other) if column_names is None else list(column_names)
+        different = []
+        for c in shared:
+            a = self._spark_df().select(F.col(c).cast("string").alias("v"))
+            b = other._spark_df().select(F.col(c).cast("string").alias("v"))
+            if a.exceptAll(b).limit(1).count() or b.exceptAll(a).limit(1).count():
+                different.append(c)
+        return missing, extra, different, []
+
     @property
     def geo(self):
         """Geo accessor (reference vaex-core/vaex/geo.py:7)."""
@@ -329,6 +511,89 @@ class DataFrame:
             self.selections[name] = Expression(self, old.col != expr.col)
         else:
             raise ValueError(mode)
+
+    def select_box(self, spaces, limits, mode: str = "replace", name: str = "default") -> None:
+        """dataframe.py:5156 — N-d box selection: AND of per-space
+        range predicates."""
+        cond = None
+        for space, (lo, hi) in zip(spaces, limits):
+            c = self._to_expr(space).col
+            term = (c >= F.lit(lo)) & (c < F.lit(hi))
+            cond = term if cond is None else (cond & term)
+        self.select(Expression(self, cond), mode=mode, name=name)
+
+    def select_rectangle(self, x, y, limits, mode: str = "replace", name: str = "default") -> None:
+        """dataframe.py:5142 — 2-d box."""
+        self.select_box([x, y], limits, mode=mode, name=name)
+
+    def select_circle(self, x, y, xc, yc, r, mode: str = "replace",
+                      name: str = "default", inclusive: bool = True) -> None:
+        """dataframe.py:5175."""
+        cx = self._to_expr(x).col - F.lit(xc)
+        cy = self._to_expr(y).col - F.lit(yc)
+        d2 = cx * cx + cy * cy
+        cond = (d2 <= F.lit(float(r) ** 2)) if inclusive else (d2 < F.lit(float(r) ** 2))
+        self.select(Expression(self, cond), mode=mode, name=name)
+
+    def select_ellipse(self, x, y, xc, yc, width, height, angle=0,
+                       mode: str = "replace", name: str = "default",
+                       radians: bool = False, inclusive: bool = True) -> None:
+        """dataframe.py:5201 — rotated ellipse (angle measured like the
+        reference: counter-clockwise, degrees unless radians=True)."""
+        alpha = float(angle) if radians else float(np.deg2rad(angle))
+        xr, yr = width / 2.0, height / 2.0
+        r = max(xr, yr)
+        a, b = xr / r, yr / r
+        dx = self._to_expr(x).col - F.lit(xc)
+        dy = self._to_expr(y).col - F.lit(yc)
+        u = dx * float(np.cos(alpha)) + dy * float(np.sin(alpha))
+        v = dx * float(np.sin(alpha)) - dy * float(np.cos(alpha))
+        q = (u * u) / float(a ** 2) + (v * v) / float(b ** 2)
+        cond = (q <= F.lit(r ** 2)) if inclusive else (q < F.lit(r ** 2))
+        self.select(Expression(self, cond), mode=mode, name=name)
+
+    def select_lasso(self, expression_x, expression_y, xsequence, ysequence,
+                     mode: str = "replace", name: str = "default", executor=None) -> None:
+        """dataframe.py:5244 — polygon (lasso) selection via the geo
+        accessor's point-in-polygon Column math."""
+        inside = self.geo.inside_polygon(expression_x, expression_y,
+                                         list(xsequence), list(ysequence))
+        self.select(inside, mode=mode, name=name)
+
+    def select_non_missing(self, drop_nan: bool = True, drop_masked: bool = True,
+                           column_names=None, mode: str = "replace",
+                           name: str = "default") -> None:
+        """dataframe.py:5061 — select rows with no NA in the given
+        columns (drop_nan -> NaN counts as NA; drop_masked -> null)."""
+        cond = None
+        for cname in (column_names or self.get_column_names()):
+            c = self._to_expr(cname).col
+            ok = F.lit(True)
+            if drop_masked:
+                ok = ok & c.isNotNull()
+            if drop_nan:
+                ok = ok & ~_safe_isnan(c)
+            cond = ok if cond is None else (cond & ok)
+        self.select(Expression(self, cond), mode=mode, name=name)
+
+    def get_selection(self, name: str = "default"):
+        return self.selections.get(name)
+
+    def set_selection(self, selection, name: str = "default") -> None:
+        self.select(selection, mode="replace", name=name)
+
+    def selected_length(self, selection: str = "default") -> int:
+        """dataframe.py:4341 — row count under a named selection."""
+        sel = self._selection_col(selection)
+        if sel is None:
+            return len(self)
+        return int(self._spark_df().filter(sel).count())
+
+    def selection_can_undo(self) -> bool:
+        return bool(self._selection_history)
+
+    def selection_can_redo(self) -> bool:
+        return bool(self._selection_redo)
 
     def select_nothing(self, name: str = "default") -> None:
         self._selection_history.append((name, self.selections.get(name)))
@@ -1164,6 +1429,14 @@ class DataFrame:
             self.to_pandas_df().to_csv(path, index=False)
         else:
             self._spark_df().write.mode("overwrite").option("header", True).csv(path)
+
+    def export_csv_arrow(self, path: str, **kw):
+        """dataframe.py:6895 — csv via the arrow writer."""
+        import pyarrow.csv as pacsv
+        pacsv.write_csv(self.to_arrow_table(), path)
+
+    def export_csv_pandas(self, path: str, **kw):
+        self.to_pandas_df().to_csv(path, index=False, **kw)
 
     def export_json(self, path: str, single_file: bool = True, **kw):
         if single_file:
