@@ -143,3 +143,36 @@ def test_searchsorted_numpy_parity(spark):
         got = [r[f"idx_{side}"] for r in df.spark.select(f"idx_{side}").collect()]
         want = np.searchsorted(bins, vals, side=side).tolist()
         assert got == want, (side, got, want)
+
+
+def test_expression_conversion_parity(spark):
+    import numpy as np
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[1.0, 2.0, 3.0], s=["a", "b", "c"], spark=spark)
+    e = df.x * 2
+    assert e.tolist() == [2.0, 4.0, 6.0]
+    assert e.to_pandas_series().tolist() == [2.0, 4.0, 6.0]
+    assert e.to_arrow().to_pylist() == [2.0, 4.0, 6.0]
+    np.testing.assert_allclose(e.values, [2.0, 4.0, 6.0])
+    assert df.s.is_string() and not df.x.is_string()
+    assert e.shape == (3,) and e.ndim == 1
+    assert e.data_type() == "double"
+    assert e.copy().tolist() == e.tolist()
+    assert e.jit_numba() is e  # Catalyst IS the JIT
+    e.nop()
+
+
+def test_expression_introspection(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[1.0], y=[2.0], spark=spark)
+    e = df["x + y * 2"]
+    assert e.expression == "x + y * 2"
+    assert e.ast_names() == ["x", "y"]
+    assert e.variables() == {"x", "y"}
+    assert e.dependencies() == e.variables()
+    assert e.transient
+    assert not df["x"].transient
+    df["v"] = df["x + y"]
+    assert df["v * 3"].variables() >= {"v"}
+    assert e.fingerprint().startswith("expression-")
+    assert e.expand() is e

@@ -358,7 +358,11 @@ class DataFrame:
     # ------------------------------------------------------------------
     def __getitem__(self, item):
         if isinstance(item, str):
-            return Expression(self, F.col(item), sql=item)
+            if item.isidentifier() or item in self.get_column_names(hidden=True):
+                return Expression(self, F.col(item), sql=item)
+            # expression string: df["x + y"] (reference dataframe.py:5402
+            # routes any string through the expression parser)
+            return Expression(self, item)
         if isinstance(item, Expression):  # boolean filter df[df.x > 0]
             return self.filter(item)
         if isinstance(item, (list, tuple)):  # projection

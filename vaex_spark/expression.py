@@ -327,6 +327,133 @@ class Expression:
     def to_numpy(self):
         return self.evaluate()
 
+    # -- conversion / introspection parity (expression.py:386-1500) ------
+    def tolist(self):
+        """expression.py:1047."""
+        return list(self.evaluate())
+
+    def to_pandas_series(self):
+        import pandas as pd
+        return pd.Series(self.evaluate())
+
+    def to_arrow(self, convert_to_native: bool = False):
+        import pyarrow as pa
+        return pa.Array.from_pandas(self.to_pandas_series())
+
+    @property
+    def values(self):
+        return self.evaluate()
+
+    def copy(self, df=None):
+        return Expression(df if df is not None else self.df, self.col, sql=self._sql)
+
+    @property
+    def expression(self) -> str:
+        """The expression text (reference expressions ARE strings; here
+        it is the original string when built from one, else the Column's
+        SQL rendering)."""
+        return self._sql if self._sql is not None else str(self.col)
+
+    def data_type(self):
+        return self.dtype
+
+    def is_string(self) -> bool:
+        return self.dtype == "string"
+
+    def is_masked(self) -> bool:
+        """Nullable-ness (Spark's analogue of numpy masking)."""
+        sdf = self.df._spark_df().select(self.col.alias("_v"))
+        return bool(sdf.schema[0].nullable)
+
+    @property
+    def masked(self) -> bool:
+        return self.is_masked()
+
+    @property
+    def ndim(self) -> int:
+        return 2 if self.dtype.startswith("array") else 1
+
+    @property
+    def shape(self) -> tuple:
+        return (len(self.df),)
+
+    def nop(self, progress=False, delay=False):
+        """expression.py:979 — evaluate and discard."""
+        return self.df.nop(self)
+
+    def fingerprint(self) -> str:
+        import hashlib
+        return "expression-" + hashlib.sha256(
+            (self.df.fingerprint() + "|" + self.expression).encode()).hexdigest()[:16]
+
+    def dependencies(self) -> list:
+        """expression.py:940 — referenced columns (+ variables)."""
+        return self.variables()
+
+    def variables(self, ourself=False, expand_virtual=True) -> set:
+        """Columns/variables this expression references, from Catalyst's
+        resolved references when available, else the parsed string."""
+        refs: set[str] = set()
+        try:
+            jexpr = self.col._jc.expr()
+            it = jexpr.references().iterator()
+            while it.hasNext():
+                refs.add(it.next().name())
+        except Exception:
+            if self._sql:
+                refs |= set(self.ast_names())
+        cols = set(self.df.get_column_names(hidden=True))
+        out = refs & cols if refs else refs
+        if expand_virtual:
+            for name in list(out):
+                v = self.df.virtual_columns.get(name)
+                if v is not None and getattr(v, "_sql", None):
+                    out |= v.variables()
+        return out
+
+    def ast_names(self) -> list:
+        """Names appearing in the expression string (expression.py:430)."""
+        import ast as _ast
+        if not self._sql:
+            return []
+        try:
+            tree = _ast.parse(self._sql, mode="eval")
+        except SyntaxError:
+            return []
+        return sorted({n.id for n in _ast.walk(tree) if isinstance(n, _ast.Name)})
+
+    def expand(self) -> "Expression":
+        """expression.py:916 — virtual columns are already inlined into
+        the Column tree at build time, so expansion is identity."""
+        return self
+
+    @property
+    def transient(self) -> bool:
+        """Reference: True when not backed by a stored column; here an
+        expression is transient unless it IS a plain column reference."""
+        return self.expression not in self.df.get_column_names(hidden=True)
+
+    @property
+    def str_pandas(self):
+        """Reference routes str_pandas through pandas Series.str; the
+        native str accessor is already vectorized here — same surface."""
+        return self.str
+
+    # JIT escape hatches: Catalyst whole-stage codegen is the JIT
+    # (SURVEY §2.9 maps jit_* to n/a); kept as no-op identities so
+    # API-compatible scripts run.
+    def jit_numba(self, verbose=False):
+        return self
+
+    def jit_cuda(self, verbose=False):
+        return self
+
+    def jit_pythran(self, verbose=False):
+        return self
+
+    def jit_metal(self, verbose=False):
+        return self
+
 
 def _safe_isnan(c: Column) -> Column:
     """F.isnan errors on non-numeric types; guard with a try at plan time
