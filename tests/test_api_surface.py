@@ -140,3 +140,41 @@ def test_export_csv_variants(tmp_path, spark):
     import pandas as pd
     assert pd.read_csv(p1)["x"].tolist() == [1, 2]
     assert pd.read_csv(p2)["y"].tolist() == ["a", "b"]
+
+
+def test_top_level_parity(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import vaex_spark as vs
+    # read_csv alias
+    p = tmp_path / "t.csv"
+    pd.DataFrame({"x": [1, 2]}).to_csv(p, index=False)
+    assert len(vs.read_csv(str(p), spark=spark)) == 2
+    # dtype helpers
+    df = vs.from_arrays(x=[1.0], spark=spark)
+    assert vs.dtype_of(df.x) == "double"
+    assert vs.dtype(np.int32) == "int"
+    # from_dataset round trips
+    assert vs.from_dataset(df) is df
+    assert len(vs.from_dataset(df.spark)) == 1
+    assert len(vs.from_dataset(pa.table({"a": [1, 2, 3]}), spark=spark)) == 3
+    # from_arrow_dataset over parquet files keeps the native reader
+    try:
+        import pyarrow.dataset as pads
+    except ImportError:
+        pads = None
+    if pads is not None:
+        ds = pads.dataset("/root/testdata/sf0.001/region.parquet")
+        assert len(vs.from_arrow_dataset(ds, spark=spark)) == 5
+    # accessor registration
+    @vs.register_dataframe_accessor("myacc", override=True)
+    class MyAcc:
+        def __init__(self, df):
+            self.df = df
+
+        def ncols(self):
+            return len(self.df.get_column_names())
+
+    assert df.myacc.ncols() == 1
+    vs.set_log_level_warning()
