@@ -212,3 +212,31 @@ def test_export_roundtrip(tmp_path, base_df, spark):
     base_df[["x", "y"]].export_csv(csv)
     back2 = vs.from_csv(csv, spark=spark)
     assert back2.count() == 21
+
+
+def test_groupby_iteration_and_get_group(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(k=["a", "b", "a", "c"], v=[1, 2, 3, 4], spark=spark)
+    g = df.groupby("k")
+    got = {key: sorted(r.v for r in sub.spark.collect()) for key, sub in g}
+    assert got == {"a": [1, 3], "b": [2], "c": [4]}
+    assert sorted(g.groups) == ["a", "b", "c"]
+    assert sorted(r.v for r in g.get_group("a").spark.collect()) == [1, 3]
+    # multi-key
+    df2 = vs.from_arrays(k1=["x", "x", "y"], k2=[1, 2, 1], v=[10, 20, 30], spark=spark)
+    g2 = df2.groupby(["k1", "k2"])
+    assert [r.v for r in g2.get_group(["x", 2]).spark.collect()] == [20]
+    keys = set(g2.groups)
+    assert keys == {("x", 1), ("x", 2), ("y", 1)}
+
+
+def test_groupby_describe(spark):
+    import numpy as np
+    import vaex_spark as vs
+    df = vs.from_arrays(k=["a", "a", "b"], v=[1.0, 3.0, 5.0], spark=spark)
+    out = df.groupby("k", sort=True).describe("v").to_pandas_df()
+    assert list(out["v_count"]) == [2, 1]
+    assert list(out["v_count_na"]) == [0, 0]
+    np.testing.assert_allclose(out["v_mean"], [2.0, 5.0])
+    np.testing.assert_allclose(out["v_min"], [1.0, 5.0])
+    np.testing.assert_allclose(out["v_max"], [3.0, 5.0])

@@ -281,6 +281,56 @@ class GroupBy:
         out.variables = dict(self.df.variables)
         return out
 
+    def __iter__(self):
+        """groupby.py:733 — yield (group_key, DataFrame) pairs.  Keys
+        are collected to the driver (group-count-sized, same envelope
+        as the reference which materializes every group)."""
+        key_cols, key_names = self._key_columns()
+        keys_df = self.df._spark_df().select(*key_cols).distinct()
+        if self.sort:
+            keys_df = keys_df.orderBy(*[F.col(k).asc_nulls_last() for k in key_names])
+        for row in keys_df.collect():
+            key = tuple(row[k] for k in key_names)
+            yield (key if len(key) > 1 else key[0]), self.get_group(list(key))
+
+    @property
+    def groups(self):
+        """groupby.py:748 — iterate group keys."""
+        for group, _df in self:
+            yield group
+
+    def get_group(self, group):
+        """groupby.py:752 — DataFrame holding a single group."""
+        from .expression import Expression
+        values = group if isinstance(group, (list, tuple)) else [group]
+        key_cols, key_names = self._key_columns()
+        cond = None
+        for col, v in zip(key_cols, values):
+            term = col == F.lit(v)
+            cond = term if cond is None else (cond & term)
+        return self.df.filter(Expression(self.df, cond))
+
+    def describe(self, expression=None):
+        """groupby.py:987 — per-group summary statistics columns
+        (<e>_count, <e>_count_na, <e>_mean, <e>_std, <e>_min, <e>_max)."""
+        from .expression import _safe_isnan
+        if expression is None:
+            keys = {str(b) for b in self.by if isinstance(b, str)}
+            expression = [c for c in self.df.get_column_names()
+                          if c not in keys and not self.df.data_type(c).startswith(
+                              ("string", "timestamp", "array", "struct"))]
+        exprs = [expression] if isinstance(expression, str) else list(expression)
+        spec = {}
+        for e in exprs:
+            c = self.df._to_expr(e).col
+            spec[f"{e}_count"] = vagg.count(e)
+            spec[f"{e}_count_na"] = F.count(F.when(c.isNull() | _safe_isnan(c), 1))
+            spec[f"{e}_mean"] = vagg.mean(e)
+            spec[f"{e}_std"] = vagg.std(e)
+            spec[f"{e}_min"] = vagg.min(e)
+            spec[f"{e}_max"] = vagg.max(e)
+        return self.agg(spec)
+
     # vaex also exposes direct shortcuts
     def count(self):
         return self.agg("count")
