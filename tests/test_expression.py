@@ -176,3 +176,23 @@ def test_expression_introspection(spark):
     assert df["v * 3"].variables() >= {"v"}
     assert e.fingerprint().startswith("expression-")
     assert e.expand() is e
+
+
+def test_ufunc_completeness(spark):
+    """Every function in the reference's numpy_function_mapping
+    (functions.py:53-85) resolves and matches numpy."""
+    import numpy as np
+    import vaex_spark as vs
+    x = [0.1, 0.5, 0.9]
+    df = vs.from_arrays(x=x, spark=spark)
+    cases = {
+        "sinc(x)": np.sinc(x),
+        "deg2rad(x)": np.deg2rad(x),
+        "rad2deg(x)": np.rad2deg(x),
+        "arccosh(x + 1)": np.arccosh(np.array(x) + 1),
+        "expm1(x)": np.expm1(x),
+        "maximum(x, 0.4)": np.maximum(x, 0.4),
+        "minimum(x, 0.4)": np.minimum(x, 0.4),
+    }
+    for expr, want in cases.items():
+        np.testing.assert_allclose(df[expr].tolist(), want, atol=1e-12, err_msg=expr)

@@ -79,6 +79,12 @@ registry.register("isfinite", lambda x: ~(F.isnan(_c(x).cast("double")) | (F.abs
 registry.register("isinf", lambda x: F.abs(_c(x).cast("double")) == float("inf"))
 registry.register("power", lambda a, b: F.pow(_c(a), _c(b)))
 registry.register("pi", lambda: F.lit(math.pi))
+registry.register("deg2rad", lambda x: F.radians(_c(x)))
+registry.register("rad2deg", lambda x: F.degrees(_c(x)))
+# normalized sinc: sin(pi x)/(pi x), 1 at x=0 (numpy semantics)
+registry.register("sinc", lambda x: F.when(
+    _c(x) == 0, F.lit(1.0)).otherwise(
+    F.sin(F.lit(math.pi) * _c(x)) / (F.lit(math.pi) * _c(x))))
 
 
 @register_function()
