@@ -105,7 +105,7 @@ class StringAccessor:
         return self._w(F.upper(self.expr.col))
 
     def title(self):
-        return self._w(F.initcap(self.expr.col))
+        return self._w(str_title(self.expr.col))
 
     def strip(self, to_strip=None):
         return self._w(F.trim(self.expr.col) if to_strip is None else F.btrim(self.expr.col, F.lit(to_strip)))
@@ -193,6 +193,17 @@ def str_center(c: Column, width: int, fillchar: str = " ") -> Column:
     return F.when(F.length(c) >= width, c).otherwise(out)
 
 
+def str_title(c: Column) -> Column:
+    """Python str.title semantics (a letter is uppercased when the
+    previous char is not a letter) — initcap only splits on spaces.
+    Per-char transform over the split array; stays in codegen."""
+    chars = F.split(F.lower(c), "")
+    titled = F.transform(chars, lambda ch, i: F.when(
+        (i == 0) | ~F.element_at(chars, i).rlike(r"\p{L}"),
+        F.upper(ch)).otherwise(ch))
+    return F.array_join(titled, "")
+
+
 def str_rfind(c: Column, sub: str) -> Column:
     # last index of sub (0-based, -1 if absent): search in reversed string
     rev_pos = F.locate(sub[::-1], F.reverse(c))
@@ -204,7 +215,7 @@ def str_rfind(c: Column, sub: str) -> Column:
 _FLAT = {
     "lower": lambda x: F.lower(_c(x)),
     "upper": lambda x: F.upper(_c(x)),
-    "title": lambda x: F.initcap(_c(x)),
+    "title": lambda x: str_title(_c(x)),
     "len": lambda x: F.length(_c(x)),
     "byte_length": lambda x: F.octet_length(_c(x)),
     "strip": lambda x, t=None: F.trim(_c(x)) if t is None else F.btrim(_c(x), F.lit(t)),
