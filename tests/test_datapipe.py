@@ -199,3 +199,68 @@ def test_connected_components_and_cc_dedup(spark, docs):
     dup_nodes = {r.id for r in comp2}
     reps = {r.comp for r in comp2}
     assert n_kept == n_docs - len(dup_nodes) + len(reps)
+
+
+def test_stream_static_join(spark, tmp_path):
+    import shutil
+    import vaex_spark as vs
+    from vaex_spark import streaming as st
+    src = tmp_path / "src3"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", str(src / "events.parquet"))
+    s = st.open_stream(str(src), spark=spark)
+    dim = spark.createDataFrame(
+        [(t,) for t in ["click", "view", "purchase"]], ["event_type"]
+    ).withColumn("is_tracked", __import__("pyspark").sql.functions.lit(True))
+    joined = st.stream_static_join(s, dim, on="event_type", how="left")
+    st.run_to_memory(joined.select("event_type", "is_tracked"), "t_join",
+                     output_mode="append")
+    rows = spark.sql(
+        "select count(*) as n, count(is_tracked) as tracked from t_join").collect()[0]
+    assert rows.n == 1000
+    batch = vs.open("/root/testdata/sf0.001/events.parquet", spark=spark)
+    want = len(batch[batch.event_type.isin(["click", "view", "purchase"])])
+    assert rows.tracked == want
+
+
+def test_run_foreach_batch(spark, tmp_path):
+    import shutil
+    from vaex_spark import streaming as st
+    src = tmp_path / "src4"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", str(src / "events.parquet"))
+    s = st.open_stream(str(src), spark=spark)
+    seen = {}
+
+    def sink(batch_df, batch_id):
+        seen[batch_id] = batch_df.count()
+
+    st.run_foreach_batch(s._spark_df() if hasattr(s, "_spark_df") else s, sink,
+                         checkpoint=str(tmp_path / "ckpt4"))
+    assert sum(seen.values()) == 1000
+
+
+def test_stream_stream_join(spark, tmp_path):
+    import shutil
+    from pyspark.sql import functions as F
+    from vaex_spark import streaming as st
+    src_a = tmp_path / "ssj_a"
+    src_b = tmp_path / "ssj_b"
+    for d in (src_a, src_b):
+        d.mkdir()
+        shutil.copy("/root/testdata/sf0.001/events.parquet", str(d / "events.parquet"))
+    a = st.open_stream(str(src_a), spark=spark)._spark_df()
+    b = st.open_stream(str(src_b), spark=spark)._spark_df()
+    a = a.select(F.col("event_id"), F.col("ts").alias("ts_a"),
+                 F.col("value").alias("value_a"))
+    b = b.select(F.col("event_id").alias("event_id_b"), F.col("ts").alias("ts_b"),
+                 F.col("value").alias("value_b"))
+    joined = st.stream_stream_join(
+        a, b, on=a["event_id"] == b["event_id_b"],
+        left_time="ts_a", right_time="ts_b",
+        left_delay="1 hour", right_delay="1 hour",
+        condition=(b["ts_b"] >= a["ts_a"]) & (b["ts_b"] <= a["ts_a"] + F.expr("interval 1 hour")))
+    st.run_to_memory(joined.select("event_id", "value_a", "value_b"),
+                     "t_ssj", output_mode="append")
+    rows = spark.sql("select count(*) n from t_ssj").collect()[0]
+    assert rows.n == 1000  # self-join on unique id, ts condition trivially true

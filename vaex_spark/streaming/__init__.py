@@ -201,3 +201,51 @@ def run_to_memory(stream_sdf: SparkDataFrame, name: str, output_mode: str = "com
          .start())
     q.awaitTermination()
     return q
+
+
+def stream_static_join(stream_df, static_df, on, how: str = "inner") -> SparkDataFrame:
+    """Enrich a stream against a static dimension table (Spark planner
+    broadcasts the static side per micro-batch; no state store needed).
+    stream-static inner/left joins are supported natively by Structured
+    Streaming — the static side is re-read each batch, so catalog/delta
+    dims pick up updates.  Returns a streaming Spark DataFrame ready
+    for a run_* sink, like the other streaming transforms here."""
+    from ..dataframe import DataFrame as VDF
+    stream_sdf = stream_df._spark_df() if isinstance(stream_df, VDF) else stream_df
+    static_sdf = static_df._spark_df() if isinstance(static_df, VDF) else static_df
+    return stream_sdf.join(static_sdf, on=on, how=how)
+
+
+def stream_stream_join(left, right, on,
+                       left_time: str, right_time: str,
+                       left_delay: str, right_delay: str,
+                       condition=None, how: str = "inner") -> SparkDataFrame:
+    """Stream-stream join with watermarks on both sides so the state
+    store stays bounded (Spark buffers each side only within its
+    watermark horizon).  ``condition`` adds the event-time range
+    predicate that lets Spark evict state (without it an inner join
+    buffers forever)."""
+    from ..dataframe import DataFrame as VDF
+    lsdf = left._spark_df() if isinstance(left, VDF) else left
+    rsdf = right._spark_df() if isinstance(right, VDF) else right
+    lsdf = lsdf.withWatermark(left_time, left_delay)
+    rsdf = rsdf.withWatermark(right_time, right_delay)
+    join_cond = (lsdf[on] == rsdf[on]) if isinstance(on, str) else on
+    if condition is not None:
+        join_cond = join_cond & condition
+    return lsdf.join(rsdf, on=join_cond, how=how)
+
+
+def run_foreach_batch(stream_sdf: SparkDataFrame, fn, checkpoint: str,
+                      trigger_available_now: bool = True):
+    """foreachBatch sink: fn(batch_df, batch_id) runs per micro-batch
+    with a normal (batch) DataFrame — the escape hatch for sinks Spark
+    lacks (JDBC upserts, multi-sink fanout).  Exactly-once comes from
+    the checkpoint's batch-id tracking as long as fn is idempotent per
+    batch_id."""
+    writer = stream_sdf.writeStream.foreachBatch(fn).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()
+    return q
