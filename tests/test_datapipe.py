@@ -264,3 +264,16 @@ def test_stream_stream_join(spark, tmp_path):
                      "t_ssj", output_mode="append")
     rows = spark.sql("select count(*) n from t_ssj").collect()[0]
     assert rows.n == 1000  # self-join on unique id, ts condition trivially true
+
+
+def test_audio_features(spark):
+    from vaex_spark.datapipe import multimodal as mm
+    t = mm.make_fake_audio_table(spark, n=12)
+    feats = mm.audio_features(t)
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert all(len(r["features"]) == 6 for r in rows)
+    # deterministic + binary payload not in output schema
+    assert "audio" not in feats.columns
+    rows2 = mm.audio_features(t).collect()
+    assert [r["features"] for r in rows] == [r["features"] for r in rows2]
