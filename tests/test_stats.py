@@ -140,3 +140,30 @@ def test_skew_kurtosis(base_df):
     kurt = ((X - mu) ** 4).mean() / sd ** 4 - 3
     np.testing.assert_allclose(base_df.skew("x"), skew, rtol=1e-6)
     np.testing.assert_allclose(base_df.kurtosis("x"), kurt, rtol=1e-6)
+
+
+def test_result_cache(spark, lineitem):
+    import uuid
+    import vaex_spark as vs
+    from vaex_spark import cache as vc
+    assert not vc.is_on()
+    group = f"cache-{uuid.uuid4().hex[:8]}"
+    sc = spark.sparkContext
+    with vc.memory_infinite(clear=True):
+        assert vc.is_on()
+        first = lineitem.sum("l_quantity")
+        sc.setJobGroup(group, "probe")
+        second = lineitem.sum("l_quantity")  # must be a cache hit: no job
+        sc.setJobGroup(None, None)
+        assert second == first
+        assert len(sc.statusTracker().getJobIdsForGroup(group)) == 0
+        # different aggregate or different frame -> different key
+        assert lineitem.mean("l_quantity") != first
+        flt = lineitem[lineitem.l_quantity > 25]
+        assert flt.sum("l_quantity") != first
+    assert not vc.is_on()  # context manager restored
+    vc.memory(maxsize=2)
+    vc.set("k", 1)
+    assert vc.get("k") == 1
+    vc.off()
+    assert vc.get("k", default="gone") == "gone"

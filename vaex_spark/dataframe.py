@@ -927,9 +927,19 @@ class DataFrame:
                 cols.append(made.alias(f"_r{i}"))
             if delay:
                 return self.executor.schedule(cols, unwrap=len(selections) == 1)
+            from . import cache as _cache
+            key = None
+            if _cache.is_on():
+                key = _cache.fingerprint(self.fingerprint(), [str(c) for c in cols])
+                hit = _cache.get(key, default=_cache)
+                if hit is not _cache:
+                    return hit
             row = self._spark_df().agg(*cols).collect()[0]
             vals = [row[f"_r{i}"] for i in range(len(selections))]
-            return vals[0] if not isinstance(selection, (list, tuple)) else np.array(vals)
+            out = vals[0] if not isinstance(selection, (list, tuple)) else np.array(vals)
+            if key is not None:
+                _cache.set(key, out)
+            return out
         from .operators.binby import grid_agg
         return grid_agg(self, make_agg, expression, binby, shape, limits,
                         selections, edges=edges,
