@@ -196,3 +196,38 @@ def test_ufunc_completeness(spark):
     }
     for expr, want in cases.items():
         np.testing.assert_allclose(df[expr].tolist(), want, atol=1e-12, err_msg=expr)
+
+
+def test_derivative(spark):
+    import numpy as np
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[1.0, 2.0], y=[3.0, 4.0], spark=spark)
+    d = df["x**2 * y + log(x)"].derivative("x")
+    np.testing.assert_allclose(d.tolist(), [2 * 1 * 3 + 1, 2 * 2 * 4 + 0.5])
+    d2 = (df.x * df.y + df.x ** 3).derivative(df.x)
+    np.testing.assert_allclose(d2.tolist(), [3 + 3, 4 + 12])
+    d3 = df["sin(x)"].derivative("x")
+    np.testing.assert_allclose(d3.tolist(), np.cos([1.0, 2.0]))
+
+
+def test_propagate_uncertainties(spark):
+    """Reference docstring example (dataframe.py:3650): u = x + y with
+    independent errors -> u_uncertainty = sqrt(e_x^2 + e_y^2)."""
+    import numpy as np
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[1.0], y=[2.0], e_x=[0.1], e_y=[0.2], spark=spark)
+    df["u"] = df.x + df.y
+    df["v"] = df["log10(x + 1)"]
+    df.propagate_uncertainties([df["u"], df["v"]])
+    np.testing.assert_allclose(df["u_uncertainty"].tolist(),
+                               [np.sqrt(0.1 ** 2 + 0.2 ** 2)])
+    # d(log10(x+1))/dx = 1/((x+1) ln 10)
+    np.testing.assert_allclose(df["v_uncertainty"].tolist(),
+                               [0.1 / (2 * np.log(10))])
+    # correlated pair via correlation column
+    df2 = vs.from_arrays(a=[1.0], b=[2.0], e_a=[0.1], e_b=[0.2],
+                         a_b_correlation=[0.5], spark=spark)
+    df2["s"] = df2.a + df2.b
+    df2.propagate_uncertainties([df2["s"]])
+    want = np.sqrt(0.1 ** 2 + 0.2 ** 2 + 2 * 0.5 * 0.1 * 0.2)
+    np.testing.assert_allclose(df2["s_uncertainty"].tolist(), [want])

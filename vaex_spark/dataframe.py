@@ -275,6 +275,92 @@ class DataFrame:
     def as_numpy(self, strict: bool = False) -> "DataFrame":
         return self
 
+    def propagate_uncertainties(self, columns, depending_variables=None,
+                                cov_matrix: str = "auto",
+                                covariance_format: str = "{}_{}_covariance",
+                                uncertainty_format: str = "{}_uncertainty") -> None:
+        """dataframe.py:3650 — first-order (Jacobian) uncertainty
+        propagation for virtual columns: adds <name>_uncertainty (and
+        pairwise _covariance) virtual columns built from symbolic
+        derivatives.  Per-variable uncertainties are guessed from
+        columns named e_<x>/<x>_error/... exactly like the reference."""
+        from .expression import Expression as _E
+        names = [c if isinstance(c, str) else c.expression for c in columns]
+        fs = []
+        for name in names:
+            v = self.virtual_columns.get(name)
+            if v is None:
+                raise ValueError(f"{name!r} is not a virtual column")
+            if v._sql is None:
+                raise ValueError(
+                    f"virtual column {name!r} has no expression text; define it "
+                    "from a string or arithmetic operators to propagate uncertainties")
+            fs.append(v)
+        if depending_variables is None:
+            deps: set[str] = set()
+            for f in fs:
+                deps |= f.variables()
+            depending_variables = sorted(deps)
+        depending_variables = [d if isinstance(d, str) else d.expression
+                               for d in depending_variables]
+        jac = [[f.derivative(v).expression for v in depending_variables] for f in fs]
+        cov = self._covariance_matrix_guess(depending_variables, full=cov_matrix == "full")
+        m, n = len(fs), len(depending_variables)
+        for i in range(m):
+            for j in range(i + 1):
+                terms = []
+                for k in range(n):
+                    for ll in range(n):
+                        if jac[i][k] == "0" or jac[j][ll] == "0" or cov[k][ll] == "0":
+                            continue
+                        terms.append(f"({jac[i][k]}) * ({cov[k][ll]}) * ({jac[j][ll]})")
+                sigma = " + ".join(terms) if terms else "0"
+                if i != j:
+                    self.add_virtual_column(
+                        covariance_format.format(names[i], names[j]), _E(self, sigma))
+                else:
+                    self.add_virtual_column(
+                        uncertainty_format.format(names[i]), _E(self, f"sqrt({sigma})"))
+
+    def _covariance_matrix_guess(self, columns: list[str], full: bool = False) -> list[list[str]]:
+        """dataframe.py:3598 — guess per-variable uncertainty /
+        covariance column names by the reference's naming conventions."""
+        all_names = self.get_column_names()
+
+        def _guess(x, y):
+            if x == y:
+                for postfix in ["_error", "_uncertainty", "e", "_e"]:
+                    if x + postfix in all_names:
+                        return x + postfix
+                for prefix in ["e", "e_"]:
+                    if prefix + x in all_names:
+                        return prefix + x
+                if full:
+                    raise ValueError(f"No uncertainty found for {x!r}")
+            else:
+                for postfix in ["_cov", "_covariance"]:
+                    for a, b in ((x, y), (y, x)):
+                        if f"{a}_{b}{postfix}" in all_names:
+                            return f"{a}_{b}{postfix}"
+                for postfix in ["_correlation", "_corr"]:
+                    for a, b in ((x, y), (y, x)):
+                        if f"{a}_{b}{postfix}" in all_names:
+                            return f"{a}_{b}{postfix} * {_guess(a, a)} * {_guess(b, b)}"
+                if full:
+                    raise ValueError(f"No covariance or correlation found for {x!r} and {y!r}")
+            return "0"
+
+        out = []
+        for i, x in enumerate(columns):
+            row = []
+            for j, y in enumerate(columns):
+                c = _guess(x, y)
+                if i == j and c != "0":
+                    c = f"({c})**2"
+                row.append(c)
+            out.append(row)
+        return out
+
     def compare(self, other, report_missing: bool = True,
                 report_difference: bool = False, show: int = 10,
                 orderby=None, column_names=None):

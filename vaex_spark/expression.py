@@ -64,15 +64,33 @@ class Expression:
         only — no job runs)."""
         return self.df.data_type(self)
 
+    def _text_of(self, o) -> str | None:
+        """Expression text of an operand when available (literals render
+        as repr) — keeps the vaex string form alive through operator
+        algebra so symbolic tools (derivative/propagate_uncertainties)
+        work on operator-built expressions too."""
+        if isinstance(o, Expression):
+            return o._sql
+        if isinstance(o, (int, float)) and not isinstance(o, bool):
+            return repr(o)
+        return None
+
+    def _wrap2(self, col: Column, op: str, o, reflected: bool = False) -> "Expression":
+        a, b = self._sql, self._text_of(o)
+        if reflected:
+            a, b = b, a
+        sql = f"({a} {op} {b})" if a is not None and b is not None else None
+        return Expression(self.df, col, sql=sql)
+
     # -- binary arithmetic (expression.py:53-91) -------------------------
-    def __add__(self, o): return self._wrap(self.col + _col(o))
-    def __radd__(self, o): return self._wrap(_col(o) + self.col)
-    def __sub__(self, o): return self._wrap(self.col - _col(o))
-    def __rsub__(self, o): return self._wrap(_col(o) - self.col)
-    def __mul__(self, o): return self._wrap(self.col * _col(o))
-    def __rmul__(self, o): return self._wrap(_col(o) * self.col)
-    def __truediv__(self, o): return self._wrap(self.col / _col(o))
-    def __rtruediv__(self, o): return self._wrap(_col(o) / self.col)
+    def __add__(self, o): return self._wrap2(self.col + _col(o), "+", o)
+    def __radd__(self, o): return self._wrap2(_col(o) + self.col, "+", o, reflected=True)
+    def __sub__(self, o): return self._wrap2(self.col - _col(o), "-", o)
+    def __rsub__(self, o): return self._wrap2(_col(o) - self.col, "-", o, reflected=True)
+    def __mul__(self, o): return self._wrap2(self.col * _col(o), "*", o)
+    def __rmul__(self, o): return self._wrap2(_col(o) * self.col, "*", o, reflected=True)
+    def __truediv__(self, o): return self._wrap2(self.col / _col(o), "/", o)
+    def __rtruediv__(self, o): return self._wrap2(_col(o) / self.col, "/", o, reflected=True)
 
     def __floordiv__(self, o):
         return self._wrap(F.floor(self.col / _col(o)))
@@ -84,12 +102,14 @@ class Expression:
     def __rmod__(self, o): return self._wrap(_col(o) % self.col)
 
     def __pow__(self, o):
-        return self._wrap(F.pow(self.col, _col(o)))
+        return self._wrap2(F.pow(self.col, _col(o)), "**", o)
 
     def __rpow__(self, o):
-        return self._wrap(F.pow(_col(o), self.col))
+        return self._wrap2(F.pow(_col(o), self.col), "**", o, reflected=True)
 
-    def __neg__(self): return self._wrap(-self.col)
+    def __neg__(self):
+        return Expression(self.df, -self.col,
+                          sql=f"(-{self._sql})" if self._sql else None)
     def __pos__(self): return self
 
     def __abs__(self): return self._wrap(F.abs(self.col))
@@ -439,6 +459,19 @@ class Expression:
         native str accessor is already vectorized here — same surface."""
         return self.str
 
+    def derivative(self, var, simplify: bool = True) -> "Expression":
+        """Symbolic partial derivative d(self)/d(var) as a new
+        expression (reference expression.py:1046, via expresso; here
+        via sympy on the kept expression text, recompiled through the
+        string front-end so the result is a Catalyst Column again)."""
+        text = self._sql
+        if text is None:
+            raise ValueError(
+                "derivative needs the expression text; build the expression "
+                "from a string (df['x + y']) or arithmetic operators")
+        var = var if isinstance(var, str) else var.expression
+        return Expression(self.df, _sympy_diff(text, var, simplify=simplify))
+
     # JIT escape hatches: Catalyst whole-stage codegen is the JIT
     # (SURVEY §2.9 maps jit_* to n/a); kept as no-op identities so
     # API-compatible scripts run.
@@ -462,3 +495,41 @@ def _safe_isnan(c: Column) -> Column:
     null-safe wrapper: isnan(cast) on numeric, false otherwise is decided
     by Catalyst's type coercion (isnan(string) casts -> double)."""
     return F.isnan(c.cast("double")) & c.isNotNull()
+
+
+def _sympy_diff(text: str, var: str, simplify: bool = True) -> str:
+    """Differentiate a python-syntax expression string with sympy and
+    render back to a string our expresso compiler accepts."""
+    import re
+    import sympy
+
+    import ast as _ast
+    names = sorted({n.id for n in _ast.walk(_ast.parse(text, mode="eval"))
+                    if isinstance(n, _ast.Name)})
+    fn_map = {
+        "sin": sympy.sin, "cos": sympy.cos, "tan": sympy.tan,
+        "arcsin": sympy.asin, "arccos": sympy.acos, "arctan": sympy.atan,
+        "arctan2": sympy.atan2, "sinh": sympy.sinh, "cosh": sympy.cosh,
+        "tanh": sympy.tanh, "arcsinh": sympy.asinh, "arccosh": sympy.acosh,
+        "arctanh": sympy.atanh, "exp": sympy.exp, "log": sympy.log,
+        "log10": lambda x: sympy.log(x) / sympy.log(10),
+        "log2": lambda x: sympy.log(x) / sympy.log(2),
+        "log1p": lambda x: sympy.log(1 + x),
+        "expm1": lambda x: sympy.exp(x) - 1,
+        "sqrt": sympy.sqrt, "abs": sympy.Abs,
+    }
+    local = dict(fn_map)
+    for n in names:
+        if n not in local:
+            local[n] = sympy.Symbol(n)
+    expr = sympy.sympify(text, locals=local)
+    d = sympy.diff(expr, local[var] if var in local else sympy.Symbol(var))
+    if simplify:
+        d = sympy.cancel(d) if d.is_rational_function() else sympy.simplify(d)
+    out = sympy.printing.sstr(d)
+    # sympy name -> our registry name
+    for s, r in [("atan2", "arctan2"), ("asinh", "arcsinh"), ("acosh", "arccosh"),
+                 ("atanh", "arctanh"), ("asin", "arcsin"), ("acos", "arccos"),
+                 ("atan", "arctan"), ("Abs", "abs"), ("sign", "sign")]:
+        out = re.sub(rf"\b{s}\(", f"{r}(", out)
+    return out
