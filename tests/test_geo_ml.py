@@ -287,3 +287,20 @@ def test_pca_incremental_alias(spark):
     p1 = ml.PCA(["a", "b"]).fit_transform(df)
     p2 = ml.PCAIncremental(["a", "b"], batch_size=10).fit_transform(df)
     np.testing.assert_allclose(_np(p1, "PCA_0"), _np(p2, "PCA_0"))
+
+
+def test_add_virtual_columns_wrappers(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[1.0, 0.0], y=[0.0, 2.0], spark=spark)
+    df.add_virtual_columns_cartesian_to_polar()
+    np.testing.assert_allclose(_np(df, "r_polar"), [1.0, 2.0])
+    df.add_virtual_columns_rotation("x", "y", "xr", "yr", 90.0)
+    np.testing.assert_allclose(_np(df, "xr"), [0.0, -2.0], atol=1e-12)
+    df2 = vs.from_arrays(alpha=[0.0], delta=[0.0], dist=[2.0], spark=spark)
+    df2.add_virtual_columns_spherical_to_cartesian("alpha", "delta", "dist")
+    np.testing.assert_allclose(_np(df2, "x"), [2.0])
+    df2.add_virtual_columns_cartesian_to_spherical()
+    np.testing.assert_allclose(_np(df2, "distance"), [2.0])
+    df3 = vs.from_arrays(alpha=[0.3], delta=[0.2], spark=spark)
+    df3.add_virtual_columns_aitoff("alpha", "delta")
+    assert "x_aitoff" in df3.get_column_names()

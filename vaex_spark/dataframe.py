@@ -275,6 +275,60 @@ class DataFrame:
     def as_numpy(self, strict: bool = False) -> "DataFrame":
         return self
 
+    # -- add_virtual_columns_* family (deprecated-but-public wrappers the
+    # reference keeps for astro scripts; dataframe.py:3715-4120) — thin
+    # inplace delegates onto the geo accessor's Column math.
+    def add_virtual_columns_cartesian_to_polar(self, x="x", y="y",
+                                               radius_out="r_polar",
+                                               azimuth_out="phi_polar",
+                                               radians: bool = False) -> None:
+        self.geo.cartesian_to_polar(x=x, y=y, radius_out=radius_out,
+                                    azimuth_out=azimuth_out, radians=radians,
+                                    inplace=True)
+
+    def add_virtual_columns_spherical_to_cartesian(self, alpha, delta, distance,
+                                                   xname="x", yname="y", zname="z",
+                                                   radians: bool = False, **kw) -> None:
+        self.geo.spherical2cartesian(alpha, delta, distance, xname=xname,
+                                     yname=yname, zname=zname, radians=radians,
+                                     inplace=True)
+
+    def add_virtual_columns_cartesian_to_spherical(self, x="x", y="y", z="z",
+                                                   alpha="l", delta="b",
+                                                   distance="distance",
+                                                   radians: bool = False, **kw) -> None:
+        self.geo.cartesian2spherical(x=x, y=y, z=z, alpha=alpha, delta=delta,
+                                     distance=distance, radians=radians,
+                                     inplace=True)
+
+    def add_virtual_columns_cartesian_velocities_to_polar(
+            self, x="x", y="y", vx="vx", vy="vy",
+            vr_out="vr_polar", vazimuth_out="vphi_polar", **kw) -> None:
+        self.geo.velocity_cartesian2polar(x=x, y=y, vx=vx, vy=vy,
+                                          vr_out=vr_out, vazimuth_out=vazimuth_out,
+                                          inplace=True)
+
+    def add_virtual_columns_polar_velocities_to_cartesian(
+            self, x="x", y="y", azimuth=None, vr="vr_polar",
+            vazimuth="vphi_polar", vx_out="vx", vy_out="vy") -> None:
+        self.geo.velocity_polar2cartesian(x=x, y=y, azimuth=azimuth, vr=vr,
+                                          vazimuth=vazimuth, vx_out=vx_out,
+                                          vy_out=vy_out, inplace=True)
+
+    def add_virtual_columns_rotation(self, x, y, xnew, ynew, angle_degrees) -> None:
+        self.geo.rotation_2d(x, y, xnew, ynew, angle_degrees, inplace=True)
+
+    def add_virtual_columns_aitoff(self, alpha, delta, x="x_aitoff",
+                                   y="y_aitoff", radians: bool = True) -> None:
+        self.geo.project_aitoff(alpha, delta, x=x, y=y, radians=radians,
+                                inplace=True)
+
+    def add_virtual_columns_projection_gnomic(self, alpha, delta, alpha0=0.0,
+                                              delta0=0.0, x="x", y="y",
+                                              **kw) -> None:
+        self.geo.project_gnomic(alpha, delta, alpha0=alpha0, delta0=delta0,
+                                x=x, y=y, inplace=True)
+
     def propagate_uncertainties(self, columns, depending_variables=None,
                                 cov_matrix: str = "auto",
                                 covariance_format: str = "{}_{}_covariance",
