@@ -178,3 +178,14 @@ def test_top_level_parity(spark, tmp_path):
 
     assert df.myacc.ncols() == 1
     vs.set_log_level_warning()
+
+
+def test_info_echo_print(xy, capsys):
+    text = xy.info()
+    assert "x: double" in text and "5 rows" in text
+    assert xy.echo(42) == 42
+    xy["v"] = xy.x + 1
+    assert "(virtual)" in xy.info(description=False)
+    xy.head_and_tail_print(2)
+    out = capsys.readouterr().out
+    assert "..." in out

@@ -544,6 +544,45 @@ class DataFrame:
         cols = ", ".join(self.get_column_names()[:12])
         return f"<vaex_spark.DataFrame [{cols}]>"
 
+    def echo(self, arg):
+        """dataframe.py:6203."""
+        return arg
+
+    def info(self, description: bool = True) -> str:
+        """dataframe.py:3902 — plain-text summary: shape, column types,
+        virtual columns, variables, active selection."""
+        lines = [f"vaex_spark.DataFrame — {len(self):,} rows"]
+        lines.append("columns:")
+        for name, t in self.schema.items():
+            mark = " (virtual)" if name in self.virtual_columns else ""
+            lines.append(f"  {name}: {t}{mark}")
+        for name in self.virtual_columns:
+            if name not in self.schema:
+                lines.append(f"  {name}: virtual")
+        if self.variables:
+            lines.append(f"variables: {self.variables}")
+        if self.selections:
+            lines.append(f"selections: {sorted(self.selections)}")
+        text = "\n".join(lines)
+        if description:
+            print(text)
+        return text
+
+    def head_and_tail_print(self, n: int = 5) -> None:
+        """dataframe.py:3984 — print the first and last n rows (two
+        bounded jobs; the tail costs a scan, same as the reference's
+        semantics on a filtered frame)."""
+        import pandas as pd
+        head = self.head(n).to_pandas_df()
+        tail = self.tail(n).to_pandas_df()
+        total = len(self)
+        if total <= 2 * n:
+            print(self.to_pandas_df().to_string())
+            return
+        sep = pd.DataFrame({c: ["..."] for c in head.columns})
+        out = pd.concat([head, sep, tail], ignore_index=True)
+        print(out.to_string())
+
     # ------------------------------------------------------------------
     # virtual columns / variables (dataframe.py:3783, 3052)
     # ------------------------------------------------------------------
