@@ -167,3 +167,26 @@ def test_result_cache(spark, lineitem):
     assert vc.get("k") == 1
     vc.off()
     assert vc.get("k", default="gone") == "gone"
+
+
+def test_delay_honored_everywhere(spark, lineitem):
+    """delay=True must return a promise batched into ONE job for every
+    stat that accepts it (round-1 verdict: silently-ignored kwargs are
+    worse than crashes)."""
+    import numpy as np
+    d1 = lineitem.minmax("l_quantity", delay=True)
+    d2 = lineitem.covar("l_quantity", "l_extendedprice", delay=True)
+    d3 = lineitem.correlation("l_quantity", "l_extendedprice", delay=True)
+    d4 = lineitem.percentile_approx("l_extendedprice", [25, 50, 75], delay=True)
+    d5 = lineitem.median_approx("l_quantity", delay=True)
+    d6 = lineitem.correlation(["l_quantity", "l_extendedprice"], delay=True)
+    before = lineitem.executor.passes
+    lineitem.execute()
+    assert lineitem.executor.passes == before + 1
+    np.testing.assert_allclose(d1.get(), lineitem.minmax("l_quantity"))
+    assert abs(d2.get() - lineitem.covar("l_quantity", "l_extendedprice")) < 1e-6
+    assert abs(d3.get() - lineitem.correlation("l_quantity", "l_extendedprice")) < 1e-9
+    assert d4.get().shape == (3,)
+    assert d5.get() == lineitem.median_approx("l_quantity")
+    m = d6.get()
+    assert m.shape == (2, 2) and abs(m[0, 0] - 1.0) < 1e-9

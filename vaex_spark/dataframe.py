@@ -1146,9 +1146,11 @@ class DataFrame:
 
     def minmax(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False):
         if binby is None:
-            row = self._spark_df().agg(
-                F.min(_dropnan(self._agg_expr_col(expression, selection))).alias("_lo"),
-                F.max(_dropnan(self._agg_expr_col(expression, selection))).alias("_hi")).collect()[0]
+            cols = [F.min(_dropnan(self._agg_expr_col(expression, selection))),
+                    F.max(_dropnan(self._agg_expr_col(expression, selection)))]
+            if delay:
+                return self.executor.schedule(cols, unwrap=False)
+            row = self._spark_df().agg(cols[0].alias("_lo"), cols[1].alias("_hi")).collect()[0]
             return np.array([row["_lo"], row["_hi"]])
         lo = self.min(expression, binby=binby, shape=shape, limits=limits, selection=selection)
         hi = self.max(expression, binby=binby, shape=shape, limits=limits, selection=selection)
@@ -1191,6 +1193,8 @@ class DataFrame:
         sel = self._selection_col(selection)
         if sel is not None:
             cx, cy = F.when(sel, cx), F.when(sel, cy)
+        if delay:
+            return self.executor.schedule([F.covar_pop(cx, cy)])
         return self._agg_scalar(F.covar_pop(cx, cy))
 
     def correlation(self, x, y=None, selection=None, delay=False):
@@ -1202,6 +1206,10 @@ class DataFrame:
             for i, a in enumerate(names):
                 for j, b in enumerate(names):
                     aggs.append(F.corr(self._to_expr(a).col, self._to_expr(b).col).alias(f"_c_{i}_{j}"))
+            if delay:
+                n = len(names)
+                return self.executor.schedule(
+                    aggs, unwrap=False, post=lambda v: np.asarray(v, dtype="float64").reshape(n, n))
             row = self._spark_df().agg(*aggs).collect()[0]
             for i in range(len(names)):
                 for j in range(len(names)):
@@ -1211,6 +1219,8 @@ class DataFrame:
         sel = self._selection_col(selection)
         if sel is not None:
             cx, cy = F.when(sel, cx), F.when(sel, cy)
+        if delay:
+            return self.executor.schedule([F.corr(cx, cy)])
         return self._agg_scalar(F.corr(cx, cy))
 
     def cov(self, x, y=None, selection=None):
@@ -1234,17 +1244,22 @@ class DataFrame:
         documented tolerance) — `percentile_exact` gives the exact one."""
         if isinstance(percentage, (list, tuple, np.ndarray)):
             pct = [float(p) / 100.0 for p in percentage]
-            val = self._agg_scalar(F.percentile_approx(self._agg_expr_col(expression, selection), pct, 10000))
-            return np.array(val)
-        return self._agg_scalar(F.percentile_approx(
-            self._agg_expr_col(expression, selection), float(percentage) / 100.0, 10000))
+            col = F.percentile_approx(self._agg_expr_col(expression, selection), pct, 10000)
+            if delay:
+                return self.executor.schedule([col], post=np.array)
+            return np.array(self._agg_scalar(col))
+        col = F.percentile_approx(
+            self._agg_expr_col(expression, selection), float(percentage) / 100.0, 10000)
+        if delay:
+            return self.executor.schedule([col])
+        return self._agg_scalar(col)
 
     def percentile_exact(self, expression, percentage=50.0, selection=None):
         return self._agg_scalar(F.percentile(
             self._agg_expr_col(expression, selection), float(percentage) / 100.0))
 
     def median_approx(self, expression, selection=None, delay=False, **kw):
-        return self.percentile_approx(expression, 50.0, selection=selection)
+        return self.percentile_approx(expression, 50.0, selection=selection, delay=delay)
 
     def mode(self, expression, selection=None, **kw):
         return self._agg_scalar(F.mode(self._agg_expr_col(expression, selection)))
@@ -1718,8 +1733,8 @@ class _Executor:
         self.pending: list[tuple[list[Column], "_Delayed"]] = []
         self.passes = 0  # exposed like vaex's executor.passes for tests
 
-    def schedule(self, cols: list[Column], unwrap: bool = True) -> "_Delayed":
-        d = _Delayed(unwrap=unwrap)
+    def schedule(self, cols: list[Column], unwrap: bool = True, post=None) -> "_Delayed":
+        d = _Delayed(unwrap=unwrap, post=post)
         self.pending.append((cols, d))
         return d
 
@@ -1735,7 +1750,8 @@ class _Executor:
         self.passes += 1
         for d, names in slots:
             vals = [row[n] for n in names]
-            d._value = vals[0] if d.unwrap else np.array(vals)
+            out = vals[0] if d.unwrap else np.array(vals)
+            d._value = d.post(out) if d.post is not None else out
             d._done = True
         self.pending.clear()
 
@@ -1743,10 +1759,11 @@ class _Executor:
 class _Delayed:
     """Promise for a delayed statistic (vaex/promise.py)."""
 
-    def __init__(self, unwrap=True):
+    def __init__(self, unwrap=True, post=None):
         self._done = False
         self._value = None
         self.unwrap = unwrap
+        self.post = post
 
     def get(self):
         if not self._done:
