@@ -1090,6 +1090,61 @@ SELECT word, n, rank FROM ranked WHERE rank <= 20
 """
 
 
+def _q47_pii_scrub(spark, sf_dir):
+    """PII scrubbing: typed-placeholder redaction + per-kind counts as
+    pure regexp expressions (scan-speed scrub, no UDF).  The synthetic
+    corpus has no PII, so the query embeds deterministic emails/phones/
+    IPs built from table columns, then counts and redacts them."""
+    from vaex_spark.datapipe import text as T
+    docs = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("user"), F.col("doc_id").cast("string"), F.lit("@ex-"),
+        F.col("lang"), F.lit(".com said call 555-123-4567 or visit 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(" -- "),
+        F.substring(F.col("text"), 1, 40))
+    sdf = docs._spark_df().select(F.col("doc_id"), F.col("lang"), synth.alias("synth"))
+    counts = T.pii_counts(F.col("synth"), kinds=["email", "phone", "ipv4"])
+    red = T.redact_pii(F.col("synth"), kinds=["email", "phone", "ipv4"])
+    per_row = sdf.select(F.col("lang"), red.alias("redacted"),
+                         *[c.alias(f"n_{k}") for k, c in counts.items()])
+    return (per_row.groupBy("lang")
+            .agg(F.sum("n_email").cast("long").alias("emails"),
+                 F.sum("n_phone").cast("long").alias("phones"),
+                 F.sum("n_ipv4").cast("long").alias("ips"),
+                 F.min("redacted").alias("sample_redacted"))
+            .orderBy("lang"))
+
+
+def _q47_oracle_sql() -> str:
+    from vaex_spark.datapipe.text import PII_PATTERNS
+    email, phone, ipv4 = (PII_PATTERNS[k] for k in ("email", "phone", "ipv4"))
+    return f"""
+WITH synth AS (
+  SELECT lang,
+         'user' || CAST(doc_id AS VARCHAR) || '@ex-' || lang ||
+         '.com said call 555-123-4567 or visit 10.0.0.' ||
+         CAST(doc_id % 256 AS VARCHAR) || ' -- ' || SUBSTRING(text, 1, 40) AS s
+  FROM documents),
+scrubbed AS (
+  SELECT lang,
+         LEN(regexp_extract_all(s, '{email}')) AS n_email,
+         LEN(regexp_extract_all(s, '{phone}')) AS n_phone,
+         LEN(regexp_extract_all(s, '{ipv4}')) AS n_ipv4,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(s, '{email}', '[email]', 'g'),
+             '{phone}', '[phone]', 'g'),
+           '{ipv4}', '[ipv4]', 'g') AS redacted
+  FROM synth)
+SELECT lang,
+       CAST(SUM(n_email) AS BIGINT) AS emails,
+       CAST(SUM(n_phone) AS BIGINT) AS phones,
+       CAST(SUM(n_ipv4) AS BIGINT) AS ips,
+       MIN(redacted) AS sample_redacted
+FROM scrubbed GROUP BY lang
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1141,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_embedding_near_dups": _q44_embedding_near_dups,
         "q45_dedup_clusters": _q45_dedup_clusters,
         "q46_word_topk": _q46_word_topk,
+        "q47_pii_scrub": _q47_pii_scrub,
     }
 
 
@@ -1192,4 +1248,5 @@ def oracle_sql() -> dict[str, str]:
         "q44_embedding_near_dups": _Q44_SQL,
         "q45_dedup_clusters": _q45_oracle_sql(),
         "q46_word_topk": _Q46_SQL,
+        "q47_pii_scrub": _q47_oracle_sql(),
     }

@@ -277,3 +277,20 @@ def test_audio_features(spark):
     assert "audio" not in feats.columns
     rows2 = mm.audio_features(t).collect()
     assert [r["features"] for r in rows] == [r["features"] for r in rows2]
+
+
+def test_pii_redaction(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe import text as T
+    df = vs.from_arrays(
+        text=["mail bob@x.org now", "call +1 555-123-4567", "ip 192.168.0.1",
+              "ssn 123-45-6789", "clean line"], spark=spark)
+    out = T.with_pii_scrub(df)
+    rows = out[["text_redacted", "pii_email", "pii_phone", "pii_ipv4", "pii_ssn"]].to_pandas_df()
+    assert rows["text_redacted"].tolist()[0] == "mail [email] now"
+    assert "[phone]" in rows["text_redacted"].tolist()[1]
+    assert "[ipv4]" in rows["text_redacted"].tolist()[2]
+    assert "[ssn]" in rows["text_redacted"].tolist()[3]
+    assert rows["text_redacted"].tolist()[4] == "clean line"
+    assert rows["pii_email"].tolist() == [1, 0, 0, 0, 0]
+    assert rows["pii_ssn"].tolist() == [0, 0, 0, 1, 0]

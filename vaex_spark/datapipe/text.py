@@ -170,3 +170,43 @@ def with_text_stats(df, text_col: str = "text"):
            .withColumn("lang_guess", lang_id(t))
            .withColumn("fingerprint", fingerprint(t)))
     return DataFrame(out) if wrapped else out
+
+
+# --------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+# --------------------------------------------------------------------------
+# Java-regex patterns (RE2-compatible: no backrefs/lookaround, so the
+# same strings drive the DuckDB oracle).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ]?(\([0-9]{2,4}\)[-. ]?)?[0-9]{3,4}[-. ]?[0-9]{4}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_counts(text, kinds: list[str] | None = None) -> dict[str, Column]:
+    """Per-kind PII hit counts — pure regexp_count expressions."""
+    c = _c(text)
+    kinds = kinds or list(PII_PATTERNS)
+    return {k: F.regexp_count(c, F.lit(PII_PATTERNS[k])) for k in kinds}
+
+
+def redact_pii(text, kinds: list[str] | None = None,
+               replacement: str = "[{kind}]") -> Column:
+    """Replace PII matches with typed placeholders ([email], [phone],
+    ...), chained regexp_replace — whole-stage codegen, no UDF, so the
+    scrub runs at scan speed on 100 TB."""
+    c = _c(text)
+    for k in (kinds or list(PII_PATTERNS)):
+        c = F.regexp_replace(c, PII_PATTERNS[k], replacement.format(kind=k))
+    return c
+
+
+def with_pii_scrub(df, text_col: str = "text"):
+    """DataFrame helper: adds redacted text + per-kind counts."""
+    out = df._copy() if hasattr(df, "_copy") else df
+    for k, col in pii_counts(F.col(text_col)).items():
+        out[f"pii_{k}"] = col
+    out["text_redacted"] = redact_pii(F.col(text_col))
+    return out
