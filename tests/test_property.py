@@ -1,0 +1,73 @@
+"""Property-based spot checks (hypothesis) — beyond the reference's
+strategy (SURVEY §5 notes vaex has none).  Bounded example counts keep
+Spark round-trips cheap; oracles are numpy/pandas."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+finite_floats = st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False)
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.lists(finite_floats, min_size=1, max_size=25),
+       threshold=finite_floats)
+def test_filter_sum_partition(spark, data, threshold):
+    """sum(x) == sum(x | x>t) + sum(x | x<=t) for any threshold."""
+    import vaex_spark as vs
+    df = vs.from_arrays(x=np.array(data, dtype="float64"), spark=spark)
+    total = df.sum("x")
+    hi = df[df.x > threshold].sum("x")
+    lo = df[df.x <= threshold].sum("x")
+    assert total == pytest.approx(hi + lo, rel=1e-9, abs=1e-6)
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.lists(finite_floats, min_size=2, max_size=25, unique=True))
+def test_sort_head_is_min(spark, data):
+    import vaex_spark as vs
+    df = vs.from_arrays(x=np.array(data, dtype="float64"), spark=spark)
+    smallest = df.sort("x").head(1).to_pandas_df()["x"][0]
+    assert smallest == min(data)
+    assert df.min("x") == min(data) and df.max("x") == max(data)
+
+
+@settings(max_examples=8, deadline=None)
+@given(values=st.lists(finite_floats, min_size=1, max_size=20),
+       edges=st.lists(st.floats(min_value=-100, max_value=100,
+                                allow_nan=False, allow_infinity=False),
+                      min_size=2, max_size=6, unique=True))
+def test_digitize_matches_numpy(spark, values, edges):
+    import vaex_spark as vs
+    edges = sorted(edges)
+    df = vs.from_arrays(x=np.array(values, dtype="float64"), spark=spark)
+    got = df[f"digitize(x, {edges!r})"].tolist()
+    want = np.digitize(values, edges).tolist()
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(strings=st.lists(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=12), min_size=1, max_size=15),
+    start=st.integers(min_value=0, max_value=5),
+    stop=st.integers(min_value=5, max_value=12))
+def test_str_slice_matches_pandas(spark, strings, start, stop):
+    import pandas as pd
+    import vaex_spark as vs
+    df = vs.from_arrays(s=strings, spark=spark)
+    got = df.s.str.slice(start, stop).tolist()
+    want = pd.Series(strings).str.slice(start, stop).tolist()
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(data=st.lists(st.integers(min_value=-1000, max_value=1000),
+                     min_size=1, max_size=30))
+def test_value_counts_total(spark, data):
+    import vaex_spark as vs
+    df = vs.from_arrays(k=data, spark=spark)
+    vc = df.value_counts("k")
+    assert int(vc.sum()) == len(data)
+    assert df.nunique("k") == len(set(data))
