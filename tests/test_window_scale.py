@@ -76,3 +76,32 @@ def test_no_single_partition_data_exchange(events):
                 "data-path SinglePartition exchange found:\n" + "\n".join(lines[i - 3:i + 3]))
     # the parallel total order must be present
     assert "rangepartitioning" in plan
+
+
+def test_shift_trim(spark):
+    """Reference shift_test.py:200 — trim drops boundary rows."""
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[0, 1, 2, 3], spark=spark)
+    assert df.shift(1, "x", trim=True)["x"].tolist() == [0, 1, 2]
+    df2 = vs.from_arrays(x=[0, 1, 2, 3], spark=spark)
+    assert df2.shift(-1, "x", trim=True)["x"].tolist() == [1, 2, 3]
+
+
+def test_shift_tuple_range(spark):
+    """Reference shift_test.py:217-223: shift((0,2)) -> pairwise window
+    arrays; trim drops incomplete windows."""
+    import vaex_spark as vs
+    x = [0, 1, 2, 3, 4]
+    df = vs.from_arrays(x=x, spark=spark)
+    got = df.shift((0, 2), "x")["x"].tolist()
+    import math
+    norm = [[None if (isinstance(e, float) and math.isnan(e)) else int(e)
+             for e in v] for v in got]
+    assert norm == [[0, 1], [1, 2], [2, 3], [3, 4], [4, None]]
+    df2 = vs.from_arrays(x=x, spark=spark)
+    got2 = df2.shift((0, 3), "x", trim=True)["x"].tolist()
+    assert [list(v) for v in got2] == [[0, 1, 2], [1, 2, 3], [2, 3, 4]]
+    # backward-looking window (the Rolling.array form)
+    df3 = vs.from_arrays(x=x, spark=spark)
+    got3 = df3.shift((-2, 0), "x", trim=True)["x"].tolist()
+    assert [list(v) for v in got3] == [[0, 1], [1, 2], [2, 3]]

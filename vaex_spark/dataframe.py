@@ -1023,11 +1023,13 @@ class DataFrame:
     # ------------------------------------------------------------------
     # ordered / window ops — delegated
     # ------------------------------------------------------------------
-    def shift(self, periods: int, column=None, fill_value=None, order_key=None,
-              partition_by=None) -> "DataFrame":
+    def shift(self, periods, column=None, fill_value=None, trim: bool = False,
+              order_key=None, partition_by=None) -> "DataFrame":
+        """dataframe.py:4781 — scalar or (start, end) tuple periods;
+        tuple form materializes each window as an array column."""
         from .operators.window import shift
         return shift(self, periods, column=column, fill_value=fill_value,
-                     order_key=order_key, partition_by=partition_by)
+                     trim=trim, order_key=order_key, partition_by=partition_by)
 
     def diff(self, periods: int = 1, column=None, order_key=None,
              partition_by=None) -> "DataFrame":

@@ -130,15 +130,76 @@ def _apply_windowed(df, order_key, partition_by, before, after, columns, make_co
     return o
 
 
-def shift(df, periods, column=None, fill_value=None, order_key=None, partition_by=None):
-    """Return a new DataFrame with column(s) shifted by ``periods``."""
+def shift(df, periods, column=None, fill_value=None, trim=False,
+          order_key=None, partition_by=None):
+    """Return a new DataFrame with column(s) shifted by ``periods``.
+
+    ``periods`` may be a (start, end) tuple (reference dataframe.py:4781
+    / shift.py DatasetShifted): each cell becomes the ARRAY
+    [x[i+start], ..., x[i+end-1]] — the window-materialized form that
+    vaex's Rolling reduces over.  ``trim=True`` drops rows whose window
+    reaches past either edge instead of null-filling."""
+    if isinstance(periods, (tuple, list)):
+        return shift_range(df, periods, column=column, fill_value=fill_value,
+                           trim=trim, order_key=order_key, partition_by=partition_by)
     before = max(periods, 0)
     after = max(-periods, 0)
+    marker = "__shift_ok"
 
     def make(c, w):
-        return F.lag(F.col(c), periods, fill_value).over(w)
+        val = F.lag(F.col(c), periods, fill_value).over(w)
+        if not trim:
+            return val
+        ok = F.count(F.lit(1)).over(w.rowsBetween(-periods, -periods)) == 1
+        return F.struct(val.alias("v"), ok.alias(marker))
 
-    return _apply_windowed(df, order_key, partition_by, before, after, column, make)
+    out = _apply_windowed(df, order_key, partition_by, before, after, column, make)
+    if trim:
+        out = _unpack_trim(df, out, column, marker)
+    return out
+
+
+def _unpack_trim(df, out, column, marker):
+    """Filter rows whose source window was incomplete, unpack structs."""
+    from ..dataframe import DataFrame
+    cols = [column] if isinstance(column, str) else (column or df.get_column_names())
+    sdf = out._spark_df()
+    keep = None
+    for c in cols:
+        cond = F.col(c).getField(marker)
+        keep = cond if keep is None else (keep & cond)
+    sdf = sdf.filter(keep)
+    for c in cols:
+        sdf = sdf.withColumn(c, F.col(c).getField("v"))
+    o = DataFrame(sdf)
+    o.variables = dict(df.variables)
+    return o
+
+
+def shift_range(df, periods, column=None, fill_value=None, trim=False,
+                order_key=None, partition_by=None):
+    """Tuple-shift: cell -> [x[i+start], ..., x[i+end-1]] (shift.py
+    DatasetShifted semantics; reference shift_test.py:217 expects
+    shift((0,2)) == [[x0,x1],[x1,x2],...])."""
+    start, end = int(periods[0]), int(periods[1])
+    assert start <= end, "periods tuple must be (start, end) with start <= end"
+    before = max(-start, 0)
+    after = max(end - 1, 0)
+    width = end - start
+    marker = "__shift_ok"
+
+    def make(c, w):
+        elems = [F.lead(F.col(c), j, fill_value).over(w) for j in range(start, end)]
+        val = F.array(*elems)
+        if not trim:
+            return val
+        ok = F.count(F.lit(1)).over(w.rowsBetween(start, end - 1)) == width
+        return F.struct(val.alias("v"), ok.alias(marker))
+
+    out = _apply_windowed(df, order_key, partition_by, before, after, column, make)
+    if trim:
+        out = _unpack_trim(df, out, column, marker)
+    return out
 
 
 def shift_expression(df, expr, periods, fill_value=None, order_key=None, partition_by=None):
