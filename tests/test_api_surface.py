@@ -189,3 +189,32 @@ def test_info_echo_print(xy, capsys):
     xy.head_and_tail_print(2)
     out = capsys.readouterr().out
     assert "..." in out
+
+
+def test_active_range_getters(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(x=list(range(10)), spark=spark)
+    assert df.get_active_range() == (0, 10)
+    assert df.get_active_fraction() == 1.0
+    df.set_active_range(2, 7)
+    assert df.get_active_range() == (2, 7)
+    assert len(df) == 5
+    df2 = vs.from_arrays(x=list(range(10)), spark=spark)
+    df2.set_active_fraction(0.5)
+    assert df2.get_active_fraction() == 0.5
+    assert len(df2) == 5
+
+
+def test_selection_favorites(spark, tmp_path, monkeypatch):
+    import vaex_spark as vs
+    monkeypatch.setenv("VAEX_SPARK_HOME", str(tmp_path))
+    df = vs.from_arrays(x=[1.0, 2.0, 3.0, 4.0], spark=spark)
+    df.select(df.x > 2)
+    df.selection_favorite_add("big")
+    df.select_nothing()
+    assert df.selected_length() == 4
+    df.selection_favorite_apply("big")
+    assert df.selected_length() == 2
+    assert "big" in df.selections_favorite_load()
+    df.selection_favorite_remove("big")
+    assert "big" not in df.selections_favorite_load()

@@ -766,7 +766,10 @@ class DataFrame:
         self.select(selection, mode="replace", name=name)
 
     def selected_length(self, selection: str = "default") -> int:
-        """dataframe.py:4341 — row count under a named selection."""
+        """dataframe.py:4341 — row count under a named selection (no
+        active selection -> full length, like the reference)."""
+        if isinstance(selection, str) and selection not in self.selections:
+            return len(self)
         sel = self._selection_col(selection)
         if sel is None:
             return len(self)
@@ -1497,10 +1500,73 @@ class DataFrame:
         if i1:
             base = base.offset(int(i1))
         self._base = base.limit(int(i2 - i1))
+        self._active_range = (int(i1), int(i2))
+        self._active_fraction = None
+
+    def get_active_range(self) -> tuple[int, int]:
+        """dataframe.py:4383."""
+        return getattr(self, "_active_range", None) or (0, self.length_original())
 
     def set_active_fraction(self, fraction: float) -> None:
         n = self._base.count()
         self.set_active_range(0, int(fraction * n))
+        self._active_fraction = float(fraction)
+
+    def get_active_fraction(self) -> float:
+        return getattr(self, "_active_fraction", None) or 1.0
+
+    # -- selection favorites (dataframe.py:4402-4444) -------------------
+    def get_private_dir(self, create: bool = False) -> str:
+        """Per-frame scratch dir for persisted metadata (favorites)."""
+        import hashlib
+        import os
+        import tempfile
+        root = os.environ.get("VAEX_SPARK_HOME") or os.path.join(
+            tempfile.gettempdir(), "vaex_spark")
+        # key on DATA identity (base plan), not derived state — favorites
+        # must survive selection changes on the same table
+        data_key = hashlib.sha256(
+            self._base._jdf.queryExecution().logical().toString().encode()
+        ).hexdigest()[:16]
+        d = os.path.join(root, "private", data_key)
+        if create:
+            os.makedirs(d, exist_ok=True)
+        return d
+
+    def _favorites_path(self) -> str:
+        import os
+        return os.path.join(self.get_private_dir(create=True), "favorites.json")
+
+    def selection_favorite_add(self, name: str, selection_name: str = "default") -> None:
+        sel = self.selections.get(selection_name)
+        if sel is None:
+            raise ValueError("no selection to favorite")
+        favs = self.selections_favorite_load()
+        favs[name] = sel._sql if sel._sql else sel.col._jc.toString()
+        self.selections_favorite_store(favs)
+
+    def selection_favorite_apply(self, name: str, selection_name: str = "default") -> None:
+        favs = self.selections_favorite_load()
+        if name not in favs:
+            raise KeyError(name)
+        self.select(Expression(self, favs[name]), name=selection_name)
+
+    def selection_favorite_remove(self, name: str) -> None:
+        favs = self.selections_favorite_load()
+        favs.pop(name, None)
+        self.selections_favorite_store(favs)
+
+    def selections_favorite_load(self) -> dict:
+        import os
+        p = self._favorites_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    def selections_favorite_store(self, favorites: dict | None = None) -> None:
+        with open(self._favorites_path(), "w") as f:
+            json.dump(favorites if favorites is not None else {}, f)
 
     def trim(self, inplace: bool = False) -> "DataFrame":
         """Spark plans never carry dead rows — trim is a logical no-op

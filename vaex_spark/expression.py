@@ -115,16 +115,16 @@ class Expression:
     def __abs__(self): return self._wrap(F.abs(self.col))
 
     # -- comparisons -----------------------------------------------------
-    def __lt__(self, o): return self._wrap(self.col < _col(o))
-    def __le__(self, o): return self._wrap(self.col <= _col(o))
-    def __gt__(self, o): return self._wrap(self.col > _col(o))
-    def __ge__(self, o): return self._wrap(self.col >= _col(o))
+    def __lt__(self, o): return self._wrap2(self.col < _col(o), "<", o)
+    def __le__(self, o): return self._wrap2(self.col <= _col(o), "<=", o)
+    def __gt__(self, o): return self._wrap2(self.col > _col(o), ">", o)
+    def __ge__(self, o): return self._wrap2(self.col >= _col(o), ">=", o)
 
     def __eq__(self, o):  # noqa: D105 — expression equality, not identity
-        return self._wrap(self.col == _col(o))
+        return self._wrap2(self.col == _col(o), "==", o)
 
     def __ne__(self, o):
-        return self._wrap(self.col != _col(o))
+        return self._wrap2(self.col != _col(o), "!=", o)
 
     __hash__ = object.__hash__
 
