@@ -1065,7 +1065,7 @@ def _q46_word_topk(spark, sf_dir):
     """Explode-based word frequency top-k: the UDTF surface
     (df.explode) driving a groupBy — row expansion happens inside the
     scan stage; ties at the cutoff break on the word for determinism."""
-    from pyspark.sql import Window
+    from vaex_spark.operators.rowid import bounded_window
     df = _t(spark, sf_dir, "documents")
     df["words"] = df.text.str.lower().str.replace(r"\s+", " ", regex=True).str.strip().str.split(" ")
     exploded = df[["words"]].explode("words")
@@ -1075,7 +1075,7 @@ def _q46_word_topk(spark, sf_dir):
     top = counts.spark.orderBy(F.col("n").desc(), F.col("words").asc()).limit(20)
     ranked = top.withColumn(
         "rank", F.row_number().over(
-            Window.orderBy(F.col("n").desc(), F.col("words").asc())).cast("int"))
+            bounded_window(F.col("n").desc(), F.col("words").asc())).cast("int"))
     return ranked.select(F.col("words").alias("word"), F.col("n"), F.col("rank"))
 
 

@@ -1296,12 +1296,13 @@ class DataFrame:
             sdf = sdf.filter(sel)
         col = expr.col
         if return_inverse:
-            from pyspark.sql import Window as _W
-            from .operators.rowid import with_row_id
+            from .operators.rowid import bounded_window, with_row_id
             tagged = with_row_id(sdf.select(col.alias("_v")))
             d = tagged.select("_v").distinct()
+            # distinct set is driver-bounded here (the inverse array is
+            # collected below), so the single-task code assignment is fine
             codes = d.withColumn(
-                "_code", F.row_number().over(_W.orderBy(F.col("_v").asc_nulls_last())) - 1)
+                "_code", F.row_number().over(bounded_window(F.col("_v").asc_nulls_last())) - 1)
             inv_rows = (tagged.join(F.broadcast(codes), on=tagged["_v"].eqNullSafe(codes["_v"]), how="left")
                         .select(ROW_ID, "_code").orderBy(ROW_ID).collect())
             inverse = np.array([r["_code"] for r in inv_rows])

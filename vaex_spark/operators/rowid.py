@@ -27,6 +27,22 @@ from pyspark.sql import functions as F
 ROW_ID = "__row_id"
 
 
+def bounded_window(*order_cols) -> Window:
+    """A global-order window for PROVABLY BOUNDED frames only (partition
+    counts, top-k survivors, driver-bound distinct sets).
+
+    ``Window.orderBy(...)`` with no partition spec funnels all rows into
+    one task and logs a WindowExec degradation warning on every run.
+    For metadata-sized inputs that single task is the *intended* plan;
+    partitioning by a non-foldable constant (``rand(seed)*0`` — always
+    0, but opaque to constant folding so Catalyst keeps the spec) gets
+    the same physical shape deliberately and quietly.  Never use this on
+    data-sized frames — `operators/window._apply_windowed` has the real
+    partition-boundary-exchange rewrite for those.
+    """
+    return Window.partitionBy((F.rand(0) * 0).cast("int")).orderBy(*order_cols)
+
+
 def with_monotonic_id(sdf: SparkDataFrame, name: str = ROW_ID) -> SparkDataFrame:
     return sdf.withColumn(name, F.monotonically_increasing_id())
 
@@ -44,7 +60,7 @@ def with_row_id(sdf: SparkDataFrame, name: str = ROW_ID) -> SparkDataFrame:
     tagged = tagged.withColumn("__pid", F.spark_partition_id())
     counts = (tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"),
                                           F.min("__mono").alias("__base")))
-    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    w = bounded_window("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn("__offset", F.coalesce(F.sum("__cnt").over(w), F.lit(0)))
     out = (tagged.join(F.broadcast(offsets.select("__pid", "__base", "__offset")), on="__pid")
            .withColumn(name, F.col("__mono") - F.col("__base") + F.col("__offset"))

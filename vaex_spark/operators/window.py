@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .rowid import ROW_ID, with_row_id
+from .rowid import ROW_ID, bounded_window, with_row_id
 
 _PID = "__pid"
 _BORROWED = "__borrowed"
@@ -84,7 +84,7 @@ def _exchange_window(sdf, order_cols, before: int, after: int):
     part = sdf.repartitionByRange(*order_cols).withColumn(
         "__rpid", F.spark_partition_id())
     pidmap = (part.select("__rpid").distinct()
-              .withColumn(_PID, F.row_number().over(Window.orderBy("__rpid")) - 1))
+              .withColumn(_PID, F.row_number().over(bounded_window("__rpid")) - 1))
     part = part.join(F.broadcast(pidmap), on="__rpid").drop("__rpid")
     aug = part.withColumn(_BORROWED, F.lit(False))
     if before > 0:
