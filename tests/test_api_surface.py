@@ -218,3 +218,135 @@ def test_selection_favorites(spark, tmp_path, monkeypatch):
     assert "big" in df.selections_favorite_load()
     df.selection_favorite_remove("big")
     assert "big" not in df.selections_favorite_load()
+
+
+def test_first_last_aggregates(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[3.0, 1.0, 2.0], t=[30, 10, 20], spark=spark)
+    assert df.first("x", order_expression="t") == 1.0
+    assert df.last("x", order_expression="t") == 3.0
+    rows = df.first(2)       # int arg keeps the row-taking shorthand
+    assert len(rows) == 2
+
+
+def test_bins_geometry(spark):
+    import numpy as np
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[0.0], spark=spark)
+    edges = df.bin_edges("x", [0, 10], shape=5)
+    assert np.allclose(edges, [0, 2, 4, 6, 8, 10])
+    centers = df.bin_centers("x", [0, 10], shape=5)
+    assert np.allclose(centers, [1, 3, 5, 7, 9])
+    assert df.nearest_bin(6.9, [0, 10], 5) == 3
+
+
+def test_filtered_and_combinations(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(a=[1, 2], b=[3, 4], c=[5, 6], spark=spark)
+    assert df.filtered is False
+    out = df[df.a > 1]
+    assert out.filtered is True
+    combos = df.combinations(dimension=2)
+    assert ("a", "b") in combos and len(combos) == 3
+    combos = df.combinations(dimension=2, exclude=["c"])
+    assert combos == [("a", "b")]
+
+
+def test_variables_and_metadata(spark, tmp_path, monkeypatch):
+    import vaex_spark as vs
+    monkeypatch.setenv("VAEX_SPARK_HOME", str(tmp_path))
+    df = vs.from_arrays(x=[1.0, 2.0], spark=spark)
+    df.set_variable("k", "sqrt(4.0)")
+    assert df.evaluate_variable("k") == 2.0
+    df.units["x"] = "km/s"
+    df.ucds["x"] = "phys.veloc"
+    df.descriptions["x"] = "speed"
+    assert df.unit("x") == "km/s"
+    assert df.ucd_find("^phys.veloc") == "x"
+    assert df.label("x") == "x (km/s)"
+    # persistence keys on DATA identity (base plan), so cross-instance
+    # roundtrip needs a file-backed frame (in-memory relations are unique)
+    p = str(tmp_path / "meta_t.parquet")
+    df.export_parquet(p)
+    dfa = vs.open(p, spark=spark)
+    dfa.units["x"] = "km/s"
+    dfa.write_meta()
+    df2 = vs.open(p, spark=spark)
+    df2.update_meta()
+    assert df2.unit("x") == "km/s"
+    df3 = vs.from_arrays(x=[9.0], y=[1.0], spark=spark)
+    df3.copy_metadata(df)
+    assert df3.unit("x") == "km/s" and df3.unit("y") is None
+
+
+def test_virtual_meta_roundtrip(spark, tmp_path, monkeypatch):
+    import vaex_spark as vs
+    monkeypatch.setenv("VAEX_SPARK_HOME", str(tmp_path))
+    p = str(tmp_path / "vmeta_t.parquet")
+    vs.from_arrays(x=[1.0, 2.0], spark=spark).export_parquet(p)
+    df = vs.open(p, spark=spark)
+    df["y"] = df.x * 2
+    df.write_virtual_meta()
+    df2 = vs.open(p, spark=spark)
+    df2.update_virtual_meta()
+    assert df2.evaluate("y").tolist() == [2.0, 4.0]
+    df2.remove_virtual_meta()
+
+
+def test_data_namespace_and_hashed(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[1, 2, 3], spark=spark)
+    assert df.data.x.tolist() == [1, 2, 3]
+    assert df.hashed().fingerprint() == df.fingerprint()
+    assert df.dataset is df._base
+
+
+def test_expression_ast(spark):
+    import ast
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[1.0], spark=spark)
+    node = df["x * 2"].ast
+    assert isinstance(node, ast.BinOp)
+
+
+def test_can_open(tmp_path):
+    import vaex_spark as vs
+    assert vs.dataframe.DataFrame.can_open("foo.parquet")
+    assert not vs.dataframe.DataFrame.can_open("foo.xyz")
+    assert vs.dataframe.DataFrame.get_options("foo.parquet") == []
+
+
+def test_matrix3d_and_spherical_velocities(spark):
+    import numpy as np
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[1.0], y=[2.0], z=[3.0], spark=spark)
+    ident = [[1, 0, 0], [0, 1, 0], [0, 0, 1]]
+    df.add_virtual_columns_matrix3d("x", "y", "z", "xn", "yn", "zn", ident,
+                                    translation=[1, 1, 1])
+    assert df.evaluate("xn").tolist() == [2.0]
+    assert df.evaluate("zn").tolist() == [4.0]
+    df2 = vs.from_arrays(x=[1.0], y=[0.0], z=[0.0],
+                         vx=[1.0], vy=[0.0], vz=[0.0], spark=spark)
+    df2.add_virtual_columns_cartesian_velocities_to_spherical()
+    assert np.allclose(df2.evaluate("vr"), [1.0])
+
+
+def test_execute_async(spark):
+    import asyncio
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[1.0, 2.0, 3.0], spark=spark)
+    s = df.sum("x", delay=True)
+    asyncio.run(df.execute_async())
+    assert s.get() == 6.0
+
+
+def test_optional_dep_gates(spark):
+    import pytest
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[1.0], spark=spark)
+    for fn in (df.plot3d, df.plot_widget, df.plot_bq, df.add_column_healpix,
+               df.healpix_count, df.to_dask_array, df.to_astropy_table):
+        with pytest.raises(ImportError):
+            fn()
+    with pytest.raises(ImportError):
+        df.export_hdf5("/tmp/x.hdf5")

@@ -47,6 +47,12 @@ class DataFrame:
         self._selection_history: list[tuple[str, Expression | None]] = []
         self._selection_redo: list[tuple[str, Expression | None]] = []
         self._renames: dict[str, str] = {}
+        # column metadata (reference dataframe.py:298-300 units/ucds/
+        # descriptions; plain dicts, persisted via write_meta)
+        self.units: dict[str, Any] = {}
+        self.ucds: dict[str, str] = {}
+        self.descriptions: dict[str, str] = {}
+        self.description: str | None = None
         self.executor = _Executor(self)
 
     # ------------------------------------------------------------------
@@ -74,6 +80,10 @@ class DataFrame:
         out.selections = dict(self.selections)
         out._filter = self._filter
         out._renames = dict(self._renames)
+        out.units = dict(self.units)
+        out.ucds = dict(self.ucds)
+        out.descriptions = dict(self.descriptions)
+        out.description = self.description
         if isinstance(getattr(self, "_categories", None), dict):
             out._categories = dict(self._categories)
         return out
@@ -317,6 +327,30 @@ class DataFrame:
 
     def add_virtual_columns_rotation(self, x, y, xnew, ynew, angle_degrees) -> None:
         self.geo.rotation_2d(x, y, xnew, ynew, angle_degrees, inplace=True)
+
+    def add_virtual_columns_matrix3d(self, x, y, z, xnew, ynew, znew, matrix,
+                                     matrix_name="deprecated",
+                                     matrix_is_expression=False,
+                                     translation=(0, 0, 0),
+                                     propagate_uncertainties=False) -> None:
+        """dataframe.py:3564 — linear 3D transform as three virtual columns."""
+        m = matrix
+        ex, ey, ez = self._to_expr(x), self._to_expr(y), self._to_expr(z)
+        self[xnew] = m[0][0] * ex + m[0][1] * ey + m[0][2] * ez + translation[0]
+        self[ynew] = m[1][0] * ex + m[1][1] * ey + m[1][2] * ez + translation[1]
+        self[znew] = m[2][0] * ex + m[2][1] * ey + m[2][2] * ez + translation[2]
+        if propagate_uncertainties:
+            self.propagate_uncertainties([self[xnew], self[ynew], self[znew]],
+                                         [ex, ey, ez])
+
+    def add_virtual_columns_cartesian_velocities_to_spherical(
+            self, x="x", y="y", z="z", vx="vx", vy="vy", vz="vz",
+            vr="vr", vlong="vlong", vlat="vlat", distance=None) -> None:
+        """dataframe.py:3719 — thin wrapper over the geo accessor."""
+        self.geo.velocity_cartesian2spherical(x=x, y=y, z=z, vx=vx, vy=vy,
+                                              vz=vz, vr=vr, vlong=vlong,
+                                              vlat=vlat, distance=distance,
+                                              inplace=True)
 
     def add_virtual_columns_aitoff(self, alpha, delta, x="x_aitoff",
                                    y="y_aitoff", radians: bool = True) -> None:
@@ -908,8 +942,27 @@ class DataFrame:
         out.variables = dict(self.variables)
         return out
 
-    def first(self, n: int = 1):
-        return self._spark_df().take(n)
+    def first(self, expression=1, order_expression=None, binby=None, shape=128,
+              limits=None, selection=None, delay=False, edges=False):
+        """Reference dataframe.py:992 — first element of ``expression``,
+        ordered by ``order_expression`` (min_by: one hash aggregate, no
+        sort).  ``first(n)`` with an int keeps the row-taking shorthand."""
+        if isinstance(expression, int):
+            return self._spark_df().take(expression)
+        ocol = None if order_expression is None else self._to_expr(order_expression).col
+
+        def make(c):
+            return F.first(c, ignorenulls=True) if ocol is None else F.min_by(c, ocol)
+        return self._compute_agg(make, expression, binby, shape, limits, selection, delay, edges)
+
+    def last(self, expression, order_expression=None, binby=None, shape=128,
+             limits=None, selection=None, delay=False, edges=False):
+        """Reference dataframe.py:1029 — mirror of :meth:`first` via max_by."""
+        ocol = None if order_expression is None else self._to_expr(order_expression).col
+
+        def make(c):
+            return F.last(c, ignorenulls=True) if ocol is None else F.max_by(c, ocol)
+        return self._compute_agg(make, expression, binby, shape, limits, selection, delay, edges)
 
     def _slice(self, start: int, stop: int | None) -> "DataFrame":
         sdf = self._spark_df()
@@ -1481,6 +1534,11 @@ class DataFrame:
     def category_offset(self, column) -> int:
         return 0
 
+    def category_values(self, column) -> list:
+        """Reference dataframe.py:383 — the underlying values backing the
+        categorical codes (identical to the labels in this representation)."""
+        return list(self._categories[column if isinstance(column, str) else str(column)])
+
     def ordinal_values(self, column, labels=None) -> "Expression":
         """Dense ordinal codes for a categorical column: position in the
         label list (0-based), -1 for values outside it.  A single literal
@@ -1515,6 +1573,242 @@ class DataFrame:
 
     def get_active_fraction(self) -> float:
         return getattr(self, "_active_fraction", None) or 1.0
+
+    def set_auto_fraction(self, enabled: bool) -> None:
+        """dataframe.py:3000 — auto-subsample flag consulted by interactive
+        front-ends; stored verbatim (no Spark-side effect)."""
+        self._auto_fraction = bool(enabled)
+
+    def get_auto_fraction(self) -> bool:
+        return getattr(self, "_auto_fraction", False)
+
+    @property
+    def filtered(self) -> bool:
+        """dataframe.py:428 — whether the distinguished filter selection
+        is active."""
+        return self._filter is not None
+
+    async def execute_async(self):
+        """dataframe.py:423 — await the delayed-statistics batch off the
+        event loop (the Spark job itself stays synchronous)."""
+        import asyncio
+        await asyncio.get_running_loop().run_in_executor(None, self.execute)
+
+    # -- binning geometry helpers (dataframe.py:821-845) ----------------
+    def bins(self, expression, limits, shape=128, edges=True):
+        """Bin geometry for a limits/shape pair — pure numpy, no job."""
+        vmin, vmax = float(limits[0]), float(limits[1])
+        if edges:
+            return np.linspace(vmin, vmax, int(shape) + 1)
+        dx = (vmax - vmin) / int(shape)
+        return np.linspace(vmin, vmax - dx, int(shape)) + dx / 2
+
+    def bin_edges(self, expression, limits, shape=128):
+        return self.bins(expression, limits, shape=shape, edges=True)
+
+    def bin_centers(self, expression, limits, shape=128):
+        return self.bins(expression, limits, shape=shape, edges=False)
+
+    def nearest_bin(self, value, limits, shape):
+        centers = self.bins("", limits, shape=shape, edges=False)
+        return int(np.argmin(np.abs(centers - value)))
+
+    def combinations(self, expressions_list=None, dimension=2, exclude=None, **kwargs):
+        """dataframe.py:3016 — column-name combinations for subspace
+        exploration."""
+        import itertools
+        if dimension is not None:
+            expressions_list = list(itertools.combinations(self.get_column_names(), dimension))
+            if exclude is not None:
+                if callable(exclude):
+                    expressions_list = [e for e in expressions_list if not exclude(e)]
+                else:
+                    expressions_list = [e for e in expressions_list
+                                        if not any(x in e for x in exclude)]
+        return expressions_list
+
+    def evaluate_variable(self, name: str):
+        """dataframe.py:3080 — resolve a variable; string values evaluate
+        in the numpy namespace with other variables visible."""
+        value = self.variables[name]
+        if isinstance(value, str):
+            ns = {"np": np, **{k: getattr(np, k) for k in dir(np) if not k.startswith("_")}}
+            return eval(value, ns, dict(self.variables))
+        return value
+
+    # -- open/convert introspection (dataframe.py:3004-3014) ------------
+    @classmethod
+    def can_open(cls, path, *args, **kwargs) -> bool:
+        from . import sources
+        return sources.can_open(path)
+
+    @classmethod
+    def get_options(cls, path):
+        return []
+
+    @classmethod
+    def option_to_args(cls, option):
+        return []
+
+    # -- column metadata (units / ucds / descriptions) ------------------
+    def copy_metadata(self, other: "DataFrame") -> None:
+        """dataframe.py:3303 — pull units/ucds/descriptions from another
+        frame (matching column names only)."""
+        names = set(self.get_column_names(hidden=True))
+        self.units.update({k: v for k, v in other.units.items() if k in names})
+        self.ucds.update({k: v for k, v in other.ucds.items() if k in names})
+        self.descriptions.update({k: v for k, v in other.descriptions.items() if k in names})
+        if other.description and not self.description:
+            self.description = other.description
+
+    def unit(self, expression, default=None):
+        """dataframe.py:2460 — unit attached to a column, if any."""
+        return self.units.get(str(expression), default)
+
+    def ucd_find(self, ucds, exclude=None):
+        """dataframe.py:2413 — first column whose UCD matches each pattern
+        (substring match; '^' anchors at the start like the reference)."""
+        exclude = exclude or []
+        single = isinstance(ucds, str)
+        patterns = [ucds] if single else list(ucds)
+        out = []
+        for pat in patterns:
+            found = None
+            for col, ucd in self.ucds.items():
+                if col in exclude:
+                    continue
+                ok = ucd.startswith(pat[1:]) if pat.startswith("^") else pat in ucd
+                if ok:
+                    found = col
+                    break
+            out.append(found)
+        return out[0] if single else out
+
+    def label(self, expression, unit=None, output_unit=None, format="latex_inline"):
+        """dataframe.py:2362 — axis label text: expression plus its unit."""
+        expr = str(expression)
+        unit = unit if unit is not None else self.unit(expr)
+        return f"{expr} ({unit})" if unit is not None else expr
+
+    # -- metadata persistence (dataframe.py:3312-3382) -------------------
+    def _meta_path(self, virtual: bool) -> str:
+        import os
+        return os.path.join(self.get_private_dir(create=True),
+                            "virtual_meta.json" if virtual else "meta.json")
+
+    def write_meta(self) -> None:
+        """Persist units/ucds/descriptions to the frame's private dir."""
+        payload = {"units": {k: str(v) for k, v in self.units.items()},
+                   "ucds": dict(self.ucds),
+                   "descriptions": dict(self.descriptions),
+                   "description": self.description}
+        with open(self._meta_path(virtual=False), "w") as f:
+            json.dump(payload, f)
+
+    def update_meta(self) -> None:
+        """Load persisted metadata back (no-op when nothing was written)."""
+        import os
+        p = self._meta_path(virtual=False)
+        if not os.path.exists(p):
+            return
+        with open(p) as f:
+            payload = json.load(f)
+        self.units.update(payload.get("units", {}))
+        self.ucds.update(payload.get("ucds", {}))
+        self.descriptions.update(payload.get("descriptions", {}))
+        self.description = payload.get("description") or self.description
+
+    def write_virtual_meta(self) -> None:
+        """Persist virtual-column definitions (expression strings)."""
+        payload = {name: (e._sql if e._sql else e.col._jc.toString())
+                   for name, e in self.virtual_columns.items()}
+        with open(self._meta_path(virtual=True), "w") as f:
+            json.dump(payload, f)
+
+    def update_virtual_meta(self) -> None:
+        import os
+        p = self._meta_path(virtual=True)
+        if not os.path.exists(p):
+            return
+        with open(p) as f:
+            payload = json.load(f)
+        for name, sql in payload.items():
+            if name not in self.virtual_columns:
+                self.add_virtual_column(name, sql)
+
+    def remove_virtual_meta(self) -> None:
+        import os
+        p = self._meta_path(virtual=True)
+        if os.path.exists(p):
+            os.remove(p)
+
+    def hashed(self, inplace: bool = False) -> "DataFrame":
+        """dataframe.py:5797 — return a frame whose fingerprint is
+        computed (plan fingerprints are always derivable here, so this
+        just forces the computation)."""
+        target = self if inplace else self._copy()
+        target.fingerprint()
+        return target
+
+    @property
+    def dataset(self):
+        """DataFrameLocal.dataset — the backing store; here, the base
+        (unfiltered, pre-virtual-column) Spark plan."""
+        return self._base
+
+    @property
+    def data(self):
+        """DataFrameLocal.data (dataframe.py:5981) — attribute access to
+        materialized column arrays.  DRIVER-BOUND by construction (numpy
+        arrays in driver memory), matching the reference's eager API."""
+        frame = self
+
+        class _ColumnData:
+            def __getattr__(self, name):
+                if name in frame.get_column_names(hidden=True):
+                    return frame.evaluate(name)
+                raise AttributeError(name)
+
+            def __dir__(self):
+                return frame.get_column_names()
+        return _ColumnData()
+
+    def to_dask_array(self, chunks="auto"):
+        """dataframe.py:5988 — requires the optional dask dependency."""
+        try:
+            import dask.array as da
+        except ImportError as e:
+            raise ImportError("to_dask_array requires the 'dask' package") from e
+        return da.from_array(self.values(), chunks=chunks)
+
+    def to_astropy_table(self):
+        try:
+            from astropy.table import Table
+        except ImportError as e:
+            raise ImportError("to_astropy_table requires the 'astropy' package") from e
+        t = Table(self.to_dict(array_type="numpy"))
+        for col, u in self.units.items():
+            if col in t.columns:
+                t[col].unit = u
+        return t
+
+    # -- optional-dependency surfaces (honest gates, like the reference's
+    # vaex-viz / vaex-astro split) --------------------------------------
+    def plot3d(self, *args, **kwargs):
+        raise ImportError("plot3d requires the optional 'ipyvolume' package")
+
+    def plot_widget(self, *args, **kwargs):
+        raise ImportError("plot_widget requires the optional 'vaex-jupyter' stack")
+
+    def plot_bq(self, *args, **kwargs):
+        raise ImportError("plot_bq requires the optional 'bqplot' package")
+
+    def add_column_healpix(self, name="healpix", longitude="ra", latitude="dec",
+                           degrees=True, healpix_order=12, nest=True):
+        raise ImportError("add_column_healpix requires the optional 'healpy' package")
+
+    def healpix_count(self, *args, **kwargs):
+        raise ImportError("healpix_count requires the optional 'healpy' package")
 
     # -- selection favorites (dataframe.py:4402-4444) -------------------
     def get_private_dir(self, create: bool = False) -> str:
@@ -1681,7 +1975,36 @@ class DataFrame:
             return self.export_json(p, **kwargs)
         if p.endswith((".arrow", ".feather")):
             return self.export_arrow(p, **kwargs)
+        if p.endswith((".hdf5", ".h5")):
+            return self.export_hdf5(p, **kwargs)
+        if p.endswith(".fits"):
+            return self.export_fits(p, **kwargs)
         raise ValueError(f"unknown export format for {path}")
+
+    def export_hdf5(self, path: str, **kw):
+        """dataframe.py:6876 — driver-side h5py bridge (same gate as the
+        HDF5 reader; vaex's column layout: one dataset per column under
+        /table/columns/<name>/data)."""
+        try:
+            import h5py
+        except ImportError as e:
+            raise ImportError("export_hdf5 requires the optional 'h5py' package") from e
+        data = self.to_dict(array_type="numpy")
+        with h5py.File(path, "w") as f:
+            cols = f.create_group("table").create_group("columns")
+            for name, arr in data.items():
+                g = cols.create_group(name)
+                if arr.dtype.kind in ("U", "O"):
+                    arr = np.array([str(v) for v in arr], dtype=h5py.string_dtype())
+                g.create_dataset("data", data=arr)
+
+    def export_fits(self, path: str, **kw):
+        try:
+            from astropy.io import fits  # noqa: F401
+        except ImportError as e:
+            raise ImportError("export_fits requires the optional 'astropy' package") from e
+        t = self.to_astropy_table()
+        t.write(path, format="fits", overwrite=True)
 
     def export_parquet(self, path: str, mode: str = "overwrite", single_file: bool = False, **kw):
         """Distributed parquet write by default (executors write their

@@ -374,6 +374,13 @@ class Expression:
         SQL rendering)."""
         return self._sql if self._sql is not None else str(self.col)
 
+    @property
+    def ast(self):
+        """reference expression.py:444 — the Python AST of the expression
+        text (only defined for string-built expressions)."""
+        import ast as _ast
+        return _ast.parse(self.expression, mode="eval").body
+
     def data_type(self):
         return self.dtype
 

@@ -24,6 +24,17 @@ def _spark(spark: SparkSession | None) -> SparkSession:
     return spark or get_session()
 
 
+_OPENABLE_EXTS = (".parquet", ".pq", ".csv", ".txt", ".asc", ".json",
+                  ".arrow", ".feather", ".hdf5", ".h5")
+
+
+def can_open(path) -> bool:
+    """reference dataframe.py:3004 — extension-level openability test."""
+    p = str(path)
+    ext = os.path.splitext(p.split("?")[0])[1].lower()
+    return ext in _OPENABLE_EXTS or os.path.isdir(p)
+
+
 def open(path, spark: SparkSession | None = None, convert=False, shuffle=False,
          fs_options=None, fs=None, **kwargs) -> DataFrame:
     """vaex.open analogue (reference __init__.py:111).
