@@ -1145,6 +1145,74 @@ FROM scrubbed GROUP BY lang
 """
 
 
+def _q48_asof_join(spark, sf_dir):
+    """As-of join (operators/join.py:join_asof): every click event picks
+    the most recent prior error event of the same user (backward,
+    inclusive), via the single-shuffle union-merge carry-forward plan —
+    no pair explosion.  Gap totals in integer microseconds keep the
+    check order-independent and exact."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev[ev.event_type == "click"]
+    errors = ev[ev.event_type == "error"][["ts", "user_id", "value"]]
+    joined = clicks.join_asof(errors, on="ts", by="user_id",
+                              direction="backward")
+    j = joined.spark
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right"))
+    return (j.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clicks"),
+                 F.count("ts_right").cast("long").alias("n_matched"),
+                 F.coalesce(F.sum(gap_us), F.lit(0)).cast("long").alias("total_gap_us"))
+            .orderBy("user_id"))
+
+
+_Q48_SQL = """
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+     e AS (SELECT ts, user_id, value FROM events WHERE event_type = 'error'),
+     m AS (SELECT c.user_id, c.ts AS cts, e.ts AS ets
+           FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(COUNT(ets) AS BIGINT) AS n_matched,
+       CAST(COALESCE(SUM(epoch_us(cts) - epoch_us(ets)), 0) AS BIGINT) AS total_gap_us
+FROM m GROUP BY user_id ORDER BY user_id
+"""
+
+
+_Q49_BUCKETS = [(0.0, 2.0, "tiny"), (2.0, 5.0, "small"),
+                (5.0, 12.0, "medium"), (12.0, 40.0, "large")]
+
+
+def _q49_range_join(spark, sf_dir):
+    """Range join (operators/join.py:join_range): events.value into
+    literal intervals via the bucketized equi-join rewrite (explode
+    intervals to covered buckets -> hash join -> exact filter), the
+    shape that survives a non-broadcastable interval table at scale."""
+    import vaex_spark as vs
+    ev = _t(spark, sf_dir, "events")
+    buckets = vs.from_arrays(lo=[b[0] for b in _Q49_BUCKETS],
+                             hi=[b[1] for b in _Q49_BUCKETS],
+                             label=[b[2] for b in _Q49_BUCKETS],
+                             spark=spark)
+    joined = ev[["value"]].join_range(buckets, "value", "lo", "hi",
+                                      how="inner", bucket_width=2.0)
+    return (joined.spark.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 dsum(F.col("value")).alias("sum_value"))
+            .orderBy("label"))
+
+
+def _q49_oracle_sql() -> str:
+    vals = ", ".join(f"({lo}, {hi}, '{lab}')" for lo, hi, lab in _Q49_BUCKETS)
+    return f"""
+WITH buckets(lo, hi, label) AS (VALUES {vals})
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM events JOIN buckets ON value >= lo AND value < hi
+GROUP BY label ORDER BY label
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1197,6 +1265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_dedup_clusters": _q45_dedup_clusters,
         "q46_word_topk": _q46_word_topk,
         "q47_pii_scrub": _q47_pii_scrub,
+        "q48_asof_join": _q48_asof_join,
+        "q49_range_join": _q49_range_join,
     }
 
 
@@ -1249,4 +1319,6 @@ def oracle_sql() -> dict[str, str]:
         "q45_dedup_clusters": _q45_oracle_sql(),
         "q46_word_topk": _Q46_SQL,
         "q47_pii_scrub": _q47_oracle_sql(),
+        "q48_asof_join": _Q48_SQL,
+        "q49_range_join": _q49_oracle_sql(),
     }

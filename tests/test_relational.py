@@ -240,3 +240,80 @@ def test_groupby_describe(spark):
     np.testing.assert_allclose(out["v_mean"], [2.0, 5.0])
     np.testing.assert_allclose(out["v_min"], [1.0, 5.0])
     np.testing.assert_allclose(out["v_max"], [3.0, 5.0])
+
+
+def _asof_fixture(spark):
+    import vaex_spark as vs
+    left = vs.from_arrays(k=["a", "a", "a", "b", "b"],
+                          t=[1.0, 5.0, 9.0, 2.0, 4.0],
+                          lv=[10, 20, 30, 40, 50], spark=spark)
+    right = vs.from_arrays(k=["a", "a", "b"],
+                           t=[2.0, 5.0, 3.0],
+                           rv=[100, 200, 300], spark=spark)
+    return left, right
+
+
+def _asof_expected(direction, allow_exact=True, tolerance=None):
+    import pandas as pd
+    lp = pd.DataFrame({"k": ["a", "a", "a", "b", "b"],
+                       "t": [1.0, 5.0, 9.0, 2.0, 4.0],
+                       "lv": [10, 20, 30, 40, 50]}).sort_values("t")
+    rp = pd.DataFrame({"k": ["a", "a", "b"], "t": [2.0, 5.0, 3.0],
+                       "rv": [100, 200, 300]}).sort_values("t")
+    out = pd.merge_asof(lp, rp, on="t", by="k", direction=direction,
+                        allow_exact_matches=allow_exact, tolerance=tolerance)
+    return out.sort_values("lv")["rv"].tolist()
+
+
+def test_join_asof_directions(spark):
+    import math
+    left, right = _asof_fixture(spark)
+    for direction in ("backward", "forward", "nearest"):
+        out = left.join_asof(right, on="t", by="k", direction=direction)
+        got = {r["lv"]: r["rv"] for r in out.spark.collect()}
+        exp = _asof_expected(direction)
+        got_list = [got[lv] for lv in [10, 20, 30, 40, 50]]
+        norm = lambda xs: [None if (isinstance(x, float) and math.isnan(x)) or x is None else int(x) for x in xs]
+        assert norm(got_list) == norm(exp), direction
+
+
+def test_join_asof_exact_and_tolerance(spark):
+    import math
+    left, right = _asof_fixture(spark)
+    out = left.join_asof(right, on="t", by="k", allow_exact_matches=False)
+    got = {r["lv"]: r["rv"] for r in out.spark.collect()}
+    exp = _asof_expected("backward", allow_exact=False)
+    norm = lambda xs: [None if (isinstance(x, float) and math.isnan(x)) or x is None else int(x) for x in xs]
+    assert norm([got[lv] for lv in [10, 20, 30, 40, 50]]) == norm(exp)
+    out = left.join_asof(right, on="t", by="k", tolerance=1.0)
+    got = {r["lv"]: r["rv"] for r in out.spark.collect()}
+    exp = _asof_expected("backward", tolerance=1.0)
+    assert norm([got[lv] for lv in [10, 20, 30, 40, 50]]) == norm(exp)
+
+
+def test_join_asof_timestamps_no_by(spark):
+    import datetime as dt
+    import vaex_spark as vs
+    base = dt.datetime(2024, 1, 1)
+    left = vs.from_arrays(t=[base + dt.timedelta(seconds=s) for s in (10, 40)],
+                          lv=[1, 2], spark=spark)
+    right = vs.from_arrays(t=[base + dt.timedelta(seconds=s) for s in (5, 39)],
+                           rv=[7, 8], spark=spark)
+    out = left.join_asof(right, on="t", direction="backward")
+    got = {r["lv"]: r["rv"] for r in out.spark.collect()}
+    assert got == {1: 7, 2: 8}
+
+
+def test_join_range_broadcast_and_bucketed(spark):
+    import vaex_spark as vs
+    left = vs.from_arrays(x=[0.5, 1.5, 2.5, 7.0], id=[1, 2, 3, 4], spark=spark)
+    buckets = vs.from_arrays(lo=[0.0, 1.0, 2.0], hi=[1.0, 2.0, 3.0],
+                             label=["low", "mid", "high"], spark=spark)
+    for bw in (None, 1.0):
+        out = left.join_range(buckets, "x", "lo", "hi", how="inner", bucket_width=bw)
+        got = sorted((r["id"], r["label"]) for r in out.spark.collect())
+        assert got == [(1, "low"), (2, "mid"), (3, "high")], bw
+    out = left.join_range(buckets, "x", "lo", "hi", how="left", bucket_width=1.0)
+    got = sorted(((r["id"], r["label"]) for r in out.spark.collect()),
+                 key=lambda p: p[0])
+    assert got[3] == (4, None)

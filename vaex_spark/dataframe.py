@@ -1102,6 +1102,23 @@ class DataFrame:
     # ------------------------------------------------------------------
     # joins — delegated (operators/join.py)
     # ------------------------------------------------------------------
+    def join_asof(self, other, on, by=None, direction="backward",
+                  tolerance=None, rprefix="", rsuffix="_right",
+                  allow_exact_matches=True) -> "DataFrame":
+        """As-of join (pandas merge_asof semantics) — see
+        operators/join.py:join_asof for the single-shuffle plan."""
+        from .operators.join import join_asof as _join_asof
+        return _join_asof(self, other, on, by=by, direction=direction,
+                          tolerance=tolerance, rprefix=rprefix, rsuffix=rsuffix,
+                          allow_exact_matches=allow_exact_matches)
+
+    def join_range(self, other, left_on, right_lo, right_hi, how="inner",
+                   bucket_width=None, closed="left") -> "DataFrame":
+        """Interval containment join — see operators/join.py:join_range."""
+        from .operators.join import join_range as _join_range
+        return _join_range(self, other, left_on, right_lo, right_hi, how=how,
+                           bucket_width=bucket_width, closed=closed)
+
     def join(self, other, on=None, how="left", left_on=None, right_on=None,
              lprefix="", rprefix="", lsuffix="", rsuffix="",
              allow_duplication=False, inplace=False) -> "DataFrame":

@@ -110,3 +110,143 @@ def join(left, right, on=None, how="left", left_on=None, right_on=None,
     o = DataFrame(out)
     o.variables = dict(left.variables)
     return o
+
+
+def join_asof(left, right, on, by=None, direction="backward", tolerance=None,
+              rprefix="", rsuffix="_right", allow_exact_matches=True):
+    """As-of join (pandas merge_asof semantics; the reference has no
+    native equivalent — SURVEY's custom-operator slot).
+
+    Each left row picks the single closest right row by ``on`` (backward:
+    most recent right.ts <= left.ts; forward: earliest >=; nearest: the
+    closer of the two), optionally within the same ``by`` key and within
+    ``tolerance`` (seconds for timestamps, same units for numerics).
+
+    100 TB plan: UNION both sides (schema-aligned, side tag) and run ONE
+    partitioned running-window per direction —
+    ``last(right_struct, ignorenulls=True)`` over
+    ``partitionBy(by).orderBy(on, side)`` carries the nearest right row
+    to every left row.  Cost: one shuffle of (left + right) on the by
+    key; no pair explosion, no sort-merge of candidates.  The right
+    row's columns travel as ONE struct so nulls inside a matched row are
+    preserved atomically (a per-column carry would resurrect older
+    values).  Without ``by`` the global window routes through the same
+    partition-boundary machinery as shift/diff via a constant key — use
+    ``by`` at scale.
+    """
+    from pyspark.sql import Window
+    from ..dataframe import DataFrame
+
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction={direction!r}")
+    lsdf = left._spark_df()
+    rsdf = right._spark_df() if isinstance(right, DataFrame) else right
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+
+    # the right side's ``on`` value is kept (suffixed) — unlike pandas,
+    # which drops it; downstream gap computations need it
+    rpayload = [c for c in rsdf.columns if c not in by_cols]
+    renamed = {c: f"{rprefix}{c}{rsuffix}" if c in lsdf.columns else c for c in rpayload}
+    rstruct = F.struct(*[F.col(c).alias(renamed[c]) for c in rpayload],
+                       F.col(on).alias("__asof_ts"))
+
+    lhs = lsdf.withColumn("__side", F.lit(1)).withColumn("__r", F.lit(None).cast(
+        rsdf.select(rstruct.alias("s")).schema["s"].dataType))
+    rhs = rsdf.select(*by_cols, F.col(on), F.lit(0).alias("__side"),
+                      rstruct.alias("__r"))
+    for c in lsdf.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(lsdf.dtypes)[c]))
+    merged = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    part = [F.col(c) for c in by_cols] if by_cols else [F.lit(0)]
+    is_ts = dict(merged.dtypes)[on].startswith("timestamp")
+    oncol = F.col(on).cast("double") if not is_ts else F.unix_micros(F.col(on)) / 1e6
+
+    def pick(side_order, frame_end):
+        # equal-timestamp ties: to include exact matches the right row must
+        # fall INSIDE the frame — before left rows for the backward frame,
+        # after them for the forward frame (and the reverse to exclude)
+        right_first = allow_exact_matches if frame_end == "back" else not allow_exact_matches
+        tie = F.col("__side").asc() if right_first else F.col("__side").desc()
+        w = (Window.partitionBy(*part).orderBy(side_order, tie)
+             .rowsBetween(Window.unboundedPreceding, 0) if frame_end == "back"
+             else Window.partitionBy(*part).orderBy(side_order, tie)
+             .rowsBetween(0, Window.unboundedFollowing))
+        fn = F.last if frame_end == "back" else F.first
+        return fn(F.when(F.col("__side") == 0, F.col("__r")), ignorenulls=True).over(w)
+
+    if direction in ("backward", "nearest"):
+        merged = merged.withColumn("__back", pick(oncol.asc(), "back"))
+    if direction in ("forward", "nearest"):
+        merged = merged.withColumn("__fwd", pick(oncol.asc(), "fwd"))
+
+    out = merged.filter(F.col("__side") == 1)
+    if direction == "backward":
+        chosen = F.col("__back")
+    elif direction == "forward":
+        chosen = F.col("__fwd")
+    else:
+        dback = oncol - F.unix_micros(F.col("__back.__asof_ts")) / 1e6 if is_ts \
+            else oncol - F.col("__back.__asof_ts").cast("double")
+        dfwd = F.unix_micros(F.col("__fwd.__asof_ts")) / 1e6 - oncol if is_ts \
+            else F.col("__fwd.__asof_ts").cast("double") - oncol
+        chosen = (F.when(F.col("__back").isNull(), F.col("__fwd"))
+                  .when(F.col("__fwd").isNull(), F.col("__back"))
+                  .when(dfwd < dback, F.col("__fwd")).otherwise(F.col("__back")))
+    out = out.withColumn("__pick", chosen)
+    if tolerance is not None:
+        gap = F.abs(oncol - (F.unix_micros(F.col("__pick.__asof_ts")) / 1e6 if is_ts
+                             else F.col("__pick.__asof_ts").cast("double")))
+        out = out.withColumn("__pick", F.when(gap <= float(tolerance), F.col("__pick")))
+    for c in rpayload:
+        out = out.withColumn(renamed[c], F.col(f"__pick.{renamed[c]}"))
+    out = out.drop("__side", "__r", "__back", "__fwd", "__pick")
+
+    o = DataFrame(out)
+    o.variables = dict(left.variables)
+    return o
+
+
+def join_range(left, right, left_on, right_lo, right_hi, how="inner",
+               bucket_width=None, closed="left"):
+    """Interval join: match left rows whose ``left_on`` value falls in
+    [right_lo, right_hi) of a right-side interval table.
+
+    100 TB plan: naive non-equi joins plan as nested-loop.  When the
+    right side is small it broadcasts (fine).  Otherwise bucketize:
+    explode each interval into the integer buckets it covers
+    (``bucket_width``), equi-join on bucket id (hash shuffle, AQE-
+    skew-safe), then filter the exact containment — the classic
+    interval-bucketing rewrite; explode factor = interval width /
+    bucket_width.
+    """
+    from ..dataframe import DataFrame
+
+    lsdf = left._spark_df()
+    rsdf = right._spark_df() if isinstance(right, DataFrame) else right
+    lo, hi = F.col(right_lo), F.col(right_hi)
+    val = F.col(left_on)
+    contains = (val >= lo) & (val < hi) if closed == "left" else \
+               (val > lo) & (val <= hi) if closed == "right" else \
+               (val >= lo) & (val <= hi)
+
+    if bucket_width is None:
+        out = lsdf.join(F.broadcast(rsdf), on=contains, how=how)
+    else:
+        w = float(bucket_width)
+        rb = rsdf.withColumn("__bk", F.explode(F.sequence(
+            F.floor(lo / w).cast("long"), F.floor((hi - 1e-12) / w).cast("long"))))
+        lb = lsdf.withColumn("__bk", F.floor(val / w).cast("long"))
+        out = lb.join(rb, on="__bk", how="inner").filter(contains).drop("__bk")
+        if how == "left":
+            matched = out
+            unmatched = lsdf.join(matched.select(lsdf.columns).distinct(),
+                                  on=lsdf.columns, how="left_anti")
+            for c in rsdf.columns:
+                unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(rsdf.dtypes)[c]))
+            out = matched.unionByName(unmatched)
+
+    o = DataFrame(out)
+    o.variables = dict(left.variables)
+    return o

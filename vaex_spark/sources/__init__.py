@@ -102,7 +102,9 @@ def _read_parquet(spark: SparkSession, path: str):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     sdf = spark.read.parquet(path)
     for c in ns_cols:
-        sdf = sdf.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+        # integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed double's
+        # 2^53 exact-integer range, so float division drifts by ~100s of ns
+        sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return sdf
 
 
