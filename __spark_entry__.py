@@ -1213,6 +1213,99 @@ GROUP BY label ORDER BY label
 """
 
 
+def _q50_contamination(spark, sf_dir):
+    """Benchmark-contamination sweep (datapipe/dedup.py:contamination):
+    probes are 20-word spans lifted from every 97th document, so the
+    check provably fires; the corpus side never shuffles (probe shingles
+    broadcast).  Output: per probe, how many docs share >=1 8-shingle
+    and the total distinct-shingle overlap."""
+    from vaex_spark.datapipe.dedup import contamination
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    probes = (docs._spark_df().filter(F.col("doc_id") % 97 == 0)
+              .select(F.col("doc_id").alias("probe_id"),
+                      F.array_join(F.slice(words, 11, 20), " ").alias("text")))
+    hits = contamination(docs, probes, k=8, probe_id_col="probe_id")
+    return (hits.groupBy("probe_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_overlap").cast("long").alias("total_overlap"))
+            .orderBy("probe_id"))
+
+
+_Q50_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents),
+dg AS (
+  SELECT DISTINCT doc_id, gram
+  FROM w, UNNEST([array_to_string(words[i:i+7], ' ') for i in range(1, len(words) - 6)]) AS t(gram)
+  WHERE len(words) >= 8),
+pw AS (SELECT doc_id AS probe_id, words[11:30] AS pwords FROM w WHERE doc_id % 97 = 0),
+pg AS (
+  SELECT DISTINCT probe_id, gram
+  FROM pw, UNNEST([array_to_string(pwords[i:i+7], ' ') for i in range(1, len(pwords) - 6)]) AS t(gram)
+  WHERE len(pwords) >= 8),
+hits AS (
+  SELECT dg.doc_id, pg.probe_id, COUNT(*) AS n_overlap
+  FROM dg JOIN pg USING (gram)
+  GROUP BY dg.doc_id, pg.probe_id)
+SELECT probe_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_overlap) AS BIGINT) AS total_overlap
+FROM hits GROUP BY probe_id ORDER BY probe_id
+"""
+
+
+def _q51_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (datapipe/repetition.py): per-doc
+    top-2-gram and duplicate-5-gram character fractions, aggregated per
+    language.  Fractions are integer-ratio doubles (bit-identical across
+    engines); sums go through the decimal-cast for order independence."""
+    from vaex_spark.datapipe.repetition import repetition_stats
+    docs = _t(spark, sf_dir, "documents")
+    stats = repetition_stats(docs).spark
+    j = stats.join(docs._spark_df().select("doc_id", "lang"), on="doc_id")
+    return (j.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 dsum(F.round(F.col("top2gram_char_frac"), 6)).alias("sum_top2"),
+                 dsum(F.round(F.col("dup5gram_char_frac"), 6)).alias("sum_dup5"))
+            .orderBy("lang"))
+
+
+_Q51_SQL = """
+WITH w AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents),
+g2 AS (
+  SELECT doc_id, array_to_string(words[i:i+1], ' ') AS gram
+  FROM w, UNNEST(range(1, len(words))) AS t(i)),
+c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+t2 AS (
+  SELECT doc_id, cnt * LENGTH(gram) AS topchars,
+         SUM(cnt * LENGTH(gram)) OVER (PARTITION BY doc_id) AS allchars,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+  FROM c2),
+top2 AS (SELECT doc_id, CAST(topchars AS DOUBLE) / allchars AS top2frac FROM t2 WHERE rn = 1),
+g5 AS (
+  SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+  FROM w, UNNEST(range(1, len(words) - 3)) AS t(i)),
+c5 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g5 GROUP BY doc_id, gram),
+dup5 AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN cnt > 1 THEN cnt * LENGTH(gram) ELSE 0 END) AS DOUBLE)
+           / SUM(cnt * LENGTH(gram)) AS dup5frac
+  FROM c5 GROUP BY doc_id)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(ROUND(top2frac, 6) AS DECIMAL(25,6))) AS DOUBLE) AS sum_top2,
+       CAST(SUM(CAST(ROUND(dup5frac, 6) AS DECIMAL(25,6))) AS DOUBLE) AS sum_dup5
+FROM w JOIN top2 USING (doc_id) JOIN dup5 USING (doc_id)
+GROUP BY lang ORDER BY lang
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1267,6 +1360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_pii_scrub": _q47_pii_scrub,
         "q48_asof_join": _q48_asof_join,
         "q49_range_join": _q49_range_join,
+        "q50_contamination": _q50_contamination,
+        "q51_repetition": _q51_repetition,
     }
 
 
@@ -1321,4 +1416,6 @@ def oracle_sql() -> dict[str, str]:
         "q47_pii_scrub": _q47_oracle_sql(),
         "q48_asof_join": _Q48_SQL,
         "q49_range_join": _q49_oracle_sql(),
+        "q50_contamination": _Q50_SQL,
+        "q51_repetition": _Q51_SQL,
     }

@@ -294,3 +294,48 @@ def test_pii_redaction(spark):
     assert rows["text_redacted"].tolist()[4] == "clean line"
     assert rows["pii_email"].tolist() == [1, 0, 0, 0, 0]
     assert rows["pii_ssn"].tolist() == [0, 0, 0, 1, 0]
+
+
+def test_repetition_stats(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe.repetition import repetition_stats
+    # doc 1: "ab cd\nab cd\nxy" -> 3 lines, "ab cd" duplicated
+    df = vs.from_arrays(doc_id=[1, 2],
+                        text=["ab cd\nab cd\nxy",
+                              "w w w w w unique tail"], spark=spark)
+    out = {r["doc_id"]: r for r in repetition_stats(df).spark.collect()}
+    r1 = out[1]
+    assert r1["n_lines"] == 3
+    assert abs(r1["dup_line_frac"] - 1 / 3) < 1e-12          # 3 lines, 2 distinct
+    assert abs(r1["dup_line_char_frac"] - 5 / 12) < 1e-12    # one repeat of 'ab cd'
+    r2 = out[2]
+    # 2-grams of doc2: 'w w' x4 (12 chars), 'w unique' (8), 'unique tail'
+    # (11) -> top covers 12 of 31 gram chars
+    assert abs(r2["top2gram_char_frac"] - 12 / 31) < 1e-12
+    assert r2["dup_line_frac"] == 0.0
+
+
+def test_gopher_filter(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe.repetition import gopher_filter
+    rep = " ".join(["spam spam spam"] * 10)
+    clean = "the quick brown fox jumps over a lazy dog near the river bank today"
+    df = vs.from_arrays(doc_id=[1, 2], text=[rep, clean], spark=spark)
+    kept = [r["doc_id"] for r in gopher_filter(df).spark.collect()]
+    assert kept == [2]
+
+
+def test_contamination(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import contamination
+    probe_span = "one two three four five six seven eight nine ten"
+    docs = vs.from_arrays(
+        doc_id=[1, 2, 3],
+        text=[f"prefix words here {probe_span} suffix words",
+              "totally different content with no overlap at all whatsoever",
+              f"{probe_span} leading match"], spark=spark)
+    probes = vs.from_arrays(probe_id=[100], text=[probe_span], spark=spark)
+    out = contamination(docs, probes, k=8, probe_id_col="probe_id")
+    got = {(r["doc_id"], r["probe_id"]): r["n_overlap"] for r in out.collect()}
+    assert (2, 100) not in got
+    assert got[(1, 100)] == 3 and got[(3, 100)] == 3  # 10-word span -> 3 8-shingles

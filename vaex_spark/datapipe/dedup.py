@@ -392,3 +392,35 @@ def _colify(x):
     if isinstance(x, Column):
         return x
     return F.col(x)
+
+
+def contamination(docs, probes, k: int = 8, text_col: str = "text",
+                  id_col: str = "doc_id", probe_text_col: str | None = None,
+                  probe_id_col: str | None = None) -> SparkDataFrame:
+    """Benchmark-contamination check: which corpus documents contain a
+    k-word shingle of any probe (benchmark/eval) text — the standard
+    n-gram-overlap decontamination test from the GPT-3/PaLM reports.
+
+    Returns (doc_id, probe_id, n_overlap) where n_overlap counts the
+    DISTINCT shared k-shingles.
+
+    100 TB plan: both sides explode to (id, shingle) and de-dup per id;
+    the probe side (benchmarks are ~MBs) broadcasts, so the corpus never
+    shuffles — the join happens map-side inside the scan stage.  Text
+    bodies are pruned out of the exchange; only (id, 64-bit gram hash)
+    pairs flow.
+    """
+    probe_text_col = probe_text_col or text_col
+    probe_id_col = probe_id_col or id_col
+    d = _sdf(docs)
+    p = _sdf(probes)
+    dg = (d.select(F.col(id_col).alias("doc_id"),
+                   F.explode(shingles(F.col(text_col), k=k)).alias("_g"))
+          .withColumn("_h", F.xxhash64("_g")).drop("_g").distinct())
+    pg = (p.select(F.col(probe_id_col).alias("probe_id"),
+                   F.explode(shingles(F.col(probe_text_col), k=k)).alias("_g"))
+          .withColumn("_h", F.xxhash64("_g")).drop("_g").distinct())
+    out = (dg.join(F.broadcast(pg), on="_h")
+           .groupBy("doc_id", "probe_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_overlap")))
+    return out
