@@ -1306,6 +1306,39 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def _q52_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (datapipe/packing.py): lay the
+    corpus out in doc_id order and cut the token stream every 512
+    tokens.  The running cumsum uses the range-partition + boundary-
+    offset plan, so no single-task sort at scale."""
+    from vaex_spark.datapipe.packing import pack_sequences
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    sized = docs._spark_df().select("doc_id", F.size(words).cast("long").alias("n_tokens"))
+    packed = pack_sequences(sized, "n_tokens", 512, order_key="doc_id")
+    return (packed.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("sum_tokens"))
+            .orderBy("bin"))
+
+
+_Q52_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM w)
+SELECT CAST(pre // 512 AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS sum_tokens
+FROM c GROUP BY bin ORDER BY bin
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1362,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_range_join": _q49_range_join,
         "q50_contamination": _q50_contamination,
         "q51_repetition": _q51_repetition,
+        "q52_pack_sequences": _q52_pack_sequences,
     }
 
 
@@ -1418,4 +1452,5 @@ def oracle_sql() -> dict[str, str]:
         "q49_range_join": _q49_oracle_sql(),
         "q50_contamination": _Q50_SQL,
         "q51_repetition": _Q51_SQL,
+        "q52_pack_sequences": _Q52_SQL,
     }

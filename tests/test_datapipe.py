@@ -339,3 +339,34 @@ def test_contamination(spark):
     got = {(r["doc_id"], r["probe_id"]): r["n_overlap"] for r in out.collect()}
     assert (2, 100) not in got
     assert got[(1, 100)] == 3 and got[(3, 100)] == 3  # 10-word span -> 3 8-shingles
+
+
+def test_pack_sequences_chunk(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe.packing import pack_sequences
+    df = vs.from_arrays(doc_id=[0, 1, 2, 3, 4],
+                        n=[300, 300, 300, 600, 50], spark=spark)
+    out = {r["doc_id"]: r for r in
+           pack_sequences(df, "n", 512, order_key="doc_id").spark.collect()}
+    # stream offsets: 0,300,600,900,1500 -> bins 0,0,1,1,2
+    assert [out[i]["bin"] for i in range(5)] == [0, 0, 1, 1, 2]
+    assert out[1]["end_bin"] == 1          # 300..599 straddles the cut
+    assert out[2]["offset"] == 600 % 512
+
+
+def test_pack_sequences_nextfit(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe.packing import pack_sequences
+    lens = [300, 300, 300, 600, 50, 500, 20]
+    df = vs.from_arrays(doc_id=list(range(len(lens))), n=lens, spark=spark)
+    rows = pack_sequences(df, "n", 512, order_key="doc_id",
+                          strategy="nextfit").spark.collect()
+    by_doc = {r["doc_id"]: r["bin"] for r in rows}
+    # greedy reference within each partition: docs in order, no splits
+    import collections
+    per_bin = collections.defaultdict(int)
+    for r in rows:
+        per_bin[r["bin"]] += min(r["n_tokens"], 512)
+    assert all(v <= 512 for v in per_bin.values())
+    # same-partition consecutive docs that fit must share a bin
+    assert by_doc[4] == by_doc[5] or by_doc[4] != by_doc[3]

@@ -1,0 +1,87 @@
+"""Sequence packing for LM training pipelines: assign variable-length
+documents to fixed token-budget bins (context windows).
+
+Two strategies, both deterministic:
+
+* ``strategy='chunk'`` — the standard concat-and-chunk used for LM
+  pretraining: documents are laid out in a deterministic order and the
+  token stream is cut every ``max_tokens``; a document may straddle a
+  boundary.  Exact, embarrassingly parallel: one running cumsum over
+  the order key (the partition-boundary-exchange window machinery),
+  then integer division.  SQL-expressible, so oracle-checkable.
+* ``strategy='nextfit'`` — no-split greedy next-fit: a new bin starts
+  whenever the current document would overflow the budget.  The scan is
+  inherently sequential, so it runs per range-partition (Arrow-batched
+  applyInPandas) with partition-local bin ids made globally unique by
+  offsetting with the partition id.  Bins never span partitions — the
+  deterministic, restart-safe behavior you want at 100 TB (each
+  partition packs independently; waste is at most one bin per
+  partition).
+
+Both return (id, n_tokens, bin) plus chunk-mode offsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+__all__ = ["pack_sequences"]
+
+
+def pack_sequences(df, length_col: str, max_tokens: int,
+                   id_col: str = "doc_id", order_key: str | None = None,
+                   strategy: str = "chunk"):
+    """See module docstring.  ``order_key`` defaults to ``id_col`` —
+    packing order must be explicit to be reproducible."""
+    from ..dataframe import DataFrame
+    wrapped = isinstance(df, DataFrame)
+    sdf = df._spark_df() if wrapped else df
+    order_key = order_key or id_col
+    n = F.col(length_col).cast("long")
+
+    if strategy == "chunk":
+        from pyspark.sql import Window
+        base = sdf.select(F.col(id_col), n.alias("n_tokens"), F.col(order_key).alias("_ok"))
+        # global running sum: range-partitioned sort, not a single task —
+        # repartitionByRange + per-partition cumsum + broadcast offsets
+        part = base.repartitionByRange(32, "_ok").withColumn("_pid", F.spark_partition_id())
+        w_local = (Window.partitionBy("_pid").orderBy("_ok")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+        local = part.withColumn("_before_local", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)))
+        totals = local.groupBy("_pid").agg(F.sum("n_tokens").alias("_ptot"))
+        from ..operators.rowid import bounded_window
+        w_off = bounded_window("_pid").rowsBetween(Window.unboundedPreceding, -1)
+        offs = totals.withColumn("_poff", F.coalesce(F.sum("_ptot").over(w_off), F.lit(0)))
+        out = (local.join(F.broadcast(offs.select("_pid", "_poff")), on="_pid")
+               .withColumn("_before", F.col("_before_local") + F.col("_poff"))
+               .select(id_col, "n_tokens",
+                       # integer div, not `/`: stays exact at any scale
+                       F.expr(f"_before div {int(max_tokens)}").alias("bin"),
+                       F.expr(f"(_before + n_tokens - 1) div {int(max_tokens)}").alias("end_bin"),
+                       (F.col("_before") % max_tokens).alias("offset")))
+    elif strategy == "nextfit":
+        import pandas as pd
+        base = (sdf.select(F.col(id_col), n.alias("n_tokens"), F.col(order_key).alias("_ok"))
+                .repartitionByRange(32, "_ok")
+                .withColumn("_pid", F.spark_partition_id()))
+
+        def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("_ok").reset_index(drop=True)
+            bins, used, b = [], 0, 0
+            for t in pdf["n_tokens"]:
+                if used > 0 and used + t > max_tokens:
+                    b, used = b + 1, 0
+                bins.append(b)
+                used += min(t, max_tokens)
+            pdf["local_bin"] = bins
+            return pdf[[id_col, "n_tokens", "_pid", "local_bin"]]
+
+        schema = f"{id_col} long, n_tokens long, _pid int, local_bin long"
+        packed = base.groupBy("_pid").applyInPandas(_pack, schema=schema)
+        # globally unique bin ids: partition id in the high bits
+        out = packed.select(id_col, "n_tokens",
+                            (F.col("_pid").cast("long") * (1 << 40) +
+                             F.col("local_bin")).alias("bin"))
+    else:
+        raise ValueError(f"strategy={strategy!r} (chunk|nextfit)")
+    return DataFrame(out) if wrapped else out
