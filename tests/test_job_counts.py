@@ -64,3 +64,17 @@ def test_explicit_limits_is_one_query(spark, lineitem, agg_job_cost):
     with count_jobs(spark, n):
         lineitem.count(binby="l_quantity", shape=8, limits=[0.0, 50.0])
     assert n[0] <= agg_job_cost
+
+
+def test_stat_module_tree_is_one_pass(spark, lineitem, agg_job_cost):
+    """A whole vs.stat arithmetic tree resolves in ONE batched query:
+    the leaves schedule on the delayed executor, calculate() runs a
+    single execute()."""
+    import vaex_spark as vs
+    expr = vs.stat.mean("l_quantity") / vs.stat.sum("l_extendedprice") + vs.stat.count()
+    expr.calculate(lineitem)  # warm
+    n = []
+    with count_jobs(spark, n):
+        got = expr.calculate(lineitem)
+    assert got > 0
+    assert n[0] == agg_job_cost

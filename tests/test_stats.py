@@ -190,3 +190,25 @@ def test_delay_honored_everywhere(spark, lineitem):
     assert d5.get() == lineitem.median_approx("l_quantity")
     m = d6.get()
     assert m.shape == (2, 2) and abs(m[0, 0] - 1.0) < 1e-9
+
+
+def test_stat_module_algebra(spark):
+    import numpy as np
+    import vaex_spark as vs
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    df = vs.from_arrays(x=xs, spark=spark)
+    snr = vs.stat.mean("x") / vs.stat.std("x")
+    got = snr.calculate(df)
+    assert abs(got - np.mean(xs) / np.std(xs)) < 1e-9
+    total = (vs.stat.sum("x") + 10) * 2
+    assert abs(total.calculate(df) - (sum(xs) + 10) * 2) < 1e-12
+    c = vs.stat.correlation("x", "x").calculate(df)
+    assert abs(c - 1.0) < 1e-9
+
+
+def test_stat_module_errors_on_unsupported_kw(spark):
+    import pytest
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[1.0, 2.0], y=[2.0, 1.0], spark=spark)
+    with pytest.raises(ValueError, match="covar"):
+        vs.stat.covar("x", "y").calculate(df, binby=["x"], shape=4, limits=[0, 3])

@@ -18,8 +18,11 @@ from . import cache  # noqa: F401
 from .functions import register_function, registry  # noqa: F401
 from .groupby import Binner, BinnerTime, GrouperLimited, RowLimitException  # noqa: F401
 from .session import get_session  # noqa: F401
+from . import stat  # noqa: F401
 from .sources import (  # noqa: F401
     connect,
+    from_astropy_table,
+    from_samp,
     example,
     from_arrays,
     from_arrow_table,

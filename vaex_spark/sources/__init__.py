@@ -244,3 +244,16 @@ def example(spark: SparkSession | None = None) -> DataFrame:
     if os.path.exists(p):
         return open(p, spark=spark)
     return vrange(0, 1000, spark=spark)
+
+
+def from_astropy_table(table, spark: SparkSession | None = None) -> DataFrame:
+    """reference __init__.py:from_astropy_table — gated on astropy."""
+    try:
+        import astropy.table  # noqa: F401
+    except ImportError as e:
+        raise ImportError("from_astropy_table requires the optional 'astropy' package") from e
+    return from_pandas(table.to_pandas(), spark=spark)
+
+
+def from_samp(username=None, password=None):
+    raise ImportError("from_samp requires the optional 'astropy' (samp) stack")
