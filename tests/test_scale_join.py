@@ -74,3 +74,60 @@ def test_salted_group_count_matches(spark):
     df = vs.from_arrays(k=[7] * 500 + [1, 2, 3] * 10, spark=spark)
     got = {r.k: r["count"] for r in scale.salted_group_count(df, "k", salt=4).collect()}
     assert got == {7: 500, 1: 10, 2: 10, 3: 10}
+
+
+def _file_spans(path, cols):
+    """Per parquet file: product of (max-min) spans of cols, from footer
+    metadata only."""
+    import glob
+    import pyarrow.parquet as pq
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo = {c: float("inf") for c in cols}
+        hi = {c: float("-inf") for c in cols}
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for i in range(row.num_columns):
+                col = row.column(i)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    lo[name] = min(lo[name], col.statistics.min)
+                    hi[name] = max(hi[name], col.statistics.max)
+        area = 1.0
+        for c in cols:
+            area *= max(hi[c] - lo[c], 0.0)
+        spans.append(area)
+    return spans
+
+
+def test_zorder_layout_tightens_file_stats(spark, tmp_path):
+    """Z-ordered files must cover far less (x,y) area per file than a
+    random layout -> parquet min/max pruning actually bites."""
+    import numpy as np
+    import vaex_spark as vs
+    rng = np.random.RandomState(7)
+    n = 20000
+    df = vs.from_arrays(x=rng.rand(n) * 1000, y=rng.rand(n) * 1000, spark=spark)
+    plain, zpath = str(tmp_path / "plain"), str(tmp_path / "zord")
+    df.spark.repartition(8).write.parquet(plain)
+    df.export_zordered(zpath, ["x", "y"], n_files=8)
+    plain_area = sum(_file_spans(plain, ["x", "y"]))
+    z_area = sum(_file_spans(zpath, ["x", "y"]))
+    assert z_area < plain_area * 0.5
+    # and the data survives intact
+    assert spark.read.parquet(zpath).count() == n
+
+
+def test_clustered_layout_prunes_on_prefix(spark, tmp_path):
+    import numpy as np
+    import vaex_spark as vs
+    rng = np.random.RandomState(8)
+    n = 10000
+    df = vs.from_arrays(k=rng.randint(0, 1000, n).astype("int64"), spark=spark)
+    path = str(tmp_path / "clustered")
+    df.export_clustered(path, "k", n_files=8)
+    spans = _file_spans(path, ["k"])
+    # each file covers ~1/8 of the key space (range partitioning)
+    assert sum(spans) < 1000 * 8 * 0.3
+    assert spark.read.parquet(path).count() == n

@@ -2041,6 +2041,18 @@ class DataFrame:
         by = [by] if isinstance(by, str) else list(by)
         self._spark_df().write.mode(mode).partitionBy(*by).parquet(path)
 
+    def export_zordered(self, path: str, by, n_files: int = 32, bits: int = 16,
+                        mode: str = "overwrite") -> None:
+        """Z-order (Morton) clustered parquet layout — operators/scale.py."""
+        from .operators.scale import export_zordered
+        export_zordered(self, path, by, n_files=n_files, bits=bits, mode=mode)
+
+    def export_clustered(self, path: str, by, n_files: int = 32,
+                         mode: str = "overwrite") -> None:
+        """Linear range-clustered parquet layout — operators/scale.py."""
+        from .operators.scale import export_clustered
+        export_clustered(self, path, by, n_files=n_files, mode=mode)
+
     def export_csv(self, path: str, single_file: bool = True, **kw):
         if single_file:
             self.to_pandas_df().to_csv(path, index=False)

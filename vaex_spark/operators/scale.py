@@ -94,3 +94,68 @@ def salted_group_count(df, key: str, salt: int = 16) -> SparkDataFrame:
     partial = (sdf.withColumn("__salt", (F.rand(seed=0) * salt).cast("int"))
                .groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__n")))
     return partial.groupBy(key).agg(F.sum("__n").alias("count"))
+
+
+# ---------------------------------------------------------------------------
+# data layout: clustered / Z-ordered export (scan-pruning lever)
+# ---------------------------------------------------------------------------
+def zorder_key(df, columns, bits: int = 16) -> "F.Column":
+    """Interleaved-bit (Morton) key over 2+ numeric columns.
+
+    Each column is min/max-scaled to a ``bits``-bit integer (one tiny
+    stats job), then the bits are interleaved with pure Column math
+    (shift/or over ``bits * n_cols`` terms — no UDF).  Sorting by this
+    key clusters rows so that EVERY participating column is locally
+    correlated within a file: parquet row-group min/max footers then
+    prune multi-dimensional range scans, the same layout trick Delta's
+    OPTIMIZE ZORDER applies.
+    """
+    sdf = _sdf(df)
+    cols = list(columns)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+    row = sdf.agg(*aggs).collect()[0]
+    scaled = []
+    for c in cols:
+        lo, hi = float(row[f"_lo_{c}"]), float(row[f"_hi_{c}"])
+        span = (hi - lo) or 1.0
+        s = F.least(F.lit((1 << bits) - 1),
+                    F.floor((F.col(c).cast("double") - lo) / span * ((1 << bits) - 1))
+                    .cast("long"))
+        scaled.append(s)
+    key = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return key
+
+
+def export_zordered(df, path: str, by, n_files: int = 32, bits: int = 16,
+                    mode: str = "overwrite") -> None:
+    """Write parquet laid out in Z-order over ``by`` columns:
+    range-partition on the Morton key (balanced files) and sort within
+    partitions, so row-group min/max stats stay tight on every ``by``
+    column.  One extra shuffle at write time buys pruned scans on every
+    later multi-column range query."""
+    sdf = _sdf(df)
+    k = zorder_key(sdf, by, bits=bits)
+    (sdf.withColumn("__zk", k)
+        .repartitionByRange(n_files, "__zk")
+        .sortWithinPartitions("__zk")
+        .drop("__zk")
+        .write.mode(mode).parquet(path))
+
+
+def export_clustered(df, path: str, by, n_files: int = 32,
+                     mode: str = "overwrite") -> None:
+    """Single/multi-column linear clustering: range-partition + sort on
+    the columns themselves (the right layout when queries filter on a
+    prefix of ``by``; Z-order wins when they filter independently)."""
+    sdf = _sdf(df)
+    cols = [by] if isinstance(by, str) else list(by)
+    (sdf.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode).parquet(path))
