@@ -304,3 +304,20 @@ def test_add_virtual_columns_wrappers(spark):
     df3 = vs.from_arrays(alpha=[0.3], delta=[0.2], spark=spark)
     df3.add_virtual_columns_aitoff("alpha", "delta")
     assert "x_aitoff" in df3.get_column_names()
+
+
+def test_state_transfer(spark):
+    import vaex_spark as vs
+    from vaex_spark.ml import StateTransfer
+    df = vs.from_arrays(x=[1.0, 2.0, 3.0], spark=spark)
+    df["y"] = df.x * 10
+    df.units["x"] = "m"
+    st = StateTransfer.from_df(df)
+    other = vs.from_arrays(x=[4.0, 5.0], spark=spark)
+    out = st.transform(other)
+    assert out.evaluate("y").tolist() == [40.0, 50.0]
+    assert out.unit("x") == "m"
+    # state roundtrip through the Transformer contract
+    st2 = StateTransfer()
+    st2.state_set(st.state_get())
+    assert st2.transform(other).evaluate("y").tolist() == [40.0, 50.0]

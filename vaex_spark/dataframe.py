@@ -1899,6 +1899,10 @@ class DataFrame:
             "selections": {k: text(v) for k, v in self.selections.items()},
             "filter": text(self._filter) if self._filter is not None else None,
             "renames": dict(self._renames),
+            "units": {k: str(v) for k, v in self.units.items()},
+            "ucds": dict(self.ucds),
+            "descriptions": dict(self.descriptions),
+            "description": self.description,
         }
 
     def state_set(self, state: dict) -> None:
@@ -1921,6 +1925,10 @@ class DataFrame:
                 self._filter = Expression(self, f)
             except Exception:
                 self._filter = Expression(self, F.expr(f), sql=f)
+        self.units = dict(state.get("units", {}))
+        self.ucds = dict(state.get("ucds", {}))
+        self.descriptions = dict(state.get("descriptions", {}))
+        self.description = state.get("description")
 
     def state_write(self, path: str) -> None:
         with open(path, "w") as fh:

@@ -52,6 +52,31 @@ class Transformer:
             setattr(self, k, state[k])
 
 
+class StateTransfer(Transformer):
+    """transformations.py:StateTransfer — capture a frame's derived-layer
+    state (virtual columns / selections / variables) and replay it onto
+    another frame with the same base columns."""
+
+    _state_keys = ("state",)
+
+    def __init__(self, state: dict | None = None):
+        self.features = []
+        self.state = state or {}
+
+    @classmethod
+    def from_df(cls, df) -> "StateTransfer":
+        return cls(state=df.state_get())
+
+    def fit(self, df):
+        self.state = df.state_get()
+        return self
+
+    def transform(self, df):
+        out = df.copy()
+        out.state_set(dict(self.state))
+        return out
+
+
 class StandardScaler(Transformer):
     """transformations.py:582 — (x - mean) / std (population std)."""
 
