@@ -289,7 +289,8 @@ def test_virtual_meta_roundtrip(spark, tmp_path, monkeypatch):
     df.write_virtual_meta()
     df2 = vs.open(p, spark=spark)
     df2.update_virtual_meta()
-    assert df2.evaluate("y").tolist() == [2.0, 4.0]
+    # multi-file parquet scan order is undefined -> compare as sets
+    assert sorted(df2.evaluate("y").tolist()) == [2.0, 4.0]
     df2.remove_virtual_meta()
 
 
