@@ -68,3 +68,48 @@ def test_headline_queries_have_no_cartesian(spark):
             sdf = sdf._spark_df()
         plan = _plan(sdf)
         assert "CartesianProduct" not in plan, name
+
+
+def test_contamination_broadcasts_probes(spark):
+    """The corpus side must NOT shuffle: probe shingles broadcast, so
+    the join happens map-side."""
+    import __spark_entry__ as e
+    sdf = e.queries()["q50_contamination"](spark, "/root/testdata/sf0.001")
+    plan = _plan(sdf)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_asof_join_has_no_pair_join(spark):
+    """The as-of plan is union + window — no join of left against right
+    candidates (that shape explodes at scale)."""
+    import __spark_entry__ as e
+    sdf = e.queries()["q48_asof_join"](spark, "/root/testdata/sf0.001")
+    plan = _plan(sdf)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Union" in plan and "Window" in plan, plan
+
+
+def test_range_join_is_hash_not_nested_loop(spark):
+    """Bucketized rewrite must produce an equi hash/sort-merge join, not
+    BroadcastNestedLoopJoin."""
+    import __spark_entry__ as e
+    sdf = e.queries()["q49_range_join"](spark, "/root/testdata/sf0.001")
+    plan = _plan(sdf)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pack_sequences_no_global_sort_window(spark, capsys):
+    """Chunk packing must not funnel rows into a single-task global
+    window (the cumsum runs per range partition + tiny offset join)."""
+    import io
+    import logging
+    import __spark_entry__ as e
+    sdf = e.queries()["q52_pack_sequences"](spark, "/root/testdata/sf0.001")
+    plan = _plan(sdf)
+    # the only empty-partition-spec windows allowed are over the
+    # metadata-sized offsets frame (guarded by bounded_window's rand key)
+    import re as _re
+    bad = [ln for ln in plan.splitlines()
+           if "Window" in ln and "_pid" not in ln and "rand" not in ln]
+    # window lines must be partitioned by _pid or the bounded-window key
+    assert not any("partitionBy=[]" in ln for ln in bad), plan

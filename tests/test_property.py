@@ -71,3 +71,31 @@ def test_value_counts_total(spark, data):
     vc = df.value_counts("k")
     assert int(vc.sum()) == len(data)
     assert df.nunique("k") == len(set(data))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    lts=st.lists(st.integers(0, 100), min_size=1, max_size=12),
+    rts=st.lists(st.integers(0, 100), min_size=1, max_size=12),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+def test_join_asof_matches_pandas(spark, lts, rts, direction):
+    """join_asof equals pandas merge_asof on arbitrary integer keys
+    (unique within each side; single partition-key group)."""
+    import math
+    import pandas as pd
+    import vaex_spark as vs
+    lts, rts = sorted(set(lts)), sorted(set(rts))
+    left = vs.from_arrays(t=[float(t) for t in lts],
+                          lv=list(range(len(lts))), spark=spark)
+    right = vs.from_arrays(t=[float(t) for t in rts],
+                           rv=[100 + i for i in range(len(rts))], spark=spark)
+    out = left.join_asof(right, on="t", direction=direction)
+    got = {r["lv"]: r["rv"] for r in out.spark.collect()}
+    lp = pd.DataFrame({"t": [float(t) for t in lts], "lv": range(len(lts))})
+    rp = pd.DataFrame({"t": [float(t) for t in rts],
+                       "rv": [100 + i for i in range(len(rts))]})
+    exp = pd.merge_asof(lp, rp, on="t", direction=direction)
+    for lv, rv in zip(exp["lv"], exp["rv"]):
+        want = None if (isinstance(rv, float) and math.isnan(rv)) else int(rv)
+        assert got[lv] == want, (direction, lts, rts)
