@@ -212,3 +212,32 @@ def test_stat_module_errors_on_unsupported_kw(spark):
     df = vs.from_arrays(x=[1.0, 2.0], y=[2.0, 1.0], spark=spark)
     with pytest.raises(ValueError, match="covar"):
         vs.stat.covar("x", "y").calculate(df, binby=["x"], shape=4, limits=[0, 3])
+
+
+def test_delayed_decorator(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[1.0, 2.0, 3.0], spark=spark)
+    s = df.sum("x", delay=True)
+    c = df.count(delay=True)
+
+    @vs.delayed
+    def mean(a, b):
+        return a / b
+
+    m = mean(s, c)
+    nested = mean(m, 1)          # delayed-of-delayed composes
+    both = vs.delayed_args(s, c)
+    df.execute()
+    assert m.get() == 2.0
+    assert nested.get() == 2.0
+    assert tuple(both.get()) == (6.0, 3)
+
+
+def test_open_convert(spark, tmp_path):
+    import os
+    import vaex_spark as vs
+    csv = tmp_path / "conv.csv"
+    csv.write_text("a,b\n1,x\n2,y\n")
+    df = vs.open(str(csv), spark=spark, convert=True)
+    assert os.path.exists(str(csv) + ".parquet")
+    assert sorted(df.to_pandas_df()["a"].tolist()) == [1, 2]

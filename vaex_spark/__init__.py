@@ -19,6 +19,7 @@ from .functions import register_function, registry  # noqa: F401
 from .groupby import Binner, BinnerTime, GrouperLimited, RowLimitException  # noqa: F401
 from .session import get_session  # noqa: F401
 from . import stat  # noqa: F401
+from .delayed import delayed, delayed_args, delayed_list  # noqa: F401
 from .sources import (  # noqa: F401
     connect,
     from_astropy_table,

@@ -49,6 +49,15 @@ def open(path, spark: SparkSession | None = None, convert=False, shuffle=False,
         return open_many(path, spark=spark)
     p = str(path)
     ext = os.path.splitext(p.split("?")[0])[1].lower()
+    if convert and ext not in (".parquet", ".pq"):
+        # reference __init__.py:111 convert= semantics: materialize a
+        # columnar copy once, open that thereafter
+        target = p if isinstance(convert, bool) else str(convert)
+        if isinstance(convert, bool):
+            target = p + ".parquet"
+        if not os.path.exists(target):
+            open(p, spark=spark).export_parquet(target)
+        return open(target, spark=spark, shuffle=shuffle)
     reader = spark.read
     if ext in (".parquet", ".pq"):
         df = DataFrame(_read_parquet(spark, p))
