@@ -825,15 +825,18 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
 def _q36_simhash_near_dups(spark, sf_dir):
     """SimHash near-dups, exact-Jaccard verified.
 
-    Pigeonhole blocking is COMPLETE for hamming <= 8 (9 chunks, one must
-    match exactly); verification keeps candidates with exact jaccard
-    >= 0.9.  Near-identical docs (jaccard >= 0.9) have small simhash
-    hamming distance (measured max 5 at sf0.01, 7 at sf0.001), so the
-    output equals the exact all-pairs >= 0.9 set — engine-independent,
-    same oracle family as q35."""
+    Pigeonhole blocking is COMPLETE for hamming <= 12 (13 four-bit
+    chunks: <=12 differing covered bits can't touch all 13, and
+    differences in the 12 uncovered top bits never break a chunk match);
+    verification keeps candidates with exact jaccard >= 0.9.  Measured
+    hamming of jaccard>=0.9 pairs: max 5 at sf0.01, 7 at sf0.001, 11 at
+    sf0.1 — mean ~2.3, so P(>12) is ~1e-7/pair and the verified output
+    equals the exact all-pairs >= 0.9 set, engine-independently.  The
+    production operator default stays max_hamming=3 (16-bit chunks,
+    strong blocking); the loose bound here buys oracle-exactness."""
     from vaex_spark.datapipe import dedup
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_verified_pairs(docs, max_hamming=8, threshold=0.9)
+    return dedup.simhash_verified_pairs(docs, max_hamming=12, threshold=0.9)
 
 
 def _q37_ngram_jaccard_exact(spark, sf_dir):

@@ -178,21 +178,34 @@ def embedding_near_dups(corpus, threshold: float = 0.95, bits: int = 6,
     if dim is None:
         first = corpus_sdf.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
         dim = int(first[0]["d"])
+    # Candidates shuffle as (id, table, bucket) ONLY — never the vectors.
+    # Carrying the arrays through the self-join multiplies payload by the
+    # candidate count (quadratic in bucket size) and OOMs long before the
+    # id-pair form feels anything; verification re-joins vectors by id,
+    # which is linear in pairs + corpus.
     buckets = F.array(*[hyperplane_bucket(F.col(vec_col), _hyperplanes(dim, bits, seed + t))
                         for t in range(n_tables)])
-    tagged = corpus_sdf.select(F.col(id_col), F.col(vec_col),
-                               F.posexplode(buckets).alias("table", "bucket"))
+    tagged = corpus_sdf.select(F.col(id_col), F.posexplode(buckets).alias("table", "bucket"))
     l, r = tagged.alias("l"), tagged.alias("r")
     cand = (l.join(r, on=[F.col("l.table") == F.col("r.table"),
                           F.col("l.bucket") == F.col("r.bucket"),
                           F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
             .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"),
-                    F.col(f"l.{vec_col}").alias("__va"),
-                    F.col(f"r.{vec_col}").alias("__vb"))
-            .dropDuplicates(["id_a", "id_b"]))
-    return (cand.select("id_a", "id_b",
-                        F.round(cosine(F.col("__va"), F.col("__vb")), round_to).alias("cos"))
+                    F.col(f"r.{id_col}").alias("id_b"))
+            .distinct())
+    # pre-normalize once so the verify is a plain dot product
+    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    unit = corpus_sdf.select(F.col(id_col),
+                             F.transform(F.col(vec_col),
+                                         lambda x: x.cast("double") / norm).alias("__u"))
+    a, b = unit.alias("a"), unit.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.__u"), F.col("b.__u"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (cand.join(a, cand["id_a"] == F.col(f"a.{id_col}"))
+            .join(b, cand["id_b"] == F.col(f"b.{id_col}"))
+            .select("id_a", "id_b", F.round(dot, round_to).alias("cos"))
             .filter(F.col("cos") >= threshold))
 
 
