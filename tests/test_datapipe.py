@@ -370,3 +370,14 @@ def test_pack_sequences_nextfit(spark):
     assert all(v <= 512 for v in per_bin.values())
     # same-partition consecutive docs that fit must share a bin
     assert by_doc[4] == by_doc[5] or by_doc[4] != by_doc[3]
+
+
+def test_exact_dedup_strategies_agree(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe import dedup
+    texts = ["a b", "A  b", "c", "d", "a b", "c"]
+    df = vs.from_arrays(doc_id=list(range(6)), text=texts, spark=spark)
+    for keep in ("min", "max"):
+        w = sorted(dedup.exact_dedup(df, keep=keep, strategy="window").to_pandas_df()["doc_id"])
+        a = sorted(dedup.exact_dedup(df, keep=keep, strategy="agg").to_pandas_df()["doc_id"])
+        assert w == a, keep
