@@ -241,3 +241,19 @@ def test_open_convert(spark, tmp_path):
     df = vs.open(str(csv), spark=spark, convert=True)
     assert os.path.exists(str(csv) + ".parquet")
     assert sorted(df.to_pandas_df()["a"].tolist()) == [1, 2]
+
+
+def test_progress_callback(spark):
+    import pytest
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[1.0, 2.0, 3.0], spark=spark)
+    seen = []
+    assert df.sum("x", progress=seen.append) == 6.0
+    assert seen[0] == 0.0 and seen[-1] == 1.0
+    assert df.count(progress=True) == 3          # truthy no-op display
+    with pytest.raises(RuntimeError, match="cancelled"):
+        df.mean("x", progress=lambda f: False)   # False cancels (vaex contract)
+    # grid path reports completion too
+    seen2 = []
+    df.count(binby="x", shape=4, limits=[0, 4], progress=seen2.append)
+    assert seen2[-1] == 1.0

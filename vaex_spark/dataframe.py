@@ -943,7 +943,7 @@ class DataFrame:
         return out
 
     def first(self, expression=1, order_expression=None, binby=None, shape=128,
-              limits=None, selection=None, delay=False, edges=False):
+              limits=None, selection=None, delay=False, edges=False, progress=None):
         """Reference dataframe.py:992 — first element of ``expression``,
         ordered by ``order_expression`` (min_by: one hash aggregate, no
         sort).  ``first(n)`` with an int keeps the row-taking shorthand."""
@@ -953,16 +953,16 @@ class DataFrame:
 
         def make(c):
             return F.first(c, ignorenulls=True) if ocol is None else F.min_by(c, ocol)
-        return self._compute_agg(make, expression, binby, shape, limits, selection, delay, edges)
+        return self._compute_agg(make, expression, binby, shape, limits, selection, delay, edges, progress)
 
     def last(self, expression, order_expression=None, binby=None, shape=128,
-             limits=None, selection=None, delay=False, edges=False):
+             limits=None, selection=None, delay=False, edges=False, progress=None):
         """Reference dataframe.py:1029 — mirror of :meth:`first` via max_by."""
         ocol = None if order_expression is None else self._to_expr(order_expression).col
 
         def make(c):
             return F.last(c, ignorenulls=True) if ocol is None else F.max_by(c, ocol)
-        return self._compute_agg(make, expression, binby, shape, limits, selection, delay, edges)
+        return self._compute_agg(make, expression, binby, shape, limits, selection, delay, edges, progress=progress)
 
     def _slice(self, start: int, stop: int | None) -> "DataFrame":
         sdf = self._spark_df()
@@ -1160,8 +1160,18 @@ class DataFrame:
             col = F.when(sel, col if col is not None else F.lit(1))
         return col
 
+    @staticmethod
+    def _progress(progress, fraction: float) -> None:
+        """Minimal progress protocol (reference utils.py:progressbars):
+        callables get the fraction and may cancel by returning False;
+        True/'simple'/'widget' are accepted as no-op displays."""
+        if callable(progress):
+            if progress(fraction) is False:
+                raise RuntimeError("computation cancelled by progress callback")
+
     def _compute_agg(self, make_agg, expression=None, binby=None, shape=128,
-                     limits=None, selection=None, delay=False, edges=False):
+                     limits=None, selection=None, delay=False, edges=False,
+                     progress=None):
         """Single entry for scalar-vs-grid statistics (dataframe.py:842).
 
         ``make_agg(col_or_none) -> Column`` builds the Spark aggregate.
@@ -1170,6 +1180,7 @@ class DataFrame:
         Spark's partial+final hash aggregation is vaex's per-thread grid
         + reduce (SURVEY §3.1 mapping).
         """
+        self._progress(progress, 0.0)
         import inspect
         two_arg = len(inspect.signature(make_agg).parameters) >= 2
         selections = selection if isinstance(selection, (list, tuple)) else [selection]
@@ -1193,31 +1204,34 @@ class DataFrame:
             out = vals[0] if not isinstance(selection, (list, tuple)) else np.array(vals)
             if key is not None:
                 _cache.set(key, out)
+            self._progress(progress, 1.0)
             return out
         from .operators.binby import grid_agg
-        return grid_agg(self, make_agg, expression, binby, shape, limits,
-                        selections, edges=edges,
-                        aslist=isinstance(selection, (list, tuple)))
+        out = grid_agg(self, make_agg, expression, binby, shape, limits,
+                       selections, edges=edges,
+                       aslist=isinstance(selection, (list, tuple)))
+        self._progress(progress, 1.0)
+        return out
 
     # each public stat: count/sum/mean/... (dataframe.py lines in SURVEY §2.5)
     def count(self, expression=None, binby=None, shape=128, limits=None,
-              selection=None, delay=False, edges=False):
+              selection=None, delay=False, edges=False, progress=None):
         def make(c):
             return F.count(F.lit(1)) if c is None else F.count(F.when(~(c.isNull() | _safe_isnan(c)), 1))
-        return self._compute_agg(make, expression, binby, shape, limits, selection, delay, edges)
+        return self._compute_agg(make, expression, binby, shape, limits, selection, delay, edges, progress=progress)
 
-    def sum(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False):
+    def sum(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False, progress=None):
         return self._compute_agg(lambda c: F.coalesce(F.sum(_dropnan(c)), F.lit(0)),
-                                 expression, binby, shape, limits, selection, delay, edges)
+                                 expression, binby, shape, limits, selection, delay, edges, progress=progress)
 
-    def mean(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False):
-        return self._compute_agg(lambda c: F.avg(_dropnan(c)), expression, binby, shape, limits, selection, delay, edges)
+    def mean(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False, progress=None):
+        return self._compute_agg(lambda c: F.avg(_dropnan(c)), expression, binby, shape, limits, selection, delay, edges, progress=progress)
 
-    def min(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False):
-        return self._compute_agg(lambda c: F.min(_dropnan(c)), expression, binby, shape, limits, selection, delay, edges)
+    def min(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False, progress=None):
+        return self._compute_agg(lambda c: F.min(_dropnan(c)), expression, binby, shape, limits, selection, delay, edges, progress=progress)
 
-    def max(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False):
-        return self._compute_agg(lambda c: F.max(_dropnan(c)), expression, binby, shape, limits, selection, delay, edges)
+    def max(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False, progress=None):
+        return self._compute_agg(lambda c: F.max(_dropnan(c)), expression, binby, shape, limits, selection, delay, edges, progress=progress)
 
     def minmax(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False):
         if binby is None:
@@ -1231,22 +1245,22 @@ class DataFrame:
         hi = self.max(expression, binby=binby, shape=shape, limits=limits, selection=selection)
         return np.stack([lo, hi], axis=-1)
 
-    def var(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, ddof=0):
+    def var(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, ddof=0, progress=None):
         """Population variance by default (agg.py:421-455 — vaex accepts
         ddof but applies population formula; we honor ddof properly)."""
         fn = F.var_pop if ddof == 0 else F.var_samp
-        return self._compute_agg(lambda c: fn(_dropnan(c)), expression, binby, shape, limits, selection, delay)
+        return self._compute_agg(lambda c: fn(_dropnan(c)), expression, binby, shape, limits, selection, delay, progress=progress)
 
-    def std(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, ddof=0):
+    def std(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, ddof=0, progress=None):
         fn = F.stddev_pop if ddof == 0 else F.stddev_samp
-        return self._compute_agg(lambda c: fn(_dropnan(c)), expression, binby, shape, limits, selection, delay)
+        return self._compute_agg(lambda c: fn(_dropnan(c)), expression, binby, shape, limits, selection, delay, progress=progress)
 
-    def skew(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False):
-        return self._compute_agg(lambda c: F.skewness(_dropnan(c)), expression, binby, shape, limits, selection, delay)
+    def skew(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, progress=None):
+        return self._compute_agg(lambda c: F.skewness(_dropnan(c)), expression, binby, shape, limits, selection, delay, progress=progress)
 
-    def kurtosis(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False):
+    def kurtosis(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, progress=None):
         """vaex population excess kurtosis (agg.py:458-518) == Spark F.kurtosis."""
-        return self._compute_agg(lambda c: F.kurtosis(_dropnan(c)), expression, binby, shape, limits, selection, delay)
+        return self._compute_agg(lambda c: F.kurtosis(_dropnan(c)), expression, binby, shape, limits, selection, delay, progress=progress)
 
     def nunique(self, expression, dropna: bool = False, selection=None, delay=False, **kw):
         raw = self._to_expr(expression).col
