@@ -30,6 +30,9 @@ _DEFAULTS = {
     # Arrow for all Python-boundary transfers (toPandas, pandas UDFs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # Arrow-optimized row Python UDFs (Spark 4): batches the transfer for
+    # the df.apply(vectorize=False) escape hatch too.
+    "spark.sql.execution.pythonUDF.arrow.enabled": "true",
     # Timestamps in parquet as micros (matches pyarrow/duckdb expectations).
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.session.timeZone": "UTC",
