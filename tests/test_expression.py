@@ -231,3 +231,17 @@ def test_propagate_uncertainties(spark):
     df2.propagate_uncertainties([df2["s"]])
     want = np.sqrt(0.1 ** 2 + 0.2 ** 2 + 2 * 0.5 * 0.1 * 0.2)
     np.testing.assert_allclose(df2["s_uncertainty"].tolist(), [want])
+
+
+def test_struct_accessor_introspection(spark):
+    import vaex_spark as vs
+    from pyspark.sql import functions as F
+    df = vs.from_arrays(a=[1], b=["x"], spark=spark)
+    df["s"] = vs.Expression(df, F.struct(F.col("a"), F.col("b")))
+    st = df.s.struct
+    assert st.keys() == ["a", "b"]
+    d = st.dtypes()
+    assert list(d.index) == ["a", "b"] and d["b"] == "string"
+    assert [n for n, _ in st.items()] == ["a", "b"]
+    assert len(st.values()) == 2
+    assert st.values()[0].evaluate().tolist() == [1]

@@ -374,6 +374,14 @@ class Expression:
         SQL rendering)."""
         return self._sql if self._sql is not None else str(self.col)
 
+    def to_dask_array(self, chunks="auto"):
+        """expression.py:to_dask_array — gated on the optional dask dep."""
+        try:
+            import dask.array as da
+        except ImportError as e:
+            raise ImportError("to_dask_array requires the 'dask' package") from e
+        return da.from_array(self.evaluate(), chunks=chunks)
+
     @property
     def ast(self):
         """reference expression.py:444 — the Python AST of the expression

@@ -31,6 +31,25 @@ class StructAccessor:
         dtype = df._spark_df().select(self.expr.col.alias("_s")).schema[0].dataType
         return [f.name for f in dtype.fields]
 
+    def _fields(self):
+        df = self.expr.df
+        return df._spark_df().select(self.expr.col.alias("_s")).schema[0].dataType.fields
+
+    def dtypes(self):
+        """struct.py:157 — field name -> dtype as a pandas Series."""
+        import pandas as pd
+        fields = self._fields()
+        return pd.Series([f.dataType.simpleString() for f in fields],
+                         index=[f.name for f in fields])
+
+    def values(self):
+        """struct.py:196 — the field expressions, in declaration order."""
+        return [self.get(f.name) for f in self._fields()]
+
+    def items(self):
+        """struct.py:212 — (name, expression) pairs."""
+        return [(f.name, self.get(f.name)) for f in self._fields()]
+
     def __getitem__(self, field):
         return self.get(field)
 
