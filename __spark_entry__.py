@@ -1342,6 +1342,83 @@ FROM c GROUP BY bin ORDER BY bin
 """
 
 
+def _q53_tfidf_terms(spark, sf_dir):
+    """Top-3 characteristic terms per doc by smoothed TF-IDF
+    (datapipe/text.py:tf_idf_terms), restricted to every 50th doc to
+    keep the checked output compact; rank ties break on
+    (round(tfidf,6) desc, term) so the rows are engine-independent."""
+    from vaex_spark.datapipe.text import tf_idf_terms
+    docs = _t(spark, sf_dir, "documents")
+    out = tf_idf_terms(docs, k=3).spark
+    return (out.filter(F.col("doc_id") % 50 == 0)
+            .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                    F.col("df_count").cast("long").alias("df_count"),
+                    "tfidf", "rank")
+            .orderBy("doc_id", "rank"))
+
+
+_Q53_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents),
+toks AS (SELECT doc_id, unnest(words) AS term FROM w),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df_count FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df_count,
+         ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfq.df_count + 1)) + 1), 6) AS tfidf
+  FROM tf, dfq, n WHERE tf.term = dfq.term),
+ranked AS (
+  SELECT doc_id, term, tf, df_count, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       CAST(df_count AS BIGINT) AS df_count, tfidf, rank
+FROM ranked WHERE rank <= 3 AND doc_id % 50 = 0
+ORDER BY doc_id, rank
+"""
+
+
+def _q54_unigram_quality(spark, sf_dir):
+    """Unigram-LM quality scores (datapipe/text.py:unigram_logprob)
+    aggregated per language: the CCNet-style filter signal.  Per-term
+    logs round to 9 digits before a decimal-exact mean, so libm ULP
+    differences between engines cannot reach the check."""
+    from vaex_spark.datapipe.text import unigram_logprob
+    docs = _t(spark, sf_dir, "documents")
+    scores = unigram_logprob(docs).spark
+    j = scores.join(docs._spark_df().select("doc_id", "lang"), on="doc_id")
+    return (j.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 dsum(F.round(F.col("mean_logprob"), 6)).alias("sum_score"))
+            .orderBy("lang"))
+
+
+_Q54_SQL = """
+WITH w AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents),
+toks AS (SELECT doc_id, unnest(words) AS term FROM w),
+counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM counts),
+lp AS (SELECT toks.doc_id, ROUND(ln((counts.cnt + 1) / (tot.total + tot.vocab)), 9) AS lp
+       FROM toks, counts, tot WHERE toks.term = counts.term),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CAST(lp AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS mean_logprob
+  FROM lp GROUP BY doc_id)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(ROUND(mean_logprob, 6) AS DECIMAL(25,6))) AS DOUBLE) AS sum_score
+FROM per_doc JOIN w USING (doc_id)
+GROUP BY lang ORDER BY lang
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1399,6 +1476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_contamination": _q50_contamination,
         "q51_repetition": _q51_repetition,
         "q52_pack_sequences": _q52_pack_sequences,
+        "q53_tfidf_terms": _q53_tfidf_terms,
+        "q54_unigram_quality": _q54_unigram_quality,
     }
 
 
@@ -1456,4 +1535,6 @@ def oracle_sql() -> dict[str, str]:
         "q50_contamination": _Q50_SQL,
         "q51_repetition": _Q51_SQL,
         "q52_pack_sequences": _Q52_SQL,
+        "q53_tfidf_terms": _Q53_SQL,
+        "q54_unigram_quality": _Q54_SQL,
     }

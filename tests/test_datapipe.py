@@ -381,3 +381,34 @@ def test_exact_dedup_strategies_agree(spark):
         w = sorted(dedup.exact_dedup(df, keep=keep, strategy="window").to_pandas_df()["doc_id"])
         a = sorted(dedup.exact_dedup(df, keep=keep, strategy="agg").to_pandas_df()["doc_id"])
         assert w == a, keep
+
+
+def test_tfidf_terms(spark):
+    import math
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import tf_idf_terms
+    df = vs.from_arrays(doc_id=[1, 2],
+                        text=["apple apple banana", "banana cherry"], spark=spark)
+    rows = {(r["doc_id"], r["term"]): r for r in tf_idf_terms(df, k=2).spark.collect()}
+    # 'apple' only in doc1 (tf=2, df=1): tfidf = 2*(ln(3/2)+1)
+    want = round(2 * (math.log(3 / 2) + 1), 6)
+    assert abs(rows[(1, "apple")]["tfidf"] - want) < 1e-9
+    assert rows[(1, "apple")]["rank"] == 1
+    # 'banana' in both docs (df=2): idf = ln(3/3)+1 = 1 -> tfidf = tf
+    assert abs(rows[(2, "cherry")]["tfidf"] - round(math.log(3 / 2) + 1, 6)) < 1e-9
+
+
+def test_unigram_logprob(spark):
+    import math
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import unigram_logprob
+    df = vs.from_arrays(doc_id=[1, 2], text=["a a b", "c"], spark=spark)
+    got = {r["doc_id"]: r for r in unigram_logprob(df).spark.collect()}
+    # corpus: a:2 b:1 c:1, total=4, vocab=3 -> p(a)=3/7, p(b)=p(c)=2/7
+    lp = lambda c: round(math.log((c + 1) / 7.0), 9)
+    d1 = (2 * lp(2) + lp(1)) / 3
+    assert abs(got[1]["mean_logprob"] - d1) < 1e-9
+    assert got[2]["n_tokens"] == 1
+    assert abs(got[2]["mean_logprob"] - lp(1)) < 1e-9
+    # rarer-token doc scores lower
+    assert got[2]["mean_logprob"] < got[1]["mean_logprob"]

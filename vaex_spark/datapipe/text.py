@@ -210,3 +210,69 @@ def with_pii_scrub(df, text_col: str = "text"):
         out[f"pii_{k}"] = col
     out["text_redacted"] = redact_pii(F.col(text_col))
     return out
+
+
+# --------------------------------------------------------------------------
+# corpus-statistics scoring (TF-IDF, unigram LM)
+# --------------------------------------------------------------------------
+def tf_idf_terms(df, text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 3):
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (sklearn's formula: tf * (ln((N+1)/(df+1)) + 1) — public knowledge).
+
+    100 TB plan: one explode -> (doc, term, tf) aggregate, one term-level
+    document-frequency aggregate (term-cardinality-sized, broadcast), a
+    map-side join, and a per-doc top-k window partitioned by doc.  Text
+    bodies never shuffle; everything past the scan is (id, term, counts).
+    Ties and ULP-level float drift break on (round(tfidf,6) desc, term
+    asc) so the output is engine-independent.
+    """
+    from pyspark.sql import Window
+    from ..dataframe import DataFrame
+    wrapped = isinstance(df, DataFrame)
+    sdf = df._spark_df() if wrapped else df
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    terms = (sdf.select(F.col(id_col), F.explode(words).alias("term"))
+             .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    n_docs = sdf.select(F.count(F.lit(1))).collect()[0][0]
+    docfreq = (terms.groupBy("term")
+               .agg(F.count(F.lit(1)).alias("df_count")))
+    scored = (terms.join(F.broadcast(docfreq), on="term")
+              .withColumn("tfidf", F.round(
+                  F.col("tf") * (F.log((F.lit(float(n_docs + 1))) /
+                                       (F.col("df_count") + 1)) + 1), 6)))
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    out = (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+           .filter(F.col("rank") <= k)
+           .select(id_col, "term", "tf", "df_count", "tfidf", "rank"))
+    return DataFrame(out) if wrapped else out
+
+
+def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document mean unigram log-probability under the corpus's own
+    add-one-smoothed unigram model — the classic LM-based quality signal
+    (CCNet-style filtering; low scores = out-of-distribution text).
+
+    p(w) = (count(w) + 1) / (total_tokens + vocab); score = mean over
+    the document's tokens of ln p(w).  Two aggregates (per-term counts,
+    broadcast; per-doc mean) — shuffles carry (id, term) only.
+    Per-term logs are rounded to 9 digits before the decimal-exact mean
+    so cross-engine libm ULP differences cannot surface.
+    """
+    from ..dataframe import DataFrame
+    wrapped = isinstance(df, DataFrame)
+    sdf = df._spark_df() if wrapped else df
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    toks = sdf.select(F.col(id_col), F.explode(words).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(F.sum("cnt").alias("total"),
+                        F.count(F.lit(1)).alias("vocab")).collect()[0]
+    total, vocab = int(totals["total"]), int(totals["vocab"])
+    logp = F.round(F.log((F.col("cnt") + 1) / F.lit(float(total + vocab))), 9)
+    out = (toks.join(F.broadcast(counts), on="term")
+           .withColumn("__lp", logp)
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                (F.sum(F.col("__lp").cast("decimal(28,9)")).cast("double") /
+                 F.count(F.lit(1))).alias("mean_logprob")))
+    return DataFrame(out) if wrapped else out
