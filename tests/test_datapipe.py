@@ -412,3 +412,24 @@ def test_unigram_logprob(spark):
     assert abs(got[2]["mean_logprob"] - lp(1)) < 1e-9
     # rarer-token doc scores lower
     assert got[2]["mean_logprob"] < got[1]["mean_logprob"]
+
+
+def test_curate_pipeline(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe.curate import curate
+    good = ("the quick brown fox jumps over the lazy dog while the calm river "
+            "flows past green hills and quiet farms under a clear morning sky")
+    rep = " ".join(["spam spam spam"] * 12)
+    dup = good
+    df = vs.from_arrays(doc_id=[1, 2, 3],
+                        text=[good, rep, dup], spark=spark)
+    out = curate(df, min_quality=None, langs=None, dedup="exact",
+                 pack_tokens=16)
+    rows = out.spark.collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == [1]                    # rep filtered, dup removed
+    assert all(r["bin"] >= 0 for r in rows)
+    # skippable stages: everything off returns the frame unchanged
+    noop = curate(df, langs=None, min_quality=None,
+                  repetition_filter=False, dedup=None)
+    assert noop.spark.count() == 3
