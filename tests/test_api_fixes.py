@@ -132,3 +132,85 @@ def test_shape_dtypes_col_namespace(spark):
     assert df.count(expr) == 3
     flt = df[df.a > 1]
     assert flt.length_original() == 3 and len(flt) == 2
+
+
+def test_materialize_named_columns(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[1.0, 2.0], spark=spark)
+    df["y"] = df.x * 2
+    df["z"] = df.x + 1
+    out = df.materialize(["y"])
+    assert "y" in out._base.columns and "z" not in out._base.columns
+    assert "y" not in out.virtual_columns and "z" in out.virtual_columns
+    assert sorted(out.evaluate("z").tolist()) == [2.0, 3.0]
+
+
+def test_unique_dropnan_and_array_type(spark):
+    import numpy as np
+    import pyarrow as pa
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[1.0, float("nan"), 2.0, None, 1.0], spark=spark)
+    # numpy renders the (kept) null as nan, so count nans: plain keeps
+    # BOTH the NaN and the null; dropnan removes only the true NaN
+    assert sum(np.isnan(v) for v in df.unique("x")) == 2
+    vals = df.unique("x", dropnan=True)
+    assert sum(np.isnan(v) for v in vals) == 1
+    assert sorted(df.unique("x", dropna=True).tolist()) == [1.0, 2.0]
+    assert isinstance(df.unique("x", dropna=True, array_type="list"), list)
+    assert isinstance(df.evaluate("x", array_type="arrow"), pa.Array)
+    assert isinstance(df.evaluate("x", array_type="list"), list)
+
+
+def test_agg_list_null_handling(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(k=["a", "a", "a"], v=[1, None, 2], spark=spark)
+    import math
+    keep = df.groupby("k", agg={"vals": vs.agg.list("v")}).to_pandas_df()
+    got = list(keep["vals"][0])
+    assert len(got) == 3 and sum(1 for v in got if v is None or
+                                 (isinstance(v, float) and math.isnan(v))) == 1
+    drop = df.groupby("k", agg={"vals": vs.agg.list("v", dropna=True)}).to_pandas_df()
+    assert sorted(drop["vals"][0]) == [1, 2]
+
+
+def test_map_nan_missing(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[1.0, float("nan"), None], spark=spark)
+    out = df.x.map({1.0: "one"}, nan_value="was-nan", missing_value="was-null",
+                   default_value="other")
+    got = out.evaluate().tolist()
+    assert got == ["one", "was-nan", "was-null"]
+
+
+def test_join_inplace(spark):
+    import vaex_spark as vs
+    left = vs.from_arrays(k=[1, 2], a=[10, 20], spark=spark)
+    right = vs.from_arrays(k=[1, 2], b=[100, 200], spark=spark)
+    res = left.join(right, on="k", inplace=True)
+    assert res is left
+    assert sorted(left.to_pandas_df()["b"].tolist()) == [100, 200]
+
+
+def test_delay_promises_everywhere(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[1.0, 2.0, 3.0], spark=spark)
+    g = df.count(binby="x", shape=4, limits=[0, 4], delay=True)
+    assert g.get().sum() == 3          # resolved promise, contract holds
+    assert df.nop("x", delay=True).get() is None
+
+
+def test_projected_get_column_names_flags(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(x=[1], y=[2], spark=spark)
+    df["v"] = df.x + 1
+    p = df[["x", "v"]]
+    assert p.get_column_names() == ["x", "v"]
+    assert p.get_column_names(virtual=False) == ["x"]
+
+
+def test_ordinal_encode_lazy_flag(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(c=["b", "a", "b"], spark=spark)
+    out = df.ordinal_encode("c", lazy=False)
+    assert "c_ordinal" in out._base.columns
+    assert sorted(out.evaluate("c_ordinal").tolist()) == [0, 1, 1]

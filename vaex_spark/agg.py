@@ -253,7 +253,16 @@ def last(expression, order_expression=None, selection=None):
 
 
 def list(expression, selection=None, dropna=False):  # noqa: A001
-    return _SimpleAgg("list", F.collect_list, expression, selection=selection)
+    """collect per group.  Spark's collect_list drops nulls; vaex's
+    default (dropna=False) keeps them, so that path wraps values in
+    structs (null-safe) and unwraps after collection."""
+    if dropna:
+        return _SimpleAgg("list", F.collect_list, expression, selection=selection)
+
+    def fn(c):
+        wrapped = F.collect_list(F.struct(c.alias("v")))
+        return F.transform(wrapped, lambda s: s["v"])
+    return _SimpleAgg("list", fn, expression, selection=selection)
 
 
 def median_approx(expression, selection=None):

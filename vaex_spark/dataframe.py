@@ -22,6 +22,7 @@ vaex implements manually (SURVEY §4 table).
 
 from __future__ import annotations
 
+import builtins
 import json
 from collections import OrderedDict
 from typing import Any, Iterable
@@ -178,6 +179,8 @@ class DataFrame:
         cols = ([self._to_expr(expression).col.alias("_nop")]
                 if expression is not None else [F.lit(1).alias("_nop")])
         self._spark_df().select(*cols).write.format("noop").mode("overwrite").save()
+        if delay:
+            return _Delayed.resolved(None)
 
     def shallow_copy(self) -> "DataFrame":
         return self._copy()
@@ -237,9 +240,15 @@ class DataFrame:
 
     def ordinal_encode(self, column, values=None, inplace: bool = False, lazy: bool = False):
         """dataframe.py:5906 (deprecated in the reference in favour of
-        categorize — kept for API-compatible scripts)."""
+        categorize — kept for API-compatible scripts).  ``lazy=False``
+        (reference default) hardens the codes; lazy keeps them virtual."""
         df = self if inplace else self._copy()
-        return df.categorize(column, labels=values, inplace=True)
+        df = df.categorize(column, labels=values, inplace=True)
+        if not lazy:
+            name = column if isinstance(column, str) else str(column)
+            df[f"{name}_ordinal"] = df.ordinal_values(name)
+            df = df.materialize([f"{name}_ordinal"])
+        return df
 
     def byte_size(self, selection: bool = False, virtual: bool = False) -> int:
         """dataframe.py:2216 — approximate in-memory size: schema fixed
@@ -627,7 +636,17 @@ class DataFrame:
 
     def materialize(self, names: Iterable[str] | None = None) -> "DataFrame":
         """dataframe.py:4927 — harden virtual columns into the base plan
-        and persist (Spark: cache the compiled plan)."""
+        and persist (Spark: cache the compiled plan).  ``names`` limits
+        hardening to those virtual columns; the rest stay virtual."""
+        if names is not None:
+            names = [names] if isinstance(names, str) else list(names)
+            keep = [c for c in self._base.columns] + [n for n in names
+                                                      if n in self.virtual_columns]
+            out = self._copy()
+            out._base = self._spark_df(filtered=False).select(*keep).persist()
+            for n in names:
+                out.virtual_columns.pop(n, None)
+            return out
         sdf = self._spark_df(filtered=False)
         out = DataFrame(sdf.persist())
         out.variables = dict(self.variables)
@@ -1123,9 +1142,16 @@ class DataFrame:
              lprefix="", rprefix="", lsuffix="", rsuffix="",
              allow_duplication=False, inplace=False) -> "DataFrame":
         from .operators.join import join as _join
-        return _join(self, other, on=on, how=how, left_on=left_on, right_on=right_on,
-                     lprefix=lprefix, rprefix=rprefix, lsuffix=lsuffix, rsuffix=rsuffix,
-                     allow_duplication=allow_duplication)
+        out = _join(self, other, on=on, how=how, left_on=left_on, right_on=right_on,
+                    lprefix=lprefix, rprefix=rprefix, lsuffix=lsuffix, rsuffix=rsuffix,
+                    allow_duplication=allow_duplication)
+        if inplace:
+            self._base = out._base
+            self.virtual_columns = out.virtual_columns
+            self._filter = out._filter
+            self._renames = out._renames
+            return self
+        return out
 
     # ------------------------------------------------------------------
     # groupby / binby — delegated
@@ -1140,7 +1166,13 @@ class DataFrame:
 
     def binby(self, by=None, agg=None, shape=128, limits=None, delay=False):
         from .operators.binby import binby as _binby
-        return _binby(self, by, agg=agg, shape=shape, limits=limits)
+        out = _binby(self, by, agg=agg, shape=shape, limits=limits)
+        if delay:
+            # grid jobs don't batch into the scalar-agg pass (they need
+            # their own groupBy); honor the promise CONTRACT by returning
+            # an eagerly-resolved delayed object
+            return _Delayed.resolved(out)
+        return out
 
     # ------------------------------------------------------------------
     # statistics (dataframe.py:944-2006; SURVEY §2.5)
@@ -1211,7 +1243,9 @@ class DataFrame:
                        selections, edges=edges,
                        aslist=isinstance(selection, (list, tuple)))
         self._progress(progress, 1.0)
-        return out
+        # grid jobs need their own groupBy and can't share the scalar
+        # batch; keep the promise CONTRACT by resolving eagerly
+        return _Delayed.resolved(out) if delay else out
 
     # each public stat: count/sum/mean/... (dataframe.py lines in SURVEY §2.5)
     def count(self, expression=None, binby=None, shape=128, limits=None,
@@ -1396,13 +1430,21 @@ class DataFrame:
         d = sdf.select(col.alias("_v")).distinct()
         if dropna or dropmissing:
             d = d.filter(F.col("_v").isNotNull())
+        if dropna or dropnan:
+            d = d.filter(~_safe_isnan(F.col("_v")))
         if limit is not None:
             rows = d.limit(limit + 1).collect()
             if len(rows) > limit:
                 raise RuntimeError(f"unique yields more than limit={limit} values")
         else:
             rows = d.collect()
-        return _np_values([r["_v"] for r in rows])
+        vals = _np_values([r["_v"] for r in rows])
+        if array_type in ("list", "python"):
+            return vals.tolist() if hasattr(vals, "tolist") else builtins.list(vals)
+        if array_type in ("arrow", "arrow-array"):
+            import pyarrow as pa
+            return pa.array(vals)
+        return vals
 
     def value_counts(self, expression, dropna=False, ascending=False, selection=None, **kw):
         """expression.py:994 — pandas-like value counts as pandas Series,
@@ -1990,7 +2032,13 @@ class DataFrame:
     def evaluate(self, expression, array_type="numpy"):
         expr = self._to_expr(expression)
         pdf = self._spark_df().select(expr.col.alias("_v")).toPandas()
-        return np.asarray(pdf["_v"].values)
+        arr = np.asarray(pdf["_v"].values)
+        if array_type in ("list", "python"):
+            return arr.tolist()
+        if array_type in ("arrow", "arrow-array"):
+            import pyarrow as pa
+            return pa.array(pdf["_v"])
+        return arr
 
     def evaluate_iterator(self, expression, chunk_size=65536):
         """dataframe.py:3112 — chunked evaluation; Arrow record batches
@@ -2148,7 +2196,12 @@ class _Projected(DataFrame):
         return super()._spark_df(filtered).select(*self._columns)
 
     def get_column_names(self, virtual=True, hidden=False):
-        return list(self._columns)
+        cols = builtins.list(self._columns)
+        if not virtual:
+            cols = [c for c in cols if c not in self.virtual_columns]
+        if not hidden:
+            cols = [c for c in cols if not c.startswith("__")]
+        return cols
 
     def _copy(self) -> "DataFrame":
         # preserve the column narrowing across derived ops (filter/
@@ -2201,6 +2254,12 @@ class _Executor:
 
 class _Delayed:
     """Promise for a delayed statistic (vaex/promise.py)."""
+
+    @classmethod
+    def resolved(cls, value) -> "_Delayed":
+        d = cls()
+        d._value, d._done = value, True
+        return d
 
     def __init__(self, unwrap=True, post=None):
         self._done = False

@@ -261,8 +261,15 @@ class Expression:
     def map(self, mapper: dict, nan_value=None, missing_value=None,
             default_value=None, allow_missing=False):
         """Dict mapping (expression.py:1298) via a chained CASE WHEN; for
-        large dicts prefer a broadcast-join against a literal DataFrame."""
+        large dicts prefer a broadcast-join against a literal DataFrame.
+        ``missing_value`` maps nulls, ``nan_value`` maps float NaN (the
+        reference's two non-value keys)."""
         c = None
+        if missing_value is not None:
+            c = F.when(self.col.isNull(), F.lit(missing_value))
+        if nan_value is not None:
+            cond = F.isnan(self.col)
+            c = F.when(cond, F.lit(nan_value)) if c is None else c.when(cond, F.lit(nan_value))
         for k, v in mapper.items():
             cond = self.col == F.lit(k)
             c = F.when(cond, F.lit(v)) if c is None else c.when(cond, F.lit(v))
