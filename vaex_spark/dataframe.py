@@ -470,11 +470,22 @@ class DataFrame:
         extra = sorted(cols_self - cols_other)
         shared = sorted(cols_self & cols_other) if column_names is None else list(column_names)
         different = []
+        diff_samples = {}
         for c in shared:
             a = self._spark_df().select(F.col(c).cast("string").alias("v"))
             b = other._spark_df().select(F.col(c).cast("string").alias("v"))
-            if a.exceptAll(b).limit(1).count() or b.exceptAll(a).limit(1).count():
+            # exceptAll compares multisets, so row order (and therefore
+            # the reference's orderby pre-sort) cannot affect the result
+            delta = a.exceptAll(b)
+            if delta.limit(1).count() or b.exceptAll(a).limit(1).count():
                 different.append(c)
+                if report_difference:
+                    diff_samples[c] = [r["v"] for r in delta.limit(int(show)).collect()]
+        if report_missing and (missing or extra):
+            print(f"columns missing: {missing}, extra: {extra}")
+        if report_difference:
+            for c, sample in diff_samples.items():
+                print(f"column {c!r} differs; first values only in left: {sample}")
         return missing, extra, different, []
 
     @property
