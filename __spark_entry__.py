@@ -1419,6 +1419,47 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def _q55_session_windows(spark, sf_dir):
+    """Session-window aggregation (streaming/__init__.py:session_window_agg
+    on the batch path): gap-based sessions per user on the events
+    stream, 30-minute inactivity gap.  The oracle reproduces Spark's
+    session semantics (a session spans events with gaps < gap; an event
+    at exactly start+gap opens a new session) via the classic
+    lag+cumsum sessionization."""
+    from vaex_spark.streaming import session_window_agg
+    ev = _t(spark, sf_dir, "events")
+    sess = session_window_agg(ev, "ts", "30 minutes",
+                              {"n_events": "count"}, keys=["user_id"])
+    return (sess.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"),
+                 F.sum("n_events").cast("long").alias("n_events"),
+                 F.max("n_events").cast("long").alias("max_session_events"))
+            .orderBy("user_id"))
+
+
+_Q55_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o),
+per_session AS (
+  SELECT user_id, sid, COUNT(*) AS n_events FROM s GROUP BY user_id, sid)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1478,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_pack_sequences": _q52_pack_sequences,
         "q53_tfidf_terms": _q53_tfidf_terms,
         "q54_unigram_quality": _q54_unigram_quality,
+        "q55_session_windows": _q55_session_windows,
     }
 
 
@@ -1537,4 +1579,5 @@ def oracle_sql() -> dict[str, str]:
         "q52_pack_sequences": _Q52_SQL,
         "q53_tfidf_terms": _Q53_SQL,
         "q54_unigram_quality": _Q54_SQL,
+        "q55_session_windows": _Q55_SQL,
     }
