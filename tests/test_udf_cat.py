@@ -104,3 +104,26 @@ def test_isin_large_set_semi_join(spark):
     # the array_contains column, no silent wrongness)
     inv = df[~df.k.isin(wanted)]
     assert inv.spark.count() == 2500
+
+
+def test_register_function_on_expression_and_accessor(spark):
+    import vaex_spark as vs
+    from pyspark.sql import functions as F
+
+    @vs.register_function(name="double_it")
+    def double_it(c):
+        return c * 2
+
+    @vs.register_function(name="tripled", df_accessor="mymath")
+    def tripled(c):
+        return c * 3
+
+    df = vs.from_arrays(x=[1.0, 2.0], spark=spark)
+    assert sorted(df.x.double_it().evaluate().tolist()) == [2.0, 4.0]
+    assert sorted(df.mymath.tripled(df.x).evaluate().tolist()) == [3.0, 6.0]
+    # on_expression=False must NOT attach a method
+    @vs.register_function(name="quad_it", on_expression=False)
+    def quad_it(c):
+        return c * 4
+    assert not hasattr(type(df.x), "quad_it") or not callable(
+        getattr(df.x, "quad_it", None))

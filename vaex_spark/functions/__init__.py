@@ -43,9 +43,42 @@ def register_function(scope: str | None = None, name: str | None = None,
     registering — this registry never does row-at-a-time Python.
     """
     def wrapper(fn):
-        registry.register(name or fn.__name__, fn, scope=scope)
+        fname = name or fn.__name__
+        registry.register(fname, fn, scope=scope)
+        if on_expression and scope is None:
+            from ..expression import Expression
+            if not hasattr(Expression, fname):  # never clobber built-ins
+                def method(self, *a, _fn=fn, **k):
+                    return self._wrap(_fn(self.col, *[_c(x) for x in a], **k))
+                method.__name__ = fname
+                setattr(Expression, fname, method)
+        if df_accessor:
+            from ..dataframe import DataFrame
+            _attach_df_accessor(DataFrame, str(df_accessor), fname, fn)
         return fn
     return wrapper
+
+
+def _attach_df_accessor(cls, accessor: str, fname: str, fn) -> None:
+    """Group registered functions under ``df.<accessor>.<fname>(...)``
+    (reference register_function(df_accessor=...), registry.py:19)."""
+    ns_attr = f"_accessor_ns_{accessor}"
+    if not hasattr(cls, ns_attr):
+        class _Accessor:
+            def __init__(self, df):
+                self._df = df
+        setattr(cls, ns_attr, _Accessor)
+        setattr(cls, accessor, property(
+            lambda self, _A=_Accessor: _A(self)))
+    ns_cls = getattr(cls, ns_attr)
+
+    def method(self, *a, _fn=fn, **k):
+        out = _fn(*[self._df._to_expr(x).col if not isinstance(x, (int, float, str, bool))
+                    else _c(x) for x in a], **k)
+        from ..expression import Expression
+        return Expression(self._df, out) if isinstance(out, Column) else out
+    method.__name__ = fname
+    setattr(ns_cls, fname, method)
 
 
 def _c(x) -> Column:
