@@ -1460,6 +1460,92 @@ FROM per_session GROUP BY user_id ORDER BY user_id
 """
 
 
+def _q56_curation_pipeline(spark, sf_dir):
+    """The full curation pipeline (datapipe/curate.py) oracle-checked
+    END-TO-END: quality filter -> Gopher repetition filter -> exact
+    dedup -> 512-token concat-and-chunk packing, each stage the same
+    audited operator behind q28/q51/q26/q52.  Output: docs and token
+    mass per packed bin."""
+    from vaex_spark.datapipe.curate import curate
+    docs = _t(spark, sf_dir, "documents")
+    out = curate(docs, langs=None, min_quality=0.3, repetition_filter=True,
+                 dedup="exact", pack_tokens=512)
+    sdf = out._spark_df() if hasattr(out, "_spark_df") else out
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    return (sdf.select("bin", F.size(words).cast("long").alias("n_tok"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("sum_tokens"))
+            .orderBy("bin"))
+
+
+def _q56_oracle_sql() -> str:
+    from vaex_spark.datapipe.text import _STOPWORDS_EN
+    stop_re = "\\b(" + "|".join(_STOPWORDS_EN) + ")\\b"
+    return f"""
+WITH q AS (
+  SELECT doc_id, text,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens,
+         CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+           GREATEST(LENGTH(text), 1) AS alpha_ratio,
+         CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) /
+           GREATEST(LENGTH(text), 1) AS digit_ratio,
+         CAST(LEN(regexp_extract_all(lower(text), '{stop_re}')) AS DOUBLE) /
+           GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                    ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END, 1) AS stop_ratio
+  FROM documents),
+scored AS (
+  SELECT doc_id, text, n_tokens,
+         ROUND(LEAST(n_tokens / 20.0, 1.0) * alpha_ratio *
+               LEAST(stop_ratio * 4.0, 1.0) *
+               GREATEST(0.0, 1.0 - digit_ratio * 3.0), 6) AS quality
+  FROM q),
+kept_q AS (SELECT doc_id, text FROM scored WHERE quality >= 0.3),
+w AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM kept_q),
+g2 AS (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS gram
+       FROM w, UNNEST(range(1, len(words))) AS t(i)),
+c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+t2 AS (SELECT doc_id, cnt * LENGTH(gram) AS topchars,
+              SUM(cnt * LENGTH(gram)) OVER (PARTITION BY doc_id) AS allchars,
+              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+       FROM c2),
+top2 AS (SELECT doc_id, CAST(topchars AS DOUBLE) / allchars AS frac FROM t2 WHERE rn = 1),
+g5 AS (SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+       FROM w, UNNEST(range(1, len(words) - 3)) AS t(i)),
+c5 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g5 GROUP BY doc_id, gram),
+dup5 AS (SELECT doc_id,
+                CAST(SUM(CASE WHEN cnt > 1 THEN cnt * LENGTH(gram) ELSE 0 END) AS DOUBLE)
+                  / SUM(cnt * LENGTH(gram)) AS frac
+         FROM c5 GROUP BY doc_id),
+kept_rep AS (
+  -- LEFT JOIN + COALESCE: docs too short to have 2-/5-grams carry no
+  -- repetition signal and are kept (mirrors gopher_filter's coalesce)
+  SELECT w.doc_id, w.text, w.words FROM w
+  LEFT JOIN top2 ON w.doc_id = top2.doc_id
+  LEFT JOIN dup5 ON w.doc_id = dup5.doc_id
+  WHERE COALESCE(top2.frac, 0) <= 0.20 AND COALESCE(dup5.frac, 0) <= 0.15),
+kept_dedup AS (
+  SELECT doc_id, words FROM (
+    SELECT doc_id, words,
+           ROW_NUMBER() OVER (PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                              ORDER BY doc_id) AS rn
+    FROM kept_rep) WHERE rn = 1),
+sized AS (
+  SELECT doc_id, len(words) AS n_tok,
+         COALESCE(SUM(len(words)) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM kept_dedup)
+SELECT CAST(pre // 512 AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+FROM sized GROUP BY bin ORDER BY bin
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1520,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_tfidf_terms": _q53_tfidf_terms,
         "q54_unigram_quality": _q54_unigram_quality,
         "q55_session_windows": _q55_session_windows,
+        "q56_curation_pipeline": _q56_curation_pipeline,
     }
 
 
@@ -1580,4 +1667,5 @@ def oracle_sql() -> dict[str, str]:
         "q53_tfidf_terms": _Q53_SQL,
         "q54_unigram_quality": _Q54_SQL,
         "q55_session_windows": _Q55_SQL,
+        "q56_curation_pipeline": _q56_oracle_sql(),
     }
