@@ -321,3 +321,15 @@ def test_state_transfer(spark):
     st2 = StateTransfer()
     st2.state_set(st.state_get())
     assert st2.transform(other).evaluate("y").tolist() == [40.0, 50.0]
+
+
+def test_ml_accessor_train_test_split(spark):
+    import warnings
+    import vaex_spark as vs
+    df = vs.from_arrays(x=list(range(10)), spark=spark)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        train, test = df.ml.train_test_split(test_size=0.2, verbose=False)
+    assert len(test) == 2 and len(train) == 8
+    st = df.ml.state_transfer()
+    assert "virtual_columns" in st.state

@@ -489,6 +489,13 @@ class DataFrame:
         return missing, extra, different, []
 
     @property
+    def ml(self):
+        """vaex-ml accessor: transformers + train_test_split (reference
+        vaex/ml/__init__.py:DataFrameAccessorML)."""
+        from .ml import DataFrameAccessorML
+        return DataFrameAccessorML(self)
+
+    @property
     def geo(self):
         """Geo accessor (reference vaex-core/vaex/geo.py:7)."""
         from .functions.geo import DataFrameAccessorGeo

@@ -665,3 +665,27 @@ class GroupByTransformer(Transformer):
         if state.get("group") is not None:
             from .sources import from_dict
             self.df_group_ = from_dict(state["group"])
+
+
+class DataFrameAccessorML:
+    """df.ml — the vaex-ml accessor (reference vaex/ml/__init__.py:8)."""
+
+    def __init__(self, df):
+        self.df = df
+
+    def state_transfer(self) -> StateTransfer:
+        return StateTransfer(state=self.df.state_get())
+
+    def train_test_split(self, test_size: float = 0.2, strings=True,
+                         virtual=True, verbose: bool = True):
+        """Head/tail split assuming a shuffled frame (reference
+        semantics: first ``test_size`` fraction -> test, rest -> train).
+        Deterministic on the frame's current order."""
+        if verbose:
+            import warnings
+            warnings.warn("Make sure the DataFrame is shuffled")
+        n = len(self.df)
+        n_test = int(test_size * n)
+        test = self.df[:n_test]
+        train = self.df[n_test:]
+        return train, test
