@@ -99,3 +99,43 @@ def test_join_asof_matches_pandas(spark, lts, rts, direction):
     for lv, rv in zip(exp["lv"], exp["rv"]):
         want = None if (isinstance(rv, float) and math.isnan(rv)) else int(rv)
         assert got[lv] == want, (direction, lts, rts)
+
+
+@settings(max_examples=6, deadline=None)
+@given(lens=st.lists(st.integers(1, 700), min_size=1, max_size=30),
+       budget=st.sampled_from([128, 512]))
+def test_pack_chunk_invariants(spark, lens, budget):
+    """Chunk packing: offsets partition the token stream — bins are
+    contiguous from 0, per-doc (bin,offset) reconstructs the cumsum."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.packing import pack_sequences
+    df = vs.from_arrays(doc_id=list(range(len(lens))), n=lens, spark=spark)
+    rows = {r["doc_id"]: r for r in
+            pack_sequences(df, "n", budget, order_key="doc_id").spark.collect()}
+    acc = 0
+    for i, n in enumerate(lens):
+        r = rows[i]
+        assert r["bin"] == acc // budget
+        assert r["offset"] == acc % budget
+        assert r["end_bin"] == (acc + n - 1) // budget
+        acc += n
+
+
+@settings(max_examples=6, deadline=None)
+@given(words=st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+                      min_size=8, max_size=20))
+def test_contamination_self_probe(spark, words):
+    """A probe lifted verbatim from a document always hits it, with
+    overlap equal to its distinct shingle count."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import contamination, shingles
+    from pyspark.sql import functions as F
+    text = " ".join(words)
+    docs = vs.from_arrays(doc_id=[1], text=[text], spark=spark)
+    probes = vs.from_arrays(probe_id=[9], text=[text], spark=spark)
+    out = contamination(docs, probes, k=8, probe_id_col="probe_id").collect()
+    n_distinct = docs._spark_df().select(
+        F.size(F.array_distinct(shingles(F.col("text"), k=8))).alias("n")
+    ).collect()[0]["n"]
+    assert len(out) == 1
+    assert out[0]["n_overlap"] == n_distinct
