@@ -1546,6 +1546,34 @@ FROM sized GROUP BY bin ORDER BY bin
 """
 
 
+def _q57_json_props(spark, sf_dir):
+    """JSON metadata extraction (expr.js accessor — get_json_object at
+    scan speed, no UDF): pull props.k from the events JSON column and
+    aggregate per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    k = ev.props.js.get("k").astype("long")
+    ev["k_val"] = k
+    return (ev.spark.groupBy("event_type")
+            .agg(F.count("k_val").cast("long").alias("n_with_k"),
+                 F.sum("k_val").cast("long").alias("k_total"),
+                 F.min("k_val").cast("long").alias("k_min"),
+                 F.max("k_val").cast("long").alias("k_max"))
+            .orderBy("event_type"))
+
+
+_Q57_SQL = """
+WITH x AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(k_val) AS BIGINT) AS n_with_k,
+       CAST(SUM(k_val) AS BIGINT) AS k_total,
+       CAST(MIN(k_val) AS BIGINT) AS k_min,
+       CAST(MAX(k_val) AS BIGINT) AS k_max
+FROM x GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1607,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_unigram_quality": _q54_unigram_quality,
         "q55_session_windows": _q55_session_windows,
         "q56_curation_pipeline": _q56_curation_pipeline,
+        "q57_json_props": _q57_json_props,
     }
 
 
@@ -1668,4 +1697,5 @@ def oracle_sql() -> dict[str, str]:
         "q54_unigram_quality": _Q54_SQL,
         "q55_session_windows": _Q55_SQL,
         "q56_curation_pipeline": _q56_oracle_sql(),
+        "q57_json_props": _Q57_SQL,
     }

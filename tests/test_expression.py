@@ -245,3 +245,17 @@ def test_struct_accessor_introspection(spark):
     assert [n for n, _ in st.items()] == ["a", "b"]
     assert len(st.values()) == 2
     assert st.values()[0].evaluate().tolist() == [1]
+
+
+def test_json_accessor(spark):
+    import vaex_spark as vs
+    df = vs.from_arrays(j=['{"a": 1, "b": [1,2,3]}', "not json", None], spark=spark)
+    assert df.j.js.get("a").evaluate().tolist()[0] == "1"
+    assert df.j.js["a"].astype("long").evaluate().tolist()[0] == 1
+    assert df.j.js.array_length("b").evaluate().tolist()[0] == 3
+    valid = df.j.js.is_valid().evaluate().tolist()
+    assert valid[0] is True and valid[1] is False
+    parsed = df.j.js.parse("a int, b array<int>")
+    assert list(parsed.evaluate().tolist()[0]["b"]) == [1, 2, 3]
+    keys = df.j.js.keys().evaluate().tolist()[0]
+    assert sorted(keys) == ["a", "b"]

@@ -294,6 +294,11 @@ class Expression:
         return TimeDeltaAccessor(self)
 
     @property
+    def js(self):
+        from .functions.structs import JsonAccessor
+        return JsonAccessor(self)
+
+    @property
     def struct(self):
         from .functions.structs import StructAccessor
         return StructAccessor(self)

@@ -90,3 +90,42 @@ class DataFrameStructAccessor:
             else:
                 out_cols.append(col.alias(name))
         return self.df._wrap_rows(sdf.select(*out_cols))
+
+
+class JsonAccessor:
+    """expr.js — JSON-string column operations (no reference equivalent;
+    training pipelines constantly parse JSON metadata).  All methods are
+    built-in Column expressions (get_json_object / json_tuple family) —
+    scan-speed, no UDF."""
+
+    def __init__(self, expr):
+        self.expr = expr
+
+    def _w(self, col):
+        return type(self.expr)(self.expr.df, col)
+
+    def get(self, path: str):
+        """Extract by JSONPath; bare keys get '$.' prefixed.  Returns a
+        string expression (cast as needed)."""
+        p = path if path.startswith("$") else f"$.{path}"
+        return self._w(F.get_json_object(self.expr.col, p))
+
+    def __getitem__(self, path):
+        return self.get(path)
+
+    def keys(self):
+        """Top-level object keys as array<string>."""
+        return self._w(F.json_object_keys(self.expr.col))
+
+    def array_length(self, path: str | None = None):
+        c = self.expr.col if path is None else F.get_json_object(
+            self.expr.col, path if path.startswith("$") else f"$.{path}")
+        return self._w(F.json_array_length(c))
+
+    def parse(self, schema: str):
+        """Parse to a typed struct with an explicit DDL schema
+        (from_json) — the scale path when many fields are read."""
+        return self._w(F.from_json(self.expr.col, schema))
+
+    def is_valid(self):
+        return self._w(F.try_parse_json(self.expr.col).isNotNull())
