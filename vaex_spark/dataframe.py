@@ -1176,6 +1176,8 @@ class DataFrame:
     # ------------------------------------------------------------------
     def groupby(self, by=None, agg=None, sort: bool = False, ascending=True,
                 row_limit=None, copy=True):
+        # copy= accepted for API compatibility: wrappers here are always
+        # immutable views over a lazy plan, so there is nothing to copy
         from .groupby import GroupBy
         gb = GroupBy(self, by, sort=sort, ascending=ascending, row_limit=row_limit)
         if agg is not None:
@@ -1527,6 +1529,8 @@ class DataFrame:
     # UDF bridge (dataframe.py:440 apply)
     # ------------------------------------------------------------------
     def apply(self, f, arguments, vectorize: bool = False, multiprocessing: bool = True):
+        # multiprocessing= accepted for API compatibility: parallelism is
+        # Spark's executor fan-out, not a driver-side process pool
         exprs = [self._to_expr(a) for a in arguments]
         return self._apply_multi(exprs, f, vectorize=vectorize)
 
