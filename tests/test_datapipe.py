@@ -433,3 +433,21 @@ def test_curate_pipeline(spark):
     noop = curate(df, langs=None, min_quality=None,
                   repetition_filter=False, dedup=None)
     assert noop.spark.count() == 3
+
+
+def test_video_frame_sampling_and_resize(spark):
+    from vaex_spark.datapipe import multimodal as mm
+    vids = mm.make_fake_video_table(spark, n=5)
+    frames = mm.frame_sample_stub(vids, every_ms=1000)
+    rows = frames.collect()
+    durations = {r["video_id"]: r["video"]["duration_ms"] for r in rows}
+    counts = {}
+    for r in rows:
+        counts[r["video_id"]] = counts.get(r["video_id"], 0) + 1
+        assert r["frame_ts_ms"] == r["frame_index"] * 1000
+    for vid, c in counts.items():
+        assert c == max(durations[vid] // 1000, 1)
+    imgs = mm.make_fake_image_table(spark, n=4)
+    resized = mm.resize_stub(imgs, width=16, height=16).collect()
+    assert all(r["image"]["width"] == 16 and r["image"]["height"] == 16
+               for r in resized)

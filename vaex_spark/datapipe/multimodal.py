@@ -48,6 +48,14 @@ AUDIO_SCHEMA = StructType([
     StructField("sample_rate", IntegerType()),
 ])
 
+VIDEO_SCHEMA = StructType([
+    StructField("content", BinaryType()),
+    StructField("uri", StringType()),
+    StructField("media_type", StringType()),
+    StructField("duration_ms", LongType()),
+    StructField("fps", IntegerType()),
+])
+
 
 class DecoderNotAvailable(NotImplementedError):
     """Raised where a real image/audio codec would be called; the
@@ -211,3 +219,17 @@ def make_fake_audio_table(spark, n: int = 100, seed: int = 7):
         ])),
     ])
     return spark.createDataFrame(rows, schema=schema)
+
+
+def make_fake_video_table(spark, n: int = 20, seed: int = 11):
+    """Deterministic fake video table (metadata-real, content stubbed)."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        rows.append((i, {"content": bytearray(rng.bytes(32)),
+                         "uri": f"mem://vid/{i}", "media_type": "video/fake",
+                         "duration_ms": int(1000 + rng.randint(0, 9000)),
+                         "fps": 30}))
+    schema = StructType([StructField("video_id", LongType()),
+                         StructField("video", VIDEO_SCHEMA)])
+    return spark.createDataFrame(rows, schema)
