@@ -257,3 +257,12 @@ def test_progress_callback(spark):
     seen2 = []
     df.count(binby="x", shape=4, limits=[0, 4], progress=seen2.append)
     assert seen2[-1] == 1.0
+
+
+def test_nunique_approx(spark, lineitem):
+    exact = lineitem.nunique("l_orderkey", dropna=True)
+    approx = lineitem.nunique_approx("l_orderkey", rsd=0.02)
+    assert abs(approx - exact) / exact < 0.1
+    d = lineitem.nunique_approx("l_orderkey", rsd=0.02, delay=True)
+    lineitem.execute()
+    assert d.get() == approx

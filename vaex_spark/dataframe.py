@@ -1331,6 +1331,16 @@ class DataFrame:
             return base
         return self._compute_agg(make, expression, selection=selection, delay=delay, **kw)
 
+    def nunique_approx(self, expression, rsd: float = 0.05, selection=None,
+                       delay=False, **kw):
+        """HyperLogLog++ approximate distinct count (no reference
+        equivalent — the 100 TB path where exact countDistinct's
+        dedup shuffle is the bottleneck).  ``rsd`` is the target
+        relative standard deviation (Spark's approx_count_distinct)."""
+        return self._compute_agg(
+            lambda c: F.approx_count_distinct(c, rsd),
+            expression, selection=selection, delay=delay, **kw)
+
     def covar(self, x, y, selection=None, delay=False):
         cx, cy = self._to_expr(x).col, self._to_expr(y).col
         sel = self._selection_col(selection)
