@@ -214,3 +214,118 @@ def test_ordinal_encode_lazy_flag(spark):
     out = df.ordinal_encode("c", lazy=False)
     assert "c_ordinal" in out._base.columns
     assert sorted(out.evaluate("c_ordinal").tolist()) == [0, 1, 1]
+
+
+# ---------------------------------------------------------------------------
+# round-3 ADVICE regressions
+# ---------------------------------------------------------------------------
+
+def test_join_range_closed_right_boundary(spark):
+    """closed='right'/'both' with hi an exact multiple of bucket_width:
+    the boundary value val == hi must match (top bucket = floor(hi/w))."""
+    import vaex_spark as vs
+    left = vs.from_arrays(x=[1.0, 2.0, 3.0], id=[1, 2, 3], spark=spark)
+    iv = vs.from_arrays(lo=[0.0, 2.0], hi=[2.0, 4.0], label=["a", "b"], spark=spark)
+    for closed, expect in (
+        ("right", [(1, "a"), (2, "a"), (3, "b")]),
+        ("both", [(1, "a"), (2, "a"), (2, "b"), (3, "b")]),
+        ("left", [(1, "a"), (2, "b"), (3, "b")]),
+    ):
+        out = left.join_range(iv, "x", "lo", "hi", how="inner",
+                              bucket_width=1.0, closed=closed)
+        got = sorted((r["id"], r["label"]) for r in out.spark.collect())
+        assert got == expect, closed
+
+
+def test_join_range_left_nulls_and_dups(spark):
+    """Left-outer reconstruction must be null-safe and duplicate-safe:
+    a left row with a null payload that matched must not ALSO appear
+    null-padded, and duplicate left rows must each be emitted."""
+    import pyarrow as pa
+    import vaex_spark as vs
+    t = pa.table({"x": pa.array([0.5, 0.5, 7.0], type=pa.float64()),
+                  "p": pa.array([None, None, 9], type=pa.int64())})
+    left = vs.from_arrow_table(t, spark=spark)
+    iv = vs.from_arrays(lo=[0.0], hi=[1.0], label=["low"], spark=spark)
+    out = left.join_range(iv, "x", "lo", "hi", how="left", bucket_width=1.0)
+    rows = sorted(((r["x"], r["label"]) for r in out.spark.collect()),
+                  key=lambda p: (p[0], p[1] or ""))
+    # two duplicate matched rows survive; the non-matching row is padded once
+    assert rows == [(0.5, "low"), (0.5, "low"), (7.0, None)]
+
+
+def test_groupby_udaf_mix_null_keys(spark):
+    """Mixed built-in + pandas-UDAF groupby must keep null-keyed groups
+    (the recombination join is eqNullSafe)."""
+    import pandas as pd
+    import pyarrow as pa
+    import vaex_spark as vs
+    import vaex_spark.agg as vagg
+    t = pa.table({"k": pa.array(["a", "a", None, None], type=pa.string()),
+                  "v": pa.array([1.0, 2.0, 3.0, 4.0], type=pa.float64())})
+    df = vs.from_arrow_table(t, spark=spark)
+
+    def halfsum(s: pd.Series) -> float:
+        return float(s.sum()) / 2.0
+
+    res = df.groupby("k").agg({"total": vagg.sum("v"),
+                               "half": vagg.pandas_agg(halfsum, "v", "double")})
+    got = {r["k"]: (r["total"], r["half"]) for r in res.spark.collect()}
+    assert got["a"] == (3.0, 1.5)
+    assert got[None] == (7.0, 3.5)
+
+
+def test_isin_all_none_large_list(spark):
+    """A large all-None isin list must not raise and matches nothing."""
+    import vaex_spark as vs
+    df = vs.from_arrays(k=list(range(100)), spark=spark)
+    flt = df[df.k.isin([None] * 2000)]
+    assert flt.count() == 0
+
+
+def test_isin_rewrite_preserves_projection_and_renames(spark):
+    """The large-set semi-join rewrite must keep _Projected narrowing and
+    rename state."""
+    import vaex_spark as vs
+    df = vs.from_arrays(k=list(range(5000)), v=list(range(5000)), spark=spark)
+    df = df.rename("v", "val")
+    proj = df[["k", "val"]]
+    flt = proj[proj.k.isin(list(range(0, 5000, 2)))]
+    assert flt.get_column_names() == ["k", "val"]
+    assert flt.count() == 2500
+    assert "LeftSemi" in flt.spark._jdf.queryExecution().executedPlan().toString()
+
+
+def test_to_dask_array_present_path(spark):
+    """to_dask_array must pass `values` (a property) without calling it;
+    mock a minimal dask so the present-path executes in this container."""
+    import sys
+    import types
+    import vaex_spark as vs
+    captured = {}
+    fake_da = types.ModuleType("dask.array")
+
+    def from_array(arr, chunks=None):
+        captured["arr"] = arr
+        captured["chunks"] = chunks
+        return "dask-array"
+
+    fake_da.from_array = from_array
+    fake_dask = types.ModuleType("dask")
+    fake_dask.array = fake_da
+    old_dask = sys.modules.get("dask")
+    old_da = sys.modules.get("dask.array")
+    sys.modules["dask"] = fake_dask
+    sys.modules["dask.array"] = fake_da
+    try:
+        df = vs.from_arrays(a=[1.0, 2.0], b=[3.0, 4.0], spark=spark)
+        out = df.to_dask_array()
+        assert out == "dask-array"
+        assert isinstance(captured["arr"], np.ndarray)
+        assert captured["arr"].shape == (2, 2)
+    finally:
+        for name, mod in (("dask", old_dask), ("dask.array", old_da)):
+            if mod is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = mod

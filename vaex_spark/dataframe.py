@@ -706,16 +706,28 @@ class DataFrame:
         spec = getattr(expression, "_isin_spec", None)
         if spec is not None and mode in ("and", "replace"):
             target, vals = spec
-            vtype = _infer_spark_type(next(v for v in vals if v is not None))
-            vdf = self.session.createDataFrame([(v,) for v in vals], f"__isin_v {vtype}")
-            folded = self._spark_df(filtered=False)
-            joined = folded.join(F.broadcast(vdf.distinct()),
-                                 on=target.col == F.col("__isin_v"), how="left_semi")
-            out = DataFrame(joined)
-            out.variables = dict(self.variables)
-            out.selections = dict(self.selections)
-            out._filter = self._filter if mode == "and" else None
-            return out
+            non_null = [v for v in vals if v is not None]
+            if non_null:
+                vtype = _infer_spark_type(non_null[0])
+                vdf = self.session.createDataFrame([(v,) for v in non_null],
+                                                   f"__isin_v {vtype}")
+                folded = self._spark_df(filtered=False)
+                joined = folded.join(F.broadcast(vdf.distinct()),
+                                     on=target.col == F.col("__isin_v"), how="left_semi")
+                # _copy keeps _Projected narrowing, renames, units, and the
+                # existing filter; virtual columns are folded into the new
+                # base (re-applying them in _spark_df is an idempotent
+                # withColumn replace)
+                out = self._copy()
+                out._base = joined
+                out.virtual_columns = OrderedDict()
+                if mode == "replace":
+                    out._filter = None
+                return out
+            # all-None value list: None never matches (same as the literal
+            # IN path, where col == NULL filters out) — fall through to the
+            # generic predicate path with an always-false filter
+            expression = self._to_expr(F.lit(False))
         out = self._copy()
         expr = out._to_expr(expression if not isinstance(expression, Expression)
                             else Expression(out, expression.col, expression._sql))
@@ -1884,7 +1896,7 @@ class DataFrame:
             import dask.array as da
         except ImportError as e:
             raise ImportError("to_dask_array requires the 'dask' package") from e
-        return da.from_array(self.values(), chunks=chunks)
+        return da.from_array(self.values, chunks=chunks)
 
     def to_astropy_table(self):
         try:

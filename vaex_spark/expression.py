@@ -196,6 +196,11 @@ class Expression:
         vals = list(values)
         if len(vals) <= self._ISIN_LITERAL_MAX:
             return self._wrap(self.col.isin(vals))
+        if all(v is None for v in vals):
+            # None never matches (col == NULL is NULL in the literal IN
+            # path); an all-None array literal would be untyped, so fold
+            # straight to false
+            return self._wrap(F.lit(False))
         out = self._wrap(F.array_contains(F.lit(vals), self.col))
         out._isin_spec = (self, vals)
         return out

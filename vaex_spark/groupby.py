@@ -259,10 +259,20 @@ class GroupBy:
         if reg and pud:
             # Spark forbids mixing GROUPED_AGG pandas UDFs with built-in
             # aggregates in one Aggregate node: run two grouped aggs over
-            # the same shuffle keys and join on the group keys
+            # the same shuffle keys and join on the group keys.  The join
+            # must be null-safe (eqNullSafe) or null-keyed groups vanish.
             g1, g2 = _run(reg), _run(pud)
-            grouped = (g1.join(g2, on=key_names, how="inner") if key_names
-                       else g1.crossJoin(g2))
+            if key_names:
+                for k in key_names:
+                    g2 = g2.withColumnRenamed(k, f"__rhs_{k}")
+                cond = None
+                for k in key_names:
+                    c = g1[k].eqNullSafe(g2[f"__rhs_{k}"])
+                    cond = c if cond is None else (cond & c)
+                grouped = g1.join(g2, on=cond, how="inner").drop(
+                    *[f"__rhs_{k}" for k in key_names])
+            else:
+                grouped = g1.crossJoin(g2)
             grouped = grouped.select(*key_names, *[n for n, _, _ in triples])
         else:
             grouped = _run(reg or pud)

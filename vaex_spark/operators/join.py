@@ -235,17 +235,29 @@ def join_range(left, right, left_on, right_lo, right_hi, how="inner",
         out = lsdf.join(F.broadcast(rsdf), on=contains, how=how)
     else:
         w = float(bucket_width)
+        # top bucket: when hi is inclusive (closed='right'/'both') a value
+        # equal to hi lives in bucket floor(hi/w) exactly, so no epsilon;
+        # for the half-open left-closed case hi itself is excluded, and the
+        # epsilon keeps an exact-multiple hi from exploding a spurious
+        # empty bucket.
+        hi_bk = (F.floor(hi / w) if closed in ("right", "both")
+                 else F.floor((hi - 1e-12) / w)).cast("long")
         rb = rsdf.withColumn("__bk", F.explode(F.sequence(
-            F.floor(lo / w).cast("long"), F.floor((hi - 1e-12) / w).cast("long"))))
-        lb = lsdf.withColumn("__bk", F.floor(val / w).cast("long"))
+            F.floor(lo / w).cast("long"), hi_bk)))
+        # tag left rows with a row id so the left-outer reconstruction is
+        # null-safe and duplicate-safe (anti-join on the id, not on every
+        # column, which would drop null-bearing rows and collapse dups)
+        lt = lsdf.withColumn("__rj_rid", F.monotonically_increasing_id())
+        lb = lt.withColumn("__bk", F.floor(val / w).cast("long"))
         out = lb.join(rb, on="__bk", how="inner").filter(contains).drop("__bk")
         if how == "left":
             matched = out
-            unmatched = lsdf.join(matched.select(lsdf.columns).distinct(),
-                                  on=lsdf.columns, how="left_anti")
+            unmatched = lt.join(matched.select("__rj_rid"),
+                                on="__rj_rid", how="left_anti")
             for c in rsdf.columns:
                 unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(rsdf.dtypes)[c]))
             out = matched.unionByName(unmatched)
+        out = out.drop("__rj_rid")
 
     o = DataFrame(out)
     o.variables = dict(left.variables)

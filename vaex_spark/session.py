@@ -35,6 +35,10 @@ _DEFAULTS = {
     "spark.sql.execution.pythonUDF.arrow.enabled": "true",
     # Timestamps in parquet as micros (matches pyarrow/duckdb expectations).
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # Read tz-less parquet timestamps as plain `timestamp` (LTZ, session tz
+    # UTC), not timestamp_ntz: keeps one timestamp type across batch,
+    # streaming, and the DuckDB oracle regardless of writer metadata.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     # ANSI off: vaex semantics are permissive (overflow wraps, bad casts
     # -> null), matching numpy more closely than ANSI SQL.
