@@ -113,3 +113,53 @@ def test_pack_sequences_no_global_sort_window(spark, capsys):
            if "Window" in ln and "_pid" not in ln and "rand" not in ln]
     # window lines must be partitioned by _pid or the bounded-window key
     assert not any("partitionBy=[]" in ln for ln in bad), plan
+
+
+def test_near_dup_involved_semijoin_adapts_both_ways(spark):
+    """near_dup_pairs must NOT force-broadcast the involved-id set: AQE
+    broadcasts it when the runtime size fits, and the same plan degrades
+    to a shuffle join when broadcasting is disabled (the 100 TB
+    high-dup-rate case, where the id set is tens of GB)."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import near_dup_pairs
+    docs = vs.open("/root/testdata/sf0.001/documents.parquet", spark=spark)
+
+    def final_plan():
+        # drop persisted subtrees from prior runs: a cache hit would
+        # splice in the previous run's stored physical plan (broadcasts
+        # and all), masking what THIS conf actually plans
+        spark.catalog.clearCache()
+        sdf = near_dup_pairs(docs, text_col="text", id_col="doc_id",
+                             threshold=0.5)
+        sdf.collect()  # AQE finalizes join strategies at runtime
+        return sdf._jdf.queryExecution().executedPlan().toString()
+
+    plan = final_plan()
+    assert "BroadcastHashJoin" in plan, plan  # AQE picked broadcast
+    conf = spark.conf
+    saved = (conf.get("spark.sql.autoBroadcastJoinThreshold"),
+             conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None))
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plan = final_plan()
+        # nothing forces a broadcast once Spark's size checks say no
+        semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+        assert semi and all("Broadcast" not in ln for ln in semi), plan
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved[0])
+        if saved[1] is None:
+            conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", saved[1])
+
+
+def test_spread_no_rdd_probe():
+    """_spread must not probe partition counts via plan->RDD conversion
+    (driver-side planning cost per call at scale); the small-input check
+    reads catalog size stats instead."""
+    import inspect
+    from vaex_spark.datapipe import dedup
+    src = inspect.getsource(dedup._spread)
+    assert ".rdd" not in src
+    assert "getNumPartitions" not in src

@@ -44,9 +44,20 @@ def _spread(sdf):
     ONE partition and serializes 64-permutation hashing onto one core.
     Spread under-partitioned inputs to the session parallelism; at real
     scale (100 TB -> thousands of splits) this is a no-op, so the extra
-    shuffle only ever touches small inputs."""
+    shuffle only ever touches small inputs.
+
+    The small-input check reads the optimizer's catalog size estimate
+    (driver-side metadata, no job, no plan->RDD conversion): inputs
+    under ~1 MiB/core are "small".  Unknown stats (sizeInBytes at the
+    conservative max) leave the plan untouched — at scale that is the
+    correct default."""
     target = sdf.sparkSession.sparkContext.defaultParallelism
-    if sdf.rdd.getNumPartitions() < target:
+    try:
+        size = int(str(sdf._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes()))
+    except Exception:  # pragma: no cover - py4j surface change
+        return sdf
+    if size < target * (1 << 20):
         return sdf.repartition(target)
     return sdf
 
@@ -223,7 +234,13 @@ def near_dup_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     involved = (pairs.select(F.col("id_a").alias(id_col))
                 .union(pairs.select(F.col("id_b").alias(id_col)))
                 .distinct())
-    small = sdf.join(F.broadcast(involved), on=id_col, how="left_semi")
+    # no broadcast hint: at a high duplicate rate the involved-id set is
+    # billions of ids (tens of GB) and a forced broadcast bypasses
+    # Spark's size check and OOMs the executors.  AQE sees the real
+    # post-distinct size at the stage boundary and converts the
+    # semi-join to broadcast exactly when it fits — same plan as the
+    # hint at bench scale, graceful shuffle degrade at 100 TB.
+    small = sdf.join(involved, on=id_col, how="left_semi")
     sets_df = small.select(
         F.col(id_col),
         F.array_distinct(shingles(F.col(text_col), k=shingle_k)).alias("__set")).persist()
