@@ -329,3 +329,28 @@ def test_to_dask_array_present_path(spark):
                 sys.modules.pop(name, None)
             else:
                 sys.modules[name] = mod
+
+
+def test_dataframe_interchange_protocol(spark):
+    """pd.api.interchange.from_dataframe must round-trip values+types."""
+    import pandas as pd
+    import vaex_spark as vs
+    df = vs.from_arrays(a=[1, 2, 3], b=[1.5, 2.5, None],
+                        s=["x", "y", "z"], spark=spark)
+    obj = df.__dataframe__()
+    assert obj.num_columns() == 3
+    got = pd.api.interchange.from_dataframe(df)
+    assert list(got.columns) == ["a", "b", "s"]
+    assert got["a"].tolist() == [1, 2, 3]
+    assert got["b"][:2].tolist() == [1.5, 2.5] and pd.isna(got["b"][2])
+    assert got["s"].tolist() == ["x", "y", "z"]
+
+
+def test_cat_row_range(spark):
+    """cat(i1, i2) shows exactly rows [i1, i2) of the ordered frame."""
+    import vaex_spark as vs
+    df = vs.from_arrays(k=list(range(10)), spark=spark).sort("k")
+    out = df.cat(2, 5, format="plain")
+    assert "2" in out and "4" in out
+    html = df.cat(0, 2)
+    assert html.startswith("<table")

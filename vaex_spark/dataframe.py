@@ -644,6 +644,31 @@ class DataFrame:
         out = pd.concat([head, sep, tail], ignore_index=True)
         print(out.to_string())
 
+    def cat(self, i1: int, i2: int, format: str = "html"):
+        """dataframe.py:4061 — display rows [i1, i2).
+
+        ``format='html'`` renders through IPython when available (repr
+        fallback otherwise); any other format goes through tabulate when
+        installed, else pandas' plain-text table.  Materializes only the
+        requested row range (bounded limit job)."""
+        pdf = self._slice(i1, i2).to_pandas_df()
+        pdf.index = range(i1, i1 + len(pdf))
+        if format == "html":
+            html = pdf.to_html()
+            try:
+                from IPython import display
+                display.display(display.HTML(html))
+            except ImportError:
+                print(pdf.to_string())
+            return html
+        try:
+            from tabulate import tabulate
+            out = tabulate(pdf, headers=list(pdf.columns), tablefmt=format)
+        except ImportError:
+            out = pdf.to_string()
+        print(out)
+        return out
+
     # ------------------------------------------------------------------
     # virtual columns / variables (dataframe.py:3783, 3052)
     # ------------------------------------------------------------------
@@ -2058,6 +2083,16 @@ class DataFrame:
         if column_names:
             sdf = sdf.select(*column_names)
         return sdf.toArrow()
+
+    def __dataframe__(self, nan_as_null: bool = False, allow_copy: bool = True):
+        """DataFrame interchange protocol (reference dataframe.py:264,
+        dataframe_protocol.py).  Materializes to an Arrow table on the
+        driver and hands out pyarrow's protocol object — the protocol is
+        a driver-side, in-memory contract by construction, so consumers
+        (``pd.api.interchange.from_dataframe``) see exact types with
+        zero extra copies beyond the collect."""
+        return self.to_arrow_table().__dataframe__(
+            nan_as_null=nan_as_null, allow_copy=allow_copy)
 
     def to_dict(self, column_names=None):
         t = self.to_arrow_table(column_names)
