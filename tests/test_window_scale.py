@@ -105,3 +105,17 @@ def test_shift_tuple_range(spark):
     df3 = vs.from_arrays(x=x, spark=spark)
     got3 = df3.shift((-2, 0), "x", trim=True)["x"].tolist()
     assert [list(v) for v in got3] == [[0, 1], [1, 2], [2, 3]]
+
+
+def test_donor_pass_is_filter_not_window(events):
+    """The boundary-donor rows must come from plain filters over the
+    range-exchanged data (mono-id row counters + broadcast count map),
+    not from a second full-data row_number window: exactly ONE Window
+    node may operate over the data partitioned by __pid."""
+    out = events.diff(column="value", order_key="event_id").spark
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    data_windows = [ln for ln in plan.splitlines()
+                    if ln.strip().startswith(("Window", "+- Window", ":- Window"))
+                    or ("Window [" in ln and "__pid" in ln)]
+    pid_windows = [ln for ln in data_windows if "__pid" in ln]
+    assert len(pid_windows) == 1, plan

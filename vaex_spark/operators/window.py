@@ -71,37 +71,47 @@ def _exchange_window(sdf, order_cols, before: int, after: int):
        global sort; borrowed rows (whose own frames are incomplete) are
        dropped by the caller.
 
-    The static plan prints the range exchange once per donor branch
-    (``spark_partition_id`` is nondeterministic, which defeats
-    Catalyst's static ReuseExchange), but AQE's runtime stage reuse
-    deduplicates the identical shuffle stages — measured: this form
-    beats both an eager driver-side pid probe (extra action per call)
-    and a single-reference explode rewrite.  Keep AQE on.
+    Donor selection costs no second full shuffle: after the range
+    exchange the rows are locally sorted and tagged with
+    ``monotonically_increasing_id`` — (physical partition << 33) +
+    within-partition counter — so "last ``before`` rows" / "first
+    ``after`` rows" are plain filters against a broadcast per-partition
+    count map (partition-count-sized aggregate).  Only the final
+    per-``__pid`` window re-shuffles the data: two full-data exchanges
+    total, both parallel.  The donor/main branches re-read the same
+    range exchange; AQE's runtime stage reuse deduplicates it (measured:
+    beats an eager driver-side pid probe and an explode rewrite).  Keep
+    AQE on.
 
     Returns (augmented_sdf, window_spec); caller filters ``~__borrowed``
     and drops helper columns.
     """
-    part = sdf.repartitionByRange(*order_cols).withColumn(
-        "__rpid", F.spark_partition_id())
-    pidmap = (part.select("__rpid").distinct()
+    part = (sdf.repartitionByRange(*order_cols)
+            .sortWithinPartitions(*order_cols)
+            .withColumn("__mid", F.monotonically_increasing_id())
+            .withColumn("__rpid", F.shiftright("__mid", 33))
+            .withColumn("__lrn", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
+            .drop("__mid"))
+    # dense pid + per-partition count in ONE metadata-sized frame (range
+    # partitioning can leave empty partitions; donors must target the
+    # next non-empty one, hence the densification)
+    pidmap = (part.groupBy("__rpid").agg(F.count(F.lit(1)).alias("__pcnt"))
               .withColumn(_PID, F.row_number().over(bounded_window("__rpid")) - 1))
     part = part.join(F.broadcast(pidmap), on="__rpid").drop("__rpid")
+    helpers = ["__lrn", "__pcnt"]
     aug = part.withColumn(_BORROWED, F.lit(False))
     if before > 0:
-        w_desc = Window.partitionBy(_PID).orderBy(*[c.desc() for c in order_cols])
-        don = (part.withColumn("__rn", F.row_number().over(w_desc))
-               .filter(F.col("__rn") <= before).drop("__rn")
+        don = (part.filter(F.col("__lrn") >= F.col("__pcnt") - before)
                .withColumn(_PID, F.col(_PID) + 1)
                .withColumn(_BORROWED, F.lit(True)))
         aug = aug.unionByName(don)
     if after > 0:
-        w_asc = Window.partitionBy(_PID).orderBy(*order_cols)
-        don = (part.withColumn("__rn", F.row_number().over(w_asc))
-               .filter(F.col("__rn") <= after).drop("__rn")
+        don = (part.filter(F.col("__lrn") < after)
                .withColumn(_PID, F.col(_PID) - 1)
                .filter(F.col(_PID) >= 0)
                .withColumn(_BORROWED, F.lit(True)))
         aug = aug.unionByName(don)
+    aug = aug.drop(*helpers)
     w = Window.partitionBy(_PID).orderBy(*order_cols)
     return aug, w
 
