@@ -47,17 +47,22 @@ def _spread(sdf):
     shuffle only ever touches small inputs.
 
     The small-input check reads the optimizer's catalog size estimate
-    (driver-side metadata, no job, no plan->RDD conversion): inputs
-    under ~1 MiB/core are "small".  Unknown stats (sizeInBytes at the
-    conservative max) leave the plan untouched — at scale that is the
-    correct default."""
-    target = sdf.sparkSession.sparkContext.defaultParallelism
+    (driver-side metadata, no job, no plan->RDD conversion) and mirrors
+    the scan's split math: fewer than ``defaultParallelism`` splits of
+    ``maxPartitionBytes`` means under-partitioned, so spread.  Unknown
+    stats (sizeInBytes at the conservative max) leave the plan
+    untouched — at scale that is the correct default."""
+    spark = sdf.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    digits = "".join(ch for ch in str(raw) if ch.isdigit())
+    split = int(digits) if digits else (128 << 20)
     try:
         size = int(str(sdf._jdf.queryExecution().optimizedPlan()
                        .stats().sizeInBytes()))
     except Exception:  # pragma: no cover - py4j surface change
         return sdf
-    if size < target * (1 << 20):
+    if size < target * split:
         return sdf.repartition(target)
     return sdf
 
@@ -156,8 +161,10 @@ def minhash_lsh_candidates(df, text_col: str = "text", id_col: str = "doc_id",
     sdf = _spread(_sdf(df).select(F.col(id_col), F.col(text_col)))
     sig = minhash_signature(F.col(text_col), num_perm=num_perm, shingle_k=shingle_k)
     bands = minhash_bands_col(sig, num_bands, rows_per_band)
-    # long-format (band, bucket, id): posexplode of the band array
-    banded = sdf.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket"))
+    # long-format (band, bucket, id): posexplode of the band array,
+    # persisted so the self-join's sides share one signature pass
+    banded = (sdf.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket"))
+              .persist())
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (left.join(right, on=[F.col("l.band") == F.col("r.band"),
@@ -217,7 +224,12 @@ def near_dup_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     # candidate generation: one scan computing signatures directly
     sig = minhash_signature(F.col(text_col), num_perm=num_perm, shingle_k=shingle_k)
     bands = minhash_bands_col(sig, num_bands, rows_per_band)
-    banded = sdf.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket"))
+    # persist the narrow (id, band, bucket) relation: the self-join's
+    # two sides would otherwise each recompute the full num_perm-hash
+    # signature pass (no CSE across join branches) — caching num_bands
+    # rows of (long,int,long) per doc halves the dominant CPU cost
+    banded = (sdf.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket"))
+              .persist())
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (l.join(r, on=[F.col("l.band") == F.col("r.band"),
                            F.col("l.bucket") == F.col("r.bucket"),
