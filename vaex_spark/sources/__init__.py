@@ -92,6 +92,8 @@ def _read_parquet(spark: SparkSession, path: str):
     unaffected; the rebuilt column is a cheap projection."""
     from pyspark.sql import functions as F
     ns_cols: list[str] = []
+    schema = None
+    sample = path
     try:
         import pyarrow.parquet as pq
         import glob as g
@@ -107,6 +109,18 @@ def _read_parquet(spark: SparkSession, path: str):
     except Exception:
         ns_cols = []
     if not ns_cols:
+        if sample == path and not os.path.isdir(path) and schema is not None:
+            # single plain file: we already hold the footer schema from
+            # the ns sniff — pass it explicitly and skip Spark's schema
+            # inference job (~0.1 s per open; a query touching 4 tables
+            # pays it 4x).  Directories and globs keep inference so
+            # hive-partition columns (absent from any one footer) are
+            # still discovered.
+            try:
+                from pyspark.sql.pandas.types import from_arrow_schema
+                return spark.read.schema(from_arrow_schema(schema)).parquet(path)
+            except Exception:  # unmapped arrow type -> infer as before
+                pass
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     sdf = spark.read.parquet(path)
