@@ -88,7 +88,11 @@ def exact_dedup(df, text_col: str = "text", id_col: str = "doc_id",
     """
     sdf = _sdf(df)
     fp = fingerprint(F.col(text_col), normalize=normalize).alias("__fp")
-    pairs = _spread(sdf.select(F.col(text_col), F.col(id_col))).select(fp, F.col(id_col))
+    # no _spread here: fingerprinting is one hash per row (not the
+    # 64-permutation minhash case) and the window/agg exchange below
+    # redistributes anyway — a pre-repartition would shuffle the text
+    # bodies a second time for nothing
+    pairs = sdf.select(fp, F.col(id_col))
     if strategy == "window":
         from pyspark.sql import Window
         order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
