@@ -78,3 +78,45 @@ def test_stat_module_tree_is_one_pass(spark, lineitem, agg_job_cost):
         got = expr.calculate(lineitem)
     assert got > 0
     assert n[0] == agg_job_cost
+
+
+# Calibrated at sf0.001 with AQE on (each shuffle stage = one job, plus
+# broadcast-build jobs).  Ceilings = measured + 2: loose enough to ride
+# AQE nondeterminism, tight enough that an operator silently growing an
+# extra full-scan pass (or losing a broadcast to a shuffle) fails here.
+HEADLINE_JOB_CEILING = {
+    "q01_pricing_summary": 6,
+    "q02_filter_project": 3,
+    "q03_revenue_by_segment": 7,
+    "q05_revenue_by_nation": 9,
+    "q06_forecast_revenue": 4,
+    "q07_orders_by_month": 6,
+    "q10_window_diff": 14,
+    "q11_rolling_avg": 4,
+    "q18_histogram": 4,
+    "q22_quantile": 4,
+    "q26_dedup_exact": 8,
+    "q27_token_stats": 4,
+    "q31_cosine_pairs": 4,
+    "q35_minhash_near_dups": 19,
+}
+
+
+def test_headline_query_job_counts_do_not_regress(spark):
+    """Every bench headline query must stay within its calibrated job
+    budget — the per-query scheduling floor is the dominant small-SF
+    cost, and each extra job is usually an accidental extra scan,
+    un-reused exchange, or lost broadcast."""
+    import bench
+    import __spark_entry__ as e
+    qs = e.queries()
+    over = {}
+    for name in bench.HEADLINE:
+        qs[name](spark, "/root/testdata/sf0.001").toPandas()  # warm
+        spark.catalog.clearCache()
+        n = []
+        with count_jobs(spark, n):
+            qs[name](spark, "/root/testdata/sf0.001").toPandas()
+        if n[0] > HEADLINE_JOB_CEILING[name]:
+            over[name] = (n[0], HEADLINE_JOB_CEILING[name])
+    assert not over, f"job-count regressions (got, ceiling): {over}"

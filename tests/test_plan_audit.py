@@ -163,3 +163,25 @@ def test_spread_no_rdd_probe():
     src = inspect.getsource(dedup._spread)
     assert ".rdd" not in src
     assert "getNumPartitions" not in src
+
+
+def test_headline_queries_no_data_single_partition(spark):
+    """Sweep every bench headline query: an Exchange SinglePartition may
+    only sit above pre-reduced input (partial HashAggregate) or the
+    metadata-sized frames (__rpid pid maps, bounded-window rand keys) —
+    never over raw data rows.  Guards the global-window rewrite and any
+    future operator that would silently funnel the table through one
+    task."""
+    import bench
+    import __spark_entry__ as e
+    qs = e.queries()
+    for name in bench.HEADLINE:
+        sdf = qs[name](spark, "/root/testdata/sf0.001")
+        plan = _plan(sdf)
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            below = "\n".join(lines[i + 1:i + 4])
+            assert re.search(r"HashAggregate|SortAggregate|__rpid|__pcnt|rand\(",
+                             below), f"{name}: data-sized SinglePartition\n{plan}"
