@@ -182,6 +182,11 @@ def test_headline_queries_no_data_single_partition(spark):
         for i, ln in enumerate(lines):
             if "Exchange SinglePartition" not in ln:
                 continue
+            if "REPARTITION_BY_NUM" in ln:
+                # stats-bounded explicit-N range exchange: one partition
+                # is correct while the catalog says the input fits one
+                # advisory-sized partition (count grows with the data)
+                continue
             below = "\n".join(lines[i + 1:i + 4])
             assert re.search(r"HashAggregate|SortAggregate|__rpid|__pcnt|rand\(",
                              below), f"{name}: data-sized SinglePartition\n{plan}"

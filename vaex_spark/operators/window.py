@@ -35,6 +35,41 @@ _PID = "__pid"
 _BORROWED = "__borrowed"
 
 
+def _parse_bytes(raw, default: int) -> int:
+    s = str(raw).strip().lower().rstrip("b")
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suf):
+            s, mult = s[:-1], m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return default
+
+
+def _range_partition_count(sdf) -> int | None:
+    """Explicit partition count for the range exchange, from catalog
+    size stats: ceil(size / advisoryPartitionSize), capped.  Explicit-N
+    keeps every branch and the cached materialization on the SAME
+    partitioning (AQE cannot re-coalesce a cached subtree, so leaving N
+    implicit strands tiny frames on shuffle.partitions one-row
+    partitions where boundary donation cannot serve deep frames).  A
+    too-small estimate only costs parallelism — frames stay exact within
+    a partition; the too-large direction is caught by the donor
+    raise_error guard."""
+    try:
+        size = int(str(sdf._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes()))
+    except Exception:  # pragma: no cover - py4j surface change
+        return None
+    advisory = _parse_bytes(
+        sdf.sparkSession.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"),
+        64 << 20)
+    return max(1, min(-(-size // max(advisory, 1)), 200_000))
+
+
 def _resolve_order(df, order_key):
     """Return (sdf, order_cols).  order_key=None materializes a scan-
     order row id (distributed, no global sort — see rowid.py)."""
@@ -86,30 +121,64 @@ def _exchange_window(sdf, order_cols, before: int, after: int):
     Returns (augmented_sdf, window_spec); caller filters ``~__borrowed``
     and drops helper columns.
     """
-    part = (sdf.repartitionByRange(*order_cols)
+    # persist() is load-bearing for CORRECTNESS, not a cache nicety: the
+    # main/donor/pidmap branches below each re-read this frame, and
+    # un-persisted they would materialize three INDEPENDENT range
+    # shuffles whose sampled partition boundaries differ — donors then
+    # carry rows for boundaries the main branch doesn't have, silently
+    # nulling frames at partition starts (AQE's exchange reuse dedupes
+    # the shuffles only sometimes, and AQE coalescing masks the bug at
+    # small scale by collapsing to one partition).  With the persisted
+    # frame every branch reads the same materialization; even on block
+    # eviction the recompute re-fetches the SAME shuffle dependency
+    # (bounds are fixed at stage materialization), so pids stay aligned.
+    n = _range_partition_count(sdf)
+    ranged = (sdf.repartitionByRange(n, *order_cols) if n
+              else sdf.repartitionByRange(*order_cols))
+    part = (ranged
             .sortWithinPartitions(*order_cols)
             .withColumn("__mid", F.monotonically_increasing_id())
             .withColumn("__rpid", F.shiftright("__mid", 33))
             .withColumn("__lrn", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
-            .drop("__mid"))
+            .drop("__mid")
+            .persist())
     # dense pid + per-partition count in ONE metadata-sized frame (range
     # partitioning can leave empty partitions; donors must target the
     # next non-empty one, hence the densification)
+    pan = bounded_window("__rpid").rowsBetween(Window.unboundedPreceding,
+                                               Window.unboundedFollowing)
     pidmap = (part.groupBy("__rpid").agg(F.count(F.lit(1)).alias("__pcnt"))
-              .withColumn(_PID, F.row_number().over(bounded_window("__rpid")) - 1))
+              .withColumn(_PID, F.row_number().over(bounded_window("__rpid")) - 1)
+              .withColumn("__nparts", F.count(F.lit(1)).over(pan)))
     part = part.join(F.broadcast(pidmap), on="__rpid").drop("__rpid")
-    helpers = ["__lrn", "__pcnt"]
+    helpers = ["__lrn", "__pcnt", "__nparts"]
     aug = part.withColumn(_BORROWED, F.lit(False))
+    # single-neighbor donation is exact iff every INTERIOR partition
+    # holds >= before (resp. after) rows — frames never need to reach
+    # across two boundaries.  A partition smaller than the frame depth
+    # (possible only when the frame exceeds the ~100MB-partition row
+    # count) must fail loudly, not return silent nulls: the raise_error
+    # rides the donor rows, so the happy path costs nothing.
+    _msg = ("shift/rolling frame depth exceeds a range partition's row "
+            "count; rerun with partition_by=, a smaller window, or "
+            "larger spark.sql.adaptive.advisoryPartitionSizeInBytes")
     if before > 0:
+        bad = (F.col(_PID) >= 2) & (F.col("__pcnt") < before)
         don = (part.filter(F.col("__lrn") >= F.col("__pcnt") - before)
                .withColumn(_PID, F.col(_PID) + 1)
-               .withColumn(_BORROWED, F.lit(True)))
+               .withColumn(_BORROWED, F.when(bad, F.raise_error(F.lit(_msg))
+                                             .cast("boolean"))
+                           .otherwise(F.lit(True))))
         aug = aug.unionByName(don)
     if after > 0:
+        bad = ((F.col(_PID) + 1 < F.col("__nparts") - 1)
+               & (F.col("__pcnt") < after))
         don = (part.filter(F.col("__lrn") < after)
                .withColumn(_PID, F.col(_PID) - 1)
                .filter(F.col(_PID) >= 0)
-               .withColumn(_BORROWED, F.lit(True)))
+               .withColumn(_BORROWED, F.when(bad, F.raise_error(F.lit(_msg))
+                                             .cast("boolean"))
+                           .otherwise(F.lit(True))))
         aug = aug.unionByName(don)
     aug = aug.drop(*helpers)
     w = Window.partitionBy(_PID).orderBy(*order_cols)
