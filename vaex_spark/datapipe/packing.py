@@ -47,7 +47,14 @@ def pack_sequences(df, length_col: str, max_tokens: int,
         part = base.repartitionByRange(32, "_ok").withColumn("_pid", F.spark_partition_id())
         w_local = (Window.partitionBy("_pid").orderBy("_ok")
                    .rowsBetween(Window.unboundedPreceding, -1))
-        local = part.withColumn("_before_local", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)))
+        # persist: the offsets branch and the main join below both read
+        # this frame; un-persisted they would materialize two independent
+        # range shuffles whose sampled boundaries (seeded per RDD id) can
+        # differ, putting _ptot and _before_local on different partition
+        # layouts.  The frame is narrow (id, tokens, key, pid, cumsum).
+        local = part.withColumn(
+            "_before_local",
+            F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))).persist()
         totals = local.groupBy("_pid").agg(F.sum("n_tokens").alias("_ptot"))
         from ..operators.rowid import bounded_window
         w_off = bounded_window("_pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -248,6 +248,12 @@ def join_range(left, right, left_on, right_lo, right_hi, how="inner",
         # null-safe and duplicate-safe (anti-join on the id, not on every
         # column, which would drop null-bearing rows and collapse dups)
         lt = lsdf.withColumn("__rj_rid", F.monotonically_increasing_id())
+        if how == "left":
+            # the matched and anti-join branches below both re-read lt;
+            # mono-id is order-dependent, so on a shuffled input each
+            # evaluation could assign ids differently and the anti-join
+            # would drop/duplicate rows.  Persist pins one assignment.
+            lt = lt.persist()
         lb = lt.withColumn("__bk", F.floor(val / w).cast("long"))
         out = lb.join(rb, on="__bk", how="inner").filter(contains).drop("__bk")
         if how == "left":
