@@ -354,3 +354,20 @@ def test_cat_row_range(spark):
     assert "2" in out and "4" in out
     html = df.cat(0, 2)
     assert html.startswith("<table")
+
+
+def test_release_operator_caches(spark):
+    """Operator-internal persists are tracked and releasable in one
+    sweep; subsequent calls re-persist transparently."""
+    import vaex_spark as vs
+    from vaex_spark.cache import release_operator_caches, _OP_PERSISTED
+    release_operator_caches()
+    df = vs.open("/root/testdata/sf0.001/events.parquet", spark=spark)
+    df.shift(1, column="value", order_key="event_id").spark.collect()
+    assert len(_OP_PERSISTED) >= 1
+    n = release_operator_caches()
+    assert n >= 1 and not _OP_PERSISTED
+    # operator still correct after release
+    out = df.shift(1, column="value", order_key="event_id").spark
+    assert out.count() == df.spark.count()
+    release_operator_caches()

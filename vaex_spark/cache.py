@@ -111,3 +111,38 @@ def fingerprint(*args, **kwargs) -> str:
     import json
     payload = json.dumps([args, kwargs], sort_keys=True, default=str)
     return hashlib.sha256(payload.encode()).hexdigest()[:32]
+
+
+# ---------------------------------------------------------------------------
+# operator-internal persists
+# ---------------------------------------------------------------------------
+# Several operators persist() a shared subframe for CORRECTNESS (global-
+# order windows, LSH band relations, range-join row ids): plan branches
+# must read one materialization because range boundaries and mono-ids
+# are nondeterministic per materialization.  Those cached relations
+# outlive the operator call; long-running sessions can release them in
+# one sweep without touching user-created caches.
+
+_OP_PERSISTED: list = []
+
+
+def _register_persist(sdf):
+    """Persist ``sdf`` and track it for release_operator_caches()."""
+    sdf = sdf.persist()
+    _OP_PERSISTED.append(sdf)
+    return sdf
+
+
+def release_operator_caches() -> int:
+    """Unpersist every operator-internal cached relation; returns how
+    many were released.  Safe to call anytime — subsequent operator
+    calls re-persist what they need."""
+    n = 0
+    while _OP_PERSISTED:
+        sdf = _OP_PERSISTED.pop()
+        try:
+            sdf.unpersist()
+            n += 1
+        except Exception:  # session torn down - nothing to release
+            pass
+    return n

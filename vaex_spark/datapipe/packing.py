@@ -52,9 +52,10 @@ def pack_sequences(df, length_col: str, max_tokens: int,
         # range shuffles whose sampled boundaries (seeded per RDD id) can
         # differ, putting _ptot and _before_local on different partition
         # layouts.  The frame is narrow (id, tokens, key, pid, cumsum).
-        local = part.withColumn(
+        from ..cache import _register_persist
+        local = _register_persist(part.withColumn(
             "_before_local",
-            F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))).persist()
+            F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))))
         totals = local.groupBy("_pid").agg(F.sum("n_tokens").alias("_ptot"))
         from ..operators.rowid import bounded_window
         w_off = bounded_window("_pid").rowsBetween(Window.unboundedPreceding, -1)

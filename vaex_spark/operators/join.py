@@ -253,7 +253,8 @@ def join_range(left, right, left_on, right_lo, right_hi, how="inner",
             # mono-id is order-dependent, so on a shuffled input each
             # evaluation could assign ids differently and the anti-join
             # would drop/duplicate rows.  Persist pins one assignment.
-            lt = lt.persist()
+            from ..cache import _register_persist
+            lt = _register_persist(lt)
         lb = lt.withColumn("__bk", F.floor(val / w).cast("long"))
         out = lb.join(rb, on="__bk", how="inner").filter(contains).drop("__bk")
         if how == "left":

@@ -140,8 +140,9 @@ def _exchange_window(sdf, order_cols, before: int, after: int):
             .withColumn("__mid", F.monotonically_increasing_id())
             .withColumn("__rpid", F.shiftright("__mid", 33))
             .withColumn("__lrn", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
-            .drop("__mid")
-            .persist())
+            .drop("__mid"))
+    from ..cache import _register_persist
+    part = _register_persist(part)
     # dense pid + per-partition count in ONE metadata-sized frame (range
     # partitioning can leave empty partitions; donors must target the
     # next non-empty one, hence the densification)
