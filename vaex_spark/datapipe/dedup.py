@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame as SparkDataFrame
 from pyspark.sql import functions as F
 
 from .text import _let, fingerprint, shingles
+from ..cache import _register_persist
 
 
 def _sdf(df):
@@ -167,8 +168,8 @@ def minhash_lsh_candidates(df, text_col: str = "text", id_col: str = "doc_id",
     bands = minhash_bands_col(sig, num_bands, rows_per_band)
     # long-format (band, bucket, id): posexplode of the band array,
     # persisted so the self-join's sides share one signature pass
-    banded = (sdf.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket"))
-              .persist())
+    banded = _register_persist(
+        sdf.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket")))
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (left.join(right, on=[F.col("l.band") == F.col("r.band"),
@@ -232,16 +233,16 @@ def near_dup_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     # two sides would otherwise each recompute the full num_perm-hash
     # signature pass (no CSE across join branches) — caching num_bands
     # rows of (long,int,long) per doc halves the dominant CPU cost
-    banded = (sdf.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket"))
-              .persist())
+    banded = _register_persist(
+        sdf.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket")))
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (l.join(r, on=[F.col("l.band") == F.col("r.band"),
                            F.col("l.bucket") == F.col("r.bucket"),
                            F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
              .select(F.col(f"l.{id_col}").alias("id_a"),
                      F.col(f"r.{id_col}").alias("id_b"))
-             .distinct()
-             .persist())  # pair-count-sized; referenced by involved + verify
+             .distinct())
+    pairs = _register_persist(pairs)  # pair-count-sized; referenced by involved + verify
     # verification scales with the PAIR set, not the corpus: semi-join
     # the docs down to ids that appear in a candidate pair, and compute
     # shingle sets only for those (duplicate rates are low, so this is
@@ -259,7 +260,8 @@ def near_dup_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     small = sdf.join(involved, on=id_col, how="left_semi")
     sets_df = small.select(
         F.col(id_col),
-        F.array_distinct(shingles(F.col(text_col), k=shingle_k)).alias("__set")).persist()
+        F.array_distinct(shingles(F.col(text_col), k=shingle_k)).alias("__set"))
+    sets_df = _register_persist(sets_df)
     a, b = sets_df.alias("a"), sets_df.alias("b")
     out = (pairs
            .join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
