@@ -371,3 +371,16 @@ def test_release_operator_caches(spark):
     out = df.shift(1, column="value", order_key="event_id").spark
     assert out.count() == df.spark.count()
     release_operator_caches()
+
+
+def test_split_disjoint_exhaustive_after_shuffle(spark):
+    """Splits of a shuffled (nondeterministically ordered) frame must be
+    disjoint and exhaustive — row ids are pinned to one materialization."""
+    import vaex_spark as vs
+    df = vs.from_arrays(k=list(range(2000)), spark=spark).shuffle()
+    parts = df.split([0.3, 0.3, 0.4])
+    seen = []
+    for p in parts:
+        seen.extend(r["k"] for r in p.spark.select("k").collect())
+    assert len(seen) == 2000
+    assert sorted(seen) == list(range(2000))

@@ -1116,6 +1116,9 @@ class DataFrame:
         for f in fracs:
             acc += f
             bounds.append(int(round(acc * total)))
+        # with_row_id pins its materialization on nondeterministically
+        # ordered upstreams, so the per-split filters below see one
+        # consistent, contiguous id assignment (disjoint + exhaustive)
         sdf = with_row_id(self._spark_df())
         out, lo = [], 0
         for hi in bounds:

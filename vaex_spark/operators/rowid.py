@@ -58,6 +58,19 @@ def with_row_id(sdf: SparkDataFrame, name: str = ROW_ID) -> SparkDataFrame:
     """
     tagged = sdf.withColumn("__mono", F.monotonically_increasing_id())
     tagged = tagged.withColumn("__pid", F.spark_partition_id())
+    # the counts branch and the main join below each re-read `tagged`.
+    # On a plain scan/filter/project that is safe (row placement and
+    # order are deterministic), but downstream of a sort, join, agg, or
+    # repartition the two materializations can disagree — range
+    # boundaries are sampled per RDD, shuffle fetch order races — and
+    # per-partition counts then describe a layout the main branch does
+    # not have, leaving row ids non-contiguous.  Pin one
+    # materialization exactly when the plan contains such an operator.
+    plan = sdf._jdf.queryExecution().optimizedPlan().toString()
+    if any(m in plan for m in ("Sort", "Join", "Aggregate", "Repartition",
+                               "Window", "Distinct", "Deduplicate")):
+        from ..cache import _register_persist
+        tagged = _register_persist(tagged)
     counts = (tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"),
                                           F.min("__mono").alias("__base")))
     w = bounded_window("__pid").rowsBetween(Window.unboundedPreceding, -1)
