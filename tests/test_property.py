@@ -139,3 +139,35 @@ def test_contamination_self_probe(spark, words):
     ).collect()[0]["n"]
     assert len(out) == 1
     assert out[0]["n_overlap"] == n_distinct
+
+
+@settings(max_examples=6, deadline=None)
+@given(n=st.integers(min_value=20, max_value=300),
+       k=st.integers(min_value=1, max_value=6),
+       window=st.integers(min_value=2, max_value=9))
+def test_boundary_exchange_window_matches_pandas(spark, n, k, window):
+    """shift/diff/rolling over the partition-boundary exchange equal the
+    pandas oracle with partitioning forced MULTI (tiny advisory size),
+    for random sizes, shift distances, and window widths."""
+    import pandas as pd
+    import vaex_spark as vs
+    rng = np.random.RandomState(n * 1000 + k)
+    vals = rng.rand(n) * 100
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+    try:
+        df = vs.from_arrays(i=np.arange(n), v=vals, spark=spark)
+        pdf = pd.DataFrame({"i": np.arange(n), "v": vals})
+        got = (df.shift(k, column="v", order_key="i").spark
+               .select("i", "v").toPandas().sort_values("i")["v"].to_numpy())
+        exp = pdf["v"].shift(k).to_numpy()
+        np.testing.assert_allclose(got, exp, equal_nan=True)
+        got = (df.diff(column="v", order_key="i").spark
+               .select("i", "v").toPandas().sort_values("i")["v"].to_numpy())
+        exp = pdf["v"].diff().to_numpy()
+        np.testing.assert_allclose(got, exp, equal_nan=True)
+        got = (df.rolling(window, column="v", order_key="i").mean().spark
+               .select("i", "v").toPandas().sort_values("i")["v"].to_numpy())
+        exp = pdf["v"].rolling(window).mean().to_numpy()
+        np.testing.assert_allclose(got, exp, equal_nan=True, rtol=1e-9)
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
