@@ -185,7 +185,13 @@ def embedding_near_dups(corpus, threshold: float = 0.95, bits: int = 6,
     # which is linear in pairs + corpus.
     buckets = F.array(*[hyperplane_bucket(F.col(vec_col), _hyperplanes(dim, bits, seed + t))
                         for t in range(n_tables)])
-    tagged = corpus_sdf.select(F.col(id_col), F.posexplode(buckets).alias("table", "bucket"))
+    # persist the narrow (id, table, bucket) relation: the self-join's
+    # sides would otherwise each recompute the n_tables x bits
+    # hyperplane projections over the full corpus (no CSE across join
+    # branches)
+    from ..cache import _register_persist
+    tagged = _register_persist(
+        corpus_sdf.select(F.col(id_col), F.posexplode(buckets).alias("table", "bucket")))
     l, r = tagged.alias("l"), tagged.alias("r")
     cand = (l.join(r, on=[F.col("l.table") == F.col("r.table"),
                           F.col("l.bucket") == F.col("r.bucket"),
