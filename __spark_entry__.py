@@ -1587,6 +1587,42 @@ SELECT event_type,
 FROM x GROUP BY event_type ORDER BY event_type
 """
 
+def _q58_mix_budget(spark, sf_dir):
+    """Training-mix budget sampling (datapipe/mixing.py): cap each
+    language at a char budget, documents taken in doc_id order, the
+    crossing document excluded; report the achieved mix.  The exact
+    strategy is the oracle-checkable one; the hash strategy is the
+    100 TB path (pytest-verified)."""
+    from vaex_spark.datapipe.mixing import mix_budget
+    docs = _t(spark, sf_dir, "documents")
+    budgets = {"en": 40000.0, "de": 15000.0, "zh": 12000.0}
+    out = mix_budget(docs, budgets, group_col="lang", length_col="n_chars",
+                     order_key="doc_id", strategy="exact")
+    return (out.spark.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.col("n_chars")).cast("long").alias("chars_used"),
+                 F.min("doc_id").cast("long").alias("first_doc"),
+                 F.max("doc_id").cast("long").alias("last_doc"))
+            .orderBy("lang"))
+
+
+_Q58_SQL = """
+WITH b AS (
+  SELECT doc_id, lang, n_chars,
+         CASE lang WHEN 'en' THEN 40000.0 WHEN 'de' THEN 15000.0
+                   WHEN 'zh' THEN 12000.0 END AS budget,
+         COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM documents)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_used,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM b WHERE budget IS NOT NULL AND before + n_chars <= budget
+GROUP BY lang ORDER BY lang
+"""
+
 
 # ===========================================================================
 # registry
@@ -1650,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_session_windows": _q55_session_windows,
         "q56_curation_pipeline": _q56_curation_pipeline,
         "q57_json_props": _q57_json_props,
+        "q58_mix_budget": _q58_mix_budget,
     }
 
 
@@ -1712,4 +1749,5 @@ def oracle_sql() -> dict[str, str]:
         "q55_session_windows": _Q55_SQL,
         "q56_curation_pipeline": _q56_oracle_sql(),
         "q57_json_props": _Q57_SQL,
+        "q58_mix_budget": _Q58_SQL,
     }

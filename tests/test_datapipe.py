@@ -451,3 +451,37 @@ def test_video_frame_sampling_and_resize(spark):
     resized = mm.resize_stub(imgs, width=16, height=16).collect()
     assert all(r["image"]["width"] == 16 and r["image"]["height"] == 16
                for r in resized)
+
+
+def test_mix_budget_exact_excludes_crossing_doc(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe.mixing import mix_budget
+    df = vs.from_arrays(doc_id=[1, 2, 3, 4], src=["a"] * 4,
+                        n=[10, 10, 10, 10], spark=spark)
+    out = mix_budget(df, {"a": 25.0}, group_col="src", length_col="n",
+                     order_key="doc_id", strategy="exact")
+    assert sorted(r["doc_id"] for r in out.spark.collect()) == [1, 2]
+
+
+def test_mix_budget_hash_deterministic_and_near_budget(spark):
+    """The 100 TB strategy: deterministic selection (same ids on rerun),
+    a subset of the group, and the achieved volume within sampling noise
+    of the budget."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.mixing import mix_budget
+    docs = vs.open("/root/testdata/sf0.01/documents.parquet", spark=spark)
+    budgets = {"en": 30000.0}
+    sel1 = mix_budget(docs, budgets, group_col="lang", strategy="hash")
+    sel2 = mix_budget(docs, budgets, group_col="lang", strategy="hash")
+    ids1 = sorted(r["doc_id"] for r in sel1.spark.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in sel2.spark.select("doc_id").collect())
+    assert ids1 == ids2 and ids1
+    used = sel1.spark.agg(F.sum("n_chars")).collect()[0][0]
+    total = (docs.spark.filter(F.col("lang") == "en")
+             .agg(F.sum("n_chars")).collect()[0][0])
+    assert used <= total
+    # expectation = budget; allow 3-sigma-ish sampling noise
+    assert abs(used - 30000.0) < 0.5 * 30000.0
+    # dropped groups: nothing outside the recipe survives
+    langs = {r["lang"] for r in sel1.spark.select("lang").distinct().collect()}
+    assert langs == {"en"}
