@@ -1623,6 +1623,71 @@ FROM b WHERE budget IS NOT NULL AND before + n_chars <= budget
 GROUP BY lang ORDER BY lang
 """
 
+def _q59_boilerplate_lines(spark, sf_dir):
+    """C4-style boilerplate-line removal (datapipe/text.py:
+    remove_boilerplate_lines): lines appearing in >= 3 distinct docs are
+    dropped everywhere; per-doc cleaned text is md5-fingerprinted so the
+    oracle compares exact reconstruction (order-preserving rejoin)."""
+    from vaex_spark.datapipe.text import remove_boilerplate_lines
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_boilerplate_lines(docs, min_docs=3)
+    return (out.spark.select(F.col("doc_id").cast("long").alias("doc_id"),
+                             F.length("text").cast("long").alias("n_chars_clean"),
+                             F.md5(F.col("text")).alias("clean_md5")))
+
+
+_Q59_SQL = """
+WITH e AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+  FROM documents),
+boiler AS (
+  SELECT lower(trim(line)) AS nline
+  FROM e GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3),
+kept AS (
+  SELECT doc_id, line, pos FROM e
+  WHERE lower(trim(line)) NOT IN (SELECT nline FROM boiler)),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(length(COALESCE(r.text, '')) AS BIGINT) AS n_chars_clean,
+       md5(COALESCE(r.text, '')) AS clean_md5
+FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+"""
+
+def _q60_incremental_dedup(spark, sf_dir):
+    """Incremental snapshot dedup (datapipe/dedup.py:
+    exact_dedup_incremental): treat even doc_ids as the already-ingested
+    corpus and odd ids as the new batch; batch rows whose normalized
+    text exists in the corpus are dropped, then the batch is deduped
+    within itself keeping the lowest id."""
+    from vaex_spark.datapipe.dedup import exact_dedup_incremental
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs[docs.doc_id % 2 == 0]
+    batch = docs[docs.doc_id % 2 == 1]
+    out = exact_dedup_incremental(batch, seen)
+    return (out.spark.select(F.col("doc_id").cast("long").alias("doc_id"),
+                             F.col("lang"), F.col("source")))
+
+
+_Q60_SQL = """
+WITH fp AS (
+  SELECT doc_id, lang, source,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents),
+seen AS (SELECT DISTINCT norm FROM fp WHERE doc_id % 2 = 0),
+batch AS (SELECT * FROM fp WHERE doc_id % 2 = 1),
+fresh AS (
+  SELECT * FROM batch WHERE norm NOT IN (SELECT norm FROM seen)),
+kept AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+  FROM fresh)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
+FROM kept WHERE rn = 1
+"""
+
 
 # ===========================================================================
 # registry
@@ -1687,6 +1752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_curation_pipeline": _q56_curation_pipeline,
         "q57_json_props": _q57_json_props,
         "q58_mix_budget": _q58_mix_budget,
+        "q59_boilerplate_lines": _q59_boilerplate_lines,
+        "q60_incremental_dedup": _q60_incremental_dedup,
     }
 
 
@@ -1750,4 +1817,6 @@ def oracle_sql() -> dict[str, str]:
         "q56_curation_pipeline": _q56_oracle_sql(),
         "q57_json_props": _Q57_SQL,
         "q58_mix_budget": _Q58_SQL,
+        "q59_boilerplate_lines": _Q59_SQL,
+        "q60_incremental_dedup": _Q60_SQL,
     }

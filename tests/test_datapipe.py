@@ -485,3 +485,48 @@ def test_mix_budget_hash_deterministic_and_near_budget(spark):
     # dropped groups: nothing outside the recipe survives
     langs = {r["lang"] for r in sel1.spark.select("lang").distinct().collect()}
     assert langs == {"en"}
+
+
+def test_remove_boilerplate_lines(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import remove_boilerplate_lines
+    docs = vs.from_arrays(
+        doc_id=[1, 2, 3],
+        text=["COOKIE BANNER\nreal content one",
+              "cookie banner\nother real text\nunique line",
+              "totally unique document"],
+        spark=spark)
+    out = {r["doc_id"]: r["text"]
+           for r in remove_boilerplate_lines(docs, min_docs=2).spark.collect()}
+    # the shared (case-normalized) line vanished from both docs
+    assert out[1] == "real content one"
+    assert out[2] == "other real text\nunique line"
+    assert out[3] == "totally unique document"
+
+
+def test_remove_boilerplate_all_boiler_doc_kept_empty(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import remove_boilerplate_lines
+    docs = vs.from_arrays(doc_id=[1, 2], text=["same", "same"], spark=spark)
+    out = {r["doc_id"]: r["text"]
+           for r in remove_boilerplate_lines(docs, min_docs=2).spark.collect()}
+    assert out == {1: "", 2: ""}
+
+
+def test_exact_dedup_incremental_and_fingerprint_table(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import (corpus_fingerprints,
+                                           exact_dedup_incremental)
+    seen = vs.from_arrays(doc_id=[1, 2], text=["alpha beta", "gamma"], spark=spark)
+    batch = vs.from_arrays(doc_id=[10, 11, 12, 13],
+                           text=["ALPHA   beta", "delta", "delta", "epsilon"],
+                           spark=spark)
+    out = sorted(r["doc_id"] for r in
+                 exact_dedup_incremental(batch, seen).spark.collect())
+    # 10 dies (normalized dup of seen 'alpha beta'), 12 dies (in-batch dup)
+    assert out == [11, 13]
+    # the persistable fingerprint-table path gives identical results
+    fps = corpus_fingerprints(seen)
+    out2 = sorted(r["doc_id"] for r in
+                  exact_dedup_incremental(batch, fps).spark.collect())
+    assert out2 == [11, 13]

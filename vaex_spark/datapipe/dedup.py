@@ -474,3 +474,39 @@ def contamination(docs, probes, k: int = 8, text_col: str = "text",
            .groupBy("doc_id", "probe_id")
            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap")))
     return out
+
+
+def exact_dedup_incremental(new_df, seen_df, text_col: str = "text",
+                            id_col: str = "doc_id", normalize: bool = True,
+                            keep: str = "min"):
+    """Incremental snapshot dedup: drop rows of ``new_df`` whose
+    (normalized) text already exists in ``seen_df`` (the prior corpus),
+    then exact-dedup the survivors within the batch.
+
+    100 TB shape: both sides reduce to fingerprints before anything
+    moves — the anti-join shuffles (hash) vs (hash, id) only, never
+    text; within-batch dedup reuses exact_dedup's window strategy.
+    ``seen_df`` may be the prior corpus (fingerprinted here) or an
+    already-materialized one-column fingerprint table named ``__fp`` —
+    the idiomatic pattern is to persist the fingerprint table between
+    snapshot runs instead of re-hashing history every time.
+    """
+    nsdf, ssdf = _sdf(new_df), _sdf(seen_df)
+    fp = fingerprint(F.col(text_col), normalize=normalize)
+    if "__fp" in ssdf.columns:
+        seen_fp = ssdf.select("__fp").distinct()
+    else:
+        seen_fp = ssdf.select(fp.alias("__fp")).distinct()
+    fresh_ids = (nsdf.select(fp.alias("__fp"), F.col(id_col))
+                 .join(seen_fp, on="__fp", how="left_anti")
+                 .select(id_col))
+    fresh = nsdf.join(fresh_ids, on=id_col, how="left_semi")
+    return exact_dedup(_wrap(fresh), text_col=text_col, id_col=id_col,
+                       normalize=normalize, keep=keep)
+
+
+def corpus_fingerprints(df, text_col: str = "text", normalize: bool = True):
+    """The persistable fingerprint table for exact_dedup_incremental."""
+    sdf = _sdf(df)
+    return _wrap(sdf.select(
+        fingerprint(F.col(text_col), normalize=normalize).alias("__fp")).distinct())

@@ -276,3 +276,46 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
                 (F.sum(F.col("__lp").cast("decimal(28,9)")).cast("double") /
                  F.count(F.lit(1))).alias("mean_logprob")))
     return DataFrame(out) if wrapped else out
+
+
+def remove_boilerplate_lines(df, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             min_docs: int = 2, normalize: bool = True):
+    """C4-style line-level boilerplate removal: a line occurring in at
+    least ``min_docs`` DISTINCT documents (nav bars, cookie banners,
+    footers) is dropped from every document; each document's surviving
+    lines are rejoined in original order.
+
+    100 TB shape: explode to (id, pos, line_hash) — the shuffle for the
+    distinct-doc count carries hashes, not line text; the boilerplate
+    hash set (typically tiny: only lines crossing the threshold) comes
+    back via a join that AQE broadcasts when it fits.  Rebuild is a
+    groupBy(id) sort_array aggregate — one exchange of surviving lines.
+
+    Returns (id, text) with cleaned text; documents whose every line was
+    boilerplate keep an empty string (document-level filtering is a
+    separate, explicit step).
+    """
+    from ..dataframe import DataFrame
+    wrapped = isinstance(df, DataFrame)
+    sdf = df._spark_df() if wrapped else df
+    line = F.col("__line")
+    norm = F.lower(F.trim(line)) if normalize else line
+    lines = (sdf.select(F.col(id_col),
+                        F.posexplode(F.split(F.col(text_col), "\n"))
+                        .alias("__pos", "__line"))
+             .withColumn("__lh", F.xxhash64(norm)))
+    boiler = (lines.groupBy("__lh")
+              .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+              .filter(F.col("__nd") >= min_docs)
+              .select("__lh"))
+    kept = lines.join(boiler, on="__lh", how="left_anti")
+    out = (kept.groupBy(id_col)
+           .agg(F.array_join(
+               F.transform(F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                           lambda s: s["__line"]), "\n").alias(text_col)))
+    # docs whose every line was boilerplate: restore as empty text
+    all_ids = sdf.select(F.col(id_col))
+    out = (all_ids.join(out, on=id_col, how="left")
+           .withColumn(text_col, F.coalesce(F.col(text_col), F.lit(""))))
+    return DataFrame(out) if wrapped else out
