@@ -190,3 +190,35 @@ def test_headline_queries_no_data_single_partition(spark):
             below = "\n".join(lines[i + 1:i + 4])
             assert re.search(r"HashAggregate|SortAggregate|__rpid|__pcnt|rand\(",
                              below), f"{name}: data-sized SinglePartition\n{plan}"
+
+
+def test_partition_sensitive_queries_invariant_under_tiny_partitions(spark):
+    """Adversarial configuration sweep: the queries whose plans involve
+    range exchanges, mono-id row tagging, self-joins, or per-partition
+    state must give identical results when partitioning is forced MULTI
+    (tiny advisory size, odd shuffle partition count).  This is the
+    configuration that exposed the window donor-misalignment bug; AQE's
+    small-scale coalescing must never be what makes a result correct."""
+    import duckdb
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import __spark_entry__ as entry
+    from check_oracle import TABLES, normalize
+    sensitive = ["q10_window_diff", "q25_shift", "q35_minhash_near_dups",
+                 "q48_asof_join", "q49_range_join", "q52_pack_sequences",
+                 "q59_boilerplate_lines", "q60_incremental_dedup"]
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.shuffle.partitions", "13")
+    try:
+        for name in sensitive:
+            got = normalize(qs[name](spark, sf).toPandas())
+            exp = normalize(con.execute(oracles[name]).df())
+            assert got.equals(exp), f"{name} not partition-invariant"
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
