@@ -384,3 +384,16 @@ def test_split_disjoint_exhaustive_after_shuffle(spark):
         seen.extend(r["k"] for r in p.spark.select("k").collect())
     assert len(seen) == 2000
     assert sorted(seen) == list(range(2000))
+
+
+def test_orc_round_trip(spark, tmp_path):
+    import vaex_spark as vs
+    df = vs.open("/root/testdata/sf0.001/nation.parquet", spark=spark)
+    out = str(tmp_path / "nation.orc")
+    df.export(out)
+    back = vs.open(out, spark=spark)
+    assert back.count() == df.count()
+    assert sorted(back.get_column_names()) == sorted(df.get_column_names())
+    a = df.to_pandas_df().sort_values("n_nationkey").reset_index(drop=True)
+    b = back.to_pandas_df().sort_values("n_nationkey").reset_index(drop=True)
+    assert a.equals(b)

@@ -2148,6 +2148,8 @@ class DataFrame:
             return self.export_hdf5(p, **kwargs)
         if p.endswith(".fits"):
             return self.export_fits(p, **kwargs)
+        if p.endswith(".orc"):
+            return self.export_orc(p, **kwargs)
         raise ValueError(f"unknown export format for {path}")
 
     def export_hdf5(self, path: str, **kw):
@@ -2234,6 +2236,11 @@ class DataFrame:
     def export_feather(self, path: str, **kw):
         import pyarrow.feather as feather
         feather.write_feather(self.to_arrow_table(), path)
+
+    def export_orc(self, path: str, mode: str = "overwrite", **kw):
+        """ORC sink (beyond reference — Spark-native columnar format;
+        distributed write, same shape as export_parquet)."""
+        self._spark_df().write.mode(mode).orc(path)
 
     def export_many(self, path: str, n: int):
         """dataframe.py:6894 — N output files."""

@@ -61,6 +61,8 @@ def open(path, spark: SparkSession | None = None, convert=False, shuffle=False,
     reader = spark.read
     if ext in (".parquet", ".pq"):
         df = DataFrame(_read_parquet(spark, p))
+    elif ext == ".orc":
+        df = DataFrame(reader.orc(p))
     elif ext in (".csv", ".txt", ".asc"):
         df = DataFrame(reader.option("header", True).option("inferSchema", True).csv(p))
     elif ext == ".json":
