@@ -1688,6 +1688,42 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
 FROM kept WHERE rn = 1
 """
 
+def _q61_fuzzy_incremental_dedup(spark, sf_dir):
+    """Fuzzy incremental dedup (datapipe/dedup.py:
+    near_dup_against_corpus): even doc_ids are the ingested corpus, odd
+    ids the new batch; batch docs with exact 5-gram Jaccard >= 0.5
+    against ANY corpus doc are dropped (MinHash band join finds the
+    candidates; banding r=2,b=32 puts per-pair recall at ~0.9999 so the
+    result equals the exact all-pairs oracle)."""
+    from vaex_spark.datapipe.dedup import near_dup_against_corpus
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs[docs.doc_id % 2 == 0]
+    batch = docs[docs.doc_id % 2 == 1]
+    out = near_dup_against_corpus(batch, corpus, threshold=0.5)
+    return out.spark.select(F.col("doc_id").cast("long").alias("doc_id"),
+                            F.col("lang"))
+
+
+_Q61_SQL = """
+WITH sets AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+4], ' ')
+                        FOR i IN range(1, CASE WHEN LEN(words) < 6 THEN 2
+                                               ELSE LEN(words) - 3 END)]) AS s
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+        FROM documents)),
+dup AS (
+  SELECT DISTINCT b.doc_id
+  FROM sets b JOIN sets c
+    ON b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+   AND ROUND(CAST(LEN(list_intersect(b.s, c.s)) AS DOUBLE) /
+             LEN(list_distinct(list_concat(b.s, c.s))), 6) >= 0.5)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+FROM documents d
+WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM dup)
+"""
+
 
 # ===========================================================================
 # registry
@@ -1754,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_mix_budget": _q58_mix_budget,
         "q59_boilerplate_lines": _q59_boilerplate_lines,
         "q60_incremental_dedup": _q60_incremental_dedup,
+        "q61_fuzzy_incremental_dedup": _q61_fuzzy_incremental_dedup,
     }
 
 
@@ -1819,4 +1856,5 @@ def oracle_sql() -> dict[str, str]:
         "q58_mix_budget": _Q58_SQL,
         "q59_boilerplate_lines": _Q59_SQL,
         "q60_incremental_dedup": _Q60_SQL,
+        "q61_fuzzy_incremental_dedup": _Q61_SQL,
     }

@@ -530,3 +530,20 @@ def test_exact_dedup_incremental_and_fingerprint_table(spark):
     out2 = sorted(r["doc_id"] for r in
                   exact_dedup_incremental(batch, fps).spark.collect())
     assert out2 == [11, 13]
+
+
+def test_near_dup_against_corpus_drops_fuzzy_matches(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import near_dup_against_corpus
+    corpus = vs.from_arrays(
+        doc_id=[1], text=["the quick brown fox jumps over the lazy dog today"],
+        spark=spark)
+    batch = vs.from_arrays(
+        doc_id=[10, 11],
+        text=["the quick brown fox jumps over the lazy dog now",  # near-dup
+              "completely different content about spark engines"],
+        spark=spark)
+    out = sorted(r["doc_id"] for r in
+                 near_dup_against_corpus(batch, corpus, threshold=0.4)
+                 .spark.collect())
+    assert out == [11]

@@ -510,3 +510,55 @@ def corpus_fingerprints(df, text_col: str = "text", normalize: bool = True):
     sdf = _sdf(df)
     return _wrap(sdf.select(
         fingerprint(F.col(text_col), normalize=normalize).alias("__fp")).distinct())
+
+
+def near_dup_against_corpus(batch, corpus, text_col: str = "text",
+                            id_col: str = "doc_id", shingle_k: int = 5,
+                            num_perm: int = 64, num_bands: int = 32,
+                            threshold: float = 0.5):
+    """Fuzzy incremental dedup: drop ``batch`` documents whose exact
+    shingle-Jaccard against ANY ``corpus`` document reaches
+    ``threshold``; returns the surviving batch rows.
+
+    The MinHash band tables of both sides share one seed family, so
+    candidates come from a plain (band, bucket) equi-join — batch bands
+    against corpus bands, never a self-join of the union.  Only
+    candidate ids shuffle; texts are fetched per side by semi-join for
+    the exact-Jaccard verification.  The default banding (r=2, b=32)
+    puts per-pair recall at ~0.9999 for s >= 0.5, matching the
+    engine-independent oracle.  In production the corpus band table is
+    the artifact you persist between snapshot runs (it is the LSH
+    index); here it is derived in-plan.
+    """
+    bsdf = _spread(_sdf(batch).select(F.col(id_col), F.col(text_col)))
+    csdf = _spread(_sdf(corpus).select(F.col(id_col), F.col(text_col)))
+    rows_per_band = num_perm // num_bands
+    sig = minhash_signature(F.col(text_col), num_perm=num_perm, shingle_k=shingle_k)
+    bands = minhash_bands_col(sig, num_bands, rows_per_band)
+
+    def band_table(sdf):
+        return sdf.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket"))
+
+    bb = _register_persist(band_table(bsdf))
+    cb = band_table(csdf)
+    cand = _register_persist(
+        bb.alias("b").join(cb.alias("c"),
+                           on=[F.col("b.band") == F.col("c.band"),
+                               F.col("b.bucket") == F.col("c.bucket")])
+        .select(F.col(f"b.{id_col}").alias("__bid"),
+                F.col(f"c.{id_col}").alias("__cid"))
+        .distinct())
+    sets = lambda sdf, idc: sdf.select(  # noqa: E731
+        F.col(id_col).alias(idc),
+        F.array_distinct(shingles(F.col(text_col), k=shingle_k)).alias(f"__s_{idc}"))
+    bsets = sets(bsdf.join(cand.select(F.col("__bid").alias(id_col)).distinct(),
+                           on=id_col, how="left_semi"), "__bid")
+    csets = sets(csdf.join(cand.select(F.col("__cid").alias(id_col)).distinct(),
+                           on=id_col, how="left_semi"), "__cid")
+    jac = (F.size(F.array_intersect("__s___bid", "__s___cid")).cast("double") /
+           F.size(F.array_union("__s___bid", "__s___cid")))
+    dupes = (cand.join(bsets, on="__bid").join(csets, on="__cid")
+             .filter(F.round(jac, 6) >= threshold)
+             .select(F.col("__bid").alias(id_col)).distinct())
+    out = _sdf(batch).join(dupes, on=id_col, how="left_anti")
+    return _wrap(out)
