@@ -143,15 +143,35 @@ def _exchange_window(sdf, order_cols, before: int, after: int):
             .drop("__mid"))
     from ..cache import _register_persist
     part = _register_persist(part)
-    # dense pid + per-partition count in ONE metadata-sized frame (range
-    # partitioning can leave empty partitions; donors must target the
-    # next non-empty one, hence the densification)
-    pan = bounded_window("__rpid").rowsBetween(Window.unboundedPreceding,
-                                               Window.unboundedFollowing)
-    pidmap = (part.groupBy("__rpid").agg(F.count(F.lit(1)).alias("__pcnt"))
-              .withColumn(_PID, F.row_number().over(bounded_window("__rpid")) - 1)
-              .withColumn("__nparts", F.count(F.lit(1)).over(pan)))
-    part = part.join(F.broadcast(pidmap), on="__rpid").drop("__rpid")
+    # dense pid + per-partition count (range partitioning can leave
+    # empty partitions; donors must target the next non-empty one, hence
+    # the densification).  Small partition counts take the eager path:
+    # one tiny cache-backed collect, then literal CASE columns — no
+    # bounded-window stage, no broadcast join, a shorter serial job
+    # chain.  Large counts keep the fully-lazy broadcast-join form (a
+    # thousands-branch CASE would blow Janino's method limit).
+    rows = None
+    if n is not None and n <= 64:
+        rows = sorted((r["__rpid"], r["cnt"]) for r in
+                      part.groupBy("__rpid").agg(
+                          F.count(F.lit(1)).alias("cnt")).collect())
+    if rows:
+        pid_expr = cnt_expr = None
+        for i, (rp, c) in enumerate(rows):
+            cond = F.col("__rpid") == rp
+            pid_expr = F.when(cond, i) if pid_expr is None else pid_expr.when(cond, i)
+            cnt_expr = F.when(cond, c) if cnt_expr is None else cnt_expr.when(cond, c)
+        part = (part.withColumn(_PID, pid_expr.cast("int"))
+                .withColumn("__pcnt", cnt_expr.cast("long"))
+                .withColumn("__nparts", F.lit(len(rows)))
+                .drop("__rpid"))
+    else:
+        pan = bounded_window("__rpid").rowsBetween(Window.unboundedPreceding,
+                                                   Window.unboundedFollowing)
+        pidmap = (part.groupBy("__rpid").agg(F.count(F.lit(1)).alias("__pcnt"))
+                  .withColumn(_PID, F.row_number().over(bounded_window("__rpid")) - 1)
+                  .withColumn("__nparts", F.count(F.lit(1)).over(pan)))
+        part = part.join(F.broadcast(pidmap), on="__rpid").drop("__rpid")
     helpers = ["__lrn", "__pcnt", "__nparts"]
     aug = part.withColumn(_BORROWED, F.lit(False))
     # single-neighbor donation is exact iff every INTERIOR partition
