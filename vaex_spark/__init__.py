@@ -155,3 +155,11 @@ def set_log_level_exception():
 
 def set_log_level_off():
     _set_log_level(99)
+
+
+def app(*args, **kwargs):
+    """reference __init__.py:86 — Qt UI launcher.  The desktop UI is a
+    vaex-ui optional dependency and out of scope for the Spark engine
+    (SURVEY §3.4); gated honestly like the other viz surfaces."""
+    raise ImportError("vaex_spark.app requires the optional Qt 'vaex-ui' "
+                      "stack, which this engine does not bundle")
