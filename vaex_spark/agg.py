@@ -28,6 +28,10 @@ class AggDescriptor:
         self.dropmissing = dropmissing
         self.dropnan = dropnan
 
+    def __repr__(self):
+        sel = f", selection={self.selection!r}" if self.selection is not None else ""
+        return f"vaex.agg.{self.short_name}({self.expression!r}{sel})"
+
     # pretty default output name: 'x_sum' like vaex's grid column naming
     @property
     def pretty_name(self) -> str:
@@ -297,3 +301,17 @@ def from_spec(name_or_desc, expression=None):
             return maker()
         return maker(expression)
     raise TypeError(f"bad agg spec {name_or_desc!r}")
+
+
+def register(f, name=None):
+    """reference agg.py:34 — drop a callable into the aggregate
+    registry (alias of register_agg's decorator form for porting
+    compatibility)."""
+    name = name or f.__name__
+    return register_agg(name, f)
+
+
+def normalize(agg):
+    """reference agg.py:740 — stable (kind, repr) pair for an
+    aggregation descriptor; used by state serialization."""
+    return agg.__class__.__name__, repr(agg)
