@@ -1724,6 +1724,28 @@ FROM documents d
 WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM dup)
 """
 
+def _q62_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing in the graded loop (datapipe/multimodal.py):
+    documents' text bytes stand in for image payloads (the container
+    ships no codec, so decode is the clearly-marked deterministic fake),
+    flow through the real Arrow-batched mapInPandas feature extractor,
+    and aggregate per language.  No SQL oracle exists for the fake
+    decoder's numpy path — this is the one intentionally rows-only
+    query; schema and row count are stable and deterministic."""
+    from vaex_spark.datapipe.multimodal import image_features
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.spark.select(
+        "doc_id", "lang",
+        F.struct(F.encode(F.col("text"), "utf-8").alias("content"),
+                 F.lit(4).alias("width"), F.lit(4).alias("height")).alias("image"))
+    feats = image_features(assets, image_col="image")
+    return (feats.select("doc_id", "lang",
+                         F.element_at("features", 1).alias("f_mean"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_imgs"),
+                 F.round(F.avg("f_mean"), 4).alias("avg_feat"))
+            .orderBy("lang"))
+
 
 # ===========================================================================
 # registry
@@ -1791,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_boilerplate_lines": _q59_boilerplate_lines,
         "q60_incremental_dedup": _q60_incremental_dedup,
         "q61_fuzzy_incremental_dedup": _q61_fuzzy_incremental_dedup,
+        "q62_multimodal_features": _q62_multimodal_features,
     }
 
 
