@@ -547,3 +547,16 @@ def test_near_dup_against_corpus_drops_fuzzy_matches(spark):
                  near_dup_against_corpus(batch, corpus, threshold=0.4)
                  .spark.collect())
     assert out == [11]
+
+
+def test_exact_dedup_strategies_agree(spark):
+    """window / agg / minby / auto must select identical rows."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import exact_dedup
+    docs = vs.open("/root/testdata/sf0.001/documents.parquet", spark=spark)
+    results = {}
+    for s in ("window", "agg", "minby", "auto"):
+        got = exact_dedup(docs, strategy=s)
+        results[s] = sorted(r["doc_id"] for r in
+                            got.spark.select("doc_id").collect())
+    assert results["window"] == results["agg"] == results["minby"] == results["auto"]

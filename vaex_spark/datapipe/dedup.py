@@ -73,22 +73,43 @@ def _spread(sdf):
 # --------------------------------------------------------------------------
 def exact_dedup(df, text_col: str = "text", id_col: str = "doc_id",
                 normalize: bool = True, keep: str = "min",
-                strategy: str = "window"):
+                strategy: str = "auto"):
     """Keep one row per distinct (normalized) text.
 
-    Both strategies shuffle (hash, id) pairs only — document bodies
-    never move (Catalyst prunes them; the final semi-join is on the id):
-
-    * ``'window'`` (default) — ONE exchange: row_number over
-      partitionBy(fingerprint) keeps rank 1.  Measured 2.7x faster at
-      bench scale (one exchange + sort vs partial agg + two exchanges).
+    * ``'window'`` — bodies never move: ONE exchange of (hash, id)
+      pairs, row_number over partitionBy(fingerprint) keeps rank 1,
+      then a semi-join back onto the scan.  The 100 TB default — the
+      shuffle is id-sized and the table is only re-scanned, not moved.
     * ``'agg'`` — groupBy(fingerprint) -> min/max(id) -> semi-join.
-      Map-side combine collapses duplicates BEFORE the exchange, so at
-      extreme duplicate rates (shuffle dominated by dup rows) this
-      moves less data; prefer it when dup rate >> 50%.
+      Map-side combine collapses duplicates BEFORE the id exchange.
+    * ``'minby'`` — groupBy(fingerprint) -> min_by/max_by(full row):
+      one scan, one exchange, no join — but the exchange carries the
+      surviving row BODIES (partial agg drops duplicates map-side).
+      Fastest when the table is modest or the duplicate rate is high;
+      at 100 TB with low dup rates it moves nearly the whole table.
+    * ``'auto'`` (default) — catalog size stats pick: inputs under one
+      advisory partition per core go ``'minby'`` (fewer serial stages),
+      larger inputs keep the bodies-never-move ``'window'`` plan.
     """
     sdf = _sdf(df)
     fp = fingerprint(F.col(text_col), normalize=normalize).alias("__fp")
+    if strategy == "auto":
+        spark = sdf.sparkSession
+        target = spark.sparkContext.defaultParallelism
+        try:
+            size = int(str(sdf._jdf.queryExecution().optimizedPlan()
+                           .stats().sizeInBytes()))
+        except Exception:  # pragma: no cover
+            size = None
+        strategy = ("minby" if size is not None and size < target * (64 << 20)
+                    else "window")
+    if strategy == "minby":
+        pick = F.min_by if keep == "min" else F.max_by
+        row = F.struct(*[F.col(c) for c in sdf.columns])
+        out = (sdf.select(fp, row.alias("__row"))
+               .groupBy("__fp").agg(pick("__row", F.col(f"__row.{id_col}")).alias("__row"))
+               .select("__row.*"))
+        return _wrap(out)
     # no _spread here: fingerprinting is one hash per row (not the
     # 64-permutation minhash case) and the window/agg exchange below
     # redistributes anyway — a pre-repartition would shuffle the text
