@@ -91,11 +91,11 @@ HEADLINE_JOB_CEILING = {
     "q05_revenue_by_nation": 9,
     "q06_forecast_revenue": 4,
     "q07_orders_by_month": 6,
-    "q10_window_diff": 14,
+    "q10_window_diff": 6,
     "q11_rolling_avg": 4,
     "q18_histogram": 4,
     "q22_quantile": 4,
-    "q26_dedup_exact": 8,
+    "q26_dedup_exact": 7,
     "q27_token_stats": 4,
     "q31_cosine_pairs": 4,
     "q35_minhash_near_dups": 19,
