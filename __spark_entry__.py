@@ -1746,6 +1746,42 @@ def _q62_multimodal_features(spark, sf_dir):
                  F.round(F.avg("f_mean"), 4).alias("avg_feat"))
             .orderBy("lang"))
 
+def _q63_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9-flavored 5-way join: revenue of PROMO-type parts by
+    supplier nation and order year.  Plan shape: pushed p_type filter on
+    the part scan, broadcast part/supplier/nation dims, lineitem-orders
+    equi join, single hash aggregate (decimal-cast sum for
+    order-independent hash parity with the oracle)."""
+    li = _t(spark, sf_dir, "lineitem").spark
+    orders = _t(spark, sf_dir, "orders").spark
+    supp = _t(spark, sf_dir, "supplier").spark
+    nat = _t(spark, sf_dir, "nation").spark
+    part = _t(spark, sf_dir, "part").spark.filter(F.col("p_type") == "PROMO")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    j = (li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+         .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+         .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+         .join(orders, li["l_orderkey"] == orders["o_orderkey"]))
+    return (j.groupBy(F.col("n_name").alias("nation"),
+                      F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.sum(rev).cast("double").alias("profit"),
+                 F.count(F.lit(1)).cast("long").alias("n_lines"))
+            .orderBy("nation", "o_year"))
+
+
+_Q63_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS profit,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 
 # ===========================================================================
 # registry
@@ -1814,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_incremental_dedup": _q60_incremental_dedup,
         "q61_fuzzy_incremental_dedup": _q61_fuzzy_incremental_dedup,
         "q62_multimodal_features": _q62_multimodal_features,
+        "q63_profit_by_nation_year": _q63_profit_by_nation_year,
     }
 
 
@@ -1880,4 +1917,5 @@ def oracle_sql() -> dict[str, str]:
         "q59_boilerplate_lines": _Q59_SQL,
         "q60_incremental_dedup": _Q60_SQL,
         "q61_fuzzy_incremental_dedup": _Q61_SQL,
+        "q63_profit_by_nation_year": _Q63_SQL,
     }
