@@ -1782,6 +1782,41 @@ JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+def _q64_market_share(spark, sf_dir):
+    """TPC-H Q8-flavored market share: the share of each order year's
+    total revenue delivered by suppliers of one nation — conditional
+    aggregation over a join (share = sum(if(nation)) / sum(all)), one
+    hash aggregate after broadcast dims."""
+    li = _t(spark, sf_dir, "lineitem").spark
+    orders = _t(spark, sf_dir, "orders").spark
+    supp = _t(spark, sf_dir, "supplier").spark
+    nat = _t(spark, sf_dir, "nation").spark
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    j = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+         .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+         .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"]))
+    target = F.when(F.col("n_name") == "NATION_7", rev).otherwise(F.lit(0).cast(DEC))
+    return (j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.round(F.sum(target).cast("double") /
+                         F.sum(rev).cast("double"), 9).alias("mkt_share"),
+                 F.sum(rev).cast("double").alias("total_rev"))
+            .orderBy("o_year"))
+
+
+_Q64_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_7'
+                           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
+                           ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE) /
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE), 9) AS mkt_share,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS total_rev
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
 
 # ===========================================================================
 # registry
@@ -1851,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_fuzzy_incremental_dedup": _q61_fuzzy_incremental_dedup,
         "q62_multimodal_features": _q62_multimodal_features,
         "q63_profit_by_nation_year": _q63_profit_by_nation_year,
+        "q64_market_share": _q64_market_share,
     }
 
 
@@ -1918,4 +1954,5 @@ def oracle_sql() -> dict[str, str]:
         "q60_incremental_dedup": _Q60_SQL,
         "q61_fuzzy_incremental_dedup": _Q61_SQL,
         "q63_profit_by_nation_year": _Q63_SQL,
+        "q64_market_share": _Q64_SQL,
     }
