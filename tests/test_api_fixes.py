@@ -397,3 +397,18 @@ def test_orc_round_trip(spark, tmp_path):
     a = df.to_pandas_df().sort_values("n_nationkey").reset_index(drop=True)
     b = back.to_pandas_df().sort_values("n_nationkey").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_train_test_split_disjoint_on_shuffled(spark):
+    """train/test of a shuffled frame must partition the rows exactly
+    (row-id assignment pinned across the two slice evaluations)."""
+    import warnings
+    import vaex_spark as vs
+    df = vs.from_arrays(k=list(range(1000)), spark=spark).shuffle()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        train, test = df.ml.train_test_split(test_size=0.25, verbose=False)
+    a = [r["k"] for r in train.spark.select("k").collect()]
+    b = [r["k"] for r in test.spark.select("k").collect()]
+    assert len(a) == 750 and len(b) == 250
+    assert sorted(a + b) == list(range(1000))
