@@ -171,3 +171,33 @@ def test_boundary_exchange_window_matches_pandas(spark, n, k, window):
         np.testing.assert_allclose(got, exp, equal_nan=True, rtol=1e-9)
     finally:
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10_000),
+       closed=st.sampled_from(["left", "right", "both", "neither"]),
+       width=st.sampled_from([0.5, 1.0, 2.0]))
+def test_join_range_matches_bruteforce(spark, seed, closed, width):
+    """Bucketized interval join == brute-force containment for random
+    points/intervals across every closed mode (incl. interval bounds
+    landing exactly on bucket boundaries)."""
+    import vaex_spark as vs
+    rng = np.random.RandomState(seed)
+    xs = np.round(rng.uniform(0, 10, 15), 2)
+    los = np.round(rng.uniform(0, 8, 6), 2)
+    his = los + np.round(rng.uniform(0, 3, 6), 2)
+    # force some exact bucket-multiple bounds (the ADVICE boundary case)
+    los[0], his[0] = 2.0, 4.0
+    left = vs.from_arrays(x=xs, pid=np.arange(15), spark=spark)
+    right = vs.from_arrays(lo=los, hi=his, iid=np.arange(6), spark=spark)
+    out = left.join_range(right, "x", "lo", "hi", how="inner",
+                          bucket_width=width, closed=closed)
+    got = sorted((r["pid"], r["iid"]) for r in
+                 out.spark.select("pid", "iid").collect())
+    lo_ok = {"left": np.greater_equal, "both": np.greater_equal,
+             "right": np.greater, "neither": np.greater}[closed]
+    hi_ok = {"left": np.less, "neither": np.less,
+             "right": np.less_equal, "both": np.less_equal}[closed]
+    exp = sorted((p, i) for p, xv in enumerate(xs) for i in range(6)
+                 if lo_ok(xv, los[i]) and hi_ok(xv, his[i]))
+    assert got == exp
