@@ -560,3 +560,37 @@ def test_exact_dedup_strategies_agree(spark):
         results[s] = sorted(r["doc_id"] for r in
                             got.spark.select("doc_id").collect())
     assert results["window"] == results["agg"] == results["minby"] == results["auto"]
+
+
+def test_streaming_curation_matches_batch(spark, tmp_path):
+    """The curation pipeline run per micro-batch over a real file stream
+    (foreachBatch + availableNow) must keep exactly the docs the batch
+    run keeps — the operators are micro-batch-safe (quality/repetition
+    are per-row; exact dedup here is per-batch + cross-batch via the
+    persistable fingerprint table)."""
+    import shutil
+    import vaex_spark as vs
+    from vaex_spark import streaming as st
+    from vaex_spark.datapipe.curate import curate
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                str(src / "documents.parquet"))
+
+    batch_df = vs.open("/root/testdata/sf0.001/documents.parquet", spark=spark)
+    expected = sorted(r["doc_id"] for r in
+                      curate(batch_df, dedup="exact").spark
+                      .select("doc_id").collect())
+
+    stream = st.open_stream(str(src), spark=spark)
+    out_dir = str(tmp_path / "out")
+    kept: list = []
+
+    def do_batch(bdf, batch_id):
+        curated = curate(bdf, dedup="exact")
+        sdf = curated._spark_df() if hasattr(curated, "_spark_df") else curated
+        kept.extend(r["doc_id"] for r in sdf.select("doc_id").collect())
+
+    st.run_foreach_batch(stream, do_batch, checkpoint=str(tmp_path / "ckpt"))
+    assert sorted(kept) == expected

@@ -243,6 +243,8 @@ def run_foreach_batch(stream_sdf: SparkDataFrame, fn, checkpoint: str,
     lacks (JDBC upserts, multi-sink fanout).  Exactly-once comes from
     the checkpoint's batch-id tracking as long as fn is idempotent per
     batch_id."""
+    if hasattr(stream_sdf, "_spark_df"):  # vaex_spark.DataFrame wrapper
+        stream_sdf = stream_sdf._spark_df()
     writer = stream_sdf.writeStream.foreachBatch(fn).option("checkpointLocation", checkpoint)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
