@@ -594,3 +594,41 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
 
     st.run_foreach_batch(stream, do_batch, checkpoint=str(tmp_path / "ckpt"))
     assert sorted(kept) == expected
+
+
+def test_curate_stream_cross_batch_dedup(spark, tmp_path):
+    """Two micro-batches where batch 2 repeats batch 1's documents: the
+    streaming curation keeps batch 1's survivors once and drops every
+    cross-batch duplicate via the persisted fingerprint table."""
+    import pandas as pd
+    import vaex_spark as vs
+    from vaex_spark import streaming as st
+
+    texts = ["a real document with plenty of words to pass the filters %d" % i
+             for i in range(20)]
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = pd.DataFrame({"doc_id": range(20), "text": texts})
+    b1.to_parquet(src / "b1.parquet")
+
+    common = dict(out_dir=str(tmp_path / "out"), state_dir=str(tmp_path / "state"),
+                  checkpoint=str(tmp_path / "ckpt"),
+                  min_quality=None, repetition_filter=False, dedup=None)
+
+    stream = st.open_stream(str(src), spark=spark)
+    st.curate_stream(stream, **common)
+    n1 = spark.read.parquet(str(tmp_path / "out")).count()
+    assert n1 == 20
+
+    # batch 2: 10 duplicates of batch 1 (different ids) + 5 new docs
+    b2 = pd.DataFrame({"doc_id": range(100, 115),
+                       "text": texts[:10] + ["fresh unseen document number %d with enough words" % i
+                                             for i in range(5)]})
+    b2.to_parquet(src / "b2.parquet")
+    stream = st.open_stream(str(src), spark=spark)
+    st.curate_stream(stream, **common)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 25  # 20 + 5 new; 10 cross-batch dups dropped
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert ids == list(range(20)) + list(range(110, 115))

@@ -251,3 +251,45 @@ def run_foreach_batch(stream_sdf: SparkDataFrame, fn, checkpoint: str,
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  **curate_kw):
+    """Streaming corpus curation with CROSS-batch exact dedup.
+
+    Each micro-batch runs the standard curate() pipeline, then drops
+    documents whose normalized fingerprint was already emitted by ANY
+    earlier batch (datapipe.dedup.exact_dedup_incremental against the
+    fingerprint table persisted in ``state_dir``); survivors append to
+    ``out_dir`` and their fingerprints append to the state table.  The
+    state table is the same artifact batch snapshot-dedup uses — a
+    restart resumes from it, and exactly-once comes from the stream
+    checkpoint as long as ``out_dir`` consumers tolerate the (idempotent
+    per batch-id) appends.  At 100 TB the state table is fingerprints
+    only (8 B a row before encoding), shuffled hash-to-hash.
+    """
+    import os
+
+    from ..datapipe import dedup as D
+    from ..dataframe import DataFrame as VDF
+
+    def do_batch(bdf, batch_id):
+        from ..datapipe.curate import curate
+        curated = curate(VDF(bdf), text_col=text_col, id_col=id_col, **curate_kw)
+        csdf = curated._spark_df()
+        spark = csdf.sparkSession
+        has_state = os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir))
+        if has_state:
+            seen = VDF(spark.read.parquet(state_dir))
+            fresh = D.exact_dedup_incremental(VDF(csdf), seen,
+                                              text_col=text_col, id_col=id_col)
+        else:
+            fresh = D.exact_dedup(VDF(csdf), text_col=text_col, id_col=id_col)
+        fsdf = fresh._spark_df()
+        fsdf.write.mode("append").parquet(out_dir)
+        (D.corpus_fingerprints(fresh, text_col=text_col)._spark_df()
+         .write.mode("append").parquet(state_dir))
+
+    return run_foreach_batch(stream_df, do_batch, checkpoint=checkpoint)
