@@ -1817,6 +1817,30 @@ JOIN nation ON s_nationkey = n_nationkey
 GROUP BY 1 ORDER BY 1
 """
 
+def _q65_pivot(spark, sf_dir):
+    """Wide-format pivot (DataFrame.pivot over Spark's groupBy().pivot):
+    chars per (source, lang), one column per language, explicit pivot
+    domain so the schema is deterministic and the distinct-scan is
+    skipped."""
+    docs = _t(spark, sf_dir, "documents")
+    out = docs.pivot("source", "lang", "n_chars", agg="sum",
+                     column_values=["de", "en", "es", "fr", "zh"])
+    sel = [F.col("source")] + [
+        F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+        for c in ("de", "en", "es", "fr", "zh")]
+    return out.spark.select(*sel).orderBy("source")
+
+
+_Q65_SQL = """
+SELECT source,
+       CAST(COALESCE(SUM(CASE WHEN lang = 'de' THEN n_chars END), 0) AS BIGINT) AS de,
+       CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN n_chars END), 0) AS BIGINT) AS en,
+       CAST(COALESCE(SUM(CASE WHEN lang = 'es' THEN n_chars END), 0) AS BIGINT) AS es,
+       CAST(COALESCE(SUM(CASE WHEN lang = 'fr' THEN n_chars END), 0) AS BIGINT) AS fr,
+       CAST(COALESCE(SUM(CASE WHEN lang = 'zh' THEN n_chars END), 0) AS BIGINT) AS zh
+FROM documents GROUP BY source ORDER BY source
+"""
+
 
 # ===========================================================================
 # registry
@@ -1887,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_multimodal_features": _q62_multimodal_features,
         "q63_profit_by_nation_year": _q63_profit_by_nation_year,
         "q64_market_share": _q64_market_share,
+        "q65_pivot": _q65_pivot,
     }
 
 
@@ -1955,4 +1980,5 @@ def oracle_sql() -> dict[str, str]:
         "q61_fuzzy_incremental_dedup": _Q61_SQL,
         "q63_profit_by_nation_year": _Q63_SQL,
         "q64_market_share": _Q64_SQL,
+        "q65_pivot": _Q65_SQL,
     }

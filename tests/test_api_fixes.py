@@ -412,3 +412,14 @@ def test_train_test_split_disjoint_on_shuffled(spark):
     b = [r["k"] for r in test.spark.select("k").collect()]
     assert len(a) == 750 and len(b) == 250
     assert sorted(a + b) == list(range(1000))
+
+
+def test_pivot_explicit_and_discovered_domains_agree(spark):
+    import vaex_spark as vs
+    docs = vs.open("/root/testdata/sf0.001/documents.parquet", spark=spark)
+    a = docs.pivot("source", "lang", "n_chars", agg="sum",
+                   column_values=["de", "en", "es", "fr", "zh"]).to_pandas_df()
+    b = docs.pivot("source", "lang", "n_chars", agg="sum").to_pandas_df()
+    a = a.reindex(sorted(a.columns), axis=1).sort_values("source").reset_index(drop=True)
+    b = b.reindex(sorted(b.columns), axis=1).sort_values("source").reset_index(drop=True)
+    assert a.equals(b)

@@ -1126,6 +1126,31 @@ class DataFrame:
             lo = hi
         return out
 
+    def pivot(self, index, columns: str, values: str, agg: str = "sum",
+              column_values=None) -> "DataFrame":
+        """Wide-format aggregation (beyond reference; Spark-native
+        ``groupBy().pivot()``): one output row per ``index`` value, one
+        column per distinct ``columns`` value, cells aggregated from
+        ``values``.
+
+        Pass ``column_values`` explicitly at scale: it skips the
+        distinct-scan Spark needs to discover the pivot domain and keeps
+        the output schema deterministic (a new value appearing upstream
+        otherwise changes the schema under you)."""
+        from . import agg as vagg
+        index = [index] if isinstance(index, str) else list(index)
+        sdf = self._spark_df()
+        gp = sdf.groupBy(*[F.col(c) for c in index]).pivot(
+            columns, list(column_values) if column_values is not None else None)
+        fn = {"sum": F.sum, "mean": F.avg, "avg": F.avg, "min": F.min,
+              "max": F.max, "count": F.count, "first": F.first}.get(agg)
+        if fn is None:
+            raise ValueError(f"agg={agg!r} not supported for pivot")
+        out = gp.agg(fn(F.col(values)))
+        o = DataFrame(out)
+        o.variables = dict(self.variables)
+        return o
+
     def sort(self, by, ascending: bool | list[bool] = True) -> "DataFrame":
         """dataframe.py:4694 — NaN/NA to the end regardless of direction
         (vaex uses arrow sort_indices with nulls last)."""
