@@ -423,3 +423,19 @@ def test_pivot_explicit_and_discovered_domains_agree(spark):
     a = a.reindex(sorted(a.columns), axis=1).sort_values("source").reset_index(drop=True)
     b = b.reindex(sorted(b.columns), axis=1).sort_values("source").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_melt_round_trips_pivot(spark):
+    """pivot -> melt reproduces the long-format aggregate."""
+    import vaex_spark as vs
+    docs = vs.open("/root/testdata/sf0.001/documents.parquet", spark=spark)
+    wide = docs.pivot("source", "lang", "n_chars", agg="sum",
+                      column_values=["de", "en", "es", "fr", "zh"])
+    long = wide.melt("source", ["de", "en", "es", "fr", "zh"],
+                     var_name="lang", value_name="chars")
+    got = {(r["source"], r["lang"]): r["chars"]
+           for r in long.spark.collect() if r["chars"] is not None}
+    exp = {(r["source"], r["lang"]): r["chars"] for r in
+           docs.spark.groupBy("source", "lang")
+           .agg(F.sum("n_chars").alias("chars")).collect()}
+    assert got == exp

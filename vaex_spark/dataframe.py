@@ -1151,6 +1151,20 @@ class DataFrame:
         o.variables = dict(self.variables)
         return o
 
+    def melt(self, id_vars, value_vars, var_name: str = "variable",
+             value_name: str = "value") -> "DataFrame":
+        """Unpivot (pandas melt semantics): one output row per
+        (id_vars, value_var).  Spark-native ``unpivot`` — a narrow
+        row-expansion, no shuffle."""
+        id_vars = [id_vars] if isinstance(id_vars, str) else list(id_vars)
+        value_vars = [value_vars] if isinstance(value_vars, str) else list(value_vars)
+        out = self._spark_df().unpivot(
+            [F.col(c) for c in id_vars], [F.col(c) for c in value_vars],
+            var_name, value_name)
+        o = DataFrame(out)
+        o.variables = dict(self.variables)
+        return o
+
     def sort(self, by, ascending: bool | list[bool] = True) -> "DataFrame":
         """dataframe.py:4694 — NaN/NA to the end regardless of direction
         (vaex uses arrow sort_indices with nulls last)."""
