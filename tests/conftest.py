@@ -6,6 +6,17 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Derandomized hypothesis profile: property tests replay the same example
+# corpus every run (plus the persisted failure database), so a property
+# failure found once (e.g. the join_range closed='neither' regression at
+# seed 206) reproduces on every subsequent run instead of flickering.
+try:
+    from hypothesis import settings as _hyp_settings
+    _hyp_settings.register_profile("ci", derandomize=True, deadline=None)
+    _hyp_settings.load_profile("ci")
+except ImportError:  # pragma: no cover
+    pass
+
 SF_DIR = "/root/testdata/sf0.001"
 
 

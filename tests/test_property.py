@@ -1,10 +1,19 @@
 """Property-based spot checks (hypothesis) — beyond the reference's
 strategy (SURVEY §5 notes vaex has none).  Bounded example counts keep
-Spark round-trips cheap; oracles are numpy/pandas."""
+Spark round-trips cheap; oracles are numpy/pandas.
+
+Set VS_HYP_EXAMPLES=200 to run the join suites to convergence (the
+round-3 'neither' bug showed where hand-picked cases run out); default
+keeps CI round-trips cheap.  conftest.py loads a derandomized profile
+so whatever budget runs, it replays the same corpus every time."""
+
+import os
 
 import numpy as np
 import pytest
 from hypothesis import given, settings, strategies as st
+
+N_DEEP = int(os.environ.get("VS_HYP_EXAMPLES", "10"))
 
 finite_floats = st.floats(min_value=-1e6, max_value=1e6,
                           allow_nan=False, allow_infinity=False)
@@ -73,7 +82,7 @@ def test_value_counts_total(spark, data):
     assert df.nunique("k") == len(set(data))
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=N_DEEP, deadline=None)
 @given(
     lts=st.lists(st.integers(0, 100), min_size=1, max_size=12),
     rts=st.lists(st.integers(0, 100), min_size=1, max_size=12),
@@ -99,6 +108,55 @@ def test_join_asof_matches_pandas(spark, lts, rts, direction):
     for lv, rv in zip(exp["lv"], exp["rv"]):
         want = None if (isinstance(rv, float) and math.isnan(rv)) else int(rv)
         assert got[lv] == want, (direction, lts, rts)
+
+
+@settings(max_examples=N_DEEP, deadline=None)
+@given(
+    lrows=st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                             st.integers(0, 60)),
+                   min_size=1, max_size=14, unique=True),
+    rrows=st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                             st.integers(0, 60)),
+                   min_size=1, max_size=14, unique=True),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tolerance=st.sampled_from([None, 0, 3, 10]),
+    exact=st.booleans(),
+)
+def test_join_asof_by_tolerance_matches_pandas(spark, lrows, rrows,
+                                               direction, tolerance, exact):
+    """join_asof with by= partitioning, tolerance=, and
+    allow_exact_matches= equals pandas merge_asof across the full
+    option matrix (the round-3 'neither' lesson: hand-picked cases run
+    out exactly where option combinations interact)."""
+    import math
+    import pandas as pd
+    import vaex_spark as vs
+    if direction == "nearest" and not exact:
+        # pandas raises for this combination; semantics undefined
+        return
+    lrows, rrows = sorted(lrows), sorted(rrows)
+    left = vs.from_arrays(g=[g for g, _ in lrows],
+                          t=[float(t) for _, t in lrows],
+                          lv=list(range(len(lrows))), spark=spark)
+    right = vs.from_arrays(g=[g for g, _ in rrows],
+                           t=[float(t) for _, t in rrows],
+                           rv=[100 + i for i in range(len(rrows))], spark=spark)
+    out = left.join_asof(right, on="t", by="g", direction=direction,
+                         tolerance=tolerance, allow_exact_matches=exact)
+    got = {r["lv"]: r["rv"] for r in out.spark.collect()}
+    lp = pd.DataFrame({"g": [g for g, _ in lrows],
+                       "t": [float(t) for _, t in lrows],
+                       "lv": range(len(lrows))}).sort_values("t")
+    rp = pd.DataFrame({"g": [g for g, _ in rrows],
+                       "t": [float(t) for _, t in rrows],
+                       "rv": [100 + i for i in range(len(rrows))]}).sort_values("t")
+    exp = pd.merge_asof(lp, rp, on="t", by="g", direction=direction,
+                        tolerance=None if tolerance is None else float(tolerance),
+                        allow_exact_matches=exact)
+    assert len(got) == len(lrows)
+    for lv, rv in zip(exp["lv"], exp["rv"]):
+        want = None if (isinstance(rv, float) and math.isnan(rv)) else int(rv)
+        assert got[lv] == want, (direction, tolerance, exact, lrows, rrows)
 
 
 @settings(max_examples=6, deadline=None)
@@ -173,7 +231,7 @@ def test_boundary_exchange_window_matches_pandas(spark, n, k, window):
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=N_DEEP, deadline=None)
 @given(seed=st.integers(min_value=0, max_value=10_000),
        closed=st.sampled_from(["left", "right", "both", "neither"]),
        width=st.sampled_from([0.5, 1.0, 2.0]))

@@ -229,6 +229,7 @@ def join_range(left, right, left_on, right_lo, right_hi, how="inner",
     val = F.col(left_on)
     contains = (val >= lo) & (val < hi) if closed == "left" else \
                (val > lo) & (val <= hi) if closed == "right" else \
+               (val > lo) & (val < hi) if closed == "neither" else \
                (val >= lo) & (val <= hi)
 
     if bucket_width is None:

@@ -63,11 +63,34 @@ def _range_partition_count(sdf) -> int | None:
                        .stats().sizeInBytes()))
     except Exception:  # pragma: no cover - py4j surface change
         return None
+    conf = sdf.sparkSession.conf
+    # Catalyst substitutes spark.sql.defaultSizeInBytes (Long.MaxValue
+    # unless tuned) for relations with unknown stats, and join stats are
+    # the PRODUCT of child sizes — so an implausibly large estimate means
+    # "unknown", not "huge".  Exploding it into advisory-sized partitions
+    # would create hundreds of thousands of near-empty range partitions
+    # and trip the donor frame-depth guard on perfectly valid queries;
+    # fall back to the session's shuffle.partitions instead.
+    try:
+        default_size = int(conf.get("spark.sql.defaultSizeInBytes",
+                                    str(2 ** 63 - 1)))
+    except Exception:  # pragma: no cover
+        default_size = 2 ** 63 - 1
+    if size <= 0 or size >= default_size:
+        return None
     advisory = _parse_bytes(
-        sdf.sparkSession.conf.get(
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"),
+        conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"),
         64 << 20)
-    return max(1, min(-(-size // max(advisory, 1)), 200_000))
+    # row-count-free ceiling: more range partitions than ~16× the
+    # cluster's parallelism buys a windowed op nothing and risks
+    # partitions thinner than the frame depth (the fail-loud direction);
+    # under-partitioning only costs parallelism — frames stay exact.
+    try:
+        shuffle_n = int(conf.get("spark.sql.shuffle.partitions", "200"))
+    except Exception:  # pragma: no cover
+        shuffle_n = 200
+    cap = 16 * max(sdf.sparkSession.sparkContext.defaultParallelism, shuffle_n)
+    return max(1, min(-(-size // max(advisory, 1)), cap))
 
 
 def _resolve_order(df, order_key):
