@@ -37,8 +37,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str):
     Real applications hold table handles across queries, and the DuckDB
     oracle registers its views once outside timing — re-sniffing the
     same parquet footer per query would be self-inflicted overhead, not
-    engine work.  Only the unexecuted plan is cached; no data pins."""
-    key = (id(spark), sf_dir, name)
+    engine work.  Only the unexecuted plan is cached; no data pins.
+    Keyed on applicationId, not id(spark): a garbage-collected session's
+    address can be reused by a new session, which must not receive plans
+    bound to the stopped session."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _OPEN_CACHE.get(key)
     if df is None:
         df = vs.open(f"{sf_dir}/{name}.parquet", spark=spark)

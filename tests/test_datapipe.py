@@ -632,3 +632,37 @@ def test_curate_stream_cross_batch_dedup(spark, tmp_path):
     assert out.count() == 25  # 20 + 5 new; 10 cross-batch dups dropped
     ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
     assert ids == list(range(20)) + list(range(110, 115))
+
+
+def test_curate_stream_replay_idempotent(spark, tmp_path):
+    """Replaying a batch that ALREADY landed (crash after both writes,
+    checkpoint lost → same files reprocessed under the same batch_id)
+    must neither duplicate rows nor anti-join away its own documents:
+    both sinks are batch_id-partitioned and dynamically overwritten, and
+    dedup state reads only strictly-earlier batches."""
+    import pandas as pd
+    from vaex_spark import streaming as st
+
+    texts = ["a real document with plenty of words to pass the filters %d" % i
+             for i in range(12)]
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"doc_id": range(12), "text": texts}).to_parquet(src / "b1.parquet")
+
+    common = dict(out_dir=str(tmp_path / "out"), state_dir=str(tmp_path / "state"),
+                  min_quality=None, repetition_filter=False, dedup=None)
+
+    st.curate_stream(st.open_stream(str(src), spark=spark),
+                     checkpoint=str(tmp_path / "ckpt1"), **common)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 12
+
+    # fresh checkpoint → the SAME files replay as batch 0 again, with
+    # state/out already holding batch 0's artifacts
+    st.curate_stream(st.open_stream(str(src), spark=spark),
+                     checkpoint=str(tmp_path / "ckpt2"), **common)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 12  # no dup appends, no self-anti-join drop
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == list(range(12))
+    # state table likewise replayed in place
+    state = spark.read.parquet(str(tmp_path / "state"))
+    assert state.count() == state.select("__fp").distinct().count() == 12

@@ -206,3 +206,41 @@ def test_shift_over_unknown_stats_input(spark):
     exp = pd.Series([float(i) * 2 for i in range(500)]).shift(3).to_numpy()
     import numpy as np
     np.testing.assert_allclose(out, exp, equal_nan=True)
+
+
+def test_rowid_pin_heuristic_inverted(spark):
+    """Only plans made purely of deterministic nodes (scan/filter/
+    project) skip the row-id pin; Sample/Limit/Generate — the nodes the
+    old denylist missed — must persist (round-3 ADVICE)."""
+    import vaex_spark as vs
+    from vaex_spark.operators.rowid import _plan_is_deterministic
+
+    def plan_of(sdf):
+        return sdf._jdf.queryExecution().optimizedPlan().toString()
+
+    base = vs.open("/root/testdata/sf0.001/nation.parquet", spark=spark)._spark_df()
+    assert _plan_is_deterministic(plan_of(base))
+    assert _plan_is_deterministic(plan_of(
+        base.filter(F.col("n_regionkey") > 1).select("n_name")))
+    assert not _plan_is_deterministic(plan_of(base.sample(0.5)))
+    assert not _plan_is_deterministic(plan_of(base.limit(5)))
+    assert not _plan_is_deterministic(plan_of(base.offset(2)))
+    assert not _plan_is_deterministic(plan_of(
+        base.select(F.explode(F.array(F.lit(1), F.lit(2))))))
+    assert not _plan_is_deterministic(plan_of(base.orderBy("n_name")))
+    assert not _plan_is_deterministic(plan_of(
+        base.select(F.rand(7).alias("r"))))
+
+
+def test_rowid_contiguous_after_sample(spark):
+    """with_row_id downstream of sample(): ids must still be exactly
+    0..n-1 (the counts branch and main branch read ONE pinned
+    materialization, not two independent samples)."""
+    import vaex_spark as vs
+    from vaex_spark.operators.rowid import ROW_ID, with_row_id
+    base = vs.open("/root/testdata/sf0.01/orders.parquet", spark=spark)._spark_df()
+    sampled = base.sample(0.3, seed=None)  # nondeterministic on purpose
+    out = with_row_id(sampled)
+    ids = sorted(r[ROW_ID] for r in out.select(ROW_ID).collect())
+    assert ids == list(range(len(ids))) and len(ids) > 0
+    vs.cache.release_operator_caches()

@@ -43,6 +43,31 @@ def bounded_window(*order_cols) -> Window:
     return Window.partitionBy((F.rand(0) * 0).cast("int")).orderBy(*order_cols)
 
 
+#: logical nodes whose re-materialization reproduces identical row
+#: placement and order (columnar scans, pure row-local transforms, an
+#: already-pinned cache).  Everything else — Sort/Join/Aggregate but
+#: also Sample, GlobalLimit/LocalLimit/Offset, Generate, Repartition,
+#: Union (branch interleave) — must persist before branching.
+_DETERMINISTIC_NODES = frozenset({
+    "Project", "Filter", "Relation", "LocalRelation", "InMemoryRelation",
+    "SubqueryAlias", "ResolvedHint", "UnresolvedHint",
+})
+
+#: expression markers that make even a Project/Filter nondeterministic
+_NONDET_EXPRS = ("rand(", "randn(", "uuid()", "shuffle(",
+                 "monotonically_increasing_id()")
+
+
+def _plan_is_deterministic(plan: str) -> bool:
+    if any(t in plan for t in _NONDET_EXPRS):
+        return False
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-").split(" ", 1)[0].split("[", 1)[0].rstrip(",")
+        if node and node not in _DETERMINISTIC_NODES:
+            return False
+    return True
+
+
 def with_monotonic_id(sdf: SparkDataFrame, name: str = ROW_ID) -> SparkDataFrame:
     return sdf.withColumn(name, F.monotonically_increasing_id())
 
@@ -60,15 +85,18 @@ def with_row_id(sdf: SparkDataFrame, name: str = ROW_ID) -> SparkDataFrame:
     tagged = tagged.withColumn("__pid", F.spark_partition_id())
     # the counts branch and the main join below each re-read `tagged`.
     # On a plain scan/filter/project that is safe (row placement and
-    # order are deterministic), but downstream of a sort, join, agg, or
-    # repartition the two materializations can disagree — range
-    # boundaries are sampled per RDD, shuffle fetch order races — and
-    # per-partition counts then describe a layout the main branch does
-    # not have, leaving row ids non-contiguous.  Pin one
-    # materialization exactly when the plan contains such an operator.
-    plan = sdf._jdf.queryExecution().optimizedPlan().toString()
-    if any(m in plan for m in ("Sort", "Join", "Aggregate", "Repartition",
-                               "Window", "Distinct", "Deduplicate")):
+    # order are deterministic), but downstream of a sort, join, agg,
+    # repartition, sample, limit/offset, or generate the two
+    # materializations can disagree — range boundaries are sampled per
+    # RDD, shuffle fetch order races, limits take whichever rows arrive
+    # first — and per-partition counts then describe a layout the main
+    # branch does not have, leaving row ids non-contiguous.  The
+    # heuristic is INVERTED from a denylist (round-3 ADVICE: Sample/
+    # Offset/CollectLimit/Generate slipped through): only a plan made
+    # purely of known-deterministic nodes with no nondeterministic
+    # expressions skips the pin.
+    if not _plan_is_deterministic(
+            sdf._jdf.queryExecution().optimizedPlan().toString()):
         from ..cache import _register_persist
         tagged = _register_persist(tagged)
     counts = (tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"),

@@ -261,13 +261,20 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
     Each micro-batch runs the standard curate() pipeline, then drops
     documents whose normalized fingerprint was already emitted by ANY
     earlier batch (datapipe.dedup.exact_dedup_incremental against the
-    fingerprint table persisted in ``state_dir``); survivors append to
-    ``out_dir`` and their fingerprints append to the state table.  The
-    state table is the same artifact batch snapshot-dedup uses — a
-    restart resumes from it, and exactly-once comes from the stream
-    checkpoint as long as ``out_dir`` consumers tolerate the (idempotent
-    per batch-id) appends.  At 100 TB the state table is fingerprints
-    only (8 B a row before encoding), shuffled hash-to-hash.
+    fingerprint table persisted in ``state_dir``); survivors land in
+    ``out_dir`` and their fingerprints in the state table.
+
+    Idempotency per batch_id is REAL, not aspirational: both sinks are
+    hive-partitioned by ``__batch_id`` and written with dynamic
+    partition-overwrite, so a crash between the two writes (or a
+    checkpoint replay of a whole batch) simply rewrites that batch's
+    partitions in place — no duplicate appends.  The dedup state read is
+    restricted to ``__batch_id < current`` (partition-pruned), so a
+    replayed batch never anti-joins against its OWN half-landed
+    fingerprints and silently drops its documents.  A restart resumes
+    from the state table, and exactly-once comes from the stream
+    checkpoint.  At 100 TB the state table is fingerprints only (8 B a
+    row before encoding), shuffled hash-to-hash.
     """
     import os
 
@@ -280,16 +287,28 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
         csdf = curated._spark_df()
         spark = csdf.sparkSession
         has_state = os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir))
+            e.startswith("__batch_id=") for e in os.listdir(state_dir))
         if has_state:
-            seen = VDF(spark.read.parquet(state_dir))
+            # strictly-earlier batches only: on replay this batch's own
+            # fingerprints may already be in the state table
+            seen = VDF(spark.read.parquet(state_dir)
+                       .filter(F.col("__batch_id") < int(batch_id)))
             fresh = D.exact_dedup_incremental(VDF(csdf), seen,
                                               text_col=text_col, id_col=id_col)
         else:
             fresh = D.exact_dedup(VDF(csdf), text_col=text_col, id_col=id_col)
-        fsdf = fresh._spark_df()
-        fsdf.write.mode("append").parquet(out_dir)
-        (D.corpus_fingerprints(fresh, text_col=text_col)._spark_df()
-         .write.mode("append").parquet(state_dir))
+        fsdf = fresh._spark_df().withColumn("__batch_id", F.lit(int(batch_id)))
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                                   "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (fsdf.write.mode("overwrite").partitionBy("__batch_id")
+             .parquet(out_dir))
+            (D.corpus_fingerprints(fresh, text_col=text_col)._spark_df()
+             .withColumn("__batch_id", F.lit(int(batch_id)))
+             .write.mode("overwrite").partitionBy("__batch_id")
+             .parquet(state_dir))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     return run_foreach_batch(stream_df, do_batch, checkpoint=checkpoint)
