@@ -5,15 +5,22 @@ Runs the headline queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Timing excludes SparkSession startup (measured once, reported inside
-the JSON as "startup_sec" for context).  Each query is timed as
-plan-build + full execution to a driver-side count/collect.
+Each query is timed as plan-build + full execution to a driver-side
+count, $SPARK_GRAFT_BENCH_RUNS times (default 5), and the MEDIAN is
+reported — single-shot numbers at these sizes are dominated by
+scheduler jitter.  A same-machine DuckDB yardstick (identical oracle
+SQL on identical files, same median-of-N protocol) rides in the same
+JSON under "duckdb" with the spark/duckdb ratio, so the comparison
+never depends on pairing two separately-run artifacts.  Timing
+excludes SparkSession startup (measured once, reported inside the
+JSON as "startup_sec" for context).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -66,14 +73,25 @@ def main():
                     pass
     warmup = time.time() - t0
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.time() - t, 4)
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        samples = []
+        rows = None
+        for _ in range(n_runs):
+            t = time.time()
+            df = fn(spark, sf_dir)
+            rows = df.count()
+            samples.append(time.time() - t)
+            # each run builds a fresh plan with its own operator-internal
+            # persists; release between runs so runs stay independent and
+            # executor memory doesn't accumulate stale cached relations
+            vs.cache.release_operator_caches()
+        times[name] = round(statistics.median(samples), 4)
+        print(f"# {name}: median {times[name]:.3f}s over {n_runs} "
+              f"(spread {min(samples):.3f}-{max(samples):.3f}, {rows} rows)",
+              file=sys.stderr)
 
     total = round(sum(times.values()), 4)
     out = {
@@ -84,9 +102,46 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "startup_sec": round(startup, 2),
         "warmup_sec": round(warmup, 2),
+        "n_runs": n_runs,
         "n_queries": len(times),
     }
+    duck = _duckdb_yardstick(sf_dir, n_runs)
+    if duck is not None:
+        out["duckdb"] = duck
+        out["spark_over_duckdb"] = round(total / duck["value"], 2)
     print(json.dumps(out))
+
+
+def _duckdb_yardstick(sf_dir: str, n_runs: int):
+    """Median-of-N DuckDB wall for each headline query's oracle SQL on
+    the same files — the in-artifact half of the bench letter."""
+    try:
+        import duckdb
+        import __spark_entry__ as entry
+    except ImportError:  # pragma: no cover
+        return None
+    tables = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+    oracles = entry.oracle_sql()
+    con = duckdb.connect()
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    times = {}
+    for name in HEADLINE:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        con.execute(sql).fetchall()  # warm: page cache + plan
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            samples.append(time.time() - t0)
+        times[name] = round(statistics.median(samples), 4)
+    return {"value": round(sum(times.values()), 4), "queries": times,
+            "n_runs": n_runs}
 
 
 if __name__ == "__main__":

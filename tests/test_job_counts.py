@@ -91,7 +91,7 @@ HEADLINE_JOB_CEILING = {
     "q05_revenue_by_nation": 9,
     "q06_forecast_revenue": 4,
     "q07_orders_by_month": 6,
-    "q10_window_diff": 6,
+    "q10_window_diff": 2,
     "q11_rolling_avg": 4,
     "q18_histogram": 4,
     "q22_quantile": 4,

@@ -65,9 +65,16 @@ def test_no_single_partition_data_exchange(events):
     """The scale guarantee: without partition_by, shift/diff must NOT
     plan a single-partition exchange over the data.  The only allowed
     SinglePartition is the metadata-sized partition-id map (a distinct
-    over spark_partition_id, <= #partitions rows)."""
-    out = events.diff(column="value", order_key="event_id").spark
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    over spark_partition_id, <= #partitions rows).  Advisory size is
+    forced small so the input outgrows one partition — at fixture scale
+    the n==1 fast path would otherwise (correctly) plan a single task."""
+    spark = events.spark.sparkSession
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    try:
+        out = events.diff(column="value", order_key="event_id").spark
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
     lines = plan.splitlines()
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" not in line:
@@ -119,9 +126,15 @@ def test_donor_pass_is_filter_not_window(events):
     """The boundary-donor rows must come from plain filters over the
     range-exchanged data (mono-id row counters + broadcast count map),
     not from a second full-data row_number window: exactly ONE Window
-    node may operate over the data partitioned by __pid."""
-    out = events.diff(column="value", order_key="event_id").spark
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    node may operate over the data partitioned by __pid.  Forced
+    multi-partition (small advisory) so the donor path actually plans."""
+    spark = events.spark.sparkSession
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    try:
+        out = events.diff(column="value", order_key="event_id").spark
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
     data_windows = [ln for ln in plan.splitlines()
                     if ln.strip().startswith(("Window", "+- Window", ":- Window"))
                     or ("Window [" in ln and "__pid" in ln)]

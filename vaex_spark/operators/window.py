@@ -156,6 +156,15 @@ def _exchange_window(sdf, order_cols, before: int, after: int):
     # eviction the recompute re-fetches the SAME shuffle dependency
     # (bounds are fixed at stage materialization), so pids stay aligned.
     n = _range_partition_count(sdf)
+    if n == 1:
+        # Catalyst's own size estimate says the frame fits ONE advisory-
+        # sized partition: the single-task global window IS the intended
+        # plan.  Skip the persist, the counts probe, and the donor
+        # union — one exchange, one job (this was q10's entire bench
+        # regression: the full donor machinery running for n=1).
+        aug = (sdf.withColumn(_PID, F.lit(0))
+               .withColumn(_BORROWED, F.lit(False)))
+        return aug, bounded_window(*order_cols)
     ranged = (sdf.repartitionByRange(n, *order_cols) if n
               else sdf.repartitionByRange(*order_cols))
     part = (ranged
