@@ -363,14 +363,20 @@ def test_release_operator_caches(spark):
     from vaex_spark.cache import release_operator_caches, _OP_PERSISTED
     release_operator_caches()
     df = vs.open("/root/testdata/sf0.001/events.parquet", spark=spark)
-    df.shift(1, column="value", order_key="event_id").spark.collect()
-    assert len(_OP_PERSISTED) >= 1
-    n = release_operator_caches()
-    assert n >= 1 and not _OP_PERSISTED
-    # operator still correct after release
-    out = df.shift(1, column="value", order_key="event_id").spark
-    assert out.count() == df.spark.count()
-    release_operator_caches()
+    # Force the multi-partition window path (the single-task fast path
+    # skips the persist by design when stats say one advisory partition).
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    try:
+        df.shift(1, column="value", order_key="event_id").spark.collect()
+        assert len(_OP_PERSISTED) >= 1
+        n = release_operator_caches()
+        assert n >= 1 and not _OP_PERSISTED
+        # operator still correct after release
+        out = df.shift(1, column="value", order_key="event_id").spark
+        assert out.count() == df.spark.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+        release_operator_caches()
 
 
 def test_split_disjoint_exhaustive_after_shuffle(spark):
