@@ -1846,6 +1846,155 @@ FROM documents GROUP BY source ORDER BY source
 
 
 # ===========================================================================
+# round-4 pipeline ops: semantic dedup, substring dedup, chunking, PMI
+# ===========================================================================
+def _q66_semantic_dedup(spark, sf_dir):
+    """SemDeDup (datapipe/similarity.py:semantic_dedup): nearest-centroid
+    clustering (first-8 deterministic centroids) + within-cluster cosine
+    pairs; removed = has a lower-id cluster-mate at cos >= 0.42 (the
+    synthetic embeddings top out ~0.51, same rationale as q44).  The
+    oracle replays assignment (argmax of 6-rounded cosine, ties to the
+    lowest centroid) and the in-cluster pair scan in SQL."""
+    from vaex_spark.datapipe import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, n_clusters=8, threshold=0.42,
+                                     centroids="first-k", round_to=6)
+
+
+_Q66_SQL = """
+WITH cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS cos
+  FROM embeddings e CROSS JOIN cent c),
+assigned AS (
+  SELECT vec_id, cid AS cluster
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM scored)
+  WHERE rn = 1),
+pairs AS (
+  SELECT b.vec_id AS id_b, a.cluster, a.vec_id AS id_a,
+         ROUND(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                CAST(eb.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(ea.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])))), 6) AS cos
+  FROM assigned a
+  JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id)
+SELECT id_b AS vec_id, cluster, CAST(MIN(id_a) AS BIGINT) AS dup_of
+FROM pairs WHERE cos >= 0.42
+GROUP BY id_b, cluster
+"""
+
+
+def _q67_duplicated_spans(spark, sf_dir):
+    """Exact duplicated-substring stats (datapipe/dedup.py:
+    duplicated_spans): 10-token sliding windows hashed; windows in >= 2
+    distinct docs are duplicated spans.  Per-doc (n_spans, n_dup_spans,
+    dup_frac); the oracle regenerates the same windows lateral-style and
+    groups on span TEXT (the hash is collision-free at this scale)."""
+    from vaex_spark.datapipe import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(docs, width=10, min_docs=2).spark
+
+
+_Q67_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 10 THEN len(words) - 9 ELSE 0 END AS n_spans
+  FROM w),
+sp AS (
+  SELECT doc_id, gram
+  FROM w, UNNEST([array_to_string(words[i:i+9], ' ')
+                  for i in range(1, len(words) - 8)]) AS t(gram)
+  WHERE len(words) >= 10),
+dup AS (SELECT gram FROM sp GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+dpd AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM sp JOIN dup USING (gram)
+        GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n_spans AS BIGINT) AS n_spans,
+       CAST(COALESCE(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN b.n_spans > 0
+            THEN ROUND(CAST(COALESCE(d.n_dup_spans, 0) AS DOUBLE) / b.n_spans, 6)
+            ELSE 0.0 END AS dup_frac
+FROM base b LEFT JOIN dpd d USING (doc_id)
+"""
+
+
+def _q68_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (datapipe/text.py:
+    chunk_documents): 32-token chunks, stride 24; every start < n_tokens
+    emits so no token is dropped.  Chunk text itself is hash-compared."""
+    from vaex_spark.datapipe import text as dtext
+    docs = _t(spark, sf_dir, "documents")
+    return dtext.chunk_documents(docs, chunk_tokens=32, stride=24).spark
+
+
+_Q68_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents)
+SELECT doc_id,
+       CAST(g.s / 24 AS INT) AS chunk_id,
+       CAST(g.s AS INT) AS chunk_start,
+       CAST(LEAST(32, len(words) - g.s) AS INT) AS n_chunk_tokens,
+       array_to_string(words[g.s + 1:g.s + 32], ' ') AS chunk_text
+FROM w, UNNEST(range(0, len(words), 24)) AS g(s)
+"""
+
+
+def _q69_bigram_pmi(spark, sf_dir):
+    """Collocation mining (datapipe/text.py:bigram_pmi): bigram PMI
+    against unigram marginals, min_count=5, top 25 by (pmi desc, w1,
+    w2).  The pmi double is a ln of an exact-integer ratio, rounded to
+    6 — identical across engines at that precision."""
+    from vaex_spark.datapipe import text as dtext
+    docs = _t(spark, sf_dir, "documents")
+    out = dtext.bigram_pmi(docs, min_count=5)
+    return (out.orderBy(F.col("pmi").desc(), "w1", "w2").limit(25))
+
+
+_Q69_SQL = """
+WITH w AS (
+  SELECT regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents),
+tok AS (SELECT t FROM w, UNNEST(words) AS u(t)),
+uni AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+nuni AS (SELECT SUM(c) AS n FROM uni),
+big AS (SELECT words[i] AS w1, words[i+1] AS w2
+        FROM w, UNNEST(range(1, len(words))) AS r(i)
+        WHERE len(words) >= 2),
+bic AS (SELECT w1, w2, COUNT(*) AS c_ab FROM big GROUP BY w1, w2),
+nbi AS (SELECT SUM(c_ab) AS n FROM bic)
+SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+       ROUND(LN((CAST(c_ab AS DOUBLE) * nuni.n * nuni.n) /
+                (CAST(nbi.n AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
+FROM bic
+JOIN uni ua ON ua.t = bic.w1
+JOIN uni ub ON ub.t = bic.w2
+CROSS JOIN nuni CROSS JOIN nbi
+WHERE c_ab >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 25
+"""
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1915,6 +2064,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_profit_by_nation_year": _q63_profit_by_nation_year,
         "q64_market_share": _q64_market_share,
         "q65_pivot": _q65_pivot,
+        "q66_semantic_dedup": _q66_semantic_dedup,
+        "q67_duplicated_spans": _q67_duplicated_spans,
+        "q68_doc_chunks": _q68_doc_chunks,
+        "q69_bigram_pmi": _q69_bigram_pmi,
     }
 
 
@@ -1984,4 +2137,8 @@ def oracle_sql() -> dict[str, str]:
         "q63_profit_by_nation_year": _Q63_SQL,
         "q64_market_share": _Q64_SQL,
         "q65_pivot": _Q65_SQL,
+        "q66_semantic_dedup": _Q66_SQL,
+        "q67_duplicated_spans": _Q67_SQL,
+        "q68_doc_chunks": _Q68_SQL,
+        "q69_bigram_pmi": _Q69_SQL,
     }

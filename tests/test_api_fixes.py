@@ -50,8 +50,29 @@ def test_sample_weights(spark):
     s = df.sample(n=1, weights="w")
     rows = s.spark.select("k").collect()
     assert len(rows) == 1 and rows[0].k == 7
-    with pytest.raises(NotImplementedError):
-        df.sample(n=2, weights="w", replace=True)
+
+
+def test_sample_weights_with_replacement(spark):
+    """Multinomial draws: exactly n rows come back, repeats allowed, and
+    the overwhelming-weight row dominates; zero-weight rows never drawn."""
+    import vaex_spark as vs
+    df = vs.from_arrays(k=list(range(50)),
+                        w=[1e9 if i == 7 else 1e-12 for i in range(50)],
+                        spark=spark)
+    got = [r.k for r in df.sample(n=8, weights="w", replace=True)
+           .spark.select("k").collect()]
+    assert len(got) == 8 and set(got) == {7}  # with-replacement repeats
+    # zero weights are excluded while positive mass exists
+    df0 = vs.from_arrays(k=[1, 2, 3], w=[0.0, 5.0, 0.0], spark=spark)
+    got = [r.k for r in df0.sample(n=6, weights="w", replace=True)
+           .spark.select("k").collect()]
+    assert len(got) == 6 and set(got) == {2}
+    # distribution sanity: 1:3 weights over many draws land near 1:3
+    dfr = vs.from_arrays(k=[0, 1], w=[1.0, 3.0], spark=spark)
+    got = [r.k for r in dfr.sample(n=400, weights="w", replace=True,
+                                   random_state=11).spark.select("k").collect()]
+    frac1 = sum(got) / len(got)
+    assert 0.65 < frac1 < 0.85  # expect 0.75; binomial sd ~ 0.022
 
 
 def test_unique_return_inverse(spark):

@@ -666,3 +666,94 @@ def test_curate_stream_replay_idempotent(spark, tmp_path):
     # state table likewise replayed in place
     state = spark.read.parquet(str(tmp_path / "state"))
     assert state.count() == state.select("__fp").distinct().count() == 12
+
+
+# ---------------------------------------------------------------------------
+# round 4: semantic dedup / substring dedup / chunking / PMI
+# ---------------------------------------------------------------------------
+def test_semantic_dedup_identical_vectors(spark):
+    """Identical vectors land in the same cluster and the higher id is
+    removed with dup_of = the lowest twin."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.similarity import semantic_dedup
+    vecs = [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0], [0.70, 0.72], [1.0, 0.01]]
+    df = vs.from_arrays(vec_id=list(range(5)), embedding=vecs, spark=spark)
+    out = {r["vec_id"]: (r["cluster"], r["dup_of"])
+           for r in semantic_dedup(df, n_clusters=2, threshold=0.99).collect()}
+    assert out[2][1] == 0           # exact twin of 0
+    assert out[4][1] == 0           # cos([1,0],[1,.01]) ~ 0.99995
+    assert 1 not in out and 3 not in out  # orthogonal / off-threshold kept
+
+
+def test_semantic_dedup_no_cross_cluster_pairs(spark):
+    """Pairs above threshold in DIFFERENT clusters are not reported —
+    the SemDeDup contract (blocking trades recall for scale)."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.similarity import semantic_dedup
+    # centroids = first 2 vectors (orthogonal); v2/v3 are near-dups of
+    # each other but sit on opposite sides of the centroid boundary
+    vecs = [[1.0, 0.0], [0.0, 1.0], [0.72, 0.69], [0.69, 0.72]]
+    df = vs.from_arrays(vec_id=list(range(4)), embedding=vecs, spark=spark)
+    out = semantic_dedup(df, n_clusters=2, threshold=0.9).collect()
+    assert out == []  # 2 -> cluster 0, 3 -> cluster 1: never compared
+
+
+def test_duplicated_spans_counts(spark):
+    """A 10-token window shared by two docs is counted in both; unique
+    docs report zero; short docs (< width tokens) have n_spans = 0."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import duplicated_spans
+    common = "one two three four five six seven eight nine ten"
+    docs = vs.from_arrays(
+        doc_id=[1, 2, 3, 4],
+        text=[common + " tail a", "head b " + common,
+              "totally different words here that no other document shares at all",
+              "short doc"],
+        spark=spark)
+    rows = {r["doc_id"]: r for r in
+            duplicated_spans(docs, width=10).spark.collect()}
+    assert rows[1]["n_spans"] == 3 and rows[2]["n_spans"] == 3
+    # doc1 tokens: common(10) + 2 -> windows at 0,1,2; window 0 == doc2's window 2
+    assert rows[1]["n_dup_spans"] == 1 and rows[2]["n_dup_spans"] == 1
+    assert rows[1]["dup_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert rows[3]["n_dup_spans"] == 0
+    assert rows[4]["n_spans"] == 0 and rows[4]["dup_frac"] == 0.0
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    """Chunks tile the token stream with the stated overlap: chunk i
+    starts at i*stride; every token is covered; last chunks shorten."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import chunk_documents
+    toks = ["t%d" % i for i in range(50)]
+    docs = vs.from_arrays(doc_id=[7], text=[" ".join(toks)], spark=spark)
+    rows = sorted(chunk_documents(docs, chunk_tokens=16, stride=12).spark.collect(),
+                  key=lambda r: r["chunk_id"])
+    assert [r["chunk_start"] for r in rows] == [0, 12, 24, 36, 48]
+    assert [r["n_chunk_tokens"] for r in rows] == [16, 16, 16, 14, 2]
+    assert rows[1]["chunk_text"].split(" ") == toks[12:28]
+    assert rows[4]["chunk_text"].split(" ") == toks[48:50]
+    # coverage: union of [start, start+len) == [0, 50)
+    covered = set()
+    for r in rows:
+        covered |= set(range(r["chunk_start"], r["chunk_start"] + r["n_chunk_tokens"]))
+    assert covered == set(range(50))
+
+
+def test_bigram_pmi_favors_exclusive_pairs(spark):
+    """A bigram whose words only ever co-occur outranks one built from
+    high-frequency words; counts respect min_count."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import bigram_pmi
+    docs = vs.from_arrays(
+        doc_id=[1, 2],
+        text=["san francisco " * 6 + "the cat the dog the cow the pig the hen the fox",
+              "the a " * 8],
+        spark=spark)
+    rows = {(r["w1"], r["w2"]): r for r in bigram_pmi(docs, min_count=5).collect()}
+    assert ("san", "francisco") in rows
+    sf = rows[("san", "francisco")]
+    assert sf["c_ab"] == 6
+    # 'san' and 'francisco' appear ONLY together -> highest pmi
+    assert all(sf["pmi"] >= r["pmi"] for r in rows.values())
+    assert all(r["c_ab"] >= 5 for r in rows.values())

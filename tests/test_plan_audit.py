@@ -222,3 +222,54 @@ def test_partition_sensitive_queries_invariant_under_tiny_partitions(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def test_semantic_dedup_no_cartesian_and_shared_assignment(spark):
+    """semantic_dedup: the pair stage joins on cluster id (never a
+    cartesian product over the corpus), and both join branches read the
+    ONE persisted assignment relation instead of re-running the
+    k-centroid argmax scan."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.similarity import semantic_dedup
+    emb = vs.open("/root/testdata/sf0.001/embeddings.parquet", spark=spark)
+    sdf = semantic_dedup(emb, n_clusters=4, threshold=0.42)
+    plan = _plan(sdf)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_duplicated_spans_narrow_persist_reused(spark):
+    """duplicated_spans: the exploded relation is (id, hash) ONLY —
+    span text never shuffles — and is persisted so the dup-hash filter
+    and per-doc recount share one tokenize+hash pass."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import duplicated_spans
+    docs = vs.open("/root/testdata/sf0.001/documents.parquet", spark=spark)
+    sdf = duplicated_spans(docs, width=10).spark
+    plan = _plan(sdf)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    # the persisted relation's schema is the narrow (doc_id, hash) pair
+    m = re.search(r"\(\d+\) InMemoryTableScan\nOutput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m and "text" not in m.group(1) and "__h" in m.group(1), plan
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """chunk_documents is a pure scan->generate pipeline: no Exchange
+    anywhere (chunking 100 TB must not shuffle the corpus)."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import chunk_documents
+    docs = vs.open("/root/testdata/sf0.001/documents.parquet", spark=spark)
+    plan = _plan(chunk_documents(docs).spark)
+    assert "Exchange" not in plan, plan
+
+
+def test_sample_replace_no_global_sort(spark):
+    """Weighted with-replacement sampling aggregates per draw via
+    max_by (map-side partial) — no global Sort, no window over a
+    single partition."""
+    import vaex_spark as vs
+    df = vs.open("/root/testdata/sf0.001/events.parquet", spark=spark)
+    out = df.sample(n=5, weights="value", replace=True)
+    plan = _plan(out._spark_df())
+    assert "Sort [" not in plan or "SinglePartition" not in plan, plan
+    assert "max_by" in plan, plan

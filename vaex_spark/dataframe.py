@@ -1068,17 +1068,38 @@ class DataFrame:
         ``weights=`` implements Efraimidis-Spirakis A-Res weighted
         sampling without replacement: key = rand()^(1/w), take top-n —
         a distributed top-k (TakeOrderedAndProject), no global sort.
+        With ``replace=True`` the same keys drive n independent
+        per-draw argmaxes (Gumbel-max equivalent — exact multinomial),
+        aggregated map-side via max_by.
         """
         sdf = self._spark_df()
         if weights is not None:
-            if replace:
-                raise NotImplementedError("weighted sampling with replace=True")
             if n is None:
                 n = int(round(frac * sdf.count()))
             w = self._to_expr(weights).col.cast("double")
-            key = F.pow(F.rand(random_state), F.lit(1.0) / w)
-            out = (sdf.withColumn("__wkey", key)
-                   .orderBy(F.col("__wkey").desc()).limit(int(n)).drop("__wkey"))
+            if replace:
+                # Exact multinomial with replacement via n independent
+                # A-ES draws (pow(u, 1/w) argmax == Gumbel-max): cross
+                # the frame with a broadcast n-row draw table, take the
+                # per-draw max_by.  max_by partial-aggregates map-side,
+                # so only n rows per partition shuffle — the n x rows
+                # intermediate streams through codegen, never
+                # materializes.  Zero-weight rows get key 0 (u^inf) and
+                # are never drawn while any positive weight exists.
+                cols = sdf.columns
+                draws = sdf.sparkSession.range(int(n)).select(
+                    F.col("id").alias("__draw"))
+                keyed = (sdf.crossJoin(F.broadcast(draws))
+                         .withColumn("__wkey",
+                                     F.pow(F.rand(random_state),
+                                           F.lit(1.0) / w)))
+                agg = keyed.groupBy("__draw").agg(
+                    F.max_by(F.struct(*cols), F.col("__wkey")).alias("__r"))
+                out = agg.select(*[F.col("__r." + c).alias(c) for c in cols])
+            else:
+                key = F.pow(F.rand(random_state), F.lit(1.0) / w)
+                out = (sdf.withColumn("__wkey", key)
+                       .orderBy(F.col("__wkey").desc()).limit(int(n)).drop("__wkey"))
         elif frac is None:
             total = sdf.count()
             frac = min(1.0, float(n) / max(total, 1) * 1.1)

@@ -583,3 +583,53 @@ def near_dup_against_corpus(batch, corpus, text_col: str = "text",
              .select(F.col("__bid").alias(id_col)).distinct())
     out = _sdf(batch).join(dupes, on=id_col, how="left_anti")
     return _wrap(out)
+
+
+def duplicated_spans(df, text_col: str = "text", id_col: str = "doc_id",
+                     width: int = 10, min_docs: int = 2):
+    """Exact duplicated-substring detection, the Spark rendering of
+    suffix-array substring dedup (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better', arXiv:2107.06499):
+    every ``width``-token sliding window is hashed; a window occurring
+    in >= ``min_docs`` DISTINCT documents is a duplicated span.
+
+    Returns per-doc stats (doc_id, n_spans, n_dup_spans, dup_frac) —
+    the removal policy (strip the spans, or drop high-dup_frac docs)
+    composes downstream.
+
+    Scale design (100 TB): the exploded relation is one row per token
+    position, but it is narrow — (doc_id, xxhash64) only, never span
+    text — and both consumers aggregate it with map-side partial
+    combine, so the shuffle carries hash keys, not corpus bytes.  The
+    narrow relation is persisted so the dup-hash filter and the per-doc
+    recount share one tokenize+hash pass.  Hash collisions merge
+    unrelated spans at ~N^2/2^65 expected pairs — negligible below
+    ~10^9 distinct spans per byte-identical semantics of the oracle.
+    """
+    sdf = _sdf(df)
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    n = F.size(words)
+    span_hashes = F.when(
+        n >= width,
+        F.transform(F.sequence(F.lit(0), n - width),
+                    lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, width), " ")))
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = sdf.select(F.col(id_col), span_hashes.alias("__spans"))
+    exploded = _register_persist(
+        base.select(F.col(id_col), F.explode("__spans").alias("__h")))
+    dup_hashes = (exploded.groupBy("__h")
+                  .agg(F.countDistinct(id_col).alias("__nd"))
+                  .filter(F.col("__nd") >= min_docs)
+                  .select("__h"))
+    dup_per_doc = (exploded.join(dup_hashes, on="__h")
+                   .groupBy(id_col)
+                   .agg(F.count(F.lit(1)).alias("n_dup_spans")))
+    stats = (base.select(F.col(id_col), F.size("__spans").cast("long").alias("n_spans"))
+             .join(dup_per_doc, on=id_col, how="left")
+             .withColumn("n_dup_spans", F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long"))
+             .withColumn("dup_frac",
+                         F.when(F.col("n_spans") > 0,
+                                F.round(F.col("n_dup_spans").cast("double") /
+                                        F.col("n_spans"), 6))
+                         .otherwise(F.lit(0.0))))
+    return _wrap(stats)

@@ -297,3 +297,71 @@ def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos", "rank"))
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication
+# --------------------------------------------------------------------------
+def first_k_centroids(corpus, k: int, vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> np.ndarray:
+    """The k lowest-id vectors as centroids — deterministic (and hence
+    oracle-reproducible); ``train_centroids`` is the production seed."""
+    rows = _sdf(corpus).orderBy(id_col).select(vec_col).limit(k).collect()
+    return np.array([[float(x) for x in r[0]] for r in rows])
+
+
+def assign_cluster(vec: Column, centroids: np.ndarray, round_to: int = 6) -> Column:
+    """Nearest-centroid cell by ROUNDED cosine (argmax, ties -> lowest
+    cluster id).  Let-bound cosine array so each centroid's expression
+    appears once in the plan (same pathology note as ivf_assign)."""
+    from .text import _let
+    coss = F.array(*[
+        F.round(cosine(vec, F.array(*[F.lit(float(x)) for x in c])), round_to)
+        for c in centroids])
+    return _let(coss, lambda cs: (F.array_position(cs, F.array_max(cs)) - 1).cast("int"))
+
+
+def semantic_dedup(corpus, n_clusters: int = 8, threshold: float = 0.95,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   centroids: str = "first-k", round_to: int = 6,
+                   seed: int = 42) -> SparkDataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then compare vectors
+    only WITHIN a cluster; a vector whose cosine to a lower-id
+    cluster-mate is >= threshold is a semantic duplicate of it.
+
+    Scale design (100 TB): centroids are k driver-side rows (k << n)
+    baked into the plan as literals, so assignment is one pure-Column
+    scan with NO shuffle; the pairwise stage self-joins within clusters
+    only — shuffle keyed on cluster id, per-cluster work O((n/k)^2).
+    Choose k ~ sqrt(n) in production (the paper uses 50k clusters for
+    5B embeddings) so per-cluster pairwork stays bounded; no all-pairs
+    stage anywhere.  The assigned (id, cluster, vec) relation is
+    persisted so the two join branches share one assignment pass.
+
+    ``centroids='first-k'`` picks the k lowest-id vectors (deterministic,
+    used by the correctness oracle); ``'kmeans'`` uses train_centroids.
+
+    Returns (vec_id, cluster, dup_of): one row per REMOVED vector,
+    dup_of = the smallest lower-id cluster-mate with cosine >= threshold.
+    """
+    sdf = _sdf(corpus)
+    if centroids == "first-k":
+        cent = first_k_centroids(corpus, n_clusters, vec_col, id_col)
+    else:
+        cent = train_centroids(corpus, n_cells=n_clusters, vec_col=vec_col, seed=seed)
+    from ..cache import _register_persist
+    assigned = _register_persist(
+        sdf.select(F.col(id_col), F.col(vec_col).alias("__v"),
+                   assign_cluster(F.col(vec_col), cent, round_to).alias("cluster")))
+    a = assigned.select(F.col(id_col).alias("id_a"), F.col("cluster"),
+                        F.col("__v").alias("__va"))
+    b = assigned.select(F.col(id_col).alias("id_b"), F.col("cluster"),
+                        F.col("__v").alias("__vb"))
+    pairs = (a.join(b, on="cluster")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos", F.round(cosine(F.col("__va"), F.col("__vb")), round_to))
+             .filter(F.col("cos") >= threshold))
+    return (pairs.groupBy("id_b", "cluster")
+            .agg(F.min("id_a").alias("dup_of"))
+            .select(F.col("id_b").alias(id_col), "cluster", "dup_of"))

@@ -319,3 +319,94 @@ def remove_boilerplate_lines(df, text_col: str = "text",
     out = (all_ids.join(out, on=id_col, how="left")
            .withColumn(text_col, F.coalesce(F.col(text_col), F.lit(""))))
     return DataFrame(out) if wrapped else out
+
+
+def _norm_words(text_col: str) -> Column:
+    """The shared tokenization: lowercase, whitespace-normalized,
+    single-space split (same convention as shingles/fingerprint)."""
+    return F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+
+
+def chunk_documents(df, text_col: str = "text", id_col: str = "doc_id",
+                    chunk_tokens: int = 32, stride: int = 24):
+    """Split documents into overlapping token-window chunks (RAG
+    passage extraction / training-context splitting): chunk ``i`` covers
+    tokens [i*stride, i*stride + chunk_tokens); the final chunks may be
+    shorter (every start < n_tokens emits, so no token is dropped).
+
+    Returns (doc_id, chunk_id, chunk_start, n_chunk_tokens, chunk_text).
+
+    Scale design: pure Column ops — split -> sequence(0, n-1, stride) ->
+    posexplode -> slice.  One narrow scan, zero shuffles, zero Python;
+    output size is input tokens x (chunk_tokens/stride) overlap factor,
+    produced streaming per partition (never materialized per-doc).
+    """
+    from ..dataframe import DataFrame
+    wrapped = isinstance(df, DataFrame)
+    sdf = df._spark_df() if wrapped else df
+    base = sdf.select(F.col(id_col), _norm_words(text_col).alias("__w"))
+    out = (base
+           .select(F.col(id_col), F.col("__w"),
+                   F.posexplode(F.sequence(F.lit(0), F.size("__w") - 1,
+                                           F.lit(stride)))
+                   .alias("chunk_id", "chunk_start"))
+           .select(F.col(id_col),
+                   F.col("chunk_id").cast("int").alias("chunk_id"),
+                   F.col("chunk_start").cast("int").alias("chunk_start"),
+                   F.least(F.lit(chunk_tokens),
+                           F.size("__w") - F.col("chunk_start"))
+                   .cast("int").alias("n_chunk_tokens"),
+                   F.array_join(F.slice(F.col("__w"), F.col("chunk_start") + 1,
+                                        F.lit(chunk_tokens)), " ")
+                   .alias("chunk_text")))
+    return DataFrame(out) if wrapped else out
+
+
+def bigram_pmi(df, text_col: str = "text", min_count: int = 5):
+    """Collocation mining: token bigrams scored by pointwise mutual
+    information, pmi = ln(c_ab * N_uni^2 / (N_bi * c_a * c_b)) with
+    c_ab/c_a/c_b the bigram/unigram counts and N_* the totals.
+
+    Returns (w1, w2, c_ab, pmi) for bigrams with c_ab >= min_count
+    (unordered — callers sort/limit).
+
+    Scale design: two count aggregates over the exploded token stream
+    (map-side partial combine, hash-keyed shuffles only); the totals are
+    1-row aggregates crossJoin-broadcast into the scoring projection —
+    no driver collect, no window.  The bigram relation is persisted so
+    the N_bi total and the per-bigram counts share one pass.
+    """
+    from ..cache import _register_persist
+    from ..dataframe import DataFrame
+    sdf = df._spark_df() if isinstance(df, DataFrame) else df
+    base = sdf.select(_norm_words(text_col).alias("__w"))
+    toks = base.select(F.explode("__w").alias("__t"))
+    bigrams = (
+        base.filter(F.size("__w") >= 2)
+        .select(F.explode(
+            F.transform(F.sequence(F.lit(0), F.size("__w") - 2),
+                        lambda i: F.struct(
+                            F.element_at("__w", i + 1).alias("w1"),
+                            F.element_at("__w", i + 2).alias("w2"))))
+            .alias("__b"))
+        .select(F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2")))
+    # persist the COUNTED relations (vocab-sized, << token stream) and
+    # derive the totals from them: one pass over the exploded tokens,
+    # one over the exploded bigrams, everything downstream reuses.
+    uni = _register_persist(
+        toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__c")))
+    n_uni = uni.agg(F.sum("__c").alias("__nu"))
+    bic = _register_persist(
+        bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab")))
+    n_bi = bic.agg(F.sum("c_ab").alias("__nb"))
+    ua = uni.select(F.col("__t").alias("w1"), F.col("__c").alias("__ca"))
+    ub = uni.select(F.col("__t").alias("w2"), F.col("__c").alias("__cb"))
+    scored = (bic.filter(F.col("c_ab") >= min_count)
+              .join(ua, on="w1").join(ub, on="w2")
+              .crossJoin(F.broadcast(n_uni)).crossJoin(F.broadcast(n_bi))
+              .select("w1", "w2", F.col("c_ab").cast("long").alias("c_ab"),
+                      F.round(F.log(
+                          (F.col("c_ab").cast("double") * F.col("__nu") * F.col("__nu")) /
+                          (F.col("__nb").cast("double") * F.col("__ca") * F.col("__cb"))
+                      ), 6).alias("pmi")))
+    return scored
