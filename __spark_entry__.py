@@ -1994,6 +1994,50 @@ ORDER BY pmi DESC, w1, w2 LIMIT 25
 """
 
 
+def _q70_strip_dup_spans(spark, sf_dir):
+    """Duplicated-substring REMOVAL (datapipe/dedup.py:
+    strip_duplicated_spans): tokens covered by any 10-token window seen
+    in >= 2 distinct docs are stripped; survivors rejoin in order.
+    Compared via md5 of the rebuilt (normalized) text, q59-style."""
+    from vaex_spark.datapipe import dedup
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.strip_duplicated_spans(docs, width=10, min_docs=2)
+    return out.spark.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars_clean"),
+        F.md5(F.col("text")).alias("clean_md5"))
+
+
+_Q70_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents),
+sp AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(words[i:i+9], ' ') AS gram
+  FROM w, UNNEST(range(1, len(words) - 8)) AS r(i)
+  WHERE len(words) >= 10),
+dup AS (SELECT gram FROM sp GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT sp.doc_id, sp.pos + d.d AS tpos
+  FROM sp JOIN dup USING (gram), UNNEST(range(0, 10)) AS d(d)),
+tok AS (
+  SELECT doc_id, i - 1 AS tpos, words[i] AS tok
+  FROM w, UNNEST(range(1, len(words) + 1)) AS r(i)),
+kept AS (
+  SELECT t.doc_id, t.tpos, t.tok
+  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.tpos = t.tpos
+  WHERE c.doc_id IS NULL),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text
+  FROM kept GROUP BY doc_id)
+SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+       CAST(length(COALESCE(r.text, '')) AS BIGINT) AS n_chars_clean,
+       md5(COALESCE(r.text, '')) AS clean_md5
+FROM w LEFT JOIN rebuilt r ON w.doc_id = r.doc_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2068,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_duplicated_spans": _q67_duplicated_spans,
         "q68_doc_chunks": _q68_doc_chunks,
         "q69_bigram_pmi": _q69_bigram_pmi,
+        "q70_strip_dup_spans": _q70_strip_dup_spans,
     }
 
 
@@ -2141,4 +2186,5 @@ def oracle_sql() -> dict[str, str]:
         "q67_duplicated_spans": _Q67_SQL,
         "q68_doc_chunks": _Q68_SQL,
         "q69_bigram_pmi": _Q69_SQL,
+        "q70_strip_dup_spans": _Q70_SQL,
     }

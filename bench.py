@@ -41,6 +41,8 @@ HEADLINE = [
     "q27_token_stats",         # text token counting
     "q31_cosine_pairs",        # embedding similarity
     "q35_minhash_near_dups",   # MinHash LSH + Jaccard
+    "q66_semantic_dedup",      # centroid blocking + in-cluster cosine
+    "q67_duplicated_spans",    # token-window substring dedup stats
 ]
 
 

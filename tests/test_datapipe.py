@@ -757,3 +757,22 @@ def test_bigram_pmi_favors_exclusive_pairs(spark):
     # 'san' and 'francisco' appear ONLY together -> highest pmi
     assert all(sf["pmi"] >= r["pmi"] for r in rows.values())
     assert all(r["c_ab"] >= 5 for r in rows.values())
+
+
+def test_strip_duplicated_spans_removes_covered_tokens(spark):
+    """Tokens covered by a shared 10-token window are stripped from BOTH
+    docs; unique docs come back (normalized) intact; a fully-duplicated
+    doc becomes ''."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import strip_duplicated_spans
+    common = "one two three four five six seven eight nine ten"
+    docs = vs.from_arrays(
+        doc_id=[1, 2, 3],
+        text=["Pre " + common + " post", common,
+              "unique words only in this document here nothing shared at all"],
+        spark=spark)
+    rows = {r["doc_id"]: r["text"]
+            for r in strip_duplicated_spans(docs, width=10).spark.collect()}
+    assert rows[1] == "pre post"   # covered middle stripped, normalized case
+    assert rows[2] == ""           # entire doc was the duplicated window
+    assert rows[3] == "unique words only in this document here nothing shared at all"

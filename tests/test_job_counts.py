@@ -99,6 +99,8 @@ HEADLINE_JOB_CEILING = {
     "q27_token_stats": 4,
     "q31_cosine_pairs": 4,
     "q35_minhash_near_dups": 19,
+    "q66_semantic_dedup": 6,
+    "q67_duplicated_spans": 8,
 }
 
 

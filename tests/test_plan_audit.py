@@ -206,7 +206,11 @@ def test_partition_sensitive_queries_invariant_under_tiny_partitions(spark):
     from check_oracle import TABLES, normalize
     sensitive = ["q10_window_diff", "q25_shift", "q35_minhash_near_dups",
                  "q48_asof_join", "q49_range_join", "q52_pack_sequences",
-                 "q59_boilerplate_lines", "q60_incremental_dedup"]
+                 "q59_boilerplate_lines", "q60_incremental_dedup",
+                 # round 4: cluster self-join + shared persisted
+                 # assignment / explode / counted relations
+                 "q66_semantic_dedup", "q67_duplicated_spans",
+                 "q69_bigram_pmi", "q70_strip_dup_spans"]
     con = duckdb.connect()
     sf = "/root/testdata/sf0.001"
     for t in TABLES:

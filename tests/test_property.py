@@ -259,3 +259,56 @@ def test_join_range_matches_bruteforce(spark, seed, closed, width):
     exp = sorted((p, i) for p, xv in enumerate(xs) for i in range(6)
                  if lo_ok(xv, los[i]) and hi_ok(xv, his[i]))
     assert got == exp
+
+
+@settings(max_examples=6, deadline=None)
+@given(n_toks=st.lists(st.integers(1, 40), min_size=1, max_size=6),
+       chunk=st.integers(2, 12), stride=st.integers(1, 12))
+def test_chunk_documents_matches_bruteforce(spark, n_toks, chunk, stride):
+    """chunk_documents == the python sliding-window oracle for random
+    doc lengths / chunk sizes / strides: starts at i*stride while
+    start < n, text = tokens[start:start+chunk]."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import chunk_documents
+    texts = [" ".join(f"w{d}x{i}" for i in range(nt))
+             for d, nt in enumerate(n_toks)]
+    df = vs.from_arrays(doc_id=list(range(len(texts))), text=texts, spark=spark)
+    got = {(r["doc_id"], r["chunk_id"]):
+           (r["chunk_start"], r["n_chunk_tokens"], r["chunk_text"])
+           for r in chunk_documents(df, chunk_tokens=chunk,
+                                    stride=stride).spark.collect()}
+    exp = {}
+    for d, nt in enumerate(n_toks):
+        toks = texts[d].split(" ")
+        for ci, start in enumerate(range(0, nt, stride)):
+            piece = toks[start:start + chunk]
+            exp[(d, ci)] = (start, len(piece), " ".join(piece))
+    assert got == exp
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=st.lists(st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                              min_size=1, max_size=12),
+                     min_size=2, max_size=6),
+       width=st.integers(2, 5))
+def test_duplicated_spans_matches_bruteforce(spark, docs, width):
+    """duplicated_spans == the python window-counting oracle on random
+    small-alphabet docs (dense window collisions stress min_docs)."""
+    from collections import defaultdict
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import duplicated_spans
+    texts = [" ".join(toks) for toks in docs]
+    df = vs.from_arrays(doc_id=list(range(len(texts))), text=texts, spark=spark)
+    got = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+           for r in duplicated_spans(df, width=width).spark.collect()}
+    windows = defaultdict(set)   # gram -> {doc}
+    per_doc = []
+    for d, toks in enumerate(docs):
+        grams = [" ".join(toks[i:i + width])
+                 for i in range(len(toks) - width + 1)] if len(toks) >= width else []
+        per_doc.append(grams)
+        for g in grams:
+            windows[g].add(d)
+    for d, grams in enumerate(per_doc):
+        n_dup = sum(1 for g in grams if len(windows[g]) >= 2)
+        assert got[d] == (len(grams), n_dup), (d, docs, width)

@@ -633,3 +633,54 @@ def duplicated_spans(df, text_col: str = "text", id_col: str = "doc_id",
                                         F.col("n_spans"), 6))
                          .otherwise(F.lit(0.0))))
     return _wrap(stats)
+
+
+def strip_duplicated_spans(df, text_col: str = "text", id_col: str = "doc_id",
+                           width: int = 10, min_docs: int = 2):
+    """The REMOVAL policy for duplicated substrings (the other half of
+    duplicated_spans, per Lee et al. 2022 arXiv:2107.06499 — they strip
+    the duplicated text rather than drop documents): every token
+    covered by any duplicated ``width``-token window is removed; the
+    surviving tokens rejoin in original order.  Output text is the
+    NORMALIZED token stream (lowercased, whitespace-collapsed) — the
+    convention of the rest of the dedup family.
+
+    Returns (doc_id, text); documents reduced to nothing keep ''.
+
+    Scale design: same narrow (id, pos, hash) exploded relation as
+    duplicated_spans (persisted — the dup-hash aggregate and the
+    coverage join share one tokenize+hash pass); coverage explodes
+    ONLY duplicated windows (bounded by the dup set, not the corpus);
+    the rebuild is one groupBy(id) sort-struct aggregate — token text
+    shuffles exactly once, for the rebuild."""
+    sdf = _sdf(df)
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    n = F.size(words)
+    span_hashes = F.when(
+        n >= width,
+        F.transform(F.sequence(F.lit(0), n - width),
+                    lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, width), " ")))
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = sdf.select(F.col(id_col), words.alias("__w"), span_hashes.alias("__spans"))
+    spans = _register_persist(
+        base.select(F.col(id_col), F.posexplode("__spans").alias("__pos", "__h")))
+    dup_hashes = (spans.groupBy("__h")
+                  .agg(F.countDistinct(id_col).alias("__nd"))
+                  .filter(F.col("__nd") >= min_docs)
+                  .select("__h"))
+    covered = (spans.join(dup_hashes, on="__h")
+               .select(F.col(id_col),
+                       F.explode(F.sequence(F.col("__pos"),
+                                            F.col("__pos") + (width - 1)))
+                       .alias("__tpos"))
+               .distinct())
+    tokens = base.select(F.col(id_col), F.posexplode("__w").alias("__tpos", "__tok"))
+    kept = tokens.join(covered, on=[id_col, "__tpos"], how="left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(F.array_sort(F.collect_list(F.struct("__tpos", "__tok"))),
+                               lambda s: s["__tok"]), " ").alias(text_col)))
+    all_ids = sdf.select(F.col(id_col))
+    out = (all_ids.join(rebuilt, on=id_col, how="left")
+           .withColumn(text_col, F.coalesce(F.col(text_col), F.lit(""))))
+    return _wrap(out)
