@@ -99,7 +99,7 @@ HEADLINE_JOB_CEILING = {
     "q27_token_stats": 4,
     "q31_cosine_pairs": 4,
     "q35_minhash_near_dups": 19,
-    "q66_semantic_dedup": 6,
+    "q66_semantic_dedup": 3,
     "q67_duplicated_spans": 8,
 }
 

@@ -228,18 +228,22 @@ def test_partition_sensitive_queries_invariant_under_tiny_partitions(spark):
         spark.conf.set("spark.sql.shuffle.partitions", "32")
 
 
-def test_semantic_dedup_no_cartesian_and_shared_assignment(spark):
-    """semantic_dedup: the pair stage joins on cluster id (never a
-    cartesian product over the corpus), and both join branches read the
-    ONE persisted assignment relation instead of re-running the
-    k-centroid argmax scan."""
+def test_semantic_dedup_single_pass_no_cartesian(spark):
+    """semantic_dedup: one corpus scan -> vectorized Arrow assignment
+    (mapInPandas) -> ONE exchange keyed on cluster -> per-cluster
+    matmul (applyInPandas).  Never a cartesian product, never a
+    corpus-level pair join, no second scan."""
     import vaex_spark as vs
     from vaex_spark.datapipe.similarity import semantic_dedup
     emb = vs.open("/root/testdata/sf0.001/embeddings.parquet", spark=spark)
     sdf = semantic_dedup(emb, n_clusters=4, threshold=0.42)
     plan = _plan(sdf)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
-    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "FlatMapGroupsInPandas" in plan and "MapInPandas" in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    # exactly one data exchange: the hash partition on cluster id
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "hashpartitioning(cluster" in plan, plan
 
 
 def test_duplicated_spans_narrow_persist_reused(spark):

@@ -47,8 +47,11 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def normalize(a: Column) -> Column:
-    n = l2_norm(a)
-    return F.transform(a, lambda v: v.cast("double") / n)
+    # let-bind the norm: inlined into the per-element lambda it would be
+    # recomputed dim times per row (no CSE across lambda boundaries)
+    from .text import _let
+    return _let(l2_norm(a),
+                lambda n: F.transform(a, lambda v: v.cast("double") / n))
 
 
 # --------------------------------------------------------------------------
@@ -313,10 +316,17 @@ def first_k_centroids(corpus, k: int, vec_col: str = "embedding",
 def assign_cluster(vec: Column, centroids: np.ndarray, round_to: int = 6) -> Column:
     """Nearest-centroid cell by ROUNDED cosine (argmax, ties -> lowest
     cluster id).  Let-bound cosine array so each centroid's expression
-    appears once in the plan (same pathology note as ivf_assign)."""
+    appears once in the plan (same pathology note as ivf_assign).
+    One F.lit per centroid ROW (a list literal is a single py4j call) —
+    per-element lits cost a round-trip each and dominate plan build.
+
+    Literal-expression form: right for SMALL k (IVF cells).  For k that
+    grows with the corpus (SemDeDup's k ~ sqrt(n)) use the broadcast
+    centroid-table join inside semantic_dedup — k=50k centroids cannot
+    be an expression tree."""
     from .text import _let
     coss = F.array(*[
-        F.round(cosine(vec, F.array(*[F.lit(float(x)) for x in c])), round_to)
+        F.round(cosine(vec, F.lit([float(x) for x in c])), round_to)
         for c in centroids])
     return _let(coss, lambda cs: (F.array_position(cs, F.array_max(cs)) - 1).cast("int"))
 
@@ -330,14 +340,17 @@ def semantic_dedup(corpus, n_clusters: int = 8, threshold: float = 0.95,
     only WITHIN a cluster; a vector whose cosine to a lower-id
     cluster-mate is >= threshold is a semantic duplicate of it.
 
-    Scale design (100 TB): centroids are k driver-side rows (k << n)
-    baked into the plan as literals, so assignment is one pure-Column
-    scan with NO shuffle; the pairwise stage self-joins within clusters
-    only — shuffle keyed on cluster id, per-cluster work O((n/k)^2).
-    Choose k ~ sqrt(n) in production (the paper uses 50k clusters for
-    5B embeddings) so per-cluster pairwork stays bounded; no all-pairs
-    stage anywhere.  The assigned (id, cluster, vec) relation is
-    persisted so the two join branches share one assignment pass.
+    Scale design (100 TB): centroids live in a k-row table BROADCAST to
+    the corpus — never an expression tree, because SemDeDup's k grows
+    with the corpus (~sqrt(n); the paper uses 50k clusters for 5B
+    embeddings) and a 50k-branch argmax expression is unbuildable and
+    uncompilable.  Assignment = crossJoin(broadcast(centroids)) +
+    per-id max_by argmax: one corpus scan, map-side partial aggregate,
+    no corpus shuffle.  The pairwise stage then self-joins within
+    clusters only — shuffle keyed on cluster id, per-cluster work
+    O((n/k)^2), no all-pairs stage anywhere.  The assigned (id,
+    cluster, vec) relation is persisted so the two pair-join branches
+    share one assignment pass.
 
     ``centroids='first-k'`` picks the k lowest-id vectors (deterministic,
     used by the correctness oracle); ``'kmeans'`` uses train_centroids.
@@ -345,23 +358,99 @@ def semantic_dedup(corpus, n_clusters: int = 8, threshold: float = 0.95,
     Returns (vec_id, cluster, dup_of): one row per REMOVED vector,
     dup_of = the smallest lower-id cluster-mate with cosine >= threshold.
     """
+    import pandas as pd
+
     sdf = _sdf(corpus)
     if centroids == "first-k":
         cent = first_k_centroids(corpus, n_clusters, vec_col, id_col)
     else:
         cent = train_centroids(corpus, n_cells=n_clusters, vec_col=vec_col, seed=seed)
-    from ..cache import _register_persist
-    assigned = _register_persist(
-        sdf.select(F.col(id_col), F.col(vec_col).alias("__v"),
-                   assign_cluster(F.col(vec_col), cent, round_to).alias("cluster")))
-    a = assigned.select(F.col(id_col).alias("id_a"), F.col("cluster"),
-                        F.col("__v").alias("__va"))
-    b = assigned.select(F.col(id_col).alias("id_b"), F.col("cluster"),
-                        F.col("__v").alias("__vb"))
-    pairs = (a.join(b, on="cluster")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("cos", F.round(cosine(F.col("__va"), F.col("__vb")), round_to))
-             .filter(F.col("cos") >= threshold))
-    return (pairs.groupBy("id_b", "cluster")
-            .agg(F.min("id_a").alias("dup_of"))
-            .select(F.col("id_b").alias(id_col), "cluster", "dup_of"))
+    k = len(cent)
+    # unit centroids, double precision (the assignment compares rounded
+    # cosines, so unit-form dot == cosine at round_to decimals)
+    C = np.asarray(cent, dtype="float64")
+    Cu = C / np.sqrt((C ** 2).sum(axis=1, keepdims=True))
+    if Cu.nbytes <= 64 << 20:
+        # centroids fit a task closure: assignment is a vectorized
+        # Arrow pass (numpy argmax over X @ C.T) — a pure map stage, NO
+        # shuffle before the cluster exchange, no k-branch expression
+        # tree (plan build is O(1), and BLAS beats interpreted
+        # higher-order functions by orders of magnitude)
+        idc0, vc0, rnd0, Cu0 = id_col, vec_col, int(round_to), Cu
+
+        def _assign(batches):
+            import pandas as pd
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.vstack(pdf[vc0].to_numpy()).astype("float64")
+                Xn = X / np.sqrt((X ** 2).sum(axis=1, keepdims=True))
+                cos = np.round(Xn @ Cu0.T, rnd0)
+                # np.argmax takes the FIRST max -> lowest cluster id,
+                # matching the oracle's (cos DESC, cid ASC) tie-break
+                yield pd.DataFrame({idc0: pdf[idc0].astype("int64"),
+                                    "__u": list(Xn),
+                                    "cluster": cos.argmax(axis=1).astype("int32")})
+
+        assigned = sdf.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            _assign, schema=f"{id_col} long, __u array<double>, cluster int")
+    else:
+        # production k (~sqrt(n)): centroids are a broadcast TABLE —
+        # a 50k-branch argmax expression is unbuildable/uncompilable.
+        # crossJoin(broadcast) + per-id max_by: map-side partial agg,
+        # the corpus shuffles once on id.
+        cdf = sdf.sparkSession.createDataFrame(
+            [(i, [float(x) / float(np.sqrt((np.asarray(c, dtype="float64") ** 2).sum()))
+                  for x in c])
+             for i, c in enumerate(cent)],
+            "cid int, cvec array<double>")
+        scored = (sdf.select(F.col(id_col).cast("long").alias(id_col),
+                             normalize(F.col(vec_col)).alias("__u"))
+                  .crossJoin(F.broadcast(cdf))
+                  .select(F.col(id_col), F.col("__u"), F.col("cid"),
+                          F.round(dot(F.col("__u"), F.col("cvec")),
+                                  round_to).alias("__cos")))
+        assigned = (scored.groupBy(id_col)
+                    .agg(F.max_by("cid", F.struct(F.col("__cos"),
+                                                  (-F.col("cid")).alias("__nc")))
+                         .alias("cluster"),
+                         F.first("__u").alias("__u")))
+
+    # Within-cluster pair scan as a per-cluster Arrow batch + BLAS
+    # matmul (how SemDeDup runs in production): each cluster's unit
+    # vectors cross the JVM->Python boundary ONCE (n_c x d doubles),
+    # against n_c^2 per-pair rows for the join form — and the
+    # interpreted higher-order dot is replaced by X @ X.T.  Column
+    # blocks bound the similarity matrix to n_c x B so a large cluster
+    # never materializes n_c^2 doubles at once.
+    thr, rnd, idc = float(threshold), int(round_to), id_col
+
+    def _cluster_dups(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[idc].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.vstack(pdf["__u"].to_numpy()[order]).astype("float64")
+        n_rows = len(ids)
+        out_id, out_dup = [], []
+        B = 2048
+        for s in range(0, n_rows, B):
+            e = min(s + B, n_rows)
+            Sb = X @ X[s:e].T                     # (n_rows, e-s)
+            np.round(Sb, rnd, out=Sb)
+            M = Sb >= thr
+            # strict upper triangle: row index (candidate dup_of) must
+            # precede the column's global position == lower id
+            M &= np.arange(n_rows)[:, None] < np.arange(s, e)[None, :]
+            hit = M.any(axis=0)
+            first = M.argmax(axis=0)              # min position = min id
+            for col in np.nonzero(hit)[0]:
+                out_id.append(ids[s + col])
+                out_dup.append(ids[first[col]])
+        cl = pdf["cluster"].iloc[0] if n_rows else 0
+        return pd.DataFrame({idc: out_id,
+                             "cluster": [int(cl)] * len(out_id),
+                             "dup_of": out_dup})
+
+    return (assigned.groupBy("cluster")
+            .applyInPandas(_cluster_dups,
+                           schema=f"{idc} long, cluster int, dup_of long"))
