@@ -114,7 +114,7 @@ def hyperplane_bucket(vec: Column, planes: np.ndarray) -> Column:
     out = F.lit(0).cast("long")
     for b, plane in enumerate(planes):
         d = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in plane]),
+            F.zip_with(vec, F.lit([float(x) for x in plane]),
                        lambda x, p: x.cast("double") * p),
             F.lit(0.0), lambda acc, v: acc + v)
         out = out + F.when(d > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -261,7 +261,7 @@ def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
     from .text import _let
     dists = F.array(*[
         F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]),
+            F.zip_with(vec, F.lit([float(x) for x in c]),
                        lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc)),
             F.lit(0.0), lambda acc, v: acc + v)
         for c in centroids])
@@ -284,7 +284,7 @@ def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
     # per-query probe cells, computed distributed (no driver loop):
     # sort (distance, cell) structs, take the first n_probe cell ids
     dists = F.array(*[
-        F.aggregate(F.zip_with(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]),
+        F.aggregate(F.zip_with(F.col(vec_col), F.lit([float(x) for x in c]),
                                lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc)),
                     F.lit(0.0), lambda acc, v: acc + v)
         for c in cent])
