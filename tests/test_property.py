@@ -312,3 +312,38 @@ def test_duplicated_spans_matches_bruteforce(spark, docs, width):
     for d, grams in enumerate(per_doc):
         n_dup = sum(1 for g in grams if len(windows[g]) >= 2)
         assert got[d] == (len(grams), n_dup), (d, docs, width)
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(0, 5000),
+       n=st.integers(6, 40), k=st.integers(2, 5),
+       thr=st.sampled_from([0.3, 0.6, 0.9]))
+def test_semantic_dedup_matches_bruteforce(spark, seed, n, k, thr):
+    """semantic_dedup == the numpy oracle replaying its contract: assign
+    to argmax of round-6 cosine vs the first-k centroids (ties -> lowest
+    cid), then within a cluster remove ids having a lower-id mate at
+    rounded cosine >= threshold, dup_of = the smallest such mate."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.similarity import semantic_dedup
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, 8)
+    # inject exact duplicates so thresholds always have work to do
+    X[n // 2] = X[0]
+    X[n - 1] = X[1]
+    df = vs.from_arrays(vec_id=list(range(n)),
+                        embedding=[[float(v) for v in row] for row in X],
+                        spark=spark)
+    got = sorted((r["vec_id"], r["cluster"], r["dup_of"]) for r in
+                 semantic_dedup(df, n_clusters=k, threshold=thr).collect())
+    Xn = X / np.sqrt((X ** 2).sum(1, keepdims=True))
+    C = Xn[:k]
+    cos_c = np.round(Xn @ C.T, 6)
+    assign = cos_c.argmax(1)          # first max -> lowest cid
+    S = np.round(Xn @ Xn.T, 6)
+    exp = []
+    for j in range(n):
+        mates = [i for i in range(j)
+                 if assign[i] == assign[j] and S[i, j] >= thr]
+        if mates:
+            exp.append((j, int(assign[j]), min(mates)))
+    assert got == sorted(exp), (seed, n, k, thr)
