@@ -89,8 +89,19 @@ def _range_partition_count(sdf) -> int | None:
         shuffle_n = int(conf.get("spark.sql.shuffle.partitions", "200"))
     except Exception:  # pragma: no cover
         shuffle_n = 200
-    cap = 16 * max(sdf.sparkSession.sparkContext.defaultParallelism, shuffle_n)
-    return max(1, min(-(-size // max(advisory, 1)), cap))
+    parallelism = sdf.sparkSession.sparkContext.defaultParallelism
+    cap = 16 * max(parallelism, shuffle_n)
+    n = -(-size // max(advisory, 1))
+    # Parallelism floor: a frame a little over the advisory size would
+    # otherwise land on 2-3 tasks and serialize the persist + window on
+    # an idle cluster (measured: 6.4M rows / 103MB -> n=2 -> 22s persist
+    # on 32 cores).  Extra range partitions only cost O(k x n) donor
+    # rows, so fill the cores — but never shrink partitions below ~8MB
+    # (and never inflate the single-advisory-partition fast path, whose
+    # n stays 1 because its useful-partition bound is 1 too).
+    n_useful = -(-size // (8 << 20))
+    n = max(n, min(parallelism, n_useful))
+    return max(1, min(n, cap))
 
 
 def _resolve_order(df, order_key):

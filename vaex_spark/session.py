@@ -70,6 +70,16 @@ def get_session(app_name: str = "vaex_spark", master: str | None = None,
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus) if cpus else 32
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if master.startswith("local"):
+        # Local mode: the driver JVM IS the executor — Spark's 1g default
+        # heap on a many-core box starves 32 task threads plus broadcast
+        # builds (first seen: a high-dup-rate near_dup_pairs corpus dying
+        # in BroadcastExchange).  On a cluster this is spark-submit's
+        # job; only the local bootstrap sets it, and only if the JVM is
+        # not already up (driver memory is start-time-only).
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
