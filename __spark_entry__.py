@@ -2038,6 +2038,270 @@ FROM w LEFT JOIN rebuilt r ON w.doc_id = r.doc_id
 """
 
 
+def _q71_sole_supplier_orders(spark, sf_dir):
+    """TPC-H Q21-flavored two-level aggregation: orders served by exactly
+    ONE distinct supplier, counted and valued per that supplier, top 10.
+    Plan shape: one shuffle on l_orderkey (count_distinct + decimal sum
+    with map-side partial), filter on the agg result, then a second
+    shuffle on the supplier key over the order-count-sized relation —
+    never a self-join of lineitem (the naive EXISTS spelling)."""
+    li = _t(spark, sf_dir, "lineitem").spark
+    supp = _t(spark, sf_dir, "supplier").spark
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(F.count_distinct("l_suppkey").alias("n_supp"),
+                      F.max("l_suppkey").alias("suppkey"),
+                      F.sum(F.col("l_extendedprice").cast(DEC)).alias("order_value")))
+    out = (per_order.filter(F.col("n_supp") == 1)
+           .groupBy("suppkey")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_sole_orders"),
+                F.sum("order_value").cast("double").alias("sole_value"))
+           .join(F.broadcast(supp), F.col("suppkey") == supp["s_suppkey"])
+           .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                   "s_name", "n_sole_orders", "sole_value")
+           .orderBy(F.col("n_sole_orders").desc(), "s_suppkey")
+           .limit(10))
+    return out
+
+
+_Q71_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         MAX(l_suppkey) AS suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS order_value
+  FROM lineitem GROUP BY l_orderkey)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_sole_orders,
+       CAST(SUM(order_value) AS DOUBLE) AS sole_value
+FROM per_order p JOIN supplier s ON s.s_suppkey = p.suppkey
+WHERE p.n_supp = 1
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY n_sole_orders DESC, s_suppkey
+LIMIT 10
+"""
+
+
+def _q72_dormant_big_accounts(spark, sf_dir):
+    """TPC-H Q22-flavored anti-join with a scalar subquery threshold:
+    customers whose balance exceeds the average POSITIVE balance and who
+    placed no order on/after 2000-01-01, summarized per market segment.
+    Plan shape: the 1-row average is crossJoin-broadcast (no driver
+    collect); the dormancy test is a left_anti hash join against the
+    date-filtered order keys (filter pushed to the orders scan); one
+    final small aggregate.  The avg is a deterministic double derived
+    from an exact decimal sum, so the > comparisons agree across
+    engines."""
+    cust = _t(spark, sf_dir, "customer").spark
+    orders = _t(spark, sf_dir, "orders").spark
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg((F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+                     / F.count("c_acctbal")).alias("avg_bal")))
+    recent = (orders
+              .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+              .select("o_custkey"))
+    return (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("avg_bal"))
+            .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_custs"),
+                 F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_bal"))
+            .orderBy("c_mktsegment"))
+
+
+_Q72_SQL = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)/COUNT(c_acctbal) AS avg_bal
+  FROM customer WHERE c_acctbal > 0),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_bal
+FROM customer CROSS JOIN avg_bal
+WHERE c_acctbal > avg_bal
+  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def _q73_supplier_share(spark, sf_dir):
+    """TPC-H Q11-flavored fraction-of-total HAVING: suppliers whose
+    lineitem revenue exceeds 1.2% of total revenue, with their share.
+    Plan shape: ONE shuffle of lineitem onto l_suppkey; the per-supplier
+    agg is persisted so the grand total derives from it (supplier-count
+    rows) instead of a second lineitem scan; the 1-row total is
+    crossJoin-broadcast into the filter.  Decimal sums make both the
+    threshold comparison and the rounded share engine-portable."""
+    from vaex_spark.cache import _register_persist
+    li = _t(spark, sf_dir, "lineitem").spark
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    per_supp = _register_persist(
+        li.groupBy("l_suppkey").agg(F.sum(rev).alias("srev")))
+    # threshold relative to the MEAN supplier share (x1.05) so the query
+    # selects a non-trivial subset at every scale factor — a fixed
+    # fraction of total is supplier-count-dependent
+    total = per_supp.agg(F.sum("srev").alias("trev"),
+                         F.count(F.lit(1)).alias("n_supp"))
+    return (per_supp.crossJoin(F.broadcast(total))
+            .filter(F.col("srev").cast("double")
+                    > F.col("trev").cast("double") / F.col("n_supp") * F.lit(1.05))
+            .select(F.col("l_suppkey").cast("long").alias("s_suppkey"),
+                    F.col("srev").cast("double").alias("supplier_revenue"),
+                    F.round(F.col("srev").cast("double")
+                            / F.col("trev").cast("double"), 6).alias("revenue_share"))
+            .orderBy("s_suppkey"))
+
+
+_Q73_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS srev
+  FROM lineitem GROUP BY l_suppkey),
+total AS (SELECT SUM(srev) AS trev, COUNT(*) AS n_supp FROM per_supp)
+SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey,
+       CAST(srev AS DOUBLE) AS supplier_revenue,
+       ROUND(CAST(srev AS DOUBLE)/CAST(trev AS DOUBLE), 6) AS revenue_share
+FROM per_supp CROSS JOIN total
+WHERE CAST(srev AS DOUBLE) > CAST(trev AS DOUBLE) / n_supp * 1.05
+ORDER BY s_suppkey
+"""
+
+
+def _q74_quarter_top_supplier(spark, sf_dir):
+    """TPC-H Q15-flavored argmax-over-aggregate: the supplier(s) with
+    the maximum revenue in 1996Q1.  Plan shape: one shuffle of the
+    quarter's lineitem onto l_suppkey (filter pushed to scan), persist
+    the supplier-sized agg, derive the 1-row max from it and
+    crossJoin-broadcast back for the equality filter — exact decimal
+    sums make revenue == max portable, where double sums would tie-break
+    differently per partitioning.  No window over an unpartitioned
+    relation (the classic Q15 scale trap)."""
+    from vaex_spark.cache import _register_persist
+    li = _t(spark, sf_dir, "lineitem").spark
+    supp = _t(spark, sf_dir, "supplier").spark
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    q1 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    per_supp = _register_persist(
+        q1.groupBy("l_suppkey").agg(F.sum(rev).alias("srev")))
+    mx = per_supp.agg(F.max("srev").alias("max_rev"))
+    return (per_supp.crossJoin(F.broadcast(mx))
+            .filter(F.col("srev") == F.col("max_rev"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+            .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name",
+                    F.col("srev").cast("double").alias("quarter_revenue"))
+            .orderBy("s_suppkey"))
+
+
+_Q74_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS srev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey),
+mx AS (SELECT MAX(srev) AS max_rev FROM per_supp)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       CAST(p.srev AS DOUBLE) AS quarter_revenue
+FROM per_supp p CROSS JOIN mx
+JOIN supplier s ON s.s_suppkey = p.l_suppkey
+WHERE p.srev = mx.max_rev
+ORDER BY s_suppkey
+"""
+
+
+def _q75_source_drift(spark, sf_dir):
+    """Distribution-drift monitor (datapipe/text.py:distribution_drift):
+    per-source Jensen-Shannon divergence + total-variation distance of
+    the token-count distribution (width-10 buckets) against the corpus.
+    One corpus-sized shuffle; all divergence terms decimal-accumulated
+    for cross-engine and cross-partitioning determinism."""
+    from vaex_spark.datapipe import text as dtext
+    docs = _t(spark, sf_dir, "documents")
+    val = dtext.token_count_whitespace(F.col("text"))
+    out = dtext.distribution_drift(docs, val, group_col="source",
+                                   bucket_width=10.0)
+    return (out.select(F.col("grp").alias("source"), "js_divergence",
+                       "tvd", "n_docs")
+            .orderBy("source"))
+
+
+_Q75_SQL = """
+WITH binned AS (
+  SELECT source AS grp,
+         CAST(FLOOR(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                    / 10.0) AS BIGINT) AS bucket
+  FROM documents),
+cell AS (SELECT grp, bucket, COUNT(*) AS c_gb FROM binned GROUP BY grp, bucket),
+gt AS (SELECT grp, SUM(c_gb) AS n_g FROM cell GROUP BY grp),
+gl AS (SELECT bucket, SUM(c_gb) AS c_b FROM cell GROUP BY bucket),
+tot AS (SELECT SUM(c_b) AS n_all FROM gl),
+grid AS (
+  SELECT gt.grp, gt.n_g, gl.bucket, gl.c_b,
+         COALESCE(cell.c_gb, 0) AS c_gb, tot.n_all
+  FROM gt CROSS JOIN gl
+  LEFT JOIN cell ON cell.grp = gt.grp AND cell.bucket = gl.bucket
+  CROSS JOIN tot)
+SELECT grp AS source,
+  ROUND(CAST(SUM(CAST(
+    CASE WHEN c_gb > 0
+         THEN (CAST(c_gb AS DOUBLE)/n_g)
+              * ln((CAST(c_gb AS DOUBLE)/n_g)
+                   / ((CAST(c_gb AS DOUBLE)/n_g + CAST(c_b AS DOUBLE)/n_all)/2.0)) / 2.0
+         ELSE 0.0 END
+    + (CAST(c_b AS DOUBLE)/n_all)
+      * ln((CAST(c_b AS DOUBLE)/n_all)
+           / ((CAST(c_gb AS DOUBLE)/n_g + CAST(c_b AS DOUBLE)/n_all)/2.0)) / 2.0
+   AS DECIMAL(38,18))) AS DOUBLE), 6) AS js_divergence,
+  ROUND(CAST(SUM(CAST(
+    ABS(CAST(c_gb AS DOUBLE)/n_g - CAST(c_b AS DOUBLE)/n_all) / 2.0
+   AS DECIMAL(38,18))) AS DOUBLE), 6) AS tvd,
+  CAST(MAX(n_g) AS BIGINT) AS n_docs
+FROM grid GROUP BY grp ORDER BY grp
+"""
+
+
+def _q76_rollup_revenue(spark, sf_dir):
+    """Grouping sets through the vaex_spark groupby machinery:
+    df.rollup([segment, year]) — revenue subtotals at (segment, year),
+    (segment) and grand-total levels in ONE shuffle (Spark Expand +
+    Aggregate), where the reference's recipe (vaex has no grouping
+    sets) would union N groupbys and rescan per level.  Null subtotal
+    keys are COALESCEd to sentinels on both engines."""
+    from vaex_spark.dataframe import DataFrame as VDataFrame
+    orders = _t(spark, sf_dir, "orders").spark
+    cust = _t(spark, sf_dir, "customer").spark
+    j = orders.join(F.broadcast(cust),
+                    orders["o_custkey"] == cust["c_custkey"])
+    vdf = VDataFrame(j)
+    vdf["o_year"] = vdf.o_orderdate.dt.year
+    res = vdf.rollup(["c_mktsegment", "o_year"], agg={
+        "revenue": dsum("o_totalprice"),
+        "n_orders": F.count(F.lit(1)).cast("long"),
+    }).spark
+    return (res.select(
+        F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+        F.coalesce(F.col("o_year").cast("long"), F.lit(-1)).alias("o_year"),
+        "revenue", "n_orders")
+        .orderBy("segment", "o_year"))
+
+
+_Q76_SQL = """
+SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+       CAST(COALESCE(EXTRACT(year FROM o_orderdate), -1) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY ROLLUP(c_mktsegment, EXTRACT(year FROM o_orderdate))
+ORDER BY segment, o_year
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2113,6 +2377,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_doc_chunks": _q68_doc_chunks,
         "q69_bigram_pmi": _q69_bigram_pmi,
         "q70_strip_dup_spans": _q70_strip_dup_spans,
+        "q71_sole_supplier_orders": _q71_sole_supplier_orders,
+        "q72_dormant_big_accounts": _q72_dormant_big_accounts,
+        "q73_supplier_share": _q73_supplier_share,
+        "q74_quarter_top_supplier": _q74_quarter_top_supplier,
+        "q75_source_drift": _q75_source_drift,
+        "q76_rollup_revenue": _q76_rollup_revenue,
     }
 
 
@@ -2187,4 +2457,10 @@ def oracle_sql() -> dict[str, str]:
         "q68_doc_chunks": _Q68_SQL,
         "q69_bigram_pmi": _Q69_SQL,
         "q70_strip_dup_spans": _Q70_SQL,
+        "q71_sole_supplier_orders": _Q71_SQL,
+        "q72_dormant_big_accounts": _Q72_SQL,
+        "q73_supplier_share": _Q73_SQL,
+        "q74_quarter_top_supplier": _Q74_SQL,
+        "q75_source_drift": _Q75_SQL,
+        "q76_rollup_revenue": _Q76_SQL,
     }

@@ -776,3 +776,53 @@ def test_strip_duplicated_spans_removes_covered_tokens(spark):
     assert rows[1] == "pre post"   # covered middle stripped, normalized case
     assert rows[2] == ""           # entire doc was the duplicated window
     assert rows[3] == "unique words only in this document here nothing shared at all"
+
+
+def test_connected_components_chain_pointer_jumping(spark):
+    """A 300-node path graph has diameter 299: plain min-label
+    propagation needs 299 rounds, so max_iter=12 must either converge
+    via pointer jumping (shortcut=True, ~log2(299) rounds) or fail loud
+    (strict) instead of returning silently wrong labels."""
+    import pytest
+    from vaex_spark.datapipe import dedup
+    n = 300
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint")
+    comp = {r.id: r.comp
+            for r in dedup.connected_components(chain, max_iter=12).collect()}
+    assert comp == {i: 0 for i in range(n)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=12, shortcut=False)
+    # non-strict legacy mode still returns (unconverged) labels
+    assert dedup.connected_components(
+        chain, max_iter=2, shortcut=False, strict=False).count() == n
+
+
+def test_distribution_drift_js_tvd(spark):
+    """Hand-checkable drift: group 'a' matches the corpus bucket mix
+    exactly at 50/50 -> low JS; group 'b' is all-one-bucket -> high."""
+    import math
+    from vaex_spark.datapipe import text as dtext
+    rows = ([("a", 5)] * 10 + [("a", 15)] * 10   # a: 50/50 over buckets 0,1
+            + [("b", 5)] * 20)                    # b: all bucket 0
+    sdf = spark.createDataFrame(rows, "source string, nt int")
+    out = {r.grp: r for r in dtext.distribution_drift(
+        sdf, F.col("nt"), group_col="source", bucket_width=10.0).collect()}
+    # corpus: bucket0 = 30/40, bucket1 = 10/40
+    p_a, q = [0.5, 0.5], [0.75, 0.25]
+    p_b = [1.0, 0.0]
+    def js(p, q):
+        s = 0.0
+        for pi, qi in zip(p, q):
+            m = (pi + qi) / 2.0
+            if pi > 0:
+                s += pi * math.log(pi / m) / 2.0
+            if qi > 0:
+                s += qi * math.log(qi / m) / 2.0
+        return s
+    assert abs(out["a"].js_divergence - round(js(p_a, q), 6)) < 1e-6
+    assert abs(out["b"].js_divergence - round(js(p_b, q), 6)) < 1e-6
+    assert abs(out["a"].tvd - 0.25) < 1e-6
+    assert abs(out["b"].tvd - 0.25) < 1e-6
+    assert out["a"].n_docs == 20 and out["b"].n_docs == 20
+    assert out["b"].js_divergence > out["a"].js_divergence

@@ -210,7 +210,12 @@ def test_partition_sensitive_queries_invariant_under_tiny_partitions(spark):
                  # round 4: cluster self-join + shared persisted
                  # assignment / explode / counted relations
                  "q66_semantic_dedup", "q67_duplicated_spans",
-                 "q69_bigram_pmi", "q70_strip_dup_spans"]
+                 "q69_bigram_pmi", "q70_strip_dup_spans",
+                 # round 4b: scalar-broadcast thresholds over persisted
+                 # aggs (q73/q74), decimal-accumulated divergence (q75),
+                 # grouping-set nulls (q76)
+                 "q73_supplier_share", "q74_quarter_top_supplier",
+                 "q75_source_drift", "q76_rollup_revenue"]
     con = duckdb.connect()
     sf = "/root/testdata/sf0.001"
     for t in TABLES:

@@ -317,3 +317,39 @@ def test_join_range_broadcast_and_bucketed(spark):
     got = sorted(((r["id"], r["label"]) for r in out.spark.collect()),
                  key=lambda p: p[0])
     assert got[3] == (4, None)
+
+
+def test_rollup_and_cube(lineitem):
+    """rollup = hierarchical subtotal grouping sets; cube = all 2^k
+    combinations.  Checked against an explicit union-of-groupbys oracle
+    built from the same frame."""
+    import pyspark.sql.functions as F
+    base = lineitem.groupby(["l_returnflag", "l_linestatus"],
+                            agg={"n": F.count(F.lit(1)).cast("long")}).to_pandas_df()
+    per_flag = base.groupby("l_returnflag")["n"].sum()
+    total = int(base["n"].sum())
+
+    r = lineitem.rollup(["l_returnflag", "l_linestatus"],
+                        agg={"n": F.count(F.lit(1)).cast("long")}).to_pandas_df()
+    # detail + per-flag subtotals + grand total
+    assert len(r) == len(base) + base["l_returnflag"].nunique() + 1
+    sub = r[r["l_linestatus"].isna() & r["l_returnflag"].notna()]
+    assert {t.l_returnflag: int(t.n) for t in sub.itertuples()} \
+        == {k: int(v) for k, v in per_flag.items()}
+    grand = r[r["l_returnflag"].isna() & r["l_linestatus"].isna()]
+    assert len(grand) == 1 and int(grand["n"].iloc[0]) == total
+
+    c = lineitem.cube(["l_returnflag", "l_linestatus"],
+                      agg={"n": F.count(F.lit(1)).cast("long")}).to_pandas_df()
+    # cube adds the per-linestatus level on top of rollup's sets
+    assert len(c) == len(r) + base["l_linestatus"].nunique()
+    per_status = c[c["l_returnflag"].isna() & c["l_linestatus"].notna()]
+    assert {t.l_linestatus: int(t.n) for t in per_status.itertuples()} \
+        == {k: int(v) for k, v in base.groupby("l_linestatus")["n"].sum().items()}
+    # one-shuffle contract: the plan is a single Expand + Aggregate, not
+    # a union of scans
+    plan = r_plan = None
+    sdf = lineitem.rollup(["l_returnflag", "l_linestatus"],
+                          agg={"n": F.count(F.lit(1))}).spark
+    plan = sdf._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("relation") == 1 and "Union" not in plan

@@ -1,0 +1,278 @@
+"""Replicated-table scale smoke: run the multi-partition code paths under
+DEFAULT configs (64MB advisory, no test-rig tiny partitions) at ~100x the
+per-round bench volume, and verify results against invariants that do not
+need an oracle engine at this size.
+
+Probes (each a subcommand; `all` runs everything):
+
+* build           — replicate sf0.1 tables into /tmp/scale (multi-file)
+* skewed_groupby  — 6.4M-row groupBy with a 50%-hot key over 1M distinct
+                    keys, plus the same key as an AQE skew-join probe
+* ann_recall      — recall@10 of lsh_topk / ivf_topk vs brute-force
+                    ground truth on 50k vectors
+* wide_window     — global rolling frames wider than a range partition:
+                    the parallelism-floor + donor contract at depth
+* stream_volume   — curate_stream over 3 x 50k-doc batches: cross-batch
+                    dedup counts + batch replay idempotency at volume
+
+Usage: python tools/scale_smoke.py [all|build|skewed_groupby|ann_recall|
+                                    wide_window|stream_volume]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SCALE_DIR = "/tmp/scale"
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def _spark():
+    import vaex_spark as vs
+    return vs.get_session(app_name="scale_smoke")
+
+
+def build(spark):
+    """events 64x (ids/ts offset per replica), documents 20x (texts
+    IDENTICAL across replicas — worst-case dup rate), embeddings 25x.
+    Written 16-way so scans parallelize like real multi-file tables."""
+    t0 = time.time()
+    reps = spark.range(64).select(F.col("id").alias("__rep"))
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_ev = ev.count()
+    (ev.crossJoin(F.broadcast(reps))
+       .select((F.col("event_id") + F.col("__rep") * F.lit(n_ev)).alias("event_id"),
+               (F.col("ts") + F.make_interval(secs=F.col("__rep"))).alias("ts"),
+               "user_id", "event_type", "value", "props")
+       .repartition(16)
+       .write.mode("overwrite").parquet(f"{SCALE_DIR}/events.parquet"))
+    reps20 = spark.range(20).select(F.col("id").alias("__rep"))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    (docs.crossJoin(F.broadcast(reps20))
+         .select((F.col("doc_id") + F.col("__rep") * F.lit(n_docs)).alias("doc_id"),
+                 "text", "lang", "source", "n_chars")
+         .repartition(16)
+         .write.mode("overwrite").parquet(f"{SCALE_DIR}/documents.parquet"))
+    reps25 = spark.range(25).select(F.col("id").alias("__rep"))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_emb = emb.count()
+    (emb.crossJoin(F.broadcast(reps25))
+        .select((F.col("vec_id") + F.col("__rep") * F.lit(n_emb)).alias("vec_id"),
+                "embedding", "label")
+        .repartition(16)
+        .write.mode("overwrite").parquet(f"{SCALE_DIR}/embeddings.parquet"))
+    print(f"build: events {n_ev}x64={n_ev*64}, docs {n_docs}x20={n_docs*20}, "
+          f"emb {n_emb}x25={n_emb*25} in {time.time()-t0:.1f}s")
+
+
+def skewed_groupby(spark):
+    """50% of 6.4M rows share one key; the rest spread over ~1M keys.
+    Aggregation skew is absorbed by map-side partial aggregation (each
+    task pre-combines its hot-key rows to ONE record before the
+    shuffle), so no salting is needed for agg — verify that holds by
+    wall time and by the exact invariants.  The same key feeds a join
+    against a per-key dim; AQE splits the hot post-shuffle partition
+    (skew-join) — verify row counts survive."""
+    ev = spark.read.parquet(f"{SCALE_DIR}/events.parquet")
+    n = ev.count()
+    keyed = ev.select(
+        F.when(F.rand(7) < 0.5, F.lit(0))
+         .otherwise(F.pmod(F.xxhash64("event_id"), F.lit(1_000_000)))
+         .alias("k"),
+        "value")
+    keyed = keyed.persist()
+    t0 = time.time()
+    agg = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("c"),
+                                 F.sum("value").alias("s"))
+    agg = agg.persist()
+    n_groups = agg.count()
+    t_agg = time.time() - t0
+    hot = agg.filter(F.col("k") == 0).collect()[0]
+    total = agg.agg(F.sum("c")).collect()[0][0]
+    assert total == n, (total, n)
+    assert 0.49 * n < hot["c"] < 0.51 * n, hot["c"]
+    print(f"skewed_groupby: {n} rows -> {n_groups} groups in {t_agg:.1f}s; "
+          f"hot key holds {hot['c']} rows ({100.0*hot['c']/n:.1f}%)")
+    # skew JOIN probe: per-key dim joined back; the k=0 shuffle
+    # partition alone is ~3.2M rows — AQE must split it
+    dim = agg.select("k", F.col("c").alias("dim_c"))
+    t0 = time.time()
+    joined = keyed.join(dim, on="k")
+    out_n = joined.count()
+    t_join = time.time() - t0
+    assert out_n == n, (out_n, n)
+    print(f"skewed_join: {n} rows joined in {t_join:.1f}s (AQE skew split)")
+    keyed.unpersist(); agg.unpersist()
+
+
+def ann_recall(spark):
+    """recall@10 of the bucketed ANN paths vs exact brute force at 50k
+    vectors / 24 queries.  The replicated corpus has every vector 25x,
+    so ground-truth top-10 for a replicated query is its own copies —
+    recall of the LSH path on those is trivially high; to keep the probe
+    honest the queries are PERTURBED (v + 0.05*noise), making neighbors
+    non-degenerate."""
+    import numpy as np
+    from vaex_spark.datapipe import similarity as S
+    emb = spark.read.parquet(f"{SCALE_DIR}/embeddings.parquet")
+    n = emb.count()
+    qrows = emb.filter(F.col("vec_id") % F.lit(997) == 0).limit(24).collect()
+    rng = np.random.RandomState(11)
+    queries = [(int(r.vec_id), (np.array(r.embedding, dtype=float)
+                                + 0.05 * rng.randn(len(r.embedding))).tolist())
+               for r in qrows]
+    t0 = time.time()
+    gt = S.brute_force_topk(emb, queries, k=10).collect()
+    t_brute = time.time() - t0
+    truth = {}
+    for r in gt:
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    results = {}
+    t0 = time.time()
+    lsh = S.lsh_topk(emb, queries, k=10, bits=10, n_tables=4).collect()
+    t_lsh = time.time() - t0
+    for r in lsh:
+        results.setdefault("lsh", {}).setdefault(r.query_id, set()).add(r.vec_id)
+    t0 = time.time()
+    ivf = S.ivf_topk(emb, queries, k=10, n_cells=32, n_probe=8).collect()
+    t_ivf = time.time() - t0
+    for r in ivf:
+        results.setdefault("ivf", {}).setdefault(r.query_id, set()).add(r.vec_id)
+    print(f"ann_recall corpus={n}: brute {t_brute:.1f}s")
+    for name, t in (("lsh", t_lsh), ("ivf", t_ivf)):
+        got = results.get(name, {})
+        recalls = [len(got.get(q, set()) & tr) / len(tr) for q, tr in truth.items()]
+        rec = sum(recalls) / len(recalls)
+        print(f"  {name}: recall@10 = {rec:.3f} over {len(truth)} queries, {t:.1f}s")
+        assert rec >= 0.5, f"{name} recall collapsed: {rec}"
+
+
+def wide_window(spark):
+    """Global-order rolling frames approaching and exceeding the range
+    partition size.  The partition floor keeps partitions >= 8MB
+    (~200k rows here), so width 100k must run correct via boundary
+    donors; width 1M (several partitions deep) must FAIL LOUD with the
+    documented contract error, never return silently wrong means."""
+    import vaex_spark as vs
+    df = vs.open(f"{SCALE_DIR}/events.parquet", spark=spark)
+    n = df.count()
+    t0 = time.time()
+    r = df.rolling(100_000, column="value", order_key="event_id").mean()
+    got = r.spark if hasattr(r, "spark") else r
+    cnt = got.count()
+    t_roll = time.time() - t0
+    assert cnt == n, (cnt, n)
+    # exactness spot check at a frame that spans a partition boundary:
+    # mean of values for event_id in (x-100000, x]
+    probe_id = n // 2
+    exp = (df.spark.filter((F.col("event_id") > probe_id - 100_000)
+                           & (F.col("event_id") <= probe_id))
+           .agg(F.avg("value")).collect()[0][0])
+    gotv = got.filter(F.col("event_id") == probe_id).collect()[0]
+    roll_col = [c for c in got.columns if "roll" in c or "mean" in c or c == "value_rolling"]
+    v = gotv[roll_col[0]] if roll_col else gotv[-1]
+    assert abs(v - exp) < 1e-9, (v, exp)
+    print(f"wide_window: width 100k over {n} rows in {t_roll:.1f}s, "
+          f"boundary-spanning frame exact")
+    try:
+        df.rolling(1_000_000, column="value", order_key="event_id").mean() \
+          .spark.count()
+        print("wide_window: width 1M COMPLETED (single-task fast path or "
+              "donor depth covered it)")
+    except Exception as e:
+        msg = str(e)
+        assert "partition" in msg.lower() or "frame" in msg.lower(), msg[:400]
+        print(f"wide_window: width 1M failed LOUD as contracted: {msg[:120]}")
+
+
+def stream_volume(spark):
+    """curate_stream over 3 micro-batches of 50k docs (10x-replicated
+    sf0.1 documents, distinct id spaces, identical texts across batches):
+    batch 1 keeps ~unique texts, batches 2-3 are almost fully deduped
+    against state.  Then REPLAY batch 0's directory through a fresh
+    stream into the same sinks and assert output counts are unchanged
+    (idempotent per batch id)."""
+    import glob
+    import os
+    from vaex_spark.streaming import curate_stream
+    base = "/tmp/scale_stream"
+    shutil.rmtree(base, ignore_errors=True)
+    src, out, state, ckpt = (f"{base}/src", f"{base}/out",
+                             f"{base}/state", f"{base}/ckpt")
+    os.makedirs(src)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    reps = spark.range(10).select(F.col("id").alias("__rep"))
+    big = (docs.crossJoin(F.broadcast(reps))
+           .select((F.col("doc_id") + F.col("__rep") * n_docs).alias("doc_id"),
+                   "text", "lang", "source", "n_chars"))
+    for b in range(3):
+        (big.select((F.col("doc_id") + F.lit(b * 10 * n_docs)).alias("doc_id"),
+                    "text", "lang", "source", "n_chars")
+         .coalesce(4).write.mode("overwrite").parquet(f"{base}/batch{b}"))
+    schema = spark.read.parquet(f"{base}/batch0").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4).parquet(src))
+    q = curate_stream(stream, out_dir=out, state_dir=state, checkpoint=ckpt)
+    t0 = time.time()
+    for b in range(3):
+        for f_ in sorted(glob.glob(f"{base}/batch{b}/*.parquet")):
+            shutil.copy(f_, f"{src}/b{b}_{os.path.basename(f_)}")
+        q.processAllAvailable()
+    q.stop()
+    t_all = time.time() - t0
+    per_batch = {r["__batch_id"]: r["c"] for r in
+                 spark.read.parquet(out).groupBy("__batch_id")
+                 .agg(F.count(F.lit(1)).alias("c")).collect()}
+    total_kept = sum(per_batch.values())
+    uniq = docs.select(F.count_distinct(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))).collect()[0][0]
+    first = per_batch[min(per_batch)]
+    later = total_kept - first
+    print(f"stream_volume: 3x{10*n_docs} docs in {t_all:.1f}s; "
+          f"kept per batch {dict(sorted(per_batch.items()))} "
+          f"(unique base texts: {uniq})")
+    assert first <= uniq + 5 and later <= 5, per_batch
+    # replay: re-run batch-0 files through a FRESH checkpoint into the
+    # same sinks — idempotent per batch id means counts stay identical
+    shutil.rmtree(ckpt)
+    replay_src = f"{base}/replay_src"
+    os.makedirs(replay_src)
+    for f_ in glob.glob(f"{src}/b0_*.parquet"):
+        shutil.copy(f_, f"{replay_src}/{os.path.basename(f_)}")
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 4).parquet(replay_src))
+    q2 = curate_stream(stream2, out_dir=out, state_dir=state, checkpoint=f"{base}/ckpt2")
+    q2.processAllAvailable(); q2.stop()
+    per_batch2 = {r["__batch_id"]: r["c"] for r in
+                  spark.read.parquet(out).groupBy("__batch_id")
+                  .agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert per_batch2[min(per_batch2)] == first, (per_batch, per_batch2)
+    assert sum(per_batch2.values()) == total_kept, (per_batch, per_batch2)
+    print(f"stream_volume: batch-0 replay idempotent "
+          f"({dict(sorted(per_batch2.items()))})")
+
+
+PROBES = {"build": build, "skewed_groupby": skewed_groupby,
+          "ann_recall": ann_recall, "wide_window": wide_window,
+          "stream_volume": stream_volume}
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = _spark()
+    names = list(PROBES) if which == "all" else [which]
+    for name in names:
+        print(f"== {name}")
+        PROBES[name](spark)
+
+
+if __name__ == "__main__":
+    main()

@@ -1284,6 +1284,23 @@ class DataFrame:
             return gb.agg(agg)
         return gb
 
+    def rollup(self, by, agg=None, sort: bool = False, ascending=True):
+        """Hierarchical subtotals: GROUP BY ROLLUP(by...) — every key
+        prefix gets a subtotal row (null-filled trailing keys) plus a
+        grand total, in ONE shuffle (Spark Expand + Aggregate), where
+        a UNION-of-groupbys emulation would rescan the input per level.
+        Beyond the reference's surface (vaex has no grouping sets); the
+        natural Spark spelling of its groupby totals recipes."""
+        from .groupby import GroupBy
+        gb = GroupBy(self, by, sort=sort, ascending=ascending, mode="rollup")
+        return gb.agg(agg) if agg is not None else gb
+
+    def cube(self, by, agg=None, sort: bool = False, ascending=True):
+        """All 2^k grouping-set combinations: GROUP BY CUBE(by...)."""
+        from .groupby import GroupBy
+        gb = GroupBy(self, by, sort=sort, ascending=ascending, mode="cube")
+        return gb.agg(agg) if agg is not None else gb
+
     def binby(self, by=None, agg=None, shape=128, limits=None, delay=False):
         from .operators.binby import binby as _binby
         out = _binby(self, by, agg=agg, shape=shape, limits=limits)

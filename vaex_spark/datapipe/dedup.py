@@ -372,18 +372,25 @@ def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id",
     return pairs
 
 
-def connected_components(pairs: SparkDataFrame, max_iter: int = 20) -> SparkDataFrame:
+def connected_components(pairs: SparkDataFrame, max_iter: int = 20,
+                         shortcut: bool = True,
+                         strict: bool = True) -> SparkDataFrame:
     """Distributed connected components over an edge list (id_a, id_b):
     returns (id, component) where component = min id reachable.
 
-    Label-propagation to the minimum neighbor, iterated to fixpoint —
-    each round is one groupBy shuffle of the (node, label) relation;
-    converges in O(diameter) rounds (near-dup graphs are star/chain
-    shaped, so a handful).  This is the simplified alternating-star
-    scheme: propagate min(label of self, labels of neighbors), stop when
-    no label changes.  At 100 TB the edge list is the near-dup pair set
-    (tiny versus the corpus), so the iteration cost is negligible next
-    to candidate generation.
+    Label-propagation to the minimum neighbor with POINTER JUMPING:
+    after each neighbor-min round the label relation is composed with
+    itself (comp <- label(comp)), so the distance a label has traveled
+    doubles per round — O(log diameter) rounds instead of O(diameter).
+    Near-dup graphs are usually star-shaped (1-2 rounds either way),
+    but chain/path components (transitive near-dup bridges) would need
+    diameter rounds under plain propagation and silently ship WRONG
+    labels when max_iter ran out; with shortcutting a 2^20-long chain
+    converges inside the default budget, and ``strict=True`` raises
+    instead of returning unconverged labels.  Each round is a groupBy
+    plus a self-join of the (node, label) relation only; at 100 TB the
+    edge list is the near-dup pair set (tiny versus the corpus), so the
+    iteration cost is negligible next to candidate generation.
     """
     F_ = F
     edges = (pairs.select(F_.col("id_a").alias("src"), F_.col("id_b").alias("dst"))
@@ -391,23 +398,43 @@ def connected_components(pairs: SparkDataFrame, max_iter: int = 20) -> SparkData
     edges = edges.persist()
     labels = (edges.select("src").distinct()
               .select(F_.col("src").alias("id"), F_.col("src").alias("comp")))
+    converged = False
     for _ in range(max_iter):
         # candidate label for each node: min over its own label and its
         # neighbors' labels
         neighbor = (edges.join(labels, edges["dst"] == labels["id"])
                     .select(edges["src"].alias("id"), F_.col("comp")))
         new_labels = (labels.select("id", "comp").union(neighbor)
-                      .groupBy("id").agg(F_.min("comp").alias("comp"))
-                      .persist())
+                      .groupBy("id").agg(F_.min("comp").alias("comp")))
+        if shortcut:
+            # comp values are node ids, and every node has a label row,
+            # so label(comp) always exists; it is <= comp (labels only
+            # decrease), making the composition safe and monotone.
+            l2 = new_labels.select(F_.col("id").alias("__cid"),
+                                   F_.col("comp").alias("__ccomp"))
+            new_labels = (new_labels.join(l2, new_labels["comp"] == l2["__cid"])
+                          .select("id", F_.least("comp", "__ccomp").alias("comp")))
+        # localCheckpoint, not persist: each round references the
+        # previous labels 2-3x, so without lineage truncation the
+        # logical plan TRIPLES per round and Catalyst re-optimization
+        # goes exponential past ~8 rounds.  Checkpointing keeps the
+        # per-round plan constant-size (the standard iterative-algorithm
+        # discipline; executor-loss recomputation is not a concern for
+        # per-round temporary state).
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), on="id")
                    .filter(F_.col("n.comp") != F_.col("o.comp"))
                    .limit(1).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if strict and not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds; raise max_iter (labels would be silently wrong)")
     return labels
 
 

@@ -410,3 +410,61 @@ def bigram_pmi(df, text_col: str = "text", min_count: int = 5):
                           (F.col("__nb").cast("double") * F.col("__ca") * F.col("__cb"))
                       ), 6).alias("pmi")))
     return scored
+
+
+def distribution_drift(df, value_col, group_col: str = "source",
+                       bucket_width: float = 10.0):
+    """Per-group distribution drift versus the whole corpus: bucket a
+    numeric per-document statistic (token count, quality score, ...),
+    then compute each group's Jensen-Shannon divergence and total
+    variation distance against the corpus-wide bucket distribution.
+
+    The workhorse monitor for training-data mixes: a source whose
+    length/quality profile drifts from the corpus (new crawl snapshot,
+    broken extractor) shows up as a JS spike without eyeballing
+    histograms.  Semantically mirrors the reference's
+    df.count(binby=...) histogram comparisons (vaex/dataframe.py
+    count/binby docs) as one aggregate query.
+
+    Scale design: ONE shuffle of corpus-sized data — the (group,
+    bucket) count aggregate (map-side partial combine).  Group totals
+    and the global bucket histogram derive from that counted relation
+    (persisted, #groups x #buckets rows); the grand total is a 1-row
+    aggregate crossJoin-broadcast.  Every group x global-bucket cell is
+    produced by a join of those tiny relations, so zero-count buckets
+    still contribute their Q-side JS term.  Per-cell terms are cast to
+    DECIMAL(38,18) before summing: decimal accumulation is exact and
+    order-independent, making the rounded result partition-invariant
+    and engine-portable (same discipline as the dsum() oracle helpers).
+    """
+    from ..cache import _register_persist
+    from ..dataframe import DataFrame
+    sdf = df._spark_df() if isinstance(df, DataFrame) else df
+    val = _c(value_col)
+    binned = sdf.select(F.col(group_col).alias("grp"),
+                        F.floor(val / F.lit(bucket_width)).alias("bucket"))
+    cell = _register_persist(
+        binned.groupBy("grp", "bucket").agg(F.count(F.lit(1)).alias("c_gb")))
+    grp_tot = cell.groupBy("grp").agg(F.sum("c_gb").alias("n_g"))
+    glob = cell.groupBy("bucket").agg(F.sum("c_gb").alias("c_b"))
+    total = glob.agg(F.sum("c_b").alias("n_all"))
+    # group x global-bucket grid (groups x buckets rows — tiny), with the
+    # group's own count left-joined in; missing cells are p=0.
+    grid = (grp_tot.crossJoin(glob)
+            .join(cell, on=["grp", "bucket"], how="left")
+            .crossJoin(F.broadcast(total)))
+    p = F.coalesce(F.col("c_gb"), F.lit(0)).cast("double") / F.col("n_g")
+    q = F.col("c_b").cast("double") / F.col("n_all")
+    m = (p + q) / F.lit(2.0)
+    DECA = "decimal(38,18)"
+    js_term = (F.when(p > 0, p * F.log(p / m) / F.lit(2.0)).otherwise(F.lit(0.0))
+               + q * F.log(q / m) / F.lit(2.0)).cast(DECA)
+    # arithmetic stays in double (identical IEEE trees on both engines);
+    # only the finished per-cell term is cast to decimal for the
+    # order-independent sum — decimal/decimal division would hit
+    # engine-specific scale rules.
+    tvd_term = (F.abs(p - q) / F.lit(2.0)).cast(DECA)
+    return (grid.groupBy("grp")
+            .agg(F.round(F.sum(js_term).cast("double"), 6).alias("js_divergence"),
+                 F.round(F.sum(tvd_term).cast("double"), 6).alias("tvd"),
+                 F.max("n_g").cast("long").alias("n_docs")))

@@ -174,11 +174,15 @@ class Binner:
 
 
 class GroupBy:
-    def __init__(self, df, by, sort=False, ascending=True, row_limit=None):
+    def __init__(self, df, by, sort=False, ascending=True, row_limit=None,
+                 mode="groupby"):
         self.df = df
         self.sort = sort
         self.ascending = ascending
         self.row_limit = row_limit
+        if mode not in ("groupby", "rollup", "cube"):
+            raise ValueError(f"mode must be groupby/rollup/cube, got {mode!r}")
+        self.mode = mode
         if by is None:
             by = []
         if not isinstance(by, (list, tuple)):
@@ -254,7 +258,15 @@ class GroupBy:
         sdf = self.df._spark_df()
 
         def _run(cols):
-            return sdf.groupBy(*key_cols).agg(*cols) if key_cols else sdf.agg(*cols)
+            if not key_cols:
+                return sdf.agg(*cols)
+            # rollup/cube are plain grouping-set aggregates: one shuffle,
+            # partial map-side combine, subtotal rows carry null keys —
+            # the same plan shape a hand-written UNION of groupbys would
+            # need N scans for.
+            grouping = {"groupby": sdf.groupBy, "rollup": sdf.rollup,
+                        "cube": sdf.cube}[self.mode]
+            return grouping(*key_cols).agg(*cols)
 
         if reg and pud:
             # Spark forbids mixing GROUPED_AGG pandas UDFs with built-in
