@@ -257,3 +257,60 @@ def test_rowid_contiguous_after_sample(spark):
     ids = sorted(r[ROW_ID] for r in out.select(ROW_ID).collect())
     assert ids == list(range(len(ids))) and len(ids) > 0
     vs.cache.release_operator_caches()
+
+
+@pytest.mark.parametrize("agg,edge", [
+    ("sum", "right"), ("mean", "right"), ("count", "right"),
+    ("var", "right"), ("std", "right"),
+    ("sum", "left"), ("mean", "both"),
+])
+def test_wide_rolling_prefix_frames_exact(spark, agg, edge):
+    """window >= 64 routes sum/mean/count/var/std through the growing-
+    frame difference rewrite (O(1)/row instead of Spark's O(width)/row
+    sliding recompute).  Forced multi-partition so the donor + prefix
+    interplay is exercised; oracle = pandas rolling on the sorted data."""
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    try:
+        df = vs.open("/root/testdata/sf0.01/events.parquet", spark=spark)
+        window = 96
+        r = getattr(df.rolling(window, column="value",
+                               order_key="event_id", edge=edge), agg)()
+        got = (r.spark.select("event_id", "value").toPandas()
+               .sort_values("event_id").reset_index(drop=True))
+        base = (df.spark.select("event_id", "value").toPandas()
+                .sort_values("event_id").reset_index(drop=True))
+        vals = base["value"].to_numpy(dtype=float)
+        before = {"right": window - 1, "left": 0, "both": window // 2}[edge]
+        sw = np.lib.stride_tricks.sliding_window_view(vals, window)
+        aggfn = {"sum": lambda a: a.sum(axis=1),
+                 "mean": lambda a: a.mean(axis=1),
+                 "count": lambda a: np.full(a.shape[0], float(window)),
+                 "var": lambda a: a.var(axis=1),
+                 "std": lambda a: a.std(axis=1)}[agg]
+        exp = np.full(len(vals), np.nan)
+        exp[before:before + sw.shape[0]] = aggfn(sw)
+        gv = got["value"].to_numpy(dtype=float)
+        assert len(gv) == len(exp)
+        both_nan = np.isnan(gv) & np.isnan(exp)
+        close = np.isclose(gv, exp, rtol=1e-9, atol=1e-9)
+        assert (both_nan | close).all(), (
+            np.argwhere(~(both_nan | close))[:5], gv[:5], exp[:5])
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+        vs = __import__("vaex_spark")
+        vs.cache.release_operator_caches()
+
+
+def test_wide_rolling_plans_growing_frames(events):
+    """The >=64 rewrite must plan ROWS BETWEEN UnboundedPreceding frames
+    (incremental), not a bounded sliding frame (O(width)/row)."""
+    out = events.rolling(128, column="value", order_key="event_id").mean().spark
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "unboundedpreceding" in plan.lower(), plan
+    # and the narrow window keeps the exact sliding frame
+    out5 = events.rolling(5, column="value", order_key="event_id").mean().spark
+    plan5 = out5._jdf.queryExecution().executedPlan().toString()
+    assert "unboundedpreceding" not in plan5.lower(), plan5

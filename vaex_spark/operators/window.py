@@ -373,14 +373,33 @@ def diff(df, periods=1, column=None, order_key=None, partition_by=None):
     return _apply_windowed(df, order_key, partition_by, before, after, column, make)
 
 
+_PREFIX_FRAME_MIN_WINDOW = 64
+
+
 class Rolling:
     """vaex rolling (dataframe.py:5656): fixed-size row window ending at
     the current row (edge='right'), aggregate via .sum()/.mean()/...
 
-    Spark frame windows (`rowsBetween`) compute these with running
-    aggregation — O(n) per partition, no per-row recompute for sum/avg.
     ``trim=False`` (vaex default) nulls incomplete windows; ``trim=True``
     drops those rows (reference dataframe.py:5656 trims the frame).
+
+    Wide frames: Spark's SlidingWindowFunctionFrame has no aggregate
+    retraction — every time the frame's lower bound advances it
+    re-aggregates the whole buffered frame, O(width) per row, O(n*width)
+    per partition (6.4M rows x width 100k = 6.4e11 updates: hours).  For
+    sum/mean/count/var/std with ``window >= 64`` we therefore rewrite the
+    sliding frame as a difference of two GROWING frames —
+    ``[unboundedPreceding, after] - [unboundedPreceding, -(before+1)]``
+    — which Spark's UnboundedPrecedingWindowFunctionFrame computes
+    incrementally, O(1) per row.  This is exact for every non-borrowed
+    row: interior range partitions carry exactly ``before`` donor rows,
+    so the truncated-at-partition-start prefix equals the true frame
+    prefix.  Small windows keep the direct sliding frame so results stay
+    bitwise identical to Spark's native evaluation (the cumsum-difference
+    form can differ in the last float ulps, which matters only to
+    digest-style comparisons, not to numerics: |err| <= n_part * eps *
+    max|cumsum|, ~1e-9 absolute at 6.4M doubles).  min/max/collect_list
+    have no inverse and keep the sliding frame at any width.
     """
 
     def __init__(self, df, window, trim=False, column=None, edge="right",
@@ -401,14 +420,38 @@ class Rolling:
         left = self.window // 2
         return left, self.window - 1 - left
 
-    def _apply(self, fn):
+    def _apply(self, fn, kind=None):
         before, after = self._bounds()
         need_n = "__winn"
+        use_prefix = (kind in ("sum", "mean", "count", "var", "std")
+                      and self.window >= _PREFIX_FRAME_MIN_WINDOW)
 
         def make(c, w):
-            frame = w.rowsBetween(-before, after)
-            val = fn(F.col(c)).over(frame)
-            n = F.count(F.col(c)).over(frame)
+            if use_prefix:
+                grow = w.rowsBetween(Window.unboundedPreceding, after)
+                prev = w.rowsBetween(Window.unboundedPreceding, -(before + 1))
+
+                def fsum(e):
+                    return (F.sum(e).over(grow)
+                            - F.coalesce(F.sum(e).over(prev), F.lit(0)))
+
+                n = (F.count(F.col(c)).over(grow)
+                     - F.count(F.col(c)).over(prev))
+                if kind == "count":
+                    val = n
+                elif kind == "sum":
+                    val = fsum(F.col(c))
+                elif kind == "mean":
+                    val = fsum(F.col(c)) / n
+                else:  # var / std from moment sums (population, ddof=0)
+                    x = F.col(c).cast("double")
+                    m1, m2 = fsum(x), fsum(x * x)
+                    v = (m2 - m1 * m1 / n) / n
+                    val = F.sqrt(v) if kind == "std" else v
+            else:
+                frame = w.rowsBetween(-before, after)
+                val = fn(F.col(c)).over(frame)
+                n = F.count(F.col(c)).over(frame)
             # null (or later drop) incomplete windows; stash the count
             return F.struct(F.when(n >= self.window, val).alias("v"),
                             n.alias(need_n))
@@ -433,10 +476,10 @@ class Rolling:
         return o
 
     def sum(self):
-        return self._apply(F.sum)
+        return self._apply(F.sum, kind="sum")
 
     def mean(self):
-        return self._apply(F.avg)
+        return self._apply(F.avg, kind="mean")
 
     def min(self):
         return self._apply(F.min)
@@ -445,13 +488,13 @@ class Rolling:
         return self._apply(F.max)
 
     def std(self):
-        return self._apply(F.stddev_pop)
+        return self._apply(F.stddev_pop, kind="std")
 
     def var(self):
-        return self._apply(F.var_pop)
+        return self._apply(F.var_pop, kind="var")
 
     def count(self):
-        return self._apply(F.count)
+        return self._apply(F.count, kind="count")
 
     def array(self):
         """vaex rolling returns an array column you then reduce; we
