@@ -2302,6 +2302,102 @@ ORDER BY segment, o_year
 """
 
 
+def _q77_bloom_incremental_dedup(spark, sf_dir):
+    """Incremental dedup with a Bloom-filter corpus summary
+    (datapipe/dedup.py: build_fingerprint_bloom +
+    exact_dedup_incremental(bloom=)): doc_id %% 3 != 0 is the ingested
+    corpus, %% 3 == 0 the new batch.  The bitmap rejects
+    definitely-fresh rows map-side; only the maybe-dup remainder is
+    checked exactly via broadcast joins, so the corpus is scanned once
+    and never shuffled.  No false negatives -> results are identical to
+    the plain anti-join (the oracle)."""
+    from vaex_spark.datapipe.dedup import (build_fingerprint_bloom,
+                                           exact_dedup_incremental)
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs[docs.doc_id % 3 != 0]
+    batch = docs[docs.doc_id % 3 == 0]
+    bloom = build_fingerprint_bloom(seen, fpp=0.01)
+    out = exact_dedup_incremental(batch, seen, bloom=bloom)
+    return (out.spark.select(F.col("doc_id").cast("long").alias("doc_id"),
+                             F.col("lang"), F.col("source")))
+
+
+_Q77_SQL = """
+WITH fp AS (
+  SELECT doc_id, lang, source,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents),
+seen AS (SELECT DISTINCT norm FROM fp WHERE doc_id % 3 != 0),
+batch AS (SELECT * FROM fp WHERE doc_id % 3 = 0),
+fresh AS (
+  SELECT * FROM batch WHERE norm NOT IN (SELECT norm FROM seen)),
+kept AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+  FROM fresh)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
+FROM kept WHERE rn = 1
+"""
+
+
+def _q78_domain_caps(spark, sf_dir):
+    """RefinedWeb-style per-domain caps (datapipe/mixing.py:
+    cap_per_group): keep at most 8 documents per source, preferring the
+    LONGEST (n_chars desc, ties by lowest id).  Plans WindowGroupLimit:
+    every map task pre-truncates its groups to 8 rows before the
+    exchange, so a hot domain never ships its full row count
+    (plan-audited in tests)."""
+    from vaex_spark.datapipe.mixing import cap_per_group
+    docs = _t(spark, sf_dir, "documents")
+    out = cap_per_group(docs, cap=8, group_col="source",
+                        order_key=[F.col("n_chars").desc()])
+    return (out.spark.select(F.col("doc_id").cast("long").alias("doc_id"),
+                             "source",
+                             F.col("n_chars").cast("long").alias("n_chars")))
+
+
+_Q78_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rn <= 8
+"""
+
+
+def _q79_dedup_keep_best(spark, sf_dir):
+    """Quality-aware exact dedup (datapipe/dedup.py:
+    exact_dedup(quality_col=)): each duplicate-text group keeps its
+    highest-quality copy (here: longest raw text, i.e. n_chars — copies
+    of the same normalized text can differ in whitespace), ties by
+    lowest id — the curation pattern of keeping the best copy instead
+    of the accidental first one.  Window strategy: the exchange carries
+    (hash, id, quality) only; bodies never move."""
+    from vaex_spark.datapipe.dedup import exact_dedup
+    docs = _t(spark, sf_dir, "documents")
+    out = exact_dedup(docs, quality_col="n_chars", strategy="window")
+    return (out.spark.select(F.col("doc_id").cast("long").alias("doc_id"),
+                             "lang", "source",
+                             F.col("n_chars").cast("long").alias("n_chars")))
+
+
+_Q79_SQL = """
+WITH fp AS (
+  SELECT doc_id, lang, source, n_chars,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents),
+kept AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY norm
+                               ORDER BY n_chars DESC, doc_id) AS rn
+  FROM fp)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM kept WHERE rn = 1
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2383,6 +2479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_quarter_top_supplier": _q74_quarter_top_supplier,
         "q75_source_drift": _q75_source_drift,
         "q76_rollup_revenue": _q76_rollup_revenue,
+        "q77_bloom_incremental_dedup": _q77_bloom_incremental_dedup,
+        "q78_domain_caps": _q78_domain_caps,
+        "q79_dedup_keep_best": _q79_dedup_keep_best,
     }
 
 
@@ -2463,4 +2562,7 @@ def oracle_sql() -> dict[str, str]:
         "q74_quarter_top_supplier": _Q74_SQL,
         "q75_source_drift": _Q75_SQL,
         "q76_rollup_revenue": _Q76_SQL,
+        "q77_bloom_incremental_dedup": _Q77_SQL,
+        "q78_domain_caps": _Q78_SQL,
+        "q79_dedup_keep_best": _Q79_SQL,
     }

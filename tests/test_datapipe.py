@@ -826,3 +826,126 @@ def test_distribution_drift_js_tvd(spark):
     assert abs(out["b"].tvd - 0.25) < 1e-6
     assert out["a"].n_docs == 20 and out["b"].n_docs == 20
     assert out["b"].js_divergence > out["a"].js_divergence
+
+
+def test_bloom_filter_membership_and_roundtrip():
+    import numpy as np
+    from vaex_spark.datapipe.dedup import BloomFilter
+    rng = np.random.RandomState(3)
+    keys = rng.randint(-2**62, 2**62, size=20_000, dtype=np.int64)
+    bf = BloomFilter.for_capacity(20_000, fpp=0.01)
+    bf.add_np(keys)
+    # no false negatives, ever
+    assert bf.might_contain_np(keys).all()
+    # false-positive rate near the design point (loose 3x bound)
+    probe = rng.randint(-2**62, 2**62, size=50_000, dtype=np.int64)
+    fresh = probe[~np.isin(probe, keys)]
+    fpr = bf.might_contain_np(fresh).mean()
+    assert fpr < 0.03, fpr
+    # serialization round-trip is bit-exact
+    bf2 = BloomFilter.from_bytes(bf.to_bytes())
+    assert (bf2.words == bf.words).all() and (bf2.m, bf2.k) == (bf.m, bf.k)
+    # sharded build merges to the same filter
+    h1 = BloomFilter(bf.m, bf.k); h1.add_np(keys[:9_000])
+    h2 = BloomFilter(bf.m, bf.k); h2.add_np(keys[9_000:])
+    assert (h1.merge(h2).words == bf.words).all()
+
+
+def test_bloom_incremental_dedup_matches_exact(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import (build_fingerprint_bloom,
+                                           corpus_fingerprints,
+                                           exact_dedup_incremental)
+    docs = vs.open("/root/testdata/sf0.01/documents.parquet", spark=spark)
+    seen = vs.DataFrame(docs.spark.filter("doc_id % 3 != 0"))
+    batch = vs.DataFrame(docs.spark.filter("doc_id % 3 = 0"))
+    plain = sorted(r["doc_id"] for r in
+                   exact_dedup_incremental(batch, seen).spark.collect())
+    bf = build_fingerprint_bloom(seen)
+    boosted = sorted(r["doc_id"] for r in
+                     exact_dedup_incremental(batch, seen, bloom=bf)
+                     .spark.collect())
+    assert boosted == plain and len(plain) > 0
+    # and from the persisted fingerprint table (fp_col path)
+    fps = corpus_fingerprints(seen)
+    bf2 = build_fingerprint_bloom(fps, fp_col="__fp")
+    boosted2 = sorted(r["doc_id"] for r in
+                      exact_dedup_incremental(batch, fps, bloom=bf2)
+                      .spark.collect())
+    assert boosted2 == plain
+
+
+def test_bloom_incremental_corpus_never_exchanges(spark):
+    """The 100 TB contract: with a bloom prefilter the corpus
+    fingerprint relation is only scanned map-side under broadcast
+    joins — no Exchange may sit between the corpus scan and its join."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import (build_fingerprint_bloom,
+                                           exact_dedup_incremental)
+    docs = vs.open("/root/testdata/sf0.01/documents.parquet", spark=spark)
+    seen = vs.DataFrame(docs.spark.filter("doc_id % 3 != 0"))
+    batch = vs.DataFrame(docs.spark.filter("doc_id % 3 = 0"))
+    bf = build_fingerprint_bloom(seen)
+    out = exact_dedup_incremental(batch, seen, bloom=bf).spark
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    # corpus-side join must be broadcast (semi + the anti re-check)
+    assert len(re.findall(r"BroadcastHashJoin .*LeftSemi", plan)) >= 1, plan
+    assert len(re.findall(r"BroadcastHashJoin .*LeftAnti", plan)) >= 1, plan
+    # no sort-merge join anywhere in the incremental-check path
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cap_per_group_deterministic_and_exact(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe.mixing import cap_per_group
+    docs = vs.open("/root/testdata/sf0.01/documents.parquet", spark=spark)
+    out = cap_per_group(docs, cap=7, group_col="source")
+    pdf = out.spark.groupBy("source").count().toPandas()
+    assert (pdf["count"] <= 7).all()
+    # groups smaller than the cap pass through whole
+    base = docs.spark.groupBy("source").count().toPandas().set_index("source")["count"]
+    got = pdf.set_index("source")["count"]
+    for src, n in base.items():
+        assert got.get(src, 0) == min(n, 7), (src, n, got.get(src))
+    # deterministic across runs (hash ranking, fixed seed)
+    ids1 = sorted(r["doc_id"] for r in out.spark.select("doc_id").collect())
+    out2 = cap_per_group(docs, cap=7, group_col="source")
+    ids2 = sorted(r["doc_id"] for r in out2.spark.select("doc_id").collect())
+    assert ids1 == ids2
+    # explicit order_key keeps the first-by-key rows
+    out3 = cap_per_group(docs, cap=2, group_col="source", order_key="doc_id")
+    pdf3 = out3.spark.select("source", "doc_id").toPandas()
+    exp = (docs.spark.select("source", "doc_id").toPandas()
+           .sort_values(["source", "doc_id"]).groupby("source").head(2))
+    assert (set(map(tuple, pdf3.to_numpy().tolist()))
+            == set(map(tuple, exp.to_numpy().tolist())))
+
+
+def test_cap_per_group_plans_window_group_limit(spark):
+    """The skew contract: row_number<=cap must plan WindowGroupLimit
+    (map-side per-group truncation before the exchange), so a hot
+    domain never ships more than cap rows per input split."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.mixing import cap_per_group
+    docs = vs.open("/root/testdata/sf0.01/documents.parquet", spark=spark)
+    plan = (cap_per_group(docs, cap=5).spark
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_exact_dedup_quality_survivor(spark):
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import exact_dedup
+    df = vs.from_arrays(
+        doc_id=[1, 2, 3, 4, 5, 6],
+        text=["aa", "AA", "aa", "bb", "bb", "cc"],
+        q=[0.1, 0.9, 0.9, 0.5, 0.5, 0.2],
+        spark=spark)
+    for strat in ("window", "agg", "minby"):
+        out = sorted(r["doc_id"] for r in
+                     exact_dedup(df, quality_col="q", strategy=strat)
+                     .spark.collect())
+        # 'aa' group: ids 2 and 3 tie at q=0.9 -> min id 2
+        # 'bb' group: tie at 0.5 -> min id 4; 'cc' alone
+        assert out == [2, 4, 6], (strat, out)

@@ -73,7 +73,7 @@ def _spread(sdf):
 # --------------------------------------------------------------------------
 def exact_dedup(df, text_col: str = "text", id_col: str = "doc_id",
                 normalize: bool = True, keep: str = "min",
-                strategy: str = "auto"):
+                strategy: str = "auto", quality_col=None):
     """Keep one row per distinct (normalized) text.
 
     * ``'window'`` — bodies never move: ONE exchange of (hash, id)
@@ -90,9 +90,18 @@ def exact_dedup(df, text_col: str = "text", id_col: str = "doc_id",
     * ``'auto'`` (default) — catalog size stats pick: inputs under one
       advisory partition per core go ``'minby'`` (fewer serial stages),
       larger inputs keep the bodies-never-move ``'window'`` plan.
+
+    ``quality_col`` (name or Column) switches survivor selection from
+    id order to QUALITY order: each duplicate group keeps its
+    highest-``quality_col`` row, ties broken by lowest id (the curation
+    pattern — keep the best-scoring copy, not the accidental first
+    one).  Requires a numeric ``id_col``.  Same plan shapes: the id
+    exchange just carries one extra numeric column.
     """
     sdf = _sdf(df)
     fp = fingerprint(F.col(text_col), normalize=normalize).alias("__fp")
+    qk = (F.col(quality_col) if isinstance(quality_col, str)
+          else quality_col)
     if strategy == "auto":
         spark = sdf.sparkSession
         target = spark.sparkContext.defaultParallelism
@@ -104,25 +113,43 @@ def exact_dedup(df, text_col: str = "text", id_col: str = "doc_id",
         strategy = ("minby" if size is not None and size < target * (64 << 20)
                     else "window")
     if strategy == "minby":
-        pick = F.min_by if keep == "min" else F.max_by
         row = F.struct(*[F.col(c) for c in sdf.columns])
-        out = (sdf.select(fp, row.alias("__row"))
-               .groupBy("__fp").agg(pick("__row", F.col(f"__row.{id_col}")).alias("__row"))
-               .select("__row.*"))
+        if qk is not None:
+            # lexicographic max of (quality, -id): best quality, tie -> min id
+            sel = sdf.select(fp, row.alias("__row"), qk.alias("__q"))
+            key = F.struct(F.col("__q"),
+                           (F.lit(0) - F.col(f"__row.{id_col}")))
+            out = (sel.groupBy("__fp")
+                   .agg(F.max_by("__row", key).alias("__row"))
+                   .select("__row.*"))
+        else:
+            pick = F.min_by if keep == "min" else F.max_by
+            out = (sdf.select(fp, row.alias("__row"))
+                   .groupBy("__fp").agg(pick("__row", F.col(f"__row.{id_col}")).alias("__row"))
+                   .select("__row.*"))
         return _wrap(out)
     # no _spread here: fingerprinting is one hash per row (not the
     # 64-permutation minhash case) and the window/agg exchange below
     # redistributes anyway — a pre-repartition would shuffle the text
     # bodies a second time for nothing
-    pairs = sdf.select(fp, F.col(id_col))
+    pairs = (sdf.select(fp, F.col(id_col)) if qk is None
+             else sdf.select(fp, F.col(id_col), qk.alias("__q")))
     if strategy == "window":
         from pyspark.sql import Window
-        order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
-        w = Window.partitionBy("__fp").orderBy(order)
+        if qk is not None:
+            order = [F.col("__q").desc(), F.col(id_col).asc()]
+        else:
+            order = [F.col(id_col).asc() if keep == "min"
+                     else F.col(id_col).desc()]
+        w = Window.partitionBy("__fp").orderBy(*order)
         keepers = (pairs.withColumn("__rn", F.row_number().over(w))
                    .filter(F.col("__rn") == 1).select(id_col))
     else:
-        keep_agg = F.min(id_col) if keep == "min" else F.max(id_col)
+        if qk is not None:
+            key = F.struct(F.col("__q"), (F.lit(0) - F.col(id_col)))
+            keep_agg = F.max_by(id_col, key)
+        else:
+            keep_agg = F.min(id_col) if keep == "min" else F.max(id_col)
         keepers = (pairs.groupBy("__fp").agg(keep_agg.alias(id_col))
                    .select(id_col))
     out = sdf.join(keepers, on=id_col, how="left_semi")
@@ -526,7 +553,7 @@ def contamination(docs, probes, k: int = 8, text_col: str = "text",
 
 def exact_dedup_incremental(new_df, seen_df, text_col: str = "text",
                             id_col: str = "doc_id", normalize: bool = True,
-                            keep: str = "min"):
+                            keep: str = "min", bloom: "BloomFilter | None" = None):
     """Incremental snapshot dedup: drop rows of ``new_df`` whose
     (normalized) text already exists in ``seen_df`` (the prior corpus),
     then exact-dedup the survivors within the batch.
@@ -538,16 +565,32 @@ def exact_dedup_incremental(new_df, seen_df, text_col: str = "text",
     already-materialized one-column fingerprint table named ``__fp`` —
     the idiomatic pattern is to persist the fingerprint table between
     snapshot runs instead of re-hashing history every time.
-    """
+
+    ``bloom`` (a BloomFilter over the corpus fingerprints, see
+    build_fingerprint_bloom) upgrades the plan from corpus-SHUFFLING to
+    corpus-SCANNING: rows the filter rejects are definitely fresh and
+    never enter a join (map-side Column filter); only the maybe-dup
+    remainder (true dups + ~fpp of the batch) is checked exactly, by
+    semi-joining the corpus against the BROADCAST maybe-fingerprint set
+    and anti-joining the small confirmed-dup set back.  The corpus is
+    read once map-side and never exchanged; results are identical to
+    the bloom-less path (the filter has no false negatives)."""
     nsdf, ssdf = _sdf(new_df), _sdf(seen_df)
     fp = fingerprint(F.col(text_col), normalize=normalize)
     if "__fp" in ssdf.columns:
         seen_fp = ssdf.select("__fp").distinct()
     else:
         seen_fp = ssdf.select(fp.alias("__fp")).distinct()
-    fresh_ids = (nsdf.select(fp.alias("__fp"), F.col(id_col))
-                 .join(seen_fp, on="__fp", how="left_anti")
-                 .select(id_col))
+    keyed = nsdf.select(fp.alias("__fp"), F.col(id_col))
+    if bloom is not None:
+        maybe_flag = bloom_might_contain(bloom, F.col("__fp"), nsdf.sparkSession)
+        maybe_fps = keyed.filter(maybe_flag).select("__fp").distinct()
+        dup_fps = seen_fp.join(F.broadcast(maybe_fps), on="__fp", how="left_semi")
+        fresh_ids = (keyed.join(F.broadcast(dup_fps), on="__fp", how="left_anti")
+                     .select(id_col))
+    else:
+        fresh_ids = (keyed.join(seen_fp, on="__fp", how="left_anti")
+                     .select(id_col))
     fresh = nsdf.join(fresh_ids, on=id_col, how="left_semi")
     return exact_dedup(_wrap(fresh), text_col=text_col, id_col=id_col,
                        normalize=normalize, keep=keep)
@@ -558,6 +601,137 @@ def corpus_fingerprints(df, text_col: str = "text", normalize: bool = True):
     sdf = _sdf(df)
     return _wrap(sdf.select(
         fingerprint(F.col(text_col), normalize=normalize).alias("__fp")).distinct())
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership summary (corpus-shuffle-free incremental dedup)
+# --------------------------------------------------------------------------
+class BloomFilter:
+    """Broadcastable Bloom filter over 64-bit fingerprints.
+
+    Standard m-bit / k-hash filter with Kirsch–Mitzenmacher double
+    hashing (g_i = h1 + i*h2 mod m over the fingerprint's two 32-bit
+    halves) — no false negatives, ~``fpp`` false positives at the stated
+    capacity.  All probe arithmetic is vectorized numpy over Arrow
+    batches; the bitmap serializes to ``m/8`` bytes (``to_bytes``/
+    ``from_bytes``) so snapshot pipelines can persist it next to the
+    fingerprint table and skip rebuilds.  Practical single-filter bound
+    is ~1e8 keys (~120 MB at 1% fpp — broadcast-sized); shard by
+    fingerprint prefix beyond that.
+    """
+
+    def __init__(self, m_bits: int, k: int, words=None):
+        import numpy as np
+        assert m_bits % 64 == 0 and m_bits > 0
+        self.m = m_bits
+        self.k = max(1, int(k))
+        self.words = (np.zeros(m_bits // 64, dtype=np.uint64)
+                      if words is None else words)
+
+    @classmethod
+    def for_capacity(cls, capacity: int, fpp: float = 0.01) -> "BloomFilter":
+        import math
+        n = max(1, int(capacity))
+        m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+        m = ((m + 63) // 64) * 64
+        k = max(1, round(m / n * math.log(2)))
+        return cls(m, k)
+
+    def _positions(self, fps):
+        import numpy as np
+        u = fps.astype(np.int64).view(np.uint64)
+        h1 = (u & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+        h2 = (u >> np.uint64(32)).astype(np.uint64) | np.uint64(1)
+        m = np.uint64(self.m)
+        return [((h1 + np.uint64(i) * h2) % m) for i in range(self.k)]
+
+    def add_np(self, fps) -> None:
+        import numpy as np
+        for pos in self._positions(fps):
+            np.bitwise_or.at(self.words, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+
+    def might_contain_np(self, fps):
+        import numpy as np
+        out = np.ones(len(fps), dtype=bool)
+        for pos in self._positions(fps):
+            bit = (self.words[(pos >> np.uint64(6)).astype(np.int64)]
+                   >> (pos & np.uint64(63))) & np.uint64(1)
+            out &= bit.astype(bool)
+        return out
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m == other.m and self.k == other.k
+        self.words |= other.words
+        return self
+
+    def to_bytes(self) -> bytes:
+        import struct
+        return struct.pack("<qq", self.m, self.k) + self.words.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "BloomFilter":
+        import struct
+
+        import numpy as np
+        m, k = struct.unpack("<qq", raw[:16])
+        return cls(m, k, np.frombuffer(raw[16:], dtype=np.uint64).copy())
+
+
+def build_fingerprint_bloom(df, text_col: str = "text", fp_col: str | None = None,
+                            capacity: int | None = None, fpp: float = 0.01,
+                            normalize: bool = True) -> BloomFilter:
+    """One-scan distributed Bloom build over corpus fingerprints.
+
+    Each partition packs its fingerprints into an m-bit bitmap inside
+    ``mapInPandas`` (numpy, Arrow-batched); only the per-partition
+    bitmaps (m/8 bytes each) return to the driver, where they OR
+    together — the classic treeAggregate shape, no data shuffle at all.
+    ``fp_col`` reads an existing fingerprint column (e.g. the persisted
+    ``__fp`` table from corpus_fingerprints); otherwise fingerprints are
+    computed from ``text_col`` JVM-side.  ``capacity=None`` counts the
+    corpus first (one metadata-cheap agg job)."""
+    import pandas as pd
+    sdf = _sdf(df)
+    if fp_col is None:
+        fps = sdf.select(fingerprint(F.col(text_col),
+                                     normalize=normalize).alias("__fp"))
+    else:
+        fps = sdf.select(F.col(fp_col).alias("__fp"))
+    if capacity is None:
+        capacity = fps.count()
+    proto = BloomFilter.for_capacity(capacity, fpp)
+    m, k = proto.m, proto.k
+
+    def pack(batches):
+        part = BloomFilter(m, k)
+        for pdf in batches:
+            part.add_np(pdf["__fp"].to_numpy())
+        yield pd.DataFrame({"bits": [part.to_bytes()]})
+
+    out = BloomFilter(m, k)
+    for row in fps.mapInPandas(pack, schema="bits binary").collect():
+        out.merge(BloomFilter.from_bytes(row["bits"]))
+    return out
+
+
+def bloom_might_contain(bloom: BloomFilter, col: Column, spark) -> Column:
+    """Vectorized membership Column: True = possibly seen, False =
+    definitely fresh.  The bitmap ships once per executor as a Spark
+    broadcast, not per-task in the plan."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    bc = spark.sparkContext.broadcast(bloom.to_bytes())
+
+    def _member(fps):
+        bf = BloomFilter.from_bytes(bc.value)
+        return pd.Series(bf.might_contain_np(fps.to_numpy()))
+
+    # real annotation objects: the module's `from __future__ import
+    # annotations` would stringify inline hints, which the pandas_udf
+    # eval-type inference cannot resolve
+    _member.__annotations__ = {"fps": pd.Series, "return": pd.Series}
+    return pandas_udf(_member, "boolean")(col)
 
 
 def near_dup_against_corpus(batch, corpus, text_col: str = "text",

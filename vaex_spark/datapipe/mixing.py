@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-__all__ = ["mix_budget"]
+__all__ = ["mix_budget", "cap_per_group"]
 
 
 def mix_budget(df, budgets: dict, group_col: str = "source",
@@ -72,4 +72,40 @@ def mix_budget(df, budgets: dict, group_col: str = "source",
                .drop("__total", "__budget"))
     else:
         raise ValueError(f"strategy={strategy!r} (exact|hash)")
+    return DataFrame(out) if wrapped else out
+
+
+def cap_per_group(df, cap: int, group_col: str = "source",
+                  order_key=None, id_col: str = "doc_id", seed: int = 42):
+    """Keep at most ``cap`` documents per group (RefinedWeb-style
+    per-domain caps): rank within each group and keep the first ``cap``.
+
+    ``order_key=None`` ranks by ``xxhash64(id, seed)`` — a deterministic
+    uniform sample of each domain, reproducible across runs and
+    retries.  Pass a column (e.g. a quality score, descending not
+    supported here — negate it) to keep the best-scoring documents
+    instead.
+
+    Scale: the plan is ``row_number() <= cap`` over
+    ``partitionBy(group)``, which Spark rewrites with WindowGroupLimit —
+    each MAP task pre-truncates its groups to the top-``cap`` rows
+    before the shuffle, so a hot domain ships at most
+    ``cap x input_splits`` rows instead of its full row count, and the
+    reduce side truncates again.  No salting needed; the skew never
+    reaches the exchange.  (Plan-audited in
+    tests/test_datapipe.py::test_cap_per_group_plans_window_group_limit.)
+    """
+    from ..dataframe import DataFrame
+    wrapped = isinstance(df, DataFrame)
+    sdf = df._spark_df() if wrapped else df
+    from pyspark.sql import Window
+    if order_key is None:
+        order_cols = [F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)]
+    else:
+        keys = order_key if isinstance(order_key, (list, tuple)) else [order_key]
+        order_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+        order_cols.append(F.col(id_col))
+    w = Window.partitionBy(F.col(group_col)).orderBy(*order_cols)
+    out = (sdf.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") <= int(cap)).drop("__rn"))
     return DataFrame(out) if wrapped else out
