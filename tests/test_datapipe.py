@@ -949,3 +949,65 @@ def test_exact_dedup_quality_survivor(spark):
         # 'aa' group: ids 2 and 3 tie at q=0.9 -> min id 2
         # 'bb' group: tie at 0.5 -> min id 4; 'cc' alone
         assert out == [2, 4, 6], (strat, out)
+
+
+def test_corpus_lsh_index_persisted_equals_derived(spark, tmp_path):
+    """near_dup_against_corpus(corpus_index=persisted parquet) must give
+    the same survivors as the derive-in-plan path — the snapshot
+    pattern that skips re-hashing the corpus per batch."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import (corpus_lsh_index,
+                                           near_dup_against_corpus)
+    docs = vs.open("/root/testdata/sf0.1/documents.parquet", spark=spark)
+    corpus = vs.DataFrame(docs.spark.filter("doc_id % 2 = 0"))
+    batch = vs.DataFrame(docs.spark.filter("doc_id % 2 = 1"))
+    derived = sorted(r["doc_id"] for r in
+                     near_dup_against_corpus(batch, corpus, threshold=0.5)
+                     .spark.select("doc_id").collect())
+    idx_path = str(tmp_path / "lsh_index.parquet")
+    corpus_lsh_index(corpus).spark.write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    via_index = sorted(r["doc_id"] for r in
+                       near_dup_against_corpus(batch, corpus, threshold=0.5,
+                                               corpus_index=idx)
+                       .spark.select("doc_id").collect())
+    assert via_index == derived and len(derived) > 0
+    vs.cache.release_operator_caches()
+
+
+def test_hll_sketch_estimate_and_incremental_merge(spark, tmp_path):
+    import vaex_spark as vs
+    from vaex_spark.datapipe.sketches import (distinct_sketch,
+                                              estimate_distinct,
+                                              merge_sketch_tables)
+    docs = vs.open("/root/testdata/sf0.1/documents.parquet", spark=spark)
+    # grouped estimates within HLL error of exact
+    sk = distinct_sketch(docs, "text", group_col="source")
+    est = {r["source"]: r["n_distinct"] for r in
+           estimate_distinct(sk, group_col="source").spark.collect()}
+    exact = {r["source"]: r["n"] for r in
+             docs.spark.groupBy("source")
+             .agg(__import__("pyspark.sql.functions", fromlist=["F"])
+                  .count_distinct("text").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for s, n in exact.items():
+        assert abs(est[s] - n) <= max(2, 0.05 * n), (s, est[s], n)
+    # incremental: sketch halves, persist, merge == sketch of the whole
+    h1 = distinct_sketch(vs.DataFrame(docs.spark.filter("doc_id % 2 = 0")),
+                         "text", group_col="source")
+    h2 = distinct_sketch(vs.DataFrame(docs.spark.filter("doc_id % 2 = 1")),
+                         "text", group_col="source")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    h1.spark.write.parquet(p1)
+    h2.spark.write.parquet(p2)
+    merged = merge_sketch_tables(spark.read.parquet(p1),
+                                 spark.read.parquet(p2), group_col="source")
+    est2 = {r["source"]: r["n_distinct"] for r in
+            estimate_distinct(merged, group_col="source").spark.collect()}
+    full = {r["source"]: r["n_distinct"] for r in
+            estimate_distinct(sk, group_col="source").spark.collect()}
+    assert est2 == full  # same sketch params -> merge is lossless
+    # ungrouped global form
+    g = estimate_distinct(distinct_sketch(docs, "text")).spark.collect()[0]["n_distinct"]
+    n_all = docs.spark.select("text").distinct().count()
+    assert abs(g - n_all) <= max(2, 0.05 * n_all)

@@ -3,4 +3,4 @@ dedup (exact/MinHash-LSH/SimHash/Jaccard), similarity search (brute /
 LSH / IVF), text analysis (lang-id, quality, tokens, fingerprints),
 multimodal binary-column plumbing."""
 
-from . import dedup, mixing, multimodal, similarity, text  # noqa: F401
+from . import dedup, mixing, multimodal, repetition, similarity, sketches, text  # noqa: F401

@@ -734,10 +734,30 @@ def bloom_might_contain(bloom: BloomFilter, col: Column, spark) -> Column:
     return pandas_udf(_member, "boolean")(col)
 
 
+def corpus_lsh_index(corpus, text_col: str = "text", id_col: str = "doc_id",
+                     shingle_k: int = 5, num_perm: int = 64,
+                     num_bands: int = 32):
+    """The persistable MinHash-LSH index of a corpus: (id, band, bucket),
+    one row per band.  Write it to parquet once per snapshot and feed it
+    to near_dup_against_corpus(corpus_index=...) — each incoming batch
+    then skips the 64-permutation re-hash of the ENTIRE corpus (the
+    dominant cost at 100 TB; the index is ~num_bands x 16 B a document).
+    Must be built with the same (shingle_k, num_perm, num_bands) the
+    batch side uses — the seed family is deterministic, so equal params
+    mean equal buckets."""
+    csdf = _sdf(corpus).select(F.col(id_col), F.col(text_col))
+    rows_per_band = num_perm // num_bands
+    sig = minhash_signature(F.col(text_col), num_perm=num_perm,
+                            shingle_k=shingle_k)
+    bands = minhash_bands_col(sig, num_bands, rows_per_band)
+    return _wrap(csdf.select(F.col(id_col),
+                             F.posexplode(bands).alias("band", "bucket")))
+
+
 def near_dup_against_corpus(batch, corpus, text_col: str = "text",
                             id_col: str = "doc_id", shingle_k: int = 5,
                             num_perm: int = 64, num_bands: int = 32,
-                            threshold: float = 0.5):
+                            threshold: float = 0.5, corpus_index=None):
     """Fuzzy incremental dedup: drop ``batch`` documents whose exact
     shingle-Jaccard against ANY ``corpus`` document reaches
     ``threshold``; returns the surviving batch rows.
@@ -748,9 +768,10 @@ def near_dup_against_corpus(batch, corpus, text_col: str = "text",
     candidate ids shuffle; texts are fetched per side by semi-join for
     the exact-Jaccard verification.  The default banding (r=2, b=32)
     puts per-pair recall at ~0.9999 for s >= 0.5, matching the
-    engine-independent oracle.  In production the corpus band table is
-    the artifact you persist between snapshot runs (it is the LSH
-    index); here it is derived in-plan.
+    engine-independent oracle.  ``corpus_index`` accepts the persisted
+    corpus_lsh_index table (built with the SAME parameters); without it
+    the band table is derived in-plan, i.e. the whole corpus is
+    re-hashed on every batch.
     """
     bsdf = _spread(_sdf(batch).select(F.col(id_col), F.col(text_col)))
     csdf = _spread(_sdf(corpus).select(F.col(id_col), F.col(text_col)))
@@ -762,7 +783,8 @@ def near_dup_against_corpus(batch, corpus, text_col: str = "text",
         return sdf.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket"))
 
     bb = _register_persist(band_table(bsdf))
-    cb = band_table(csdf)
+    cb = (_sdf(corpus_index).select(F.col(id_col), "band", "bucket")
+          if corpus_index is not None else band_table(csdf))
     cand = _register_persist(
         bb.alias("b").join(cb.alias("c"),
                            on=[F.col("b.band") == F.col("c.band"),
