@@ -2398,6 +2398,34 @@ FROM kept WHERE rn = 1
 """
 
 
+def _q80_stratified_sample(spark, sf_dir):
+    """Exact stratified sampling (datapipe/mixing.py:
+    stratified_sample): keep exactly ceil(20%) of every source, rows
+    chosen by md5(doc_id||seed) rank — engine-portable deterministic
+    pseudorandomness, so DuckDB reproduces the SAME selection (the
+    oracle matches row-for-row, not just counts)."""
+    from vaex_spark.datapipe.mixing import stratified_sample
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, 0.2, group_col="source", seed=42)
+    return (out.spark.select(F.col("doc_id").cast("long").alias("doc_id"),
+                             "source",
+                             F.col("n_chars").cast("long").alias("n_chars")))
+
+
+_Q80_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || '-42'),
+                                     doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS gn
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rn <= CEIL(gn * 0.2)
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2482,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_bloom_incremental_dedup": _q77_bloom_incremental_dedup,
         "q78_domain_caps": _q78_domain_caps,
         "q79_dedup_keep_best": _q79_dedup_keep_best,
+        "q80_stratified_sample": _q80_stratified_sample,
     }
 
 
@@ -2565,4 +2594,5 @@ def oracle_sql() -> dict[str, str]:
         "q77_bloom_incremental_dedup": _Q77_SQL,
         "q78_domain_caps": _Q78_SQL,
         "q79_dedup_keep_best": _Q79_SQL,
+        "q80_stratified_sample": _Q80_SQL,
     }

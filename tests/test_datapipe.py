@@ -1011,3 +1011,34 @@ def test_hll_sketch_estimate_and_incremental_merge(spark, tmp_path):
     g = estimate_distinct(distinct_sketch(docs, "text")).spark.collect()[0]["n_distinct"]
     n_all = docs.spark.select("text").distinct().count()
     assert abs(g - n_all) <= max(2, 0.05 * n_all)
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    import math
+    import vaex_spark as vs
+    from vaex_spark.datapipe.mixing import stratified_sample
+    docs = vs.open("/root/testdata/sf0.1/documents.parquet", spark=spark)
+    out = stratified_sample(docs, 0.2, group_col="source")
+    got = {r["source"]: r["n"] for r in
+           out.spark.groupBy("source").agg(
+               __import__("pyspark.sql.functions", fromlist=["F"])
+               .count(__import__("pyspark.sql.functions", fromlist=["F"]).lit(1))
+               .alias("n")).collect()}
+    base = {r["source"]: r["n"] for r in
+            docs.spark.groupBy("source").agg(
+                __import__("pyspark.sql.functions", fromlist=["F"])
+                .count(__import__("pyspark.sql.functions", fromlist=["F"]).lit(1))
+                .alias("n")).collect()}
+    for s, n in base.items():
+        assert got[s] == math.ceil(0.2 * n), (s, got[s], n)
+    # deterministic: identical selection across runs
+    ids1 = sorted(r["doc_id"] for r in out.spark.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  stratified_sample(docs, 0.2, group_col="source")
+                  .spark.select("doc_id").collect())
+    assert ids1 == ids2
+    # different seed -> different (but equally-sized) selection
+    ids3 = sorted(r["doc_id"] for r in
+                  stratified_sample(docs, 0.2, group_col="source", seed=7)
+                  .spark.select("doc_id").collect())
+    assert len(ids3) == len(ids1) and ids3 != ids1

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-__all__ = ["mix_budget", "cap_per_group"]
+__all__ = ["mix_budget", "cap_per_group", "stratified_sample"]
 
 
 def mix_budget(df, budgets: dict, group_col: str = "source",
@@ -108,4 +108,46 @@ def cap_per_group(df, cap: int, group_col: str = "source",
     w = Window.partitionBy(F.col(group_col)).orderBy(*order_cols)
     out = (sdf.withColumn("__rn", F.row_number().over(w))
            .filter(F.col("__rn") <= int(cap)).drop("__rn"))
+    return DataFrame(out) if wrapped else out
+
+
+def stratified_sample(df, frac: float, group_col: str = "source",
+                      id_col: str = "doc_id", order_key=None,
+                      seed: int = 42):
+    """Exact stratified sampling: keep ``ceil(frac * n_g)`` rows of
+    every group — unlike ``DataFrame.sample``/Spark ``sampleBy``, the
+    per-group counts are EXACT, not binomial draws.
+
+    Rows are ranked inside each group by ``md5(id)`` (deterministic,
+    engine-portable pseudorandomness — the same rows are chosen on any
+    run, cluster, or SQL engine) and the first ``ceil(frac*n)`` are
+    kept.  Pass ``order_key`` to rank by something else (e.g. a quality
+    score for "best 20%% per domain").
+
+    Scale: one map-side-combined count aggregate (group-cardinality
+    rows), broadcast back, then one window rank per group.  The rank
+    window cannot use WindowGroupLimit (the cutoff is per-group
+    dynamic), so a pathologically hot group serializes its rank into
+    one task; for hot-group corpora rank by a precomputed column and
+    cap with cap_per_group instead.
+    """
+    from ..dataframe import DataFrame
+    wrapped = isinstance(df, DataFrame)
+    sdf = df._spark_df() if wrapped else df
+    from pyspark.sql import Window
+    if order_key is None:
+        order_cols = [F.md5(F.concat_ws("-", F.col(id_col).cast("string"),
+                                        F.lit(str(seed)))),
+                      F.col(id_col)]
+    else:
+        keys = order_key if isinstance(order_key, (list, tuple)) else [order_key]
+        order_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+        order_cols.append(F.col(id_col))
+    counts = (sdf.groupBy(group_col)
+              .agg(F.count(F.lit(1)).alias("__gn")))
+    w = Window.partitionBy(F.col(group_col)).orderBy(*order_cols)
+    out = (sdf.join(F.broadcast(counts), on=group_col)
+           .withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") <= F.ceil(F.col("__gn") * F.lit(float(frac))))
+           .drop("__rn", "__gn"))
     return DataFrame(out) if wrapped else out
