@@ -257,9 +257,88 @@ def stream_volume(spark):
           f"({dict(sorted(per_batch2.items()))})")
 
 
+def bloom_dedup(spark):
+    """Bloom-prefiltered incremental dedup vs the plain anti-join at
+    volume: corpus = the 20x-replicated 100k docs, batch = the same
+    texts under fresh ids (worst case: every batch row is a dup, so the
+    bloom rejects nothing and ALL work lands on the exact-check path)
+    plus a disjoint synthetic tail (the bloom's best case).  Results
+    must be identical; the bloom plan must not shuffle the corpus."""
+    from pyspark.sql import functions as F_
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import (build_fingerprint_bloom,
+                                           exact_dedup_incremental)
+    docs = spark.read.parquet(f"{SCALE_DIR}/documents.parquet")
+    n = docs.count()
+    corpus = vs.DataFrame(docs)
+    half_dups = docs.select((F_.col("doc_id") + 10 * n).alias("doc_id"),
+                            "text", "lang", "source", "n_chars")
+    fresh_tail = (spark.range(50_000)
+                  .select((F_.col("id") + 100 * n).alias("doc_id"),
+                          F_.concat(F_.lit("unique document body "),
+                                    F_.col("id").cast("string")).alias("text"),
+                          F_.lit("en").alias("lang"),
+                          F_.lit("synth").alias("source"),
+                          F_.lit(40).alias("n_chars")))
+    batch = vs.DataFrame(half_dups.unionByName(fresh_tail))
+    t0 = time.time()
+    plain = exact_dedup_incremental(batch, corpus).spark
+    plain_ids = set(r["doc_id"] for r in plain.select("doc_id").collect())
+    t_plain = time.time() - t0
+    t0 = time.time()
+    bf = build_fingerprint_bloom(corpus, fpp=0.01)
+    t_build = time.time() - t0
+    t0 = time.time()
+    boosted = exact_dedup_incremental(batch, corpus, bloom=bf).spark
+    boost_ids = set(r["doc_id"] for r in boosted.select("doc_id").collect())
+    t_bloom = time.time() - t0
+    assert boost_ids == plain_ids, (len(boost_ids), len(plain_ids))
+    # every replicated-text batch row dies; the synthetic tail survives
+    assert all(i >= 100 * n for i in plain_ids)
+    assert len(plain_ids) == 50_000, len(plain_ids)
+    print(f"bloom_dedup: batch {batch.spark.count()} vs corpus {n}: "
+          f"plain {t_plain:.1f}s, bloom build {t_build:.1f}s + "
+          f"dedup {t_bloom:.1f}s; kept {len(plain_ids)} (identical)")
+
+
+def hot_domain_caps(spark):
+    """cap_per_group under one hot domain holding 50% of 6.4M rows:
+    WindowGroupLimit must pre-truncate map-side, so the hot group never
+    ships its 3.2M rows to one reducer.  Counts are exact-checked."""
+    from pyspark.sql import functions as F_
+    from vaex_spark.datapipe.mixing import cap_per_group
+    ev = spark.read.parquet(f"{SCALE_DIR}/events.parquet")
+    n = ev.count()
+    domained = ev.select(
+        F_.when(F_.rand(11) < 0.5, F_.lit("hot.example.com"))
+          .otherwise(F_.concat(F_.lit("d"),
+                               F_.pmod(F_.xxhash64("event_id"),
+                                       F_.lit(1000)).cast("string")))
+          .alias("domain"),
+        F_.col("event_id"), F_.col("value")).persist()
+    base = {r["domain"]: r["n"] for r in
+            domained.groupBy("domain")
+            .agg(F_.count(F_.lit(1)).alias("n")).collect()}
+    t0 = time.time()
+    capped = cap_per_group(domained, cap=100, group_col="domain",
+                           id_col="event_id")
+    got = {r["domain"]: r["n"] for r in
+           capped.groupBy("domain")
+           .agg(F_.count(F_.lit(1)).alias("n")).collect()}
+    t_cap = time.time() - t0
+    assert all(got[d] == min(c, 100) for d, c in base.items()), "cap broken"
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    print(f"hot_domain_caps: {n} rows, hot domain {base['hot.example.com']} "
+          f"({100.0*base['hot.example.com']/n:.1f}%), cap=100 -> "
+          f"{sum(got.values())} rows in {t_cap:.1f}s (WindowGroupLimit planned)")
+    domained.unpersist()
+
+
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "ann_recall": ann_recall, "wide_window": wide_window,
-          "stream_volume": stream_volume}
+          "stream_volume": stream_volume, "bloom_dedup": bloom_dedup,
+          "hot_domain_caps": hot_domain_caps}
 
 
 def main():
