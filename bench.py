@@ -43,6 +43,10 @@ HEADLINE = [
     "q35_minhash_near_dups",   # MinHash LSH + Jaccard
     "q66_semantic_dedup",      # centroid blocking + in-cluster cosine
     "q67_duplicated_spans",    # token-window substring dedup stats
+    "q77_bloom_incremental_dedup",  # bloom prefilter + broadcast joins
+    "q78_domain_caps",         # WindowGroupLimit per-domain caps
+    "q79_dedup_keep_best",     # quality-aware dedup survivors
+    "q80_stratified_sample",   # exact per-group sampling
 ]
 
 

@@ -1042,3 +1042,40 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
                   stratified_sample(docs, 0.2, group_col="source", seed=7)
                   .spark.select("doc_id").collect())
     assert len(ids3) == len(ids1) and ids3 != ids1
+
+
+def test_curate_stream_sketch_state_running_cardinality(spark, tmp_path):
+    """curate_stream(sketch_dir=) co-maintains per-batch HLL sketches;
+    stream_cardinality merges them into running per-source distinct
+    counts without rescanning any document batch."""
+    import pandas as pd
+    import vaex_spark as vs  # noqa: F401
+    from vaex_spark import streaming as st
+
+    texts = ["a real document with plenty of words to pass the filters %d" % i
+             for i in range(20)]
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = pd.DataFrame({"doc_id": range(20), "text": texts,
+                       "source": ["s1"] * 12 + ["s2"] * 8})
+    b1.to_parquet(src / "b1.parquet")
+    common = dict(out_dir=str(tmp_path / "out"),
+                  state_dir=str(tmp_path / "state"),
+                  checkpoint=str(tmp_path / "ckpt"),
+                  sketch_dir=str(tmp_path / "sk"),
+                  min_quality=None, repetition_filter=False, dedup=None)
+    st.curate_stream(st.open_stream(str(src), spark=spark), **common)
+    card1 = {r["source"]: r["n_distinct"] for r in
+             st.stream_cardinality(spark, str(tmp_path / "sk")).spark.collect()}
+    assert card1 == {"s1": 12, "s2": 8}
+    # batch 2: 5 dups of batch 1 (dropped, so sketches don't grow) + 6 new
+    b2 = pd.DataFrame({"doc_id": range(100, 111),
+                       "text": texts[:5] + [
+                           "fresh unseen document number %d with enough words" % i
+                           for i in range(6)],
+                       "source": ["s1"] * 5 + ["s2"] * 6})
+    b2.to_parquet(src / "b2.parquet")
+    st.curate_stream(st.open_stream(str(src), spark=spark), **common)
+    card2 = {r["source"]: r["n_distinct"] for r in
+             st.stream_cardinality(spark, str(tmp_path / "sk")).spark.collect()}
+    assert card2 == {"s1": 12, "s2": 14}  # only the 6 fresh docs counted

@@ -101,6 +101,10 @@ HEADLINE_JOB_CEILING = {
     "q35_minhash_near_dups": 19,
     "q66_semantic_dedup": 3,
     "q67_duplicated_spans": 8,
+    "q77_bloom_incremental_dedup": 9,
+    "q78_domain_caps": 2,
+    "q79_dedup_keep_best": 3,
+    "q80_stratified_sample": 4,
 }
 
 

@@ -255,6 +255,8 @@ def run_foreach_batch(stream_sdf: SparkDataFrame, fn, checkpoint: str,
 
 def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
                   text_col: str = "text", id_col: str = "doc_id",
+                  sketch_dir: str | None = None,
+                  sketch_group: str = "source",
                   **curate_kw):
     """Streaming corpus curation with CROSS-batch exact dedup.
 
@@ -308,7 +310,30 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
              .withColumn("__batch_id", F.lit(int(batch_id)))
              .write.mode("overwrite").partitionBy("__batch_id")
              .parquet(state_dir))
+            if sketch_dir is not None:
+                # per-batch HLL sketch of the EMITTED documents: a
+                # few-KB mergeable state row per group, same
+                # idempotent-by-batch-id discipline as the other sinks.
+                # stream_cardinality() reads + unions the whole dir for
+                # running per-group distinct counts without rescanning
+                # any document batch.
+                from ..datapipe.sketches import distinct_sketch
+                (distinct_sketch(fresh, text_col, group_col=sketch_group)
+                 ._spark_df()
+                 .withColumn("__batch_id", F.lit(int(batch_id)))
+                 .write.mode("overwrite").partitionBy("__batch_id")
+                 .parquet(sketch_dir))
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     return run_foreach_batch(stream_df, do_batch, checkpoint=checkpoint)
+
+
+def stream_cardinality(spark, sketch_dir: str, sketch_group: str = "source"):
+    """Running distinct-count per group over every batch curate_stream
+    has emitted: merge the persisted per-batch HLL sketches (KBs of
+    state, no document rescans)."""
+    from ..datapipe.sketches import estimate_distinct, merge_sketch_tables
+    sk = spark.read.parquet(sketch_dir).drop("__batch_id")
+    merged = merge_sketch_tables(sk, group_col=sketch_group)
+    return estimate_distinct(merged, group_col=sketch_group)
