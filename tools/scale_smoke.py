@@ -335,10 +335,45 @@ def hot_domain_caps(spark):
     domained.unpersist()
 
 
+def semantic_skew(spark):
+    """semantic_dedup under cluster skew: 60% of 50k vectors sit in a
+    tight ball (one giant cluster, ~30k members), the rest spread.  The
+    per-cluster pairwise stage is O(c^2) cosines — the giant cluster is
+    ~9e8 dot components, the worst case the column-blocked BLAS path
+    must absorb.  Invariant: every tight-ball vector beyond the first
+    is removed (all mutual cosines ~1)."""
+    import numpy as np
+    import pandas as pd
+    from vaex_spark.datapipe.similarity import semantic_dedup
+    rng = np.random.RandomState(5)
+    dim = 32
+    n_hot, n_cold = 30_000, 20_000
+    center = rng.randn(dim)
+    center /= np.linalg.norm(center)
+    hot = center + 0.001 * rng.randn(n_hot, dim)
+    cold = rng.randn(n_cold, dim)
+    vecs = np.vstack([hot, cold])
+    pdf = pd.DataFrame({"vec_id": np.arange(len(vecs)),
+                        "embedding": list(vecs.astype(float))})
+    emb = spark.createDataFrame(pdf).repartition(32).persist()
+    emb.count()
+    t0 = time.time()
+    removed = semantic_dedup(emb, n_clusters=64, threshold=0.99)
+    n_removed = removed.count()
+    t = time.time() - t0
+    # every hot vector except cluster representatives dies; cold random
+    # vectors in 32-d are nearly orthogonal, so almost none die
+    hot_removed = removed.filter(F.col("vec_id") < n_hot).count()
+    assert hot_removed >= n_hot - 100, hot_removed
+    print(f"semantic_skew: 50k vectors, 60% in one ball -> removed "
+          f"{n_removed} ({hot_removed} hot) in {t:.1f}s")
+    emb.unpersist()
+
+
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "ann_recall": ann_recall, "wide_window": wide_window,
           "stream_volume": stream_volume, "bloom_dedup": bloom_dedup,
-          "hot_domain_caps": hot_domain_caps}
+          "hot_domain_caps": hot_domain_caps, "semantic_skew": semantic_skew}
 
 
 def main():
