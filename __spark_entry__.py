@@ -2426,6 +2426,49 @@ FROM ranked WHERE rn <= CEIL(gn * 0.2)
 """
 
 
+def _q81_text_cleanup(spark, sf_dir):
+    """Encoding/typography cleanup (datapipe/text.py: clean_text):
+    each document is decorated with the crawl artifacts the operator
+    targets (curly quotes, a BEL control char, a zero-width space, an
+    NBSP, an em-dash, an ellipsis) and then cleaned; the md5 of the
+    cleaned text must match DuckDB running the same normalization
+    chain.  Scan-speed Column regexp/translate -- no UDF."""
+    from vaex_spark.datapipe.text import clean_text
+    docs = _t(spark, sf_dir, "documents").spark
+    # explicit escapes: invisible characters never appear raw in source
+    dirty = F.concat(F.lit("\u201c\x07"), F.col("text"),
+                     F.lit("\u200b\u201d \u00a0\u2014\u2026"))
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        F.md5(clean_text(dirty)).alias("clean_md5")))
+
+
+# The same normalization chain in DuckDB SQL.  Non-ASCII characters are
+# written as Python \u escapes (processed at import), so nothing
+# invisible hides in the source; DuckDB string literals are escape-free,
+# so regex backslashes appear singly and quote/dquote runs are built
+# with repeat(chr(...)).
+_Q81_SQL = """
+WITH dirty AS (
+  SELECT doc_id,
+         '\u201c' || chr(7) || text || '\u200b\u201d ' || chr(160) ||
+         '\u2014\u2026' AS t
+  FROM documents),
+c1 AS (SELECT doc_id, regexp_replace(t,
+        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]', '', 'g') AS t
+       FROM dirty),
+c2 AS (SELECT doc_id, regexp_replace(t,
+        '[\u200b\u200c\u200d\ufeff\u00ad]', '', 'g') AS t FROM c1),
+c3 AS (SELECT doc_id, translate(t,
+        '\u2018\u2019\u201a\u201c\u201d\u201e\u2013\u2014\u00a0',
+        repeat(chr(39), 3) || repeat(chr(34), 3) || '-- ') AS t FROM c2),
+c4 AS (SELECT doc_id, regexp_replace(t, '\u2026', '...', 'g') AS t FROM c3),
+c5 AS (SELECT doc_id, regexp_replace(t, '[ \\t]+', ' ', 'g') AS t FROM c4),
+c6 AS (SELECT doc_id, regexp_replace(t, ' +\\n', chr(10), 'g') AS t FROM c5)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(trim(t)) AS clean_md5
+FROM c6
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2511,6 +2554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_domain_caps": _q78_domain_caps,
         "q79_dedup_keep_best": _q79_dedup_keep_best,
         "q80_stratified_sample": _q80_stratified_sample,
+        "q81_text_cleanup": _q81_text_cleanup,
     }
 
 
@@ -2595,4 +2639,5 @@ def oracle_sql() -> dict[str, str]:
         "q78_domain_caps": _Q78_SQL,
         "q79_dedup_keep_best": _Q79_SQL,
         "q80_stratified_sample": _Q80_SQL,
+        "q81_text_cleanup": _Q81_SQL,
     }

@@ -1079,3 +1079,16 @@ def test_curate_stream_sketch_state_running_cardinality(spark, tmp_path):
     card2 = {r["source"]: r["n_distinct"] for r in
              st.stream_cardinality(spark, str(tmp_path / "sk")).spark.collect()}
     assert card2 == {"s1": 12, "s2": 14}  # only the 6 fresh docs counted
+
+
+def test_clean_text_artifacts(spark):
+    from pyspark.sql import functions as F
+    from vaex_spark.datapipe.text import clean_text
+    raw = ("“Smart” quotes — and NBSP…  runs\t\t"
+           "here ​zero\x07bell  \nline end   \n ok")
+    got = spark.range(1).select(clean_text(F.lit(raw)).alias("t")).collect()[0]["t"]
+    assert got == '"Smart" quotes - and NBSP... runs here zerobell\nline end\n ok'
+    # already-clean ASCII is a fixed point
+    plain = "clean ascii text\nwith two lines"
+    got2 = spark.range(1).select(clean_text(F.lit(plain)).alias("t")).collect()[0]["t"]
+    assert got2 == plain

@@ -468,3 +468,42 @@ def distribution_drift(df, value_col, group_col: str = "source",
             .agg(F.round(F.sum(js_term).cast("double"), 6).alias("js_divergence"),
                  F.round(F.sum(tvd_term).cast("double"), 6).alias("tvd"),
                  F.max("n_g").cast("long").alias("n_docs")))
+
+
+def clean_text(text) -> Column:
+    """Encoding/typography cleanup for crawled text — the normalization
+    pass that precedes quality scoring and dedup in a crawl pipeline:
+
+    * strip C0/C1 control characters (except \\t \\n \\r) and DEL,
+    * strip zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) and soft hyphen,
+    * map typographic quotes/dashes/ellipsis to ASCII equivalents,
+    * convert NBSP to a plain space and collapse space/tab runs,
+    * trim each line's trailing whitespace and the document's ends.
+
+    Pure Column regexp/translate chain — scan-speed, no UDF.  (Full
+    NFKC needs ICU; this covers the high-frequency crawl artifacts and
+    stays portable SQL, so oracles can reproduce it.)"""
+    t = _c(text)
+    # control chars (keep \t \n \r), DEL + C1 range
+    t = F.regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]", "")
+    # zero-width + soft hyphen
+    t = F.regexp_replace(t, "[\\u200B\\u200C\\u200D\\uFEFF\\u00AD]", "")
+    # typographic punctuation -> ASCII (1:1 via translate; explicit
+    # escapes -- NBSP and curly quotes are invisible in source)
+    t = F.translate(t,
+                    "\u2018\u2019\u201A\u201C\u201D\u201E\u2013\u2014\u00A0",
+                    "'''\"\"\"-- ")
+    t = F.regexp_replace(t, "\u2026", "...")
+    # collapse runs of spaces/tabs (not newlines), trim line ends
+    t = F.regexp_replace(t, "[ \\t]+", " ")
+    t = F.regexp_replace(t, " +\\n", "\n")
+    return F.trim(t)
+
+
+def with_clean_text(df, text_col: str = "text", out_col: str | None = None):
+    """Apply clean_text to a corpus column (in place by default)."""
+    from ..dataframe import DataFrame
+    wrapped = isinstance(df, DataFrame)
+    sdf = df._spark_df() if wrapped else df
+    out = sdf.withColumn(out_col or text_col, clean_text(F.col(text_col)))
+    return DataFrame(out) if wrapped else out
