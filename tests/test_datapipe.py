@@ -1092,3 +1092,29 @@ def test_clean_text_artifacts(spark):
     plain = "clean ascii text\nwith two lines"
     got2 = spark.range(1).select(clean_text(F.lit(plain)).alias("t")).collect()[0]["t"]
     assert got2 == plain
+
+
+def test_clean_text_idempotent_property(spark):
+    """clean(clean(x)) == clean(x) over adversarial unicode strings —
+    normalization must be a projection (one batched Spark pass over a
+    hypothesis-generated corpus)."""
+    from hypothesis import given, settings, strategies as st
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from vaex_spark.datapipe.text import clean_text
+    alphabet = st.sampled_from(list(
+        "ab c\t\n“”‘’–—… ​"
+        "﻿­\x07\x00e."))
+    texts = st.lists(st.text(alphabet, max_size=40), min_size=1, max_size=24)
+
+    @settings(max_examples=20, deadline=None)
+    @given(texts)
+    def check(batch):
+        pdf = pd.DataFrame({"t": batch})
+        sdf = spark.createDataFrame(pdf)
+        out = sdf.select(clean_text(F.col("t")).alias("c1")) \
+                 .select("c1", clean_text(F.col("c1")).alias("c2")).collect()
+        for r in out:
+            assert r["c1"] == r["c2"], (r["c1"], r["c2"])
+
+    check()

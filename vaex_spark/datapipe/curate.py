@@ -17,6 +17,7 @@ __all__ = ["curate"]
 
 
 def curate(df, text_col: str = "text", id_col: str = "doc_id",
+           clean: bool = False,
            langs: list[str] | None = None,
            min_quality: float | None = 0.3,
            repetition_filter: bool = True,
@@ -27,6 +28,8 @@ def curate(df, text_col: str = "text", id_col: str = "doc_id",
     ``bin`` column when ``pack_tokens`` is set).
 
     Stages (each skippable via None/False):
+      0. ``clean`` — encoding/typography normalization (clean_text);
+         OFF by default so existing oracles stay byte-stable
       1. ``langs`` — keep docs whose n-gram lang_id guess is in the list
       2. ``min_quality`` — heuristic quality score threshold
       3. ``repetition_filter`` — Gopher repetition thresholds
@@ -42,6 +45,9 @@ def curate(df, text_col: str = "text", id_col: str = "doc_id",
 
     wrapped = isinstance(df, DataFrame)
     sdf = df._spark_df() if wrapped else df
+    if clean:
+        from .text import clean_text
+        sdf = sdf.withColumn(text_col, clean_text(F.col(text_col)))
     t = F.col(text_col)
 
     if langs is not None:
