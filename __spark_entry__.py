@@ -2469,6 +2469,36 @@ FROM c6
 """
 
 
+def _q82_cube_orders(spark, sf_dir):
+    """CUBE grouping sets through the vaex_spark groupby machinery
+    (dataframe.py:cube): order counts and revenue at every subset of
+    (orderpriority, orderstatus) — all four grouping levels in ONE
+    Expand+Aggregate shuffle.  Null subtotal keys COALESCEd to
+    sentinels on both engines."""
+    from vaex_spark.dataframe import DataFrame as VDataFrame
+    orders = _t(spark, sf_dir, "orders")
+    res = orders.cube(["o_orderpriority", "o_orderstatus"], agg={
+        "revenue": dsum("o_totalprice"),
+        "n_orders": F.count(F.lit(1)).cast("long"),
+    }).spark
+    return (res.select(
+        F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+        "revenue", "n_orders")
+        .orderBy("priority", "status"))
+
+
+_Q82_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+ORDER BY priority, status
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2555,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_dedup_keep_best": _q79_dedup_keep_best,
         "q80_stratified_sample": _q80_stratified_sample,
         "q81_text_cleanup": _q81_text_cleanup,
+        "q82_cube_orders": _q82_cube_orders,
     }
 
 
@@ -2640,4 +2671,5 @@ def oracle_sql() -> dict[str, str]:
         "q79_dedup_keep_best": _Q79_SQL,
         "q80_stratified_sample": _Q80_SQL,
         "q81_text_cleanup": _Q81_SQL,
+        "q82_cube_orders": _Q82_SQL,
     }
