@@ -847,7 +847,11 @@ def duplicated_spans(df, text_col: str = "text", id_col: str = "doc_id",
     dup_per_doc = (exploded.join(dup_hashes, on="__h")
                    .groupBy(id_col)
                    .agg(F.count(F.lit(1)).alias("n_dup_spans")))
-    stats = (base.select(F.col(id_col), F.size("__spans").cast("long").alias("n_spans"))
+    # span COUNT is n - width + 1 by construction — recompute it from
+    # the cheap tokenize only, never a second window-hash pass
+    n_spans = F.when(n >= width, (n - width + 1).cast("long")) \
+               .otherwise(F.lit(0).cast("long"))
+    stats = (sdf.select(F.col(id_col), n_spans.alias("n_spans"))
              .join(dup_per_doc, on=id_col, how="left")
              .withColumn("n_dup_spans", F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long"))
              .withColumn("dup_frac",
