@@ -2499,6 +2499,69 @@ ORDER BY priority, status
 """
 
 
+def _q83_trailing_time_window(spark, sf_dir):
+    """Time-range rolling aggregate (operators/window.py:rolling_range):
+    per user, the trailing-600s mean of value at every event.  RANGE
+    frame over epoch seconds, partitioned by user (the parallel form);
+    the mean is computed as decimal-sum / count on BOTH engines so
+    float summation order cannot flip the hash."""
+    events = _t(spark, sf_dir, "events")
+    sdf = events.spark.withColumn("vdec", F.col("value").cast("decimal(25,6)"))
+    from vaex_spark.operators.window import rolling_range
+    r = rolling_range(sdf, 600, on="ts", column=["vdec"], agg="sum",
+                      partition_by="user_id")
+    r = rolling_range(r, 600, on="ts", column=["value"], agg="count",
+                      partition_by="user_id")
+    return r.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.round(F.col("vdec_rolling_sum").cast("double")
+                / F.col("value_rolling_count"), 6).alias("trailing_mean"))
+
+
+_Q83_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+             / COUNT(value) OVER w, 6) AS trailing_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 599 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q84_sessionization(spark, sf_dir):
+    """Batch gaps-and-islands sessionization
+    (operators/window.py:sessionize): per-user sessions split at
+    30-minute gaps, then per-user session counts and event totals —
+    one shuffle on user, two window passes, no joins."""
+    events = _t(spark, sf_dir, "events")
+    sess = events.sessionize("ts", 1800, by="user_id")
+    return (sess.spark.groupBy(F.col("user_id").cast("long").alias("user_id"))
+            .agg((F.max("session_idx") + 1).cast("long").alias("n_sessions"),
+                 F.count(F.lit(1)).cast("long").alias("n_events"))
+            .orderBy("user_id"))
+
+
+_Q84_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)) IS NULL
+                   OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                      - lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM gaps
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2586,6 +2649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_stratified_sample": _q80_stratified_sample,
         "q81_text_cleanup": _q81_text_cleanup,
         "q82_cube_orders": _q82_cube_orders,
+        "q83_trailing_time_window": _q83_trailing_time_window,
+        "q84_sessionization": _q84_sessionization,
     }
 
 
@@ -2672,4 +2737,6 @@ def oracle_sql() -> dict[str, str]:
         "q80_stratified_sample": _Q80_SQL,
         "q81_text_cleanup": _Q81_SQL,
         "q82_cube_orders": _Q82_SQL,
+        "q83_trailing_time_window": _Q83_SQL,
+        "q84_sessionization": _Q84_SQL,
     }

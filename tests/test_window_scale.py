@@ -314,3 +314,44 @@ def test_wide_rolling_plans_growing_frames(events):
     out5 = events.rolling(5, column="value", order_key="event_id").mean().spark
     plan5 = out5._jdf.queryExecution().executedPlan().toString()
     assert "unboundedpreceding" not in plan5.lower(), plan5
+
+
+def test_rolling_range_pandas_oracle(events):
+    """Trailing time-range mean equals a pandas per-user time-window
+    computation (inclusive (t-600, t] at second granularity)."""
+    import pandas as pd
+    from vaex_spark.operators.window import rolling_range
+    out = rolling_range(events, 600, on="ts", column=["value"], agg="mean",
+                        partition_by="user_id")
+    got = (out.spark.select("event_id", "value_rolling_mean").toPandas()
+           .set_index("event_id")["value_rolling_mean"])
+    pdf = events.spark.select("event_id", "user_id", "ts", "value").toPandas()
+    pdf["sec"] = pdf["ts"].astype("int64") // 10**9
+    exp = {}
+    for _, g in pdf.groupby("user_id"):
+        g = g.sort_values("sec")
+        for _, row in g.iterrows():
+            frame = g[(g["sec"] >= row["sec"] - 599) & (g["sec"] <= row["sec"])]
+            exp[row["event_id"]] = frame["value"].mean()
+    assert len(got) == len(exp)
+    for eid, v in list(exp.items())[:5000]:
+        assert abs(got[eid] - v) < 1e-9, (eid, got[eid], v)
+
+
+def test_sessionize_gaps_and_islands(spark):
+    import vaex_spark as vs
+    base = 1_700_000_000
+    ts = [base, base + 100, base + 2000, base + 2100, base + 10_000,
+          base, base + 5000]
+    users = [1, 1, 1, 1, 1, 2, 2]
+    import pandas as pd
+    pdf = pd.DataFrame({"user_id": users,
+                        "ts": pd.to_datetime(ts, unit="s"),
+                        "event_id": range(7)})
+    df = vs.DataFrame(spark.createDataFrame(pdf))
+    out = (df.sessionize("ts", 1800, by="user_id").spark
+           .select("event_id", "session_idx").collect())
+    got = {r["event_id"]: r["session_idx"] for r in out}
+    # user 1: events at +0,+100 (s0), +2000,+2100 (s1), +10000 (s2)
+    # user 2: +0 (s0), +5000 (s1)
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 0, 6: 1}, got

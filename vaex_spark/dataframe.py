@@ -1236,6 +1236,23 @@ class DataFrame:
         return Rolling(self, window, trim=trim, column=column, edge=edge,
                        order_key=order_key, partition_by=partition_by)
 
+    def rolling_range(self, window_seconds, on, column=None, agg="mean",
+                      partition_by=None) -> "DataFrame":
+        """Trailing time-range rolling aggregate — see
+        operators/window.py:rolling_range (beyond the reference; vaex
+        rolling is row-count-based only)."""
+        from .operators.window import rolling_range as _rr
+        return _rr(self, window_seconds, on, column=column, agg=agg,
+                   partition_by=partition_by)
+
+    def sessionize(self, ts_col, gap_seconds, by,
+                   session_col="session_idx") -> "DataFrame":
+        """Batch gaps-and-islands sessionization — see
+        operators/window.py:sessionize (the batch complement of the
+        streaming session_window aggregation)."""
+        from .operators.window import sessionize as _sz
+        return _sz(self, ts_col, gap_seconds, by, session_col=session_col)
+
     # ------------------------------------------------------------------
     # joins — delegated (operators/join.py)
     # ------------------------------------------------------------------

@@ -500,3 +500,74 @@ class Rolling:
         """vaex rolling returns an array column you then reduce; we
         expose it via collect_list over the frame."""
         return self._apply(F.collect_list)
+
+
+def rolling_range(df, window_seconds, on, column=None, agg="mean",
+                  partition_by=None):
+    """Time-range rolling aggregate: for each row, aggregate ``column``
+    over rows of the same partition whose ``on`` timestamp lies in
+    ``(t - window_seconds, t]`` — the trailing-window form of
+    time-series smoothing (beyond the reference: vaex rolling is
+    row-count-based only).
+
+    Spark's RANGE frame requires a numeric order key, so the timestamp
+    is projected to epoch seconds; the frame is then
+    ``rangeBetween(-(window_seconds - 1), 0)`` over whole seconds —
+    i.e. bounds are inclusive at second granularity, matching the SQL
+    ``RANGE BETWEEN n PRECEDING AND CURRENT ROW`` oracle exactly.
+
+    Scale notes: Spark's RANGE frame is a sliding frame — like the
+    rows-based form it re-aggregates when the lower bound moves, so a
+    window spanning many rows costs O(rows-in-frame) per row; for very
+    wide spans over dense data, pre-aggregate per time bucket
+    (BinnerTime/date_trunc) and roll over buckets with the O(n)
+    growing-frame Rolling instead.  ``partition_by`` keys the windows
+    (the parallel form); without it this plans a single-task global
+    window — time-range boundary donation needs value-range donors,
+    which the row-count exchange does not provide, so the global form
+    is for small frames only.
+    """
+    from ..dataframe import DataFrame
+    wrapped = isinstance(df, DataFrame)
+    sdf = df._spark_df() if wrapped else df
+    fns = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+           "count": F.count}
+    fn = fns[agg]
+    epoch = F.unix_timestamp(F.col(on)).alias("__ts")
+    cols = [column] if isinstance(column, str) else column
+    if partition_by is not None:
+        parts = (partition_by if isinstance(partition_by, (list, tuple))
+                 else [partition_by])
+        w = Window.partitionBy(*[F.col(p) for p in parts]).orderBy(epoch)
+    else:
+        w = Window.orderBy(epoch)
+    frame = w.rangeBetween(-(int(window_seconds) - 1), 0)
+    out = sdf
+    for c in cols:
+        out = out.withColumn(f"{c}_rolling_{agg}", fn(F.col(c)).over(frame))
+    return DataFrame(out) if wrapped else out
+
+
+def sessionize(df, ts_col, gap_seconds, by, session_col="session_idx"):
+    """Batch sessionization (gaps-and-islands): within each ``by``
+    partition ordered by ``ts_col``, a new session starts when the gap
+    from the previous event exceeds ``gap_seconds``; rows gain a
+    0-based ``session_col`` index.  The batch complement of the
+    streaming session_window aggregation — one shuffle on ``by``, two
+    window passes (lag + running sum) over the same sort, no joins.
+    """
+    from ..dataframe import DataFrame
+    wrapped = isinstance(df, DataFrame)
+    sdf = df._spark_df() if wrapped else df
+    parts = by if isinstance(by, (list, tuple)) else [by]
+    epoch = F.unix_timestamp(F.col(ts_col))
+    w = Window.partitionBy(*[F.col(p) for p in parts]).orderBy(epoch)
+    prev = F.lag(epoch).over(w)
+    new_session = F.when(prev.isNull() | ((epoch - prev) > int(gap_seconds)),
+                         F.lit(1)).otherwise(F.lit(0))
+    run = Window.partitionBy(*[F.col(p) for p in parts]).orderBy(epoch) \
+                .rowsBetween(Window.unboundedPreceding, 0)
+    out = (sdf.withColumn("__new", new_session)
+           .withColumn(session_col, (F.sum("__new").over(run) - 1).cast("long"))
+           .drop("__new"))
+    return DataFrame(out) if wrapped else out
