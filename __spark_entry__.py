@@ -2562,6 +2562,45 @@ ORDER BY user_id
 """
 
 
+def _q85_cheapest_supplier_per_part(spark, sf_dir):
+    """Correlated-min decorrelation (TPC-H Q2's core pattern on the
+    tables available): for every part, the lineitems hitting that
+    part's minimum effective unit price.  The correlated subquery
+    (WHERE price = (SELECT MIN ... WHERE same part)) rewrites to ONE
+    window min over partitionBy(part) + filter — single shuffle, no
+    self-join, no subquery re-scan."""
+    from pyspark.sql import Window
+    li = _t(spark, sf_dir, "lineitem").spark
+    # raw-double comparison: a*(1-b)/c is the same IEEE result on both
+    # engines, so equality against the window min is exact; rounding
+    # happens only in the displayed column
+    unit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            / F.col("l_quantity"))
+    w = Window.partitionBy("l_partkey")
+    out = (li.select(F.col("l_partkey").cast("long").alias("l_partkey"),
+                     F.col("l_suppkey").cast("long").alias("l_suppkey"),
+                     F.col("l_orderkey").cast("long").alias("l_orderkey"),
+                     unit.alias("__u"))
+           .withColumn("__mn", F.min("__u").over(w))
+           .filter(F.col("__u") == F.col("__mn"))
+           .select("l_partkey", "l_suppkey", "l_orderkey",
+                   F.col("__u").alias("unit_price")))
+    return out
+
+
+_Q85_SQL = """
+WITH priced AS (
+  SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+         CAST(l_suppkey AS BIGINT) AS l_suppkey,
+         CAST(l_orderkey AS BIGINT) AS l_orderkey,
+         l_extendedprice * (1 - l_discount) / l_quantity AS u
+  FROM lineitem),
+m AS (SELECT *, MIN(u) OVER (PARTITION BY l_partkey) AS mn FROM priced)
+SELECT l_partkey, l_suppkey, l_orderkey, u AS unit_price
+FROM m WHERE u = mn
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2651,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_cube_orders": _q82_cube_orders,
         "q83_trailing_time_window": _q83_trailing_time_window,
         "q84_sessionization": _q84_sessionization,
+        "q85_cheapest_supplier_per_part": _q85_cheapest_supplier_per_part,
     }
 
 
@@ -2739,4 +2779,5 @@ def oracle_sql() -> dict[str, str]:
         "q82_cube_orders": _Q82_SQL,
         "q83_trailing_time_window": _Q83_SQL,
         "q84_sessionization": _Q84_SQL,
+        "q85_cheapest_supplier_per_part": _Q85_SQL,
     }
