@@ -2601,6 +2601,111 @@ FROM m WHERE u = mn
 """
 
 
+def _q86_top_trigrams_per_source(spark, sf_dir):
+    """Per-source heavy hitters: the 5 most frequent word trigrams of
+    every source (count desc, trigram asc).  explode -> two-level
+    aggregate (map-side combined) -> rank with row_number<=5, which
+    Spark plans with WindowGroupLimit — map tasks pre-truncate their
+    groups, so skewed sources never pile onto one reducer."""
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents").spark
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                            r"\s+", " ")), " ")
+    n = F.size(words)
+    grams = F.when(n >= 3, F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.array_join(F.slice(words, i + 1, 3), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (docs.select("source", F.explode(grams).alias("trigram"))
+               .groupBy("source", "trigram")
+               .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(),
+                                             F.col("trigram").asc())
+    return (counted.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 5)
+            .select("source", "trigram", "n",
+                    F.col("__rn").cast("long").alias("rank")))
+
+
+_Q86_SQL = """
+WITH words AS (
+  SELECT source,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS trigram
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3),
+counted AS (
+  SELECT source, trigram, CAST(COUNT(*) AS BIGINT) AS n
+  FROM grams GROUP BY source, trigram),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY n DESC, trigram) AS rank
+  FROM counted)
+SELECT source, trigram, n, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _q87_quality_deciles(spark, sf_dir):
+    """Quality-score deciles over the corpus: ntile(10) on
+    (quality_score, doc_id) — fully deterministic ordering — with
+    per-decile doc counts and mean length.  The distribution-shaping
+    view a curation run uses to pick its quality threshold.
+
+    Scale note: exact global NTILE requires a total order (one-task
+    window — fine for the oracle's exactness contract); the 100 TB form
+    of the same decision is approx_percentile over q (one aggregate, no
+    sort), which the engine also exposes via df.percentile_approx."""
+    from pyspark.sql import Window
+    from vaex_spark.datapipe.text import quality_score
+    docs = _t(spark, sf_dir, "documents").spark
+    scored = docs.select(F.col("doc_id"), F.col("n_chars"),
+                         F.round(quality_score(F.col("text")), 6).alias("q"))
+    w = Window.orderBy(F.col("q"), F.col("doc_id"))
+    return (scored.withColumn("decile", F.ntile(10).over(w))
+            .groupBy(F.col("decile").cast("long").alias("decile"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 dsum("n_chars").alias("sum_chars"),
+                 F.round(F.min("q"), 6).alias("min_q"),
+                 F.round(F.max("q"), 6).alias("max_q"))
+            .orderBy("decile"))
+
+
+def _q87_oracle_sql() -> str:
+    """quality_score replicated in DuckDB from the same stopword list
+    (see datapipe/text.py:quality_score — len/alpha/stop/digit signals,
+    rounded at 6 before ntile so both engines rank identical keys)."""
+    from vaex_spark.datapipe.text import _STOPWORDS_EN
+    stop_re = "\\b(" + "|".join(_STOPWORDS_EN) + ")\\b"
+    return f"""
+WITH f AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens,
+    LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+    LEN(regexp_extract_all(lower(text), '{{stop_re}}')) AS stop_hits,
+    GREATEST(LENGTH(text), 1) AS safe_chars
+  FROM documents),
+q AS (
+  SELECT doc_id, n_chars,
+    ROUND(LEAST(n_tokens / 20.0, 1.0)
+          * (CAST(n_alpha AS DOUBLE) / safe_chars)
+          * LEAST(CAST(stop_hits AS DOUBLE) / GREATEST(n_tokens, 1) * 4.0, 1.0)
+          * GREATEST(0.0, 1.0 - CAST(n_digits AS DOUBLE) / safe_chars * 3.0),
+          6) AS q
+  FROM f),
+d AS (SELECT *, NTILE(10) OVER (ORDER BY q, doc_id) AS decile FROM q)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(25,6))) AS DOUBLE) AS sum_chars,
+       ROUND(MIN(q), 6) AS min_q, ROUND(MAX(q), 6) AS max_q
+FROM d GROUP BY decile ORDER BY decile
+""".format(stop_re=stop_re)
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2691,6 +2796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_trailing_time_window": _q83_trailing_time_window,
         "q84_sessionization": _q84_sessionization,
         "q85_cheapest_supplier_per_part": _q85_cheapest_supplier_per_part,
+        "q86_top_trigrams_per_source": _q86_top_trigrams_per_source,
+        "q87_quality_deciles": _q87_quality_deciles,
     }
 
 
@@ -2780,4 +2887,6 @@ def oracle_sql() -> dict[str, str]:
         "q83_trailing_time_window": _Q83_SQL,
         "q84_sessionization": _Q84_SQL,
         "q85_cheapest_supplier_per_part": _Q85_SQL,
+        "q86_top_trigrams_per_source": _Q86_SQL,
+        "q87_quality_deciles": _q87_oracle_sql(),
     }
