@@ -370,10 +370,42 @@ def semantic_skew(spark):
     emb.unpersist()
 
 
+def time_windows(spark):
+    """sessionize + rolling_range at 6.4M events (the replicated table
+    keeps real user ids, so each of the ~1500 users carries ~4300
+    events): row-preservation invariants plus wall time for the
+    per-user RANGE frame and the two-window-pass sessionization."""
+    import vaex_spark as vs
+    from vaex_spark.operators.window import rolling_range, sessionize
+    ev = vs.open(f"{SCALE_DIR}/events.parquet", spark=spark)
+    n = ev.count()
+    t0 = time.time()
+    sess = sessionize(ev, "ts", 1800, by="user_id")
+    stats = (sess.spark.groupBy("user_id")
+             .agg(F.max("session_idx").alias("mx"),
+                  F.count(F.lit(1)).alias("c")).collect())
+    t_sess = time.time() - t0
+    assert sum(r["c"] for r in stats) == n
+    total_sessions = sum(r["mx"] + 1 for r in stats)
+    t0 = time.time()
+    rr = rolling_range(ev, 600, on="ts", column=["value"], agg="mean",
+                       partition_by="user_id")
+    # aggregate over the WINDOWED column: a bare count() would let
+    # Catalyst prune the window away and time nothing
+    row = rr.spark.agg(F.count("value_rolling_mean").alias("c"),
+                       F.sum("value_rolling_mean").alias("s")).collect()[0]
+    t_rr = time.time() - t0
+    assert row["c"] == n and row["s"] is not None, (row["c"], n)
+    print(f"time_windows: {n} events, {len(stats)} users -> "
+          f"{total_sessions} sessions in {t_sess:.1f}s; "
+          f"trailing-600s mean in {t_rr:.1f}s")
+
+
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "ann_recall": ann_recall, "wide_window": wide_window,
           "stream_volume": stream_volume, "bloom_dedup": bloom_dedup,
-          "hot_domain_caps": hot_domain_caps, "semantic_skew": semantic_skew}
+          "hot_domain_caps": hot_domain_caps, "semantic_skew": semantic_skew,
+          "time_windows": time_windows}
 
 
 def main():
