@@ -353,3 +353,31 @@ def test_rollup_and_cube(lineitem):
                           agg={"n": F.count(F.lit(1))}).spark
     plan = sdf._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("relation") == 1 and "Union" not in plan
+
+
+def test_groupby_apply_distributed_per_group(spark):
+    """GroupBy.apply == pandas groupby.apply on the same function
+    (per-group demeaning), and the plan is FlatMapGroupsInPandas, not a
+    driver loop."""
+    import pandas as pd
+    import vaex_spark as vs
+    df = vs.open("/root/testdata/sf0.01/orders.parquet", spark=spark)
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["o_orderkey", "o_custkey"]].copy()
+        out["resid"] = pdf["o_totalprice"] - pdf["o_totalprice"].mean()
+        return out
+
+    got = (df.groupby("o_custkey")
+           .apply(demean, "o_orderkey long, o_custkey long, resid double"))
+    plan = got.spark._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan, plan
+    gpd = got.spark.toPandas().sort_values("o_orderkey").reset_index(drop=True)
+    base = df.spark.select("o_orderkey", "o_custkey", "o_totalprice").toPandas()
+    exp = (base.assign(resid=base["o_totalprice"]
+                       - base.groupby("o_custkey")["o_totalprice"].transform("mean"))
+           .sort_values("o_orderkey").reset_index(drop=True))
+    assert len(gpd) == len(exp)
+    assert (gpd["o_orderkey"].to_numpy() == exp["o_orderkey"].to_numpy()).all()
+    import numpy as np
+    assert np.allclose(gpd["resid"].to_numpy(), exp["resid"].to_numpy(), atol=1e-9)

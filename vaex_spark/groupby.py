@@ -321,6 +321,24 @@ class GroupBy:
         for group, _df in self:
             yield group
 
+    def apply(self, fn, schema):
+        """Distributed per-group transform (beyond the reference, where
+        per-group custom logic means a DRIVER-side ``for group, df in
+        groupby`` loop): ``fn(pandas.DataFrame) -> pandas.DataFrame``
+        runs once per group as an Arrow-batched ``applyInPandas`` task,
+        so a million groups fan out across executors instead of
+        serializing through the driver.  ``schema`` is the output
+        schema (DDL string or StructType).  Each group must fit one
+        task's memory — the same contract Spark documents."""
+        from .dataframe import DataFrame
+        key_cols, key_names = self._key_columns()
+        sdf = self.df._spark_df()
+        for col, name in zip(key_cols, key_names):
+            sdf = sdf.withColumn(name, col)
+        out = (sdf.groupBy(*[F.col(n) for n in key_names])
+               .applyInPandas(fn, schema=schema))
+        return DataFrame(out)
+
     def get_group(self, group):
         """groupby.py:752 — DataFrame holding a single group."""
         from .expression import Expression
