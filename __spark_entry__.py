@@ -2608,16 +2608,25 @@ def _q86_top_trigrams_per_source(spark, sf_dir):
     Spark plans with WindowGroupLimit — map tasks pre-truncate their
     groups, so skewed sources never pile onto one reducer."""
     from pyspark.sql import Window
-    docs = _t(spark, sf_dir, "documents").spark
+    from vaex_spark.datapipe.dedup import _spread
+    docs = _spread(_t(spark, sf_dir, "documents").spark)
     words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")),
                                             r"\s+", " ")), " ")
+    # arrays_zip of three shifted slices instead of a transform/slice/
+    # array_join higher-order chain: HOF lambdas evaluate interpreted
+    # per element (measured 4.2s for ~1M trigrams at sf0.1), while
+    # zip+explode+concat_ws stays inside whole-stage codegen and needs
+    # NO per-doc window shuffle; _spread fans the single-file corpus
+    # across cores first (0.77s, ~5x)
     n = F.size(words)
-    grams = F.when(n >= 3, F.transform(
-        F.sequence(F.lit(0), n - 3),
-        lambda i: F.array_join(F.slice(words, i + 1, 3), " "))
-    ).otherwise(F.array().cast("array<string>"))
-    counted = (docs.select("source", F.explode(grams).alias("trigram"))
-               .groupBy("source", "trigram")
+    ln = F.greatest(n - 2, F.lit(0))
+    z = F.arrays_zip(F.slice(words, 1, ln).alias("a"),
+                     F.slice(words, 2, ln).alias("b"),
+                     F.slice(words, 3, ln).alias("c"))
+    tri = (docs.select("source", F.explode(z).alias("t"))
+           .select("source", F.concat_ws(" ", F.col("t.a"), F.col("t.b"),
+                                         F.col("t.c")).alias("trigram")))
+    counted = (tri.groupBy("source", "trigram")
                .agg(F.count(F.lit(1)).cast("long").alias("n")))
     w = Window.partitionBy("source").orderBy(F.col("n").desc(),
                                              F.col("trigram").asc())

@@ -55,6 +55,13 @@ EXTENDED = [
     "q78_domain_caps",         # WindowGroupLimit per-domain caps
     "q79_dedup_keep_best",     # quality-aware dedup survivors
     "q80_stratified_sample",   # exact per-group sampling
+    "q81_text_cleanup",        # scan-speed normalization chain
+    "q82_cube_orders",         # CUBE grouping sets
+    "q83_trailing_time_window",  # per-user RANGE frames
+    "q84_sessionization",      # gaps-and-islands sessions
+    "q85_cheapest_supplier_per_part",  # correlated-min decorrelation
+    "q86_top_trigrams_per_source",  # per-group heavy hitters
+    "q87_quality_deciles",     # ntile distribution view
 ]
 
 
