@@ -2715,6 +2715,47 @@ FROM d GROUP BY decile ORDER BY decile
 """.format(stop_re=stop_re)
 
 
+def _q88_interval_overlap(spark, sf_dir):
+    """Interval-overlap join (operators/join.py:join_intervals): even
+    events become intervals [t, t + 60 + floor(value)], odd events
+    likewise; count for every even event how many odd intervals
+    intersect it.  Bucketized rewrite (1000s buckets): both sides
+    explode to covered buckets, equi-join on bucket, overlap filter,
+    and the first-shared-bucket predicate keeps exactly one emission
+    per pair — no distinct pass."""
+    from vaex_spark.operators.join import join_intervals
+    ev = _t(spark, sf_dir, "events").spark
+    base = ev.select(F.col("event_id").cast("long").alias("event_id"),
+                     F.floor(F.unix_timestamp("ts")).cast("long").alias("lo"),
+                     (F.floor(F.unix_timestamp("ts"))
+                      + 60 + F.floor("value")).cast("long").alias("hi"))
+    left = base.filter(F.col("event_id") % 2 == 0)
+    right = (base.filter(F.col("event_id") % 2 == 1)
+             .select(F.col("event_id").alias("rid"),
+                     F.col("lo").alias("rlo"), F.col("hi").alias("rhi")))
+    out = join_intervals(left, right, "lo", "hi", "rlo", "rhi",
+                         bucket_width=1000)
+    return (out.spark.groupBy("event_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_overlaps"))
+            .orderBy("event_id"))
+
+
+_Q88_SQL = """
+WITH base AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS lo,
+         CAST(FLOOR(epoch(ts)) + 60 + FLOOR(value) AS BIGINT) AS hi
+  FROM events),
+l AS (SELECT * FROM base WHERE event_id % 2 = 0),
+r AS (SELECT event_id AS rid, lo AS rlo, hi AS rhi FROM base
+      WHERE event_id % 2 = 1)
+SELECT l.event_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+FROM l JOIN r ON l.lo < r.rhi AND r.rlo < l.hi
+GROUP BY l.event_id
+ORDER BY l.event_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2807,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_cheapest_supplier_per_part": _q85_cheapest_supplier_per_part,
         "q86_top_trigrams_per_source": _q86_top_trigrams_per_source,
         "q87_quality_deciles": _q87_quality_deciles,
+        "q88_interval_overlap": _q88_interval_overlap,
     }
 
 
@@ -2898,4 +2940,5 @@ def oracle_sql() -> dict[str, str]:
         "q85_cheapest_supplier_per_part": _Q85_SQL,
         "q86_top_trigrams_per_source": _Q86_SQL,
         "q87_quality_deciles": _q87_oracle_sql(),
+        "q88_interval_overlap": _Q88_SQL,
     }

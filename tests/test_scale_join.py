@@ -131,3 +131,30 @@ def test_clustered_layout_prunes_on_prefix(spark, tmp_path):
     # each file covers ~1/8 of the key space (range partitioning)
     assert sum(spans) < 1000 * 8 * 0.3
     assert spark.read.parquet(path).count() == n
+
+
+def test_join_intervals_matches_bruteforce(spark):
+    """Bucketized overlap join == broadcast non-equi join == numpy
+    brute force, including the one-emission-per-pair dedup when a pair
+    shares many buckets."""
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    from vaex_spark.operators.join import join_intervals
+    rng = np.random.RandomState(9)
+    n_l, n_r = 300, 200
+    l_lo = rng.uniform(0, 100, n_l); l_hi = l_lo + rng.uniform(0.1, 25, n_l)
+    r_lo = rng.uniform(0, 100, n_r); r_hi = r_lo + rng.uniform(0.1, 25, n_r)
+    left = vs.DataFrame(spark.createDataFrame(pd.DataFrame(
+        {"lid": np.arange(n_l), "lo": l_lo, "hi": l_hi})))
+    right = vs.DataFrame(spark.createDataFrame(pd.DataFrame(
+        {"rid": np.arange(n_r), "lo": r_lo, "hi": r_hi})))
+    exp = {(i, j) for i in range(n_l) for j in range(n_r)
+           if l_lo[i] < r_hi[j] and r_lo[j] < l_hi[i]}
+    for bw in (None, 1.0, 5.0, 40.0):
+        out = join_intervals(left, right, "lo", "hi", "lo", "hi",
+                             bucket_width=bw)
+        got = [(r["lid"], r["rid"]) for r in
+               out.spark.select("lid", "rid").collect()]
+        assert len(got) == len(set(got)), f"duplicate pairs at bw={bw}"
+        assert set(got) == exp, (bw, len(got), len(exp))

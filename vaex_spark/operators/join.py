@@ -270,3 +270,53 @@ def join_range(left, right, left_on, right_lo, right_hi, how="inner",
     o = DataFrame(out)
     o.variables = dict(left.variables)
     return o
+
+
+def join_intervals(left, right, left_lo, left_hi, right_lo, right_hi,
+                   bucket_width=None, suffix="_right"):
+    """Interval-OVERLAP join: pairs of (left, right) rows whose
+    [lo, hi) intervals intersect — the genomics/time-range companion of
+    join_range's point-in-interval containment.  Overlap predicate:
+    ``l_lo < r_hi AND r_lo < l_hi`` (half-open on both sides).
+
+    100 TB plan: the naive non-equi join is a nested loop.  With
+    ``bucket_width`` BOTH sides explode to the integer buckets their
+    interval covers and equi-join on bucket id (hash shuffle,
+    AQE-skew-safe); a pair overlapping across k shared buckets would
+    emit k duplicates, so each pair is kept only in the FIRST bucket
+    the two intervals share — max(floor(l_lo/w), floor(r_lo/w)) ==
+    bucket — a stateless dedup predicate, no distinct needed.  Explode
+    factor = interval width / bucket_width per side.  Right-side column
+    collisions get ``suffix``.
+    """
+    from ..dataframe import DataFrame
+
+    lsdf = left._spark_df() if isinstance(left, DataFrame) else left
+    rsdf = right._spark_df() if isinstance(right, DataFrame) else right
+    for c in rsdf.columns:
+        if c in lsdf.columns:
+            rsdf = rsdf.withColumnRenamed(c, c + suffix)
+            if c == right_lo:
+                right_lo = c + suffix
+            if c == right_hi:
+                right_hi = c + suffix
+    llo, lhi = F.col(left_lo), F.col(left_hi)
+    rlo, rhi = F.col(right_lo), F.col(right_hi)
+    overlap = (llo < rhi) & (rlo < lhi)
+    if bucket_width is None:
+        return DataFrame(lsdf.join(F.broadcast(rsdf), on=overlap, how="inner"))
+    w = float(bucket_width)
+    # half-open intervals: hi itself is excluded, epsilon keeps an
+    # exact-multiple hi from exploding a spurious empty bucket
+    lb = lsdf.withColumn("__bk", F.explode(F.sequence(
+        F.floor(llo / w).cast("long"),
+        F.floor((lhi - 1e-12) / w).cast("long"))))
+    rb = rsdf.withColumn("__bk", F.explode(F.sequence(
+        F.floor(rlo / w).cast("long"),
+        F.floor((rhi - 1e-12) / w).cast("long"))))
+    first_shared = F.greatest(F.floor(llo / w).cast("long"),
+                              F.floor(rlo / w).cast("long"))
+    out = (lb.join(rb, on="__bk", how="inner")
+           .filter(overlap & (F.col("__bk") == first_shared))
+           .drop("__bk"))
+    return DataFrame(out)
