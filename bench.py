@@ -62,6 +62,7 @@ EXTENDED = [
     "q85_cheapest_supplier_per_part",  # correlated-min decorrelation
     "q86_top_trigrams_per_source",  # per-group heavy hitters
     "q87_quality_deciles",     # ntile distribution view
+    "q88_interval_overlap",    # bucketized interval-overlap join
 ]
 
 

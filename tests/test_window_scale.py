@@ -355,3 +355,44 @@ def test_sessionize_gaps_and_islands(spark):
     # user 1: events at +0,+100 (s0), +2000,+2100 (s1), +10000 (s2)
     # user 2: +0 (s0), +5000 (s1)
     assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 0, 6: 1}, got
+
+
+def test_sessionize_property_random_gaps(spark):
+    """Hypothesis: sessionize == a pure-python gaps-and-islands oracle
+    over random per-user timestamp sets (one batched Spark pass per
+    example set)."""
+    from hypothesis import given, settings, strategies as st
+    import pandas as pd
+    import vaex_spark as vs
+
+    ts_lists = st.lists(
+        st.lists(st.integers(min_value=0, max_value=50_000),
+                 min_size=1, max_size=30),
+        min_size=1, max_size=5)
+
+    @settings(max_examples=15, deadline=None)
+    @given(ts_lists)
+    def check(users):
+        rows = []
+        for u, tss in enumerate(users):
+            for i, t in enumerate(sorted(tss)):
+                rows.append((u, t, len(rows)))
+        pdf = pd.DataFrame(rows, columns=["user_id", "sec", "event_id"])
+        pdf["ts"] = pd.to_datetime(pdf["sec"] + 1_700_000_000, unit="s")
+        df = vs.DataFrame(spark.createDataFrame(pdf[["user_id", "ts", "event_id"]]))
+        got = {r["event_id"]: r["session_idx"] for r in
+               df.sessionize("ts", 600, by="user_id").spark
+               .select("event_id", "session_idx").collect()}
+        exp = {}
+        for u, tss in enumerate(users):
+            idx, prev = -1, None
+            srt = sorted(tss)
+            eids = (pdf[pdf.user_id == u].sort_values("sec")["event_id"].tolist())
+            for t, eid in zip(srt, eids):
+                if prev is None or t - prev > 600:
+                    idx += 1
+                prev = t
+                exp[eid] = idx
+        assert got == exp, (got, exp)
+
+    check()
