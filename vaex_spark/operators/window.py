@@ -541,10 +541,31 @@ def rolling_range(df, window_seconds, on, column=None, agg="mean",
         w = Window.partitionBy(*[F.col(p) for p in parts]).orderBy(epoch)
     else:
         w = Window.orderBy(epoch)
-    frame = w.rangeBetween(-(int(window_seconds) - 1), 0)
+    win = int(window_seconds)
     out = sdf
-    for c in cols:
-        out = out.withColumn(f"{c}_rolling_{agg}", fn(F.col(c)).over(frame))
+    if agg in ("sum", "mean", "count"):
+        # same no-retraction trap as row frames: Spark's sliding RANGE
+        # frame re-aggregates on every lower-bound move, O(rows-in-
+        # frame)/row over dense data.  Rewrite as the difference of two
+        # GROWING frames — [unboundedPreceding, 0] minus
+        # [unboundedPreceding, -window] (values <= t-window, i.e. the
+        # complement of (t-window, t]) — each maintained incrementally.
+        grow = w.rangeBetween(Window.unboundedPreceding, 0)
+        prev = w.rangeBetween(Window.unboundedPreceding, -win)
+        for c in cols:
+            n = (F.count(F.col(c)).over(grow)
+                 - F.count(F.col(c)).over(prev))
+            if agg == "count":
+                val = n
+            else:
+                ssum = (F.sum(F.col(c)).over(grow)
+                        - F.coalesce(F.sum(F.col(c)).over(prev), F.lit(0)))
+                val = ssum if agg == "sum" else ssum / n
+            out = out.withColumn(f"{c}_rolling_{agg}", val)
+    else:  # min/max have no inverse; keep the sliding frame
+        frame = w.rangeBetween(-(win - 1), 0)
+        for c in cols:
+            out = out.withColumn(f"{c}_rolling_{agg}", fn(F.col(c)).over(frame))
     return DataFrame(out) if wrapped else out
 
 
