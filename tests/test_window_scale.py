@@ -396,3 +396,37 @@ def test_sessionize_property_random_gaps(spark):
         assert got == exp, (got, exp)
 
     check()
+
+
+def test_global_rolling_range_value_bucket_donation(spark):
+    """Global (partition_by-less) rolling_range must equal the naive
+    single-task global window exactly, for prefix aggs AND min/max,
+    while planning the value-bucket donation (no data-path
+    Exchange SinglePartition)."""
+    import vaex_spark as vs
+    from vaex_spark.operators.window import rolling_range
+    from pyspark.sql import Window as W
+    df = vs.open("/root/testdata/sf0.01/events.parquet", spark=spark)
+    for agg, naive in (("mean", F.avg), ("sum", F.sum),
+                       ("count", F.count), ("max", F.max)):
+        out = rolling_range(df, 600, on="ts", column=["value"], agg=agg)
+        got = {r["event_id"]: r[f"value_rolling_{agg}"] for r in
+               out.spark.select("event_id", f"value_rolling_{agg}").collect()}
+        ep = F.unix_timestamp("ts")
+        wn = W.orderBy(ep).rangeBetween(-599, 0)
+        exp = {r["event_id"]: r["m"] for r in
+               df.spark.select("event_id",
+                               naive(F.col("value")).over(wn).alias("m")).collect()}
+        assert len(got) == len(exp)
+        bad = [k for k in exp
+               if not (got[k] == exp[k]
+                       or abs(got[k] - exp[k]) < 1e-9)]
+        assert not bad, (agg, bad[:5], got[bad[0]] if bad else None)
+    # plan: the only SinglePartition may be the bounds aggregate, never
+    # the windowed data path
+    out = rolling_range(df, 600, on="ts", column=["value"], agg="mean").spark
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__tbk" in plan and "Window" in plan
+    for ln in plan.splitlines():
+        if "Exchange SinglePartition" in ln:
+            raise AssertionError(plan)

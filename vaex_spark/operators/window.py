@@ -516,16 +516,22 @@ def rolling_range(df, window_seconds, on, column=None, agg="mean",
     i.e. bounds are inclusive at second granularity, matching the SQL
     ``RANGE BETWEEN n PRECEDING AND CURRENT ROW`` oracle exactly.
 
-    Scale notes: Spark's RANGE frame is a sliding frame — like the
-    rows-based form it re-aggregates when the lower bound moves, so a
-    window spanning many rows costs O(rows-in-frame) per row; for very
-    wide spans over dense data, pre-aggregate per time bucket
-    (BinnerTime/date_trunc) and roll over buckets with the O(n)
-    growing-frame Rolling instead.  ``partition_by`` keys the windows
-    (the parallel form); without it this plans a single-task global
-    window — time-range boundary donation needs value-range donors,
-    which the row-count exchange does not provide, so the global form
-    is for small frames only.
+    Scale notes: sum/mean/count are computed as the difference of two
+    GROWING frames (Spark's sliding RANGE frame has no retraction —
+    O(rows-in-frame)/row otherwise); min/max keep the sliding frame.
+    ``partition_by`` keys the windows (the parallel per-key form).
+    WITHOUT it, the global total order is parallelized by VALUE-BUCKET
+    DONATION instead of a single-task window: rows hash to epoch bucket
+    ``floor(t / S)`` (``S >= 2*window``, sized from the min/max epoch so
+    ~4 buckets per core), and every row within ``window`` of its
+    bucket's upper edge is ALSO sent to the next bucket as a donor —
+    bucket boundaries are deterministic VALUES, so unlike the row-count
+    boundary exchange no persisted count map is needed and donation is
+    a plain union of two filters.  Frames stay exact: a real row at t
+    in bucket b needs values in (t-w, t] ⊇ (b*S - w, ·), exactly what
+    the donors provide.  Donor volume = rows within ``window`` of
+    bucket edges — O(density * window * n_buckets), independent of
+    table size per bucket.
     """
     from ..dataframe import DataFrame
     wrapped = isinstance(df, DataFrame)
@@ -535,13 +541,28 @@ def rolling_range(df, window_seconds, on, column=None, agg="mean",
     fn = fns[agg]
     epoch = F.unix_timestamp(F.col(on)).alias("__ts")
     cols = [column] if isinstance(column, str) else column
+    win = int(window_seconds)
+    global_bucketed = False
     if partition_by is not None:
         parts = (partition_by if isinstance(partition_by, (list, tuple))
                  else [partition_by])
         w = Window.partitionBy(*[F.col(p) for p in parts]).orderBy(epoch)
     else:
-        w = Window.orderBy(epoch)
-    win = int(window_seconds)
+        bounds = sdf.agg(
+            F.min(F.unix_timestamp(F.col(on))).alias("lo"),
+            F.max(F.unix_timestamp(F.col(on))).alias("hi")).collect()[0]
+        span = max(1, int(bounds["hi"]) - int(bounds["lo"]))
+        par = sdf.sparkSession.sparkContext.defaultParallelism
+        S = max(2 * win, span // max(1, 4 * par) + 1)
+        ep = F.unix_timestamp(F.col(on))
+        bkt = F.floor(ep / S).cast("long")
+        real = sdf.withColumn("__tbk", bkt).withColumn("__tdon", F.lit(False))
+        donors = (sdf.filter(ep >= (bkt + 1) * S - win)
+                  .withColumn("__tbk", bkt + 1)
+                  .withColumn("__tdon", F.lit(True)))
+        sdf = real.unionByName(donors)
+        w = Window.partitionBy("__tbk").orderBy(epoch)
+        global_bucketed = True
     out = sdf
     if agg in ("sum", "mean", "count"):
         # same no-retraction trap as row frames: Spark's sliding RANGE
@@ -566,6 +587,8 @@ def rolling_range(df, window_seconds, on, column=None, agg="mean",
         frame = w.rangeBetween(-(win - 1), 0)
         for c in cols:
             out = out.withColumn(f"{c}_rolling_{agg}", fn(F.col(c)).over(frame))
+    if global_bucketed:
+        out = out.filter(~F.col("__tdon")).drop("__tbk", "__tdon")
     return DataFrame(out) if wrapped else out
 
 
