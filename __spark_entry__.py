@@ -2636,7 +2636,7 @@ def _q86_top_trigrams_per_source(spark, sf_dir):
                     F.col("__rn").cast("long").alias("rank")))
 
 
-_Q86_SQL = """
+_Q86_SQL = r"""
 WITH words AS (
   SELECT source,
          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w

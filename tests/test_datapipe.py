@@ -1118,3 +1118,22 @@ def test_clean_text_idempotent_property(spark):
             assert r["c1"] == r["c2"], (r["c1"], r["c2"])
 
     check()
+
+
+def test_stratified_sample_exact_ceil_decimal(spark):
+    """ADVICE r4: the cutoff was ceil over a double product, so
+    frac=0.07 on a 100-row group kept 8 (0.07*100 -> 7.000000000000001).
+    The decimal cutoff honors the documented EXACT ceil(frac*n)."""
+    import pandas as pd
+    import vaex_spark as vs
+    from vaex_spark.datapipe.mixing import stratified_sample
+    df = vs.DataFrame(spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(160),
+        "source": ["a"] * 100 + ["b"] * 60})))
+    for frac, exp in ((0.07, {"a": 7, "b": 5}),    # ceil(4.2) = 5
+                      (0.2, {"a": 20, "b": 12}),   # exact multiples
+                      (0.29, {"a": 29, "b": 18})): # ceil(17.4) = 18
+        out = stratified_sample(df, frac, group_col="source",
+                                id_col="doc_id")
+        got = (out.spark.groupBy("source").count().collect())
+        assert {r["source"]: r["count"] for r in got} == exp, frac

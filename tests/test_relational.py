@@ -381,3 +381,34 @@ def test_groupby_apply_distributed_per_group(spark):
     assert (gpd["o_orderkey"].to_numpy() == exp["o_orderkey"].to_numpy()).all()
     import numpy as np
     assert np.allclose(gpd["resid"].to_numpy(), exp["resid"].to_numpy(), atol=1e-9)
+
+
+def test_rollup_mixed_udaf_null_keys_grouping_id(spark):
+    """ADVICE r4: rollup with mixed built-in + pandas-UDAF aggregates
+    joins two grouped halves; on key columns alone a (a, NULL) subtotal
+    row is indistinguishable from a genuine (a, null-keyed) group, so
+    rows cross-matched and duplicated.  grouping_id() in the join key
+    disambiguates: counts and UDAF values must pair 1:1."""
+    import pandas as pd
+    import vaex_spark as vs
+    from vaex_spark import agg as vagg
+    df = vs.DataFrame(spark.createDataFrame(pd.DataFrame({
+        "a": ["x", "x", "x", "y"],
+        "b": [None, None, "b1", "b2"],
+        "v": [1.0, 2.0, 4.0, 8.0]})))
+    out = df.rollup(["a", "b"], agg={
+        "n": vagg.count(),
+        "spread": vagg.pandas_agg(lambda s: s.max() - s.min(), "v"),
+    }).to_pandas_df()
+    # grouping sets: (x,null-group) (x,b1) (y,b2) detail, (x,·) (y,·)
+    # subtotals, (·,·) grand total = 6 rows, NO duplicates
+    assert len(out) == 6, out
+    rows = {(r.a, r.b if isinstance(r.b, str) else None,
+             int(r.n), float(r.spread)) for r in out.itertuples()}
+    assert (("x", None, 2, 1.0) in rows       # the real null-keyed group
+            or ("x", None, 3, 3.0) in rows)   # and the (x,·) subtotal
+    # both must be present and distinct
+    x_null = sorted((n, s) for a, b, n, s in rows if a == "x" and b is None)
+    assert x_null == [(2, 1.0), (3, 3.0)], x_null
+    grand = [(n, s) for a, b, n, s in rows if a is None]
+    assert grand == [(4, 7.0)], grand

@@ -158,3 +158,82 @@ def test_join_intervals_matches_bruteforce(spark):
                out.spark.select("lid", "rid").collect()]
         assert len(got) == len(set(got)), f"duplicate pairs at bw={bw}"
         assert set(got) == exp, (bw, len(got), len(exp))
+
+
+def test_join_intervals_epoch_boundaries_and_degenerate(spark):
+    """ADVICE r4: (a) the 1e-12 bucket epsilon was a float no-op at
+    epoch scale, so exact-multiple his exploded a spurious boundary
+    bucket; (b) zero/negative-width intervals made sequence() emit a
+    DESCENDING bucket run; (c) empty [x,x) intervals matched via the
+    pairwise predicate.  The arithmetic last-bucket + explicit empty
+    exclusion must give identical results on broadcast and bucketed
+    paths, with empties matching nothing."""
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    from vaex_spark.operators.join import join_intervals
+    base = 1_700_000_000
+    w = 3600.0
+    # l0 ends exactly on a bucket boundary; l2 is empty; l3 inverted
+    left = vs.DataFrame(spark.createDataFrame(pd.DataFrame({
+        "lid": [0, 1, 2, 3],
+        "lo": [base + 0.0, base + 5000.0, base + 7200.0, base + 9000.0],
+        "hi": [base + 3600.0, base + 5400.0, base + 7200.0, base + 8000.0]})))
+    right = vs.DataFrame(spark.createDataFrame(pd.DataFrame({
+        "rid": [0, 1, 2],
+        "lo": [base + 3600.0, base + 5100.0, base + 7100.0],
+        "hi": [base + 4000.0, base + 5200.0, base + 7200.0]})))
+    # brute force over NON-empty intervals only
+    lp = left.spark.toPandas(); rp = right.spark.toPandas()
+    exp = {(int(l.lid), int(r.rid))
+           for l in lp.itertuples() for r in rp.itertuples()
+           if l.hi > l.lo and r.hi > r.lo and l.lo < r.hi and r.lo < l.hi}
+    # l0 [0,3600) must NOT match r0 [3600,4000) (half-open kiss);
+    # l2 (empty) and l3 (inverted) must match nothing
+    assert exp == {(1, 1)}, exp
+    for bw in (None, w, 100.0):
+        out = join_intervals(left, right, "lo", "hi", "lo", "hi",
+                             bucket_width=bw)
+        got = [(r["lid"], r["rid"]) for r in
+               out.spark.select("lid", "rid").collect()]
+        assert len(got) == len(set(got)), bw
+        assert set(got) == exp, (bw, got)
+
+
+def test_join_intervals_exact_multiple_hi_no_spurious_bucket(spark):
+    """The last touched bucket of [lo, hi) with hi == k*w is k-1, not k:
+    assert the exploded relation's bucket count directly (the epsilon
+    form silently emitted the extra bucket at epoch scale)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from vaex_spark.operators.join import _last_bucket_exclusive
+    sdf = spark.createDataFrame(pd.DataFrame({
+        "hi": [1_700_006_400.0,      # == 472224 * 3600, exact multiple
+               1_700_006_399.0,      # just below
+               1_700_006_401.0]}))   # just above
+    got = [r["b"] for r in sdf.select(
+        _last_bucket_exclusive(F.col("hi"), 3600.0).alias("b")).collect()]
+    assert got == [472223, 472223, 472224], got
+
+
+def test_join_range_degenerate_intervals(spark):
+    """join_range bucketized: empty/inverted right-side intervals are
+    dropped before the explode (no descending sequence), and closed
+    modes keep their exact point semantics at bucket boundaries."""
+    import pandas as pd
+    import vaex_spark as vs
+    left = vs.from_arrays(x=[10.0, 20.0, 30.0], id=[1, 2, 3], spark=spark)
+    right = vs.DataFrame(spark.createDataFrame(pd.DataFrame({
+        "lo": [10.0, 25.0, 40.0, 50.0],
+        "hi": [20.0, 25.0, 30.0, 45.0],   # [25,25) empty; [50,45) inverted
+        "label": ["a", "empty", "inv_hi_lt_lo", "inverted"]})))
+    right.spark.createOrReplaceTempView("__jr_deg")
+    for closed, exp in (("left", {(1, "a")}),
+                        ("both", {(1, "a"), (2, "a")}),
+                        ("right", {(2, "a")}),
+                        ("neither", set())):
+        for bw in (None, 10.0):
+            out = left.join_range(right, "x", "lo", "hi", how="inner",
+                                  bucket_width=bw, closed=closed)
+            got = {(r["id"], r["label"]) for r in out.spark.collect()}
+            assert got == exp, (closed, bw, got)

@@ -430,3 +430,58 @@ def test_global_rolling_range_value_bucket_donation(spark):
     for ln in plan.splitlines():
         if "Exchange SinglePartition" in ln:
             raise AssertionError(plan)
+
+
+def test_rolling_var_std_epoch_scale_no_cancellation(spark):
+    """ADVICE r4: the wide-frame moment form (m2 - m1^2/n)/n cancels
+    catastrophically for large-mean/small-variance data (epoch-like
+    columns: mean^2/var >> 1/eps) and could go slightly negative,
+    turning std into NaN via sqrt.  The centered rewrite (offset by the
+    partition's first value) plus the >=0 clamp must match numpy to
+    full precision even at mean ~ 1.7e9, sigma ~ 1e-3."""
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    rng = np.random.RandomState(11)
+    n, window = 400, 64  # 64 triggers the growing-frame rewrite
+    vals = 1.7e9 + rng.normal(0.0, 1e-3, n)
+    df = vs.DataFrame(spark.createDataFrame(
+        pd.DataFrame({"event_id": np.arange(n), "value": vals})))
+    for agg, npf in (("var", lambda a: a.var(axis=1)),
+                     ("std", lambda a: a.std(axis=1))):
+        r = getattr(df.rolling(window, column="value",
+                               order_key="event_id"), agg)()
+        got = (r.spark.select("event_id", "value").toPandas()
+               .sort_values("event_id")["value"].to_numpy(dtype=float))
+        sw = np.lib.stride_tricks.sliding_window_view(vals, window)
+        exp = np.full(n, np.nan)
+        exp[window - 1:] = npf(sw)
+        valid = ~np.isnan(exp)
+        assert not np.isnan(got[valid]).any(), "NaN from negative variance"
+        assert np.allclose(got[valid], exp[valid], rtol=1e-6, atol=1e-12), (
+            agg, got[valid][:5], exp[valid][:5])
+        both_nan = np.isnan(got[~valid]).all()
+        assert both_nan
+
+
+def test_rolling_range_global_empty_and_allnull(spark):
+    """ADVICE r4: global rolling_range collected min/max epoch and did
+    int(None) on an empty or all-null-timestamp frame.  Both must
+    short-circuit to a null output column instead of raising."""
+    import pandas as pd
+    import vaex_spark as vs
+    from vaex_spark.operators.window import rolling_range
+    empty = vs.DataFrame(spark.createDataFrame(
+        [], schema="ts timestamp, value double"))
+    out = rolling_range(empty, 600, on="ts", column=["value"], agg="mean")
+    assert out.spark.count() == 0
+    assert "value_rolling_mean" in out.spark.columns
+
+    allnull = vs.DataFrame(spark.createDataFrame(
+        pd.DataFrame({"ts": pd.to_datetime([None, None]),
+                      "value": [1.0, 2.0]})))
+    for agg in ("mean", "sum", "count", "max"):
+        rows = rolling_range(allnull, 600, on="ts", column=["value"],
+                             agg=agg).spark.collect()
+        assert len(rows) == 2
+        assert all(r[f"value_rolling_{agg}"] is None for r in rows), agg

@@ -146,8 +146,15 @@ def stratified_sample(df, frac: float, group_col: str = "source",
     counts = (sdf.groupBy(group_col)
               .agg(F.count(F.lit(1)).alias("__gn")))
     w = Window.partitionBy(F.col(group_col)).orderBy(*order_cols)
+    # The documented contract is EXACT ceil(frac*n): compute the cutoff
+    # in decimal, not double — 0.07 as a double is 0.070000000000000007,
+    # so ceil(100 * 0.07) would keep 8 rows, not 7.  repr() recovers the
+    # shortest decimal the user typed; decimal multiply is then exact.
+    from decimal import Decimal
+    frac_dec = Decimal(repr(float(frac)))
+    cutoff = F.ceil(F.col("__gn").cast("decimal(20,0)") * F.lit(frac_dec))
     out = (sdf.join(F.broadcast(counts), on=group_col)
            .withColumn("__rn", F.row_number().over(w))
-           .filter(F.col("__rn") <= F.ceil(F.col("__gn") * F.lit(float(frac))))
+           .filter(F.col("__rn") <= cutoff)
            .drop("__rn", "__gn"))
     return DataFrame(out) if wrapped else out

@@ -273,16 +273,24 @@ class GroupBy:
             # aggregates in one Aggregate node: run two grouped aggs over
             # the same shuffle keys and join on the group keys.  The join
             # must be null-safe (eqNullSafe) or null-keyed groups vanish.
-            g1, g2 = _run(reg), _run(pud)
+            # Under rollup/cube the key columns alone cannot identify a
+            # grouping-set row: the (a, NULL) subtotal and a genuine
+            # (a, null-keyed) group look identical.  grouping_id()
+            # disambiguates them, so it joins alongside the keys.
+            gid = [F.grouping_id().alias("__grouping_id")] \
+                if self.mode in ("rollup", "cube") else []
+            g1, g2 = _run(reg + gid), _run(pud + gid)
             if key_names:
-                for k in key_names:
+                join_keys = key_names + (["__grouping_id"] if gid else [])
+                for k in join_keys:
                     g2 = g2.withColumnRenamed(k, f"__rhs_{k}")
                 cond = None
-                for k in key_names:
+                for k in join_keys:
                     c = g1[k].eqNullSafe(g2[f"__rhs_{k}"])
                     cond = c if cond is None else (cond & c)
                 grouped = g1.join(g2, on=cond, how="inner").drop(
-                    *[f"__rhs_{k}" for k in key_names])
+                    *[f"__rhs_{k}" for k in join_keys],
+                    *(["__grouping_id"] if gid else []))
             else:
                 grouped = g1.crossJoin(g2)
             grouped = grouped.select(*key_names, *[n for n, _, _ in triples])

@@ -208,6 +208,21 @@ def join_asof(left, right, on, by=None, direction="backward", tolerance=None,
     return o
 
 
+def _last_bucket(hi, w):
+    """Last bucket an interval with INCLUSIVE upper bound ``hi`` touches."""
+    return F.floor(hi / w).cast("long")
+
+
+def _last_bucket_exclusive(hi, w):
+    """Last bucket a half-open interval [lo, hi) touches: floor(hi/w),
+    minus one when hi sits exactly on a bucket boundary (hi itself is
+    excluded).  Arithmetic boundary test, not a float epsilon — an
+    epsilon nudge is a no-op above |hi| ~ 1e4 (ulp(1.7e9) ≈ 2.4e-7)."""
+    b = F.floor(hi / w).cast("long")
+    on_edge = (hi.cast("double") == b.cast("double") * F.lit(float(w)))
+    return b - on_edge.cast("long")
+
+
 def join_range(left, right, left_on, right_lo, right_hi, how="inner",
                bucket_width=None, closed="left"):
     """Interval join: match left rows whose ``left_on`` value falls in
@@ -237,13 +252,22 @@ def join_range(left, right, left_on, right_lo, right_hi, how="inner",
     else:
         w = float(bucket_width)
         # top bucket: when hi is inclusive (closed='right'/'both') a value
-        # equal to hi lives in bucket floor(hi/w) exactly, so no epsilon;
-        # for the half-open left-closed case hi itself is excluded, and the
-        # epsilon keeps an exact-multiple hi from exploding a spurious
-        # empty bucket.
-        hi_bk = (F.floor(hi / w) if closed in ("right", "both")
-                 else F.floor((hi - 1e-12) / w)).cast("long")
-        rb = rsdf.withColumn("__bk", F.explode(F.sequence(
+        # equal to hi lives in bucket floor(hi/w) exactly; when hi is
+        # excluded the last touched bucket drops by one whenever hi sits
+        # exactly on a bucket boundary.  This is computed ARITHMETICALLY
+        # (boundary test), not with a float epsilon — `hi - 1e-12` is
+        # absorbed by double rounding for |hi| above ~1e4 (epoch
+        # seconds), so exact-multiple his would still explode a spurious
+        # empty boundary bucket.
+        hi_bk = (_last_bucket(hi, w) if closed in ("right", "both")
+                 else _last_bucket_exclusive(hi, w))
+        # degenerate intervals (hi < lo, or hi == lo with hi excluded)
+        # contain no value — and sequence(start, stop) with start > stop
+        # emits a DESCENDING run, exploding bogus buckets.  Drop them
+        # before the explode; right-side rows that can match nothing
+        # never affect the join result (including how='left').
+        nonempty = (hi >= lo) if closed == "both" else (hi > lo)
+        rb = rsdf.filter(nonempty).withColumn("__bk", F.explode(F.sequence(
             F.floor(lo / w).cast("long"), hi_bk)))
         # tag left rows with a row id so the left-outer reconstruction is
         # null-safe and duplicate-safe (anti-join on the id, not on every
@@ -303,17 +327,24 @@ def join_intervals(left, right, left_lo, left_hi, right_lo, right_hi,
     llo, lhi = F.col(left_lo), F.col(left_hi)
     rlo, rhi = F.col(right_lo), F.col(right_hi)
     overlap = (llo < rhi) & (rlo < lhi)
+    # An empty interval [x, x) contains no point and overlaps nothing,
+    # but the pairwise predicate alone would still admit it (llo < rhi
+    # and rlo < lhi can both hold with llo == lhi).  Exclude empties on
+    # both paths so broadcast and bucketed plans agree.
     if bucket_width is None:
-        return DataFrame(lsdf.join(F.broadcast(rsdf), on=overlap, how="inner"))
+        return DataFrame(lsdf.filter(lhi > llo).join(
+            F.broadcast(rsdf.filter(rhi > rlo)), on=overlap, how="inner"))
     w = float(bucket_width)
-    # half-open intervals: hi itself is excluded, epsilon keeps an
-    # exact-multiple hi from exploding a spurious empty bucket
-    lb = lsdf.withColumn("__bk", F.explode(F.sequence(
-        F.floor(llo / w).cast("long"),
-        F.floor((lhi - 1e-12) / w).cast("long"))))
-    rb = rsdf.withColumn("__bk", F.explode(F.sequence(
-        F.floor(rlo / w).cast("long"),
-        F.floor((rhi - 1e-12) / w).cast("long"))))
+    # Half-open intervals: hi itself is excluded, so the last touched
+    # bucket is computed arithmetically (exact boundary test — a float
+    # epsilon is absorbed by rounding for epoch-scale values).  Empty or
+    # inverted intervals ([x,x), hi<lo) contain no point, overlap
+    # nothing, and would make sequence() emit a DESCENDING run of bogus
+    # buckets — they are excluded explicitly on both sides.
+    lb = lsdf.filter(lhi > llo).withColumn("__bk", F.explode(F.sequence(
+        F.floor(llo / w).cast("long"), _last_bucket_exclusive(lhi, w))))
+    rb = rsdf.filter(rhi > rlo).withColumn("__bk", F.explode(F.sequence(
+        F.floor(rlo / w).cast("long"), _last_bucket_exclusive(rhi, w))))
     first_shared = F.greatest(F.floor(llo / w).cast("long"),
                               F.floor(rlo / w).cast("long"))
     out = (lb.join(rb, on="__bk", how="inner")

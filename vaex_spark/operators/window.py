@@ -445,8 +445,23 @@ class Rolling:
                     val = fsum(F.col(c)) / n
                 else:  # var / std from moment sums (population, ddof=0)
                     x = F.col(c).cast("double")
-                    m1, m2 = fsum(x), fsum(x * x)
-                    v = (m2 - m1 * m1 / n) / n
+                    # Center on the partition's first non-null value:
+                    # variance is shift-invariant, and the raw moment
+                    # form m2 - m1^2/n cancels catastrophically when
+                    # mean^2 >> var (epoch-like columns lose every
+                    # significant digit).  The offset is constant for
+                    # every contributing (non-null) row of the
+                    # partition, so frames remain internally
+                    # consistent; null-x rows have null xc and never
+                    # enter the sums.
+                    off = F.first(x, ignorenulls=True).over(
+                        w.rowsBetween(Window.unboundedPreceding,
+                                      Window.currentRow))
+                    xc = x - off
+                    m1, m2 = fsum(xc), fsum(xc * xc)
+                    # clamp: float cancellation can still leave a tiny
+                    # negative residue, which sqrt would turn into NaN
+                    v = F.greatest((m2 - m1 * m1 / n) / n, F.lit(0.0))
                     val = F.sqrt(v) if kind == "std" else v
             else:
                 frame = w.rowsBetween(-before, after)
@@ -551,6 +566,25 @@ def rolling_range(df, window_seconds, on, column=None, agg="mean",
         bounds = sdf.agg(
             F.min(F.unix_timestamp(F.col(on))).alias("lo"),
             F.max(F.unix_timestamp(F.col(on))).alias("hi")).collect()[0]
+        if bounds["hi"] is None or bounds["lo"] is None:
+            # empty frame or all-null timestamps: no buckets to size.
+            # Return the input with the output columns attached as
+            # nulls (a window over no/null rows aggregates to null).
+            out = sdf
+            dtypes = dict(sdf.dtypes)
+            for c in cols:
+                if agg == "count":
+                    typ = "long"
+                elif agg in ("min", "max"):
+                    typ = dtypes[c]
+                elif agg == "mean":
+                    typ = "double"
+                else:  # sum: ask the analyzer (long for ints, etc.)
+                    typ = sdf.select(F.sum(F.col(c)).alias("__t")) \
+                        .schema["__t"].dataType.simpleString()
+                out = out.withColumn(f"{c}_rolling_{agg}",
+                                     F.lit(None).cast(typ))
+            return DataFrame(out) if wrapped else out
         span = max(1, int(bounds["hi"]) - int(bounds["lo"]))
         par = sdf.sparkSession.sparkContext.defaultParallelism
         S = max(2 * win, span // max(1, 4 * par) + 1)
