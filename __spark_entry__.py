@@ -2317,7 +2317,8 @@ def _q77_bloom_incremental_dedup(spark, sf_dir):
     seen = docs[docs.doc_id % 3 != 0]
     batch = docs[docs.doc_id % 3 == 0]
     bloom = build_fingerprint_bloom(seen, fpp=0.01)
-    out = exact_dedup_incremental(batch, seen, bloom=bloom)
+    out = exact_dedup_incremental(batch, seen, bloom=bloom,
+                                  bloom_min_corpus_ratio=0)
     return (out.spark.select(F.col("doc_id").cast("long").alias("doc_id"),
                              F.col("lang"), F.col("source")))
 
@@ -2663,17 +2664,17 @@ def _q87_quality_deciles(spark, sf_dir):
     per-decile doc counts and mean length.  The distribution-shaping
     view a curation run uses to pick its quality threshold.
 
-    Scale note: exact global NTILE requires a total order (one-task
-    window — fine for the oracle's exactness contract); the 100 TB form
-    of the same decision is approx_percentile over q (one aggregate, no
-    sort), which the engine also exposes via df.percentile_approx."""
-    from pyspark.sql import Window
+    Scale note: exact global NTILE is computed by ntile_exact
+    (operators/window.py) — range exchange on the sort key, local row
+    numbers, broadcast cumulative-offset map, then the SQL ntile bucket
+    arithmetic.  Every stage parallel, no Exchange SinglePartition;
+    bit-identical to the one-task window form."""
+    from vaex_spark.operators.window import ntile_exact
     from vaex_spark.datapipe.text import quality_score
     docs = _t(spark, sf_dir, "documents").spark
     scored = docs.select(F.col("doc_id"), F.col("n_chars"),
                          F.round(quality_score(F.col("text")), 6).alias("q"))
-    w = Window.orderBy(F.col("q"), F.col("doc_id"))
-    return (scored.withColumn("decile", F.ntile(10).over(w))
+    return (ntile_exact(scored, 10, ["q", "doc_id"], out_col="decile")
             .groupBy(F.col("decile").cast("long").alias("decile"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  dsum("n_chars").alias("sum_chars"),

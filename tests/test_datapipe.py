@@ -863,14 +863,14 @@ def test_bloom_incremental_dedup_matches_exact(spark):
                    exact_dedup_incremental(batch, seen).spark.collect())
     bf = build_fingerprint_bloom(seen)
     boosted = sorted(r["doc_id"] for r in
-                     exact_dedup_incremental(batch, seen, bloom=bf)
+                     exact_dedup_incremental(batch, seen, bloom=bf, bloom_min_corpus_ratio=0)
                      .spark.collect())
     assert boosted == plain and len(plain) > 0
     # and from the persisted fingerprint table (fp_col path)
     fps = corpus_fingerprints(seen)
     bf2 = build_fingerprint_bloom(fps, fp_col="__fp")
     boosted2 = sorted(r["doc_id"] for r in
-                      exact_dedup_incremental(batch, fps, bloom=bf2)
+                      exact_dedup_incremental(batch, fps, bloom=bf2, bloom_min_corpus_ratio=0)
                       .spark.collect())
     assert boosted2 == plain
 
@@ -886,7 +886,7 @@ def test_bloom_incremental_corpus_never_exchanges(spark):
     seen = vs.DataFrame(docs.spark.filter("doc_id % 3 != 0"))
     batch = vs.DataFrame(docs.spark.filter("doc_id % 3 = 0"))
     bf = build_fingerprint_bloom(seen)
-    out = exact_dedup_incremental(batch, seen, bloom=bf).spark
+    out = exact_dedup_incremental(batch, seen, bloom=bf, bloom_min_corpus_ratio=0).spark
     plan = out._jdf.queryExecution().executedPlan().toString()
     import re
     # corpus-side join must be broadcast (semi + the anti re-check)
@@ -1137,3 +1137,80 @@ def test_stratified_sample_exact_ceil_decimal(spark):
                                 id_col="doc_id")
         got = (out.spark.groupBy("source").count().collect())
         assert {r["source"]: r["count"] for r in got} == exp, frac
+
+
+def test_stratified_sample_boundary_bucket_parity(spark):
+    """The skew-proof boundary-bucket path must select the bit-identical
+    row set to the naive full-group rank (bucket order is a prefix of
+    the md5 order), across fracs and group sizes including k landing
+    inside and exactly on a bucket edge."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from vaex_spark.datapipe.mixing import stratified_sample
+    rng = np.random.RandomState(31)
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(3000),
+        "source": (["hot"] * 2500 + ["warm"] * 400 + ["cold"] * 100)})
+    sdf = spark.createDataFrame(pdf)
+    for frac in (0.001, 0.07, 0.2, 0.5, 1.0):
+        got = set(r["doc_id"] for r in stratified_sample(
+            sdf, frac, group_col="source", id_col="doc_id")
+            .select("doc_id").collect())
+        # naive oracle: full rank per group
+        h = F.md5(F.concat_ws("-", F.col("doc_id").cast("string"),
+                              F.lit("42")))
+        w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+        from decimal import Decimal
+        exp = set(r["doc_id"] for r in sdf
+                  .withColumn("__rn", F.row_number().over(w))
+                  .withColumn("__k", F.ceil(
+                      F.count(F.lit(1)).over(Window.partitionBy("source"))
+                      .cast("decimal(20,0)") * F.lit(Decimal(repr(frac)))))
+                  .filter(F.col("__rn") <= F.col("__k"))
+                  .select("doc_id").collect())
+        assert got == exp, (frac, len(got), len(exp))
+
+
+def test_stratified_sample_ranks_only_boundary_bucket(spark):
+    """Plan shape: the data-path row_number window must run over the
+    boundary-bucket rows only (its input carries the __hb equality
+    filter), so a hot group never serializes fully into one task."""
+    import numpy as np
+    import pandas as pd
+    from vaex_spark.datapipe.mixing import stratified_sample
+    pdf = pd.DataFrame({"doc_id": np.arange(5000),
+                        "source": ["hot"] * 5000})
+    out = stratified_sample(spark.createDataFrame(pdf), 0.1,
+                            group_col="source", id_col="doc_id")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the rank window's subtree must filter __hb = boundary first
+    import re
+    assert re.search(r"__hb#\d+L? = ", plan) or "__bd_b" in plan, plan
+    assert "row_number" in plan
+
+
+def test_bloom_crossover_heuristic_falls_back(spark):
+    """With corpus ≈ batch, Catalyst size stats trip the
+    bloom_min_corpus_ratio heuristic and the plan is the plain
+    anti-join (no ArrowEvalPython membership stage) even though a bloom
+    was supplied; results unchanged.  With ratio=0 the bloom path is
+    forced and plans the Arrow membership scan."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import (build_fingerprint_bloom,
+                                           exact_dedup_incremental)
+    docs = vs.open("/root/testdata/sf0.01/documents.parquet", spark=spark)
+    seen = vs.DataFrame(docs.spark.filter("doc_id % 3 != 0"))
+    batch = vs.DataFrame(docs.spark.filter("doc_id % 3 = 0"))
+    bf = build_fingerprint_bloom(seen)
+    auto = exact_dedup_incremental(batch, seen, bloom=bf)  # default ratio 4
+    plan_auto = auto._spark_df()._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan_auto, plan_auto
+    forced = exact_dedup_incremental(batch, seen, bloom=bf,
+                                     bloom_min_corpus_ratio=0)
+    plan_forced = forced._spark_df()._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan_forced, plan_forced
+    a = sorted(r["doc_id"] for r in auto.spark.collect())
+    f = sorted(r["doc_id"] for r in forced.spark.collect())
+    assert a == f and len(a) > 0

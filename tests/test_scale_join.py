@@ -237,3 +237,61 @@ def test_join_range_degenerate_intervals(spark):
                                   bucket_width=bw, closed=closed)
             got = {(r["id"], r["label"]) for r in out.spark.collect()}
             assert got == exp, (closed, bw, got)
+
+
+def test_join_intervals_length_skew_tail(spark):
+    """Giant intervals (touching >= max_explode buckets) must route
+    around the explode via broadcast non-equi — same results as brute
+    force, no duplicate pairs, and the plan shows a
+    BroadcastNestedLoopJoin alongside the bucket equi-join."""
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    from vaex_spark.operators.join import join_intervals
+    rng = np.random.RandomState(41)
+    n = 150
+    l_lo = rng.uniform(0, 1000, n); l_hi = l_lo + rng.uniform(0.5, 30, n)
+    # plant 3 epoch-spanning giants on each side
+    l_lo[:3] = [0.0, 10.0, 500.0]; l_hi[:3] = [100000.0, 90000.0, 80000.0]
+    r_lo = rng.uniform(0, 1000, n); r_hi = r_lo + rng.uniform(0.5, 30, n)
+    r_lo[:3] = [5.0, 0.0, 100.0]; r_hi[:3] = [95000.0, 70000.0, 60000.0]
+    left = vs.DataFrame(spark.createDataFrame(pd.DataFrame(
+        {"lid": np.arange(n), "lo": l_lo, "hi": l_hi})))
+    right = vs.DataFrame(spark.createDataFrame(pd.DataFrame(
+        {"rid": np.arange(n), "lo": r_lo, "hi": r_hi})))
+    exp = {(i, j) for i in range(n) for j in range(n)
+           if l_lo[i] < r_hi[j] and r_lo[j] < l_hi[i]}
+    out = join_intervals(left, right, "lo", "hi", "lo", "hi",
+                         bucket_width=10.0, max_explode=64)
+    got = [(r["lid"], r["rid"]) for r in
+           out.spark.select("lid", "rid").collect()]
+    assert len(got) == len(set(got)), "duplicate pairs"
+    assert set(got) == exp
+    plan = out.spark._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_join_range_length_skew_tail(spark):
+    """join_range: a right-side interval spanning the whole domain is
+    broadcast, not exploded; inner AND left results match the
+    broadcast-only oracle."""
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    rng = np.random.RandomState(43)
+    xs = rng.uniform(0, 1000, 500)
+    left = vs.DataFrame(spark.createDataFrame(pd.DataFrame(
+        {"x": xs, "id": np.arange(500)})))
+    r_lo = rng.uniform(0, 1000, 40); r_hi = r_lo + rng.uniform(1, 20, 40)
+    r_lo[0], r_hi[0] = 0.0, 1e6  # the giant: matches every left row
+    right = vs.DataFrame(spark.createDataFrame(pd.DataFrame(
+        {"lo": r_lo, "hi": r_hi, "label": [f"r{i}" for i in range(40)]})))
+    for how in ("inner", "left"):
+        got = sorted((r["id"], r["label"]) for r in
+                     left.join_range(right, "x", "lo", "hi", how=how,
+                                     bucket_width=10.0, max_explode=32)
+                     .spark.collect())
+        exp = sorted((r["id"], r["label"]) for r in
+                     left.join_range(right, "x", "lo", "hi", how=how,
+                                     bucket_width=None).spark.collect())
+        assert got == exp, how

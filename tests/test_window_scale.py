@@ -485,3 +485,68 @@ def test_rolling_range_global_empty_and_allnull(spark):
                              agg=agg).spark.collect()
         assert len(rows) == 2
         assert all(r[f"value_rolling_{agg}"] is None for r in rows), agg
+
+
+def test_ntile_exact_matches_sql_ntile(spark):
+    """ntile_exact == F.ntile over a single-task window, bit-identical,
+    across non-divisible N, N < k, and forced-multi-partition configs."""
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    from pyspark.sql import Window as W
+    from vaex_spark.operators.window import ntile_exact
+    rng = np.random.RandomState(17)
+    try:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        for n, k in ((9973, 10), (1000, 7), (5, 10), (64, 64), (12, 10)):
+            vals = rng.uniform(0, 1, n)
+            sdf = spark.createDataFrame(pd.DataFrame(
+                {"id": np.arange(n), "v": vals}))
+            got = {r["id"]: r["t"] for r in ntile_exact(
+                sdf, k, ["v", "id"], out_col="t").select("id", "t").collect()}
+            exp = {r["id"]: r["t"] for r in sdf.select(
+                "id", F.ntile(k).over(W.orderBy("v", "id")).alias("t")).collect()}
+            assert got == exp, (n, k)
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+        vs.cache.release_operator_caches()
+
+
+def test_ntile_exact_no_single_partition_exchange(spark):
+    """The data path of ntile_exact must carry no Exchange
+    SinglePartition when the frame spans multiple range partitions."""
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    from vaex_spark.operators.window import ntile_exact
+    rng = np.random.RandomState(23)
+    n = 40_000
+    sdf = spark.createDataFrame(pd.DataFrame(
+        {"id": np.arange(n), "v": rng.uniform(0, 1, n)}))
+    try:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        out = ntile_exact(sdf, 10, ["v", "id"], out_col="t")
+        out.count()  # materialize so the executed plan is final
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "rangepartitioning" in plan.lower(), plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+        vs.cache.release_operator_caches()
+
+
+def test_global_rank_dense_and_total(spark):
+    """global_rank assigns each row a unique 1..N rank consistent with
+    the total order."""
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    rng = np.random.RandomState(29)
+    n = 5000
+    vals = rng.permutation(n).astype("int64")
+    df = vs.DataFrame(spark.createDataFrame(pd.DataFrame(
+        {"id": np.arange(n), "v": vals})))
+    out = df.global_rank("v", out_col="r").spark.select("v", "r").collect()
+    assert sorted(r["r"] for r in out) == list(range(1, n + 1))
+    for row in out:
+        assert row["r"] == row["v"] + 1  # v is a permutation of 0..n-1

@@ -1253,6 +1253,20 @@ class DataFrame:
         from .operators.window import sessionize as _sz
         return _sz(self, ts_col, gap_seconds, by, session_col=session_col)
 
+    def global_rank(self, order_key, out_col="rank") -> "DataFrame":
+        """Exact global row_number over a total order without a
+        single-task sort — see operators/window.py:global_rank (range
+        exchange + broadcast offset map)."""
+        from .operators.window import global_rank as _gr
+        return _gr(self, order_key, out_col=out_col)
+
+    def ntile(self, k, order_key, out_col="ntile") -> "DataFrame":
+        """Exact global NTILE(k) with every stage parallel — see
+        operators/window.py:ntile_exact (bit-identical to the SQL
+        window ntile at any N, no Exchange SinglePartition)."""
+        from .operators.window import ntile_exact as _nt
+        return _nt(self, k, order_key, out_col=out_col)
+
     # ------------------------------------------------------------------
     # joins — delegated (operators/join.py)
     # ------------------------------------------------------------------
@@ -1267,11 +1281,13 @@ class DataFrame:
                           allow_exact_matches=allow_exact_matches)
 
     def join_range(self, other, left_on, right_lo, right_hi, how="inner",
-                   bucket_width=None, closed="left") -> "DataFrame":
+                   bucket_width=None, closed="left",
+                   max_explode=256) -> "DataFrame":
         """Interval containment join — see operators/join.py:join_range."""
         from .operators.join import join_range as _join_range
         return _join_range(self, other, left_on, right_lo, right_hi, how=how,
-                           bucket_width=bucket_width, closed=closed)
+                           bucket_width=bucket_width, closed=closed,
+                           max_explode=max_explode)
 
     def join(self, other, on=None, how="left", left_on=None, right_on=None,
              lprefix="", rprefix="", lsuffix="", rsuffix="",

@@ -551,9 +551,26 @@ def contamination(docs, probes, k: int = 8, text_col: str = "text",
     return out
 
 
+def _plan_size_bytes(sdf) -> "int | None":
+    """Catalyst's size estimate for a frame, or None when the catalog
+    doesn't know (the defaultSizeInBytes sentinel / join products —
+    same rejection rule as operators/window.py:_range_partition_count)."""
+    try:
+        size = int(str(sdf._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes()))
+        default_size = int(sdf.sparkSession.conf.get(
+            "spark.sql.defaultSizeInBytes", str(2 ** 63 - 1)))
+    except Exception:  # pragma: no cover - py4j surface change
+        return None
+    if size <= 0 or size >= default_size:
+        return None
+    return size
+
+
 def exact_dedup_incremental(new_df, seen_df, text_col: str = "text",
                             id_col: str = "doc_id", normalize: bool = True,
-                            keep: str = "min", bloom: "BloomFilter | None" = None):
+                            keep: str = "min", bloom: "BloomFilter | None" = None,
+                            bloom_min_corpus_ratio: float = 4.0):
     """Incremental snapshot dedup: drop rows of ``new_df`` whose
     (normalized) text already exists in ``seen_df`` (the prior corpus),
     then exact-dedup the survivors within the batch.
@@ -574,7 +591,18 @@ def exact_dedup_incremental(new_df, seen_df, text_col: str = "text",
     semi-joining the corpus against the BROADCAST maybe-fingerprint set
     and anti-joining the small confirmed-dup set back.  The corpus is
     read once map-side and never exchanged; results are identical to
-    the bloom-less path (the filter has no false negatives)."""
+    the bloom-less path (the filter has no false negatives).
+
+    The bloom path only pays off when the corpus dwarfs the batch: its
+    win is replacing the corpus EXCHANGE with a map-side scan, at the
+    cost of extra stages (Arrow membership scan, maybe-set distinct +
+    broadcast, a second anti-join).  When corpus ≈ batch the plain
+    anti-join shuffles the same volume with fewer stages and wins
+    (measured crossover in SCALECHECK_r04).  So even with ``bloom``
+    supplied, the plan falls back to the anti-join unless Catalyst's
+    size stats say corpus >= ``bloom_min_corpus_ratio`` × batch (both
+    stats known); pass ``bloom_min_corpus_ratio=0`` to force the bloom
+    path."""
     nsdf, ssdf = _sdf(new_df), _sdf(seen_df)
     fp = fingerprint(F.col(text_col), normalize=normalize)
     if "__fp" in ssdf.columns:
@@ -582,6 +610,11 @@ def exact_dedup_incremental(new_df, seen_df, text_col: str = "text",
     else:
         seen_fp = ssdf.select(fp.alias("__fp")).distinct()
     keyed = nsdf.select(fp.alias("__fp"), F.col(id_col))
+    if bloom is not None and bloom_min_corpus_ratio > 0:
+        corpus_b, batch_b = _plan_size_bytes(ssdf), _plan_size_bytes(nsdf)
+        if (corpus_b is not None and batch_b is not None
+                and corpus_b < bloom_min_corpus_ratio * max(batch_b, 1)):
+            bloom = None  # corpus too small for the bloom plan to win
     if bloom is not None:
         maybe_flag = bloom_might_contain(bloom, F.col("__fp"), nsdf.sparkSession)
         maybe_fps = keyed.filter(maybe_flag).select("__fp").distinct()

@@ -124,37 +124,91 @@ def stratified_sample(df, frac: float, group_col: str = "source",
     kept.  Pass ``order_key`` to rank by something else (e.g. a quality
     score for "best 20%% per domain").
 
-    Scale: one map-side-combined count aggregate (group-cardinality
-    rows), broadcast back, then one window rank per group.  The rank
-    window cannot use WindowGroupLimit (the cutoff is per-group
-    dynamic), so a pathologically hot group serializes its rank into
-    one task; for hot-group corpora rank by a precomputed column and
-    cap with cap_per_group instead.
+    Scale (hash path, the default): the dynamic per-group cutoff cannot
+    use WindowGroupLimit, so a naive per-group rank serializes a hot
+    group into one task.  Instead the md5 hash is pruned by its OWN
+    prefix first — BOUNDARY-BUCKET PRUNING:
+
+    1. bucket = first two hex chars of the hash (256 uniform buckets;
+       bucket order is a prefix of the full hash order);
+    2. one map-side-combined count over (group, bucket) — group×256
+       rows — plus a tiny window over that aggregate gives each group's
+       cumulative counts and the single *boundary bucket* where the
+       cumsum crosses k = ceil(frac·n);
+    3. broadcast back: rows in buckets below the boundary are kept by a
+       plain filter (no window at all), rows above are dropped, and
+       ONLY the boundary bucket — expected n_g/256 rows — is ranked.
+
+    The selected set is bit-identical to ranking the whole group (the
+    bucket is a hash prefix), but the hot-group window shrinks 256×:
+    a 3.2M-row group ranks ~12.5k rows in its single task.  With a
+    custom ``order_key`` the prefix-pruning argument doesn't apply
+    (arbitrary keys aren't uniform) and the plain per-group rank runs —
+    for hot-group corpora rank by a precomputed column and cap with
+    cap_per_group instead.
     """
     from ..dataframe import DataFrame
     wrapped = isinstance(df, DataFrame)
     sdf = df._spark_df() if wrapped else df
     from pyspark.sql import Window
-    if order_key is None:
-        order_cols = [F.md5(F.concat_ws("-", F.col(id_col).cast("string"),
-                                        F.lit(str(seed)))),
-                      F.col(id_col)]
-    else:
+    # EXACT ceil(frac*n): compute the cutoff in decimal, not double —
+    # 0.07 as a double is 0.070000000000000007, so ceil(100 * 0.07)
+    # would keep 8 rows, not 7.  repr() recovers the shortest decimal
+    # the user typed; decimal multiply is then exact.
+    from decimal import Decimal
+    frac_dec = Decimal(repr(float(frac)))
+
+    def k_of(n_col):
+        return F.ceil(n_col.cast("decimal(20,0)") * F.lit(frac_dec))
+
+    if order_key is not None:
         keys = order_key if isinstance(order_key, (list, tuple)) else [order_key]
         order_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
         order_cols.append(F.col(id_col))
-    counts = (sdf.groupBy(group_col)
-              .agg(F.count(F.lit(1)).alias("__gn")))
-    w = Window.partitionBy(F.col(group_col)).orderBy(*order_cols)
-    # The documented contract is EXACT ceil(frac*n): compute the cutoff
-    # in decimal, not double — 0.07 as a double is 0.070000000000000007,
-    # so ceil(100 * 0.07) would keep 8 rows, not 7.  repr() recovers the
-    # shortest decimal the user typed; decimal multiply is then exact.
-    from decimal import Decimal
-    frac_dec = Decimal(repr(float(frac)))
-    cutoff = F.ceil(F.col("__gn").cast("decimal(20,0)") * F.lit(frac_dec))
-    out = (sdf.join(F.broadcast(counts), on=group_col)
-           .withColumn("__rn", F.row_number().over(w))
-           .filter(F.col("__rn") <= cutoff)
-           .drop("__rn", "__gn"))
+        counts = (sdf.groupBy(group_col)
+                  .agg(F.count(F.lit(1)).alias("__gn")))
+        w = Window.partitionBy(F.col(group_col)).orderBy(*order_cols)
+        out = (sdf.join(F.broadcast(counts), on=group_col)
+               .withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") <= k_of(F.col("__gn")))
+               .drop("__rn", "__gn"))
+        return DataFrame(out) if wrapped else out
+
+    h = F.md5(F.concat_ws("-", F.col(id_col).cast("string"),
+                          F.lit(str(seed))))
+    hashed = sdf.withColumn("__h", h).withColumn(
+        "__hb", F.conv(F.substring(F.col("__h"), 1, 2), 16, 10).cast("int"))
+    # (group, bucket) counts -> per-group cumulative; boundary = first
+    # bucket whose cumsum reaches k.  All windows here run over the
+    # group×256-row AGGREGATE, never the data.
+    bw = Window.partitionBy(group_col).orderBy("__hb")
+    gw = Window.partitionBy(group_col)
+    bkt = (hashed.groupBy(group_col, "__hb")
+           .agg(F.count(F.lit(1)).alias("__bn"))
+           .withColumn("__cum", F.sum("__bn").over(
+               bw.rowsBetween(Window.unboundedPreceding, 0)))
+           .withColumn("__k", F.least(k_of(F.sum("__bn").over(gw)),
+                                      F.sum("__bn").over(gw)))
+           .withColumn("__prev", F.col("__cum") - F.col("__bn")))
+    # per group: boundary bucket + rows already kept below it
+    boundary = (bkt.filter(F.col("__cum") >= F.col("__k"))
+                .groupBy(group_col)
+                .agg(F.min_by(F.struct(F.col("__hb").alias("b"),
+                                       F.col("__prev").alias("below"),
+                                       F.col("__k").alias("k")),
+                              F.col("__hb")).alias("__bd"))
+                .select(group_col, F.col("__bd.b").alias("__bd_b"),
+                        F.col("__bd.below").alias("__bd_below"),
+                        F.col("__bd.k").alias("__bd_k")))
+    joined = hashed.join(F.broadcast(boundary), on=group_col, how="inner")
+    keep_low = joined.filter(F.col("__hb") < F.col("__bd_b"))
+    # only the boundary bucket is ranked: expected n_g/256 rows/group
+    rw = Window.partitionBy(F.col(group_col)).orderBy(F.col("__h"),
+                                                      F.col(id_col))
+    keep_edge = (joined.filter(F.col("__hb") == F.col("__bd_b"))
+                 .withColumn("__rn", F.row_number().over(rw))
+                 .filter(F.col("__rn") <= F.col("__bd_k") - F.col("__bd_below"))
+                 .drop("__rn"))
+    helpers = ["__h", "__hb", "__bd_b", "__bd_below", "__bd_k"]
+    out = keep_low.unionByName(keep_edge).drop(*helpers)
     return DataFrame(out) if wrapped else out

@@ -224,7 +224,7 @@ def _last_bucket_exclusive(hi, w):
 
 
 def join_range(left, right, left_on, right_lo, right_hi, how="inner",
-               bucket_width=None, closed="left"):
+               bucket_width=None, closed="left", max_explode=256):
     """Interval join: match left rows whose ``left_on`` value falls in
     [right_lo, right_hi) of a right-side interval table.
 
@@ -235,6 +235,12 @@ def join_range(left, right, left_on, right_lo, right_hi, how="inner",
     skew-safe), then filter the exact containment — the classic
     interval-bucketing rewrite; explode factor = interval width /
     bucket_width.
+
+    Interval-LENGTH skew: an interval touching more than ``max_explode``
+    buckets (an epoch-spanning outlier) is routed around the explode —
+    the long tail is by construction small, so it broadcast-non-equi
+    joins the left side directly while short intervals take the bucket
+    path; the two right-side sets are disjoint, so no pair duplicates.
     """
     from ..dataframe import DataFrame
 
@@ -267,7 +273,11 @@ def join_range(left, right, left_on, right_lo, right_hi, how="inner",
         # before the explode; right-side rows that can match nothing
         # never affect the join result (including how='left').
         nonempty = (hi >= lo) if closed == "both" else (hi > lo)
-        rb = rsdf.filter(nonempty).withColumn("__bk", F.explode(F.sequence(
+        live = rsdf.filter(nonempty)
+        span = hi_bk - F.floor(lo / w).cast("long")
+        cap = int(max_explode)
+        r_short, r_long = live.filter(span < cap), live.filter(span >= cap)
+        rb = r_short.withColumn("__bk", F.explode(F.sequence(
             F.floor(lo / w).cast("long"), hi_bk)))
         # tag left rows with a row id so the left-outer reconstruction is
         # null-safe and duplicate-safe (anti-join on the id, not on every
@@ -282,6 +292,10 @@ def join_range(left, right, left_on, right_lo, right_hi, how="inner",
             lt = _register_persist(lt)
         lb = lt.withColumn("__bk", F.floor(val / w).cast("long"))
         out = lb.join(rb, on="__bk", how="inner").filter(contains).drop("__bk")
+        # skew tail: epoch-spanning intervals broadcast instead of
+        # exploding into every bucket they cover
+        out = out.unionByName(lt.join(F.broadcast(r_long), on=contains,
+                                      how="inner"))
         if how == "left":
             matched = out
             unmatched = lt.join(matched.select("__rj_rid"),
@@ -297,7 +311,7 @@ def join_range(left, right, left_on, right_lo, right_hi, how="inner",
 
 
 def join_intervals(left, right, left_lo, left_hi, right_lo, right_hi,
-                   bucket_width=None, suffix="_right"):
+                   bucket_width=None, suffix="_right", max_explode=256):
     """Interval-OVERLAP join: pairs of (left, right) rows whose
     [lo, hi) intervals intersect — the genomics/time-range companion of
     join_range's point-in-interval containment.  Overlap predicate:
@@ -312,6 +326,18 @@ def join_intervals(left, right, left_lo, left_hi, right_lo, right_hi,
     bucket — a stateless dedup predicate, no distinct needed.  Explode
     factor = interval width / bucket_width per side.  Right-side column
     collisions get ``suffix``.
+
+    Interval-LENGTH skew: one giant interval (a log span covering the
+    whole epoch, an unclosed session) would explode into EVERY bucket
+    it covers — millions of copies hash-scattered across the cluster.
+    Intervals touching more than ``max_explode`` buckets are therefore
+    routed around the explode entirely: they are the skew tail (by
+    construction few, or bucketing could never help), so each side's
+    long set joins the OTHER side by broadcast non-equi instead.  The
+    pair space partitions exactly — short×short via buckets,
+    long-left×all via broadcast, short-left×long-right via broadcast —
+    so no pair is emitted twice.  ``max_explode`` bounds per-row
+    explode volume; raise it if the long sets outgrow broadcast size.
     """
     from ..dataframe import DataFrame
 
@@ -341,13 +367,26 @@ def join_intervals(left, right, left_lo, left_hi, right_lo, right_hi,
     # inverted intervals ([x,x), hi<lo) contain no point, overlap
     # nothing, and would make sequence() emit a DESCENDING run of bogus
     # buckets — they are excluded explicitly on both sides.
-    lb = lsdf.filter(lhi > llo).withColumn("__bk", F.explode(F.sequence(
+    lsdf, rsdf = lsdf.filter(lhi > llo), rsdf.filter(rhi > rlo)
+    l_span = _last_bucket_exclusive(lhi, w) - F.floor(llo / w).cast("long")
+    r_span = _last_bucket_exclusive(rhi, w) - F.floor(rlo / w).cast("long")
+    cap = int(max_explode)
+    l_short, l_long = lsdf.filter(l_span < cap), lsdf.filter(l_span >= cap)
+    r_short, r_long = rsdf.filter(r_span < cap), rsdf.filter(r_span >= cap)
+    lb = l_short.withColumn("__bk", F.explode(F.sequence(
         F.floor(llo / w).cast("long"), _last_bucket_exclusive(lhi, w))))
-    rb = rsdf.filter(rhi > rlo).withColumn("__bk", F.explode(F.sequence(
+    rb = r_short.withColumn("__bk", F.explode(F.sequence(
         F.floor(rlo / w).cast("long"), _last_bucket_exclusive(rhi, w))))
     first_shared = F.greatest(F.floor(llo / w).cast("long"),
                               F.floor(rlo / w).cast("long"))
     out = (lb.join(rb, on="__bk", how="inner")
            .filter(overlap & (F.col("__bk") == first_shared))
            .drop("__bk"))
+    # skew tail: long intervals join the other side by broadcast
+    # non-equi — (long_l × all_r) ∪ (short_l × long_r) completes the
+    # pair-space partition without double emission
+    out = out.unionByName(F.broadcast(l_long).join(rsdf, on=overlap,
+                                                   how="inner"))
+    out = out.unionByName(l_short.join(F.broadcast(r_long), on=overlap,
+                                       how="inner"))
     return DataFrame(out)

@@ -649,3 +649,117 @@ def sessionize(df, ts_col, gap_seconds, by, session_col="session_idx"):
            .withColumn(session_col, (F.sum("__new").over(run) - 1).cast("long"))
            .drop("__new"))
     return DataFrame(out) if wrapped else out
+
+
+def _global_rank_sdf(sdf, order_cols):
+    """Exact global 1-based rank (row_number over a total order)
+    WITHOUT a single-task sort: range-exchange on the order key
+    (parallel total order), per-partition local row numbers, plus a
+    broadcast cumulative-offset map (partition-count-sized).  One
+    full-data exchange; the counts probe reads the persisted exchange.
+
+    Ties: repartitionByRange keeps equal keys in one partition (rows
+    compare identically against every boundary), so ranks within a tie
+    are assigned arbitrarily-but-once, the same contract as SQL
+    row_number.  Pass a tie-broken key for deterministic results.
+
+    Returns (sdf_with___grank, total_count_column_name) — the frame
+    additionally carries ``__gn`` (total rows) so callers can derive
+    quantile buckets without a second aggregate.
+    """
+    n = _range_partition_count(sdf)
+    if n == 1:
+        # fits one advisory partition: the single-task window IS the
+        # intended plan (same fast path as _exchange_window)
+        w = bounded_window(*order_cols)
+        pan = w.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+        return (sdf.withColumn("__grank", F.row_number().over(w)
+                               .cast("long"))
+                .withColumn("__gn", F.count(F.lit(1)).over(pan)))
+    ranged = (sdf.repartitionByRange(n, *order_cols) if n
+              else sdf.repartitionByRange(*order_cols))
+    part = (ranged.sortWithinPartitions(*order_cols)
+            .withColumn("__mid", F.monotonically_increasing_id())
+            .withColumn("__rpid", F.shiftright("__mid", 33))
+            .withColumn("__lrn", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
+            .drop("__mid"))
+    from ..cache import _register_persist
+    # persist is load-bearing (branch consistency): the counts probe and
+    # the main read must see the SAME sampled range boundaries
+    part = _register_persist(part)
+    rows = sorted((r["__rpid"], r["cnt"]) for r in
+                  part.groupBy("__rpid").agg(
+                      F.count(F.lit(1)).alias("cnt")).collect())
+    total = sum(c for _, c in rows)
+    if len(rows) <= 256:
+        off_expr = None
+        acc = 0
+        for rp, c in rows:
+            cond = F.col("__rpid") == rp
+            off_expr = (F.when(cond, acc) if off_expr is None
+                        else off_expr.when(cond, acc))
+            acc += c
+        part = part.withColumn("__goff", off_expr.cast("long"))
+    else:  # thousands of partitions: broadcast join, not a mega-CASE
+        import pandas as pd
+        acc, data = 0, []
+        for rp, c in rows:
+            data.append((rp, acc))
+            acc += c
+        offmap = sdf.sparkSession.createDataFrame(
+            pd.DataFrame(data, columns=["__rpid", "__goff"]))
+        part = part.join(F.broadcast(offmap), on="__rpid")
+    out = (part.withColumn("__grank", (F.col("__goff") + F.col("__lrn")
+                                       + 1).cast("long"))
+           .withColumn("__gn", F.lit(total).cast("long"))
+           .drop("__rpid", "__lrn", "__goff"))
+    return out
+
+
+def global_rank(df, order_key, out_col="rank"):
+    """Exact global rank column over a total order — the distributed
+    form of ``row_number() OVER (ORDER BY ...)`` (reference:
+    vaex virtual row numbers are scan-ordered; this is the sorted
+    form).  See _global_rank_sdf for the scale design."""
+    from ..dataframe import DataFrame
+    wrapped = isinstance(df, DataFrame)
+    sdf, order_cols = (_resolve_order(df, order_key) if wrapped
+                       else (df, [F.col(k) for k in (order_key if
+                             isinstance(order_key, (list, tuple))
+                             else [order_key])]))
+    out = _global_rank_sdf(sdf, order_cols) \
+        .withColumnRenamed("__grank", out_col).drop("__gn")
+    return DataFrame(out) if wrapped else out
+
+
+def ntile_exact(df, k, order_key, out_col="ntile"):
+    """Exact global NTILE(k) without a single-task window: global rank
+    via the range-exchange (see _global_rank_sdf), then the SQL ntile
+    bucket arithmetic — with N rows, base = N div k and rem = N mod k,
+    the first ``rem`` tiles hold base+1 rows:
+
+        r <= rem*(base+1):  tile = (r-1) div (base+1) + 1
+        otherwise:          tile = rem + (r - rem*(base+1) - 1) div base + 1
+
+    Bit-identical to ``F.ntile(k).over(Window.orderBy(...))`` at any N
+    (including N < k), but every stage is parallel.
+    """
+    from ..dataframe import DataFrame
+    wrapped = isinstance(df, DataFrame)
+    if wrapped:
+        sdf, order_cols = _resolve_order(df, order_key)
+    else:
+        keys = order_key if isinstance(order_key, (list, tuple)) else [order_key]
+        sdf, order_cols = df, [F.col(c) for c in keys]
+    k = int(k)
+    ranked = _global_rank_sdf(sdf, order_cols)
+    r, n = F.col("__grank"), F.col("__gn")
+    base, rem = F.floor(n / k), n % k
+    head = rem * (base + 1)
+    tile = (F.when(base == 0, r)  # N < k: one row per tile
+            .when(r <= head, F.floor((r - 1) / (base + 1)) + 1)
+            .otherwise(rem + F.floor((r - head - 1) / base) + 1))
+    out = (ranked.withColumn(out_col, tile.cast("int"))
+           .drop("__grank", "__gn"))
+    return DataFrame(out) if wrapped else out
