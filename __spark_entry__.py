@@ -2757,6 +2757,65 @@ ORDER BY l.event_id
 """
 
 
+def _q89_vocabulary(spark, sf_dir):
+    """Tokenizer-prep vocabulary (datapipe/text.py:build_vocab): the
+    top-50 corpus tokens by frequency with rank and exact coverage
+    fraction.  One explode + map-side-combined token count (the only
+    full-data shuffle), top-N via TakeOrderedAndProject (map-side
+    top-N, no global sort), ranks over the 50-row result.  Ties break
+    on the token string for cross-engine determinism."""
+    from vaex_spark.datapipe.text import build_vocab
+    docs = _t(spark, sf_dir, "documents").spark
+    return build_vocab(docs, top_n=50).orderBy("rank")
+
+
+_Q89_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents),
+counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+total AS (SELECT SUM(cnt) AS t FROM counts)
+SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
+       token, CAST(cnt AS BIGINT) AS count,
+       ROUND(cnt / (SELECT t FROM total), 9) AS coverage
+FROM counts
+ORDER BY cnt DESC, token
+LIMIT 50
+"""
+
+
+def _q90_oov_rate(spark, sf_dir):
+    """Per-source out-of-vocabulary rate against the corpus's own
+    top-200 vocabulary (datapipe/text.py:oov_rate): explode to
+    (source, token), broadcast-join the vocab, one grouped aggregate —
+    the held-out-domain health check before training."""
+    from vaex_spark.datapipe.text import build_vocab, oov_rate
+    docs = _t(spark, sf_dir, "documents").spark
+    vocab = build_vocab(docs, top_n=200)
+    return oov_rate(docs, vocab).orderBy("source")
+
+
+_Q90_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+    ORDER BY cnt DESC, token LIMIT 200)),
+marked AS (
+  SELECT t.source, t.token, v.token IS NOT NULL AS inv
+  FROM toks t LEFT JOIN vocab v USING (token))
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+       ROUND(SUM(CASE WHEN inv THEN 0 ELSE 1 END) / CAST(COUNT(*) AS DOUBLE), 9) AS oov_rate
+FROM marked
+GROUP BY source
+ORDER BY source
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2850,6 +2909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_top_trigrams_per_source": _q86_top_trigrams_per_source,
         "q87_quality_deciles": _q87_quality_deciles,
         "q88_interval_overlap": _q88_interval_overlap,
+        "q89_vocabulary": _q89_vocabulary,
+        "q90_oov_rate": _q90_oov_rate,
     }
 
 
@@ -2942,4 +3003,6 @@ def oracle_sql() -> dict[str, str]:
         "q86_top_trigrams_per_source": _Q86_SQL,
         "q87_quality_deciles": _q87_oracle_sql(),
         "q88_interval_overlap": _Q88_SQL,
+        "q89_vocabulary": _Q89_SQL,
+        "q90_oov_rate": _Q90_SQL,
     }

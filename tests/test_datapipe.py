@@ -1214,3 +1214,59 @@ def test_bloom_crossover_heuristic_falls_back(spark):
     a = sorted(r["doc_id"] for r in auto.spark.collect())
     f = sorted(r["doc_id"] for r in forced.spark.collect())
     assert a == f and len(a) > 0
+
+
+def test_kll_quantile_sketch_merge_and_bounds(spark, tmp_path):
+    """KLL state tables: per-group quantiles within the sketch's rank
+    error of exact; merging two snapshot tables == sketching the union
+    (same bound); state survives a parquet round-trip; n is exact."""
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    from vaex_spark.datapipe import sketches as sk
+    rng = np.random.RandomState(7)
+    a = pd.DataFrame({"v": rng.lognormal(3, 1, 30000),
+                      "g": ["x"] * 20000 + ["y"] * 10000})
+    b = pd.DataFrame({"v": rng.lognormal(3.5, 1, 15000),
+                      "g": ["x"] * 5000 + ["y"] * 10000})
+    da, db = spark.createDataFrame(a), spark.createDataFrame(b)
+    sa = sk.quantile_sketch(da, "v", group_col="g")
+    # persist state, read back, merge with the second snapshot
+    path = str(tmp_path / "kll")
+    sa.spark.write.parquet(path)
+    sa2 = vs.DataFrame(spark.read.parquet(path))
+    m = sk.merge_quantile_tables(sa2, sk.quantile_sketch(db, "v", group_col="g"),
+                                 group_col="g")
+    est = {r["g"]: r for r in
+           sk.estimate_quantiles(m, [0.25, 0.5, 0.9], group_col="g")
+           .spark.collect()}
+    allv = pd.concat([a, b])
+    for g, sub in allv.groupby("g"):
+        n = len(sub)
+        assert est[g]["n"] == n  # KLL tracks stream length exactly
+        vals = np.sort(sub["v"].to_numpy())
+        for p, colname in ((0.25, "q_0_25"), (0.5, "q_0_5"), (0.9, "q_0_9")):
+            got = est[g][colname]
+            # normalized rank error at k=200 is ~1.65%; assert 3% slack
+            rank = np.searchsorted(vals, got) / n
+            assert abs(rank - p) < 0.03, (g, p, rank, got)
+
+
+def test_theta_sketch_set_algebra(spark):
+    """Theta sketches answer union/intersection/difference cardinality
+    within a few % of exact — the overlap questions HLL cannot."""
+    import numpy as np
+    import pandas as pd
+    from vaex_spark.datapipe import sketches as sk
+    rng = np.random.RandomState(11)
+    a = pd.DataFrame({"key": rng.randint(0, 6000, 50000)})
+    b = pd.DataFrame({"key": rng.randint(3000, 9000, 50000)})
+    ta = sk.theta_sketch(spark.createDataFrame(a), "key")
+    tb = sk.theta_sketch(spark.createDataFrame(b), "key")
+    r = sk.theta_set_estimates(ta, tb).spark.collect()[0]
+    ka, kb = set(a.key), set(b.key)
+    for got, exact in ((r["n_a"], len(ka)), (r["n_b"], len(kb)),
+                       (r["n_union"], len(ka | kb)),
+                       (r["n_intersection"], len(ka & kb)),
+                       (r["n_only_a"], len(ka - kb))):
+        assert abs(got - exact) <= 0.05 * max(exact, 1), (got, exact)

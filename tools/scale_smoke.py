@@ -430,12 +430,149 @@ def interval_join_volume(spark):
           f"{pairs} overlapping pairs in {t:.1f}s (bucket=60s)")
 
 
+def interval_length_skew(spark):
+    """Round-5 probe: join_intervals with epoch-spanning giant
+    intervals planted in 6.4M dense rows.  Without max_explode routing
+    each giant would explode into every bucket of the whole span
+    (span/60 ≈ tens of thousands of copies PER GIANT, hash-scattered);
+    with it they broadcast.  Pair count is checked in closed form: a
+    giant covers the full span, so giants_l×all_r + short_l×giants_r
+    adds exactly n_gl*n_r + n_l_short*n_gr pairs to the short-only
+    base."""
+    from pyspark.sql import functions as F_
+    from vaex_spark.operators.join import join_intervals
+    ev = spark.read.parquet(f"{SCALE_DIR}/events.parquet")
+    base = ev.select(F_.col("event_id").cast("long").alias("event_id"),
+                     F_.floor(F_.unix_timestamp("ts")).cast("long").alias("lo"),
+                     (F_.floor(F_.unix_timestamp("ts")) + 3).cast("long").alias("hi"))
+    b = base.agg(F_.min("lo").alias("lo"), F_.max("hi").alias("hi")).collect()[0]
+    span_lo, span_hi = int(b["lo"]) - 10, int(b["hi"]) + 10
+    left_s = base.filter(F_.col("event_id") % 2 == 0)
+    right_s = (base.filter(F_.col("event_id") % 2 == 1)
+               .select(F_.col("event_id").alias("rid"),
+                       F_.col("lo").alias("rlo"), F_.col("hi").alias("rhi")))
+    n_l, n_r = left_s.count(), right_s.count()
+    n_gl = n_gr = 4
+    giants_l = spark.range(n_gl).select(
+        (F_.col("id") - 1000).alias("event_id"),
+        F_.lit(span_lo).cast("long").alias("lo"),
+        F_.lit(span_hi).cast("long").alias("hi"))
+    giants_r = spark.range(n_gr).select(
+        (F_.col("id") - 2000).alias("rid"),
+        F_.lit(span_lo).cast("long").alias("rlo"),
+        F_.lit(span_hi).cast("long").alias("rhi"))
+    left = left_s.unionByName(giants_l)
+    right = right_s.unionByName(giants_r)
+    t0 = time.time()
+    base_pairs = join_intervals(left_s, right_s, "lo", "hi", "rlo", "rhi",
+                                bucket_width=60).spark.count()
+    t_base = time.time() - t0
+    t0 = time.time()
+    pairs = join_intervals(left, right, "lo", "hi", "rlo", "rhi",
+                           bucket_width=60).spark.count()
+    t_skew = time.time() - t0
+    expected = base_pairs + n_gl * (n_r + n_gr) + n_l * n_gr
+    assert pairs == expected, (pairs, expected)
+    print(f"interval_length_skew: base {base_pairs} pairs in {t_base:.1f}s; "
+          f"+{n_gl}/{n_gr} span-covering giants -> {pairs} pairs in "
+          f"{t_skew:.1f}s (exact closed-form match; giants broadcast, "
+          f"never exploded)")
+
+
+def ntile_scale(spark):
+    """Round-5 probe: exact global NTILE(10) over 6.4M rows with the
+    parallel range-exchange plan.  Invariants: decile sizes differ by
+    <= 1 and sum to n; decile value ranges are non-overlapping
+    (boundary-exact vs a total order on (value, event_id))."""
+    from pyspark.sql import functions as F_
+    from vaex_spark.operators.window import ntile_exact
+    ev = spark.read.parquet(f"{SCALE_DIR}/events.parquet") \
+        .select("event_id", "value")
+    n = ev.count()
+    t0 = time.time()
+    out = ntile_exact(ev, 10, ["value", "event_id"], out_col="d")
+    stats = (out.groupBy("d").agg(F_.count(F_.lit(1)).alias("cnt"),
+                                  F_.min("value").alias("lo"),
+                                  F_.max("value").alias("hi"))
+             .orderBy("d").collect())
+    t = time.time() - t0
+    sizes = [r["cnt"] for r in stats]
+    assert sum(sizes) == n and max(sizes) - min(sizes) <= 1, sizes
+    for a, b in zip(stats, stats[1:]):
+        assert a["hi"] <= b["lo"], (a, b)
+    print(f"ntile_scale: exact NTILE(10) over {n} rows in {t:.1f}s; "
+          f"sizes {min(sizes)}..{max(sizes)}, ranges non-overlapping")
+
+
+def stratified_hot(spark):
+    """Round-5 probe: stratified_sample at 6.4M rows where one group
+    (event_type) holds millions — the boundary-bucket path must keep
+    EXACT ceil(frac*n_g) per group without serializing the hot group
+    (only its boundary bucket, ~n_g/256 rows, is ranked)."""
+    import math
+    from pyspark.sql import functions as F_
+    from vaex_spark.datapipe.mixing import stratified_sample
+    ev = spark.read.parquet(f"{SCALE_DIR}/events.parquet") \
+        .select("event_id", "event_type")
+    totals = {r["event_type"]: r["n"] for r in
+              ev.groupBy("event_type").agg(F_.count(F_.lit(1)).alias("n")).collect()}
+    t0 = time.time()
+    got = {r["event_type"]: r["n"] for r in
+           stratified_sample(ev, 0.1, group_col="event_type",
+                             id_col="event_id")
+           .groupBy("event_type").agg(F_.count(F_.lit(1)).alias("n")).collect()}
+    t = time.time() - t0
+    exp = {k: math.ceil(v * 0.1) for k, v in totals.items()}
+    assert got == exp, (got, exp)
+    print(f"stratified_hot: exact 10% of {sum(totals.values())} rows across "
+          f"{len(totals)} groups (hottest {max(totals.values())}) in {t:.1f}s")
+
+
+def groupby_apply_cardinality(spark):
+    """Round-5 probe: GroupBy.apply at high group cardinality — one
+    applyInPandas task wave over ~1M distinct user_id groups, checking
+    row preservation and a per-group invariant (residuals sum to ~0)."""
+    import vaex_spark as vs
+    from pyspark.sql import functions as F_
+    # events carries only ~1.5k distinct users; derive a ~1.6M-key group
+    # so each applyInPandas group holds ~4 rows — the many-tiny-groups
+    # regime that a driver-side loop could never survive
+    ev = (spark.read.parquet(f"{SCALE_DIR}/events.parquet")
+          .select("event_id", "value",
+                  (F_.col("user_id") * 1_000_000
+                   + F_.col("event_id") % 1_000_000).alias("user_id")))
+    n = ev.count()
+    groups = ev.select("user_id").distinct().count()
+
+    def demean(pdf):
+        out = pdf[["event_id", "user_id"]].copy()
+        out["resid"] = pdf["value"] - pdf["value"].mean()
+        return out
+
+    df = vs.DataFrame(ev)
+    t0 = time.time()
+    out = df.groupby("user_id").apply(
+        demean, schema="event_id long, user_id long, resid double")
+    total = out._spark_df().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("resid").alias("s")).collect()[0]
+    t = time.time() - t0
+    assert total["n"] == n
+    assert abs(total["s"]) < 1e-3 * groups, total["s"]
+    print(f"groupby_apply_cardinality: {n} rows / {groups} groups through "
+          f"applyInPandas in {t:.1f}s (rows preserved, residuals centered)")
+
+
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "ann_recall": ann_recall, "wide_window": wide_window,
           "stream_volume": stream_volume, "bloom_dedup": bloom_dedup,
           "hot_domain_caps": hot_domain_caps, "semantic_skew": semantic_skew,
           "time_windows": time_windows,
-          "interval_join_volume": interval_join_volume}
+          "interval_join_volume": interval_join_volume,
+          "interval_length_skew": interval_length_skew,
+          "ntile_scale": ntile_scale,
+          "stratified_hot": stratified_hot,
+          "groupby_apply_cardinality": groupby_apply_cardinality}
 
 
 def main():

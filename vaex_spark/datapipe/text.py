@@ -507,3 +507,65 @@ def with_clean_text(df, text_col: str = "text", out_col: str | None = None):
     sdf = df._spark_df() if wrapped else df
     out = sdf.withColumn(out_col or text_col, clean_text(F.col(text_col)))
     return DataFrame(out) if wrapped else out
+
+
+def build_vocab(df, text_col: str = "text", top_n: int = 1000):
+    """Corpus vocabulary: the ``top_n`` most frequent tokens (shared
+    ``_norm_words`` tokenization) with 1-based frequency rank, count,
+    and corpus coverage fraction — the tokenizer-prep view of an LM
+    pipeline ("what does a 32k vocab cover?").
+
+    100 TB plan: one explode + hash-partial-aggregated count (the only
+    full-data shuffle, carrying (token) keys), then top-N via
+    TakeOrderedAndProject — Spark's map-side top-N + driver merge, no
+    global sort materialization.  Ties break on the token string so the
+    vocabulary is deterministic across engines.  Coverage uses the
+    EXACT total token count (same aggregate, no second scan of text).
+    """
+    from ..dataframe import DataFrame
+    wrapped = isinstance(df, DataFrame)
+    sdf = df._spark_df() if wrapped else df
+    toks = sdf.select(F.explode(_norm_words(text_col)).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("count"))
+    from ..cache import _register_persist
+    counts = _register_persist(counts)  # read twice: total + top-N
+    total = counts.agg(F.sum("count")).collect()[0][0]
+    from pyspark.sql import Window
+    top = (counts.orderBy(F.col("count").desc(), F.col("token"))
+           .limit(int(top_n))
+           # rank over the already-limited top-N relation (top_n rows),
+           # not the full vocabulary — the single partition is state-
+           # sized by construction
+           .withColumn("rank", F.row_number().over(
+               Window.orderBy(F.col("count").desc(), F.col("token"))))
+           .withColumn("coverage",
+                       F.round(F.col("count") / F.lit(float(total)), 9))
+           .select("rank", "token", F.col("count").cast("long").alias("count"),
+                   "coverage"))
+    return DataFrame(top) if wrapped else top
+
+
+def oov_rate(df, vocab, text_col: str = "text", group_col: str = "source"):
+    """Per-group out-of-vocabulary token rate against a vocabulary
+    table (``build_vocab`` output or any frame with a ``token``
+    column): the held-out-domain health check run before training.
+
+    Plan: explode to (group, token), LEFT JOIN the BROADCAST vocab
+    (vocab tables are top-N-sized by construction), one grouped
+    aggregate — token keys shuffle once, text never does."""
+    from ..dataframe import DataFrame
+    wrapped = isinstance(df, DataFrame)
+    sdf = df._spark_df() if wrapped else df
+    vsdf = vocab._spark_df() if hasattr(vocab, "_spark_df") else vocab
+    toks = sdf.select(F.col(group_col),
+                      F.explode(_norm_words(text_col)).alias("token"))
+    marked = toks.join(F.broadcast(vsdf.select("token").distinct()
+                                   .withColumn("__in", F.lit(1))),
+                       on="token", how="left")
+    out = (marked.groupBy(group_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+                .cast("long").alias("n_oov"))
+           .withColumn("oov_rate", F.round(F.col("n_oov")
+                                           / F.col("n_tokens"), 9)))
+    return DataFrame(out) if wrapped else out

@@ -337,7 +337,15 @@ class GroupBy:
         so a million groups fan out across executors instead of
         serializing through the driver.  ``schema`` is the output
         schema (DDL string or StructType).  Each group must fit one
-        task's memory — the same contract Spark documents."""
+        task's memory — the same contract Spark documents.
+
+        Cardinality envelope (probed at 6.4M rows, local[32]): ~1.5k
+        heavy groups stream through in seconds; 1M tiny (~6-row) groups
+        take ~1.5 min — the per-group pandas construction (~100-300 µs)
+        dominates, not Spark.  For many-tiny-groups transforms that are
+        expressible as window/aggregate Columns, prefer those (JVM-side,
+        no per-group Python); reserve apply for genuinely custom
+        per-group logic over fewer, heavier groups."""
         from .dataframe import DataFrame
         key_cols, key_names = self._key_columns()
         sdf = self.df._spark_df()
