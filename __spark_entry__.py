@@ -2757,6 +2757,51 @@ ORDER BY l.event_id
 """
 
 
+def _q91_corpus_profile(spark, sf_dir):
+    """Per-source corpus health profile (datapipe/text.py:
+    corpus_profile): the monitoring table a curation pipeline
+    materializes per snapshot — doc count, total/mean whitespace
+    tokens, mean quality, exact p50/p95 length.  One grouped aggregate
+    of pure Column expressions; with include_sketches=True the same
+    rows also carry mergeable HLL/KLL state (pytest-covered; the
+    oracle checks the exact columns)."""
+    from vaex_spark.datapipe.text import corpus_profile
+    docs = _t(spark, sf_dir, "documents").spark
+    return corpus_profile(docs).orderBy("source")
+
+
+def _q91_oracle_sql() -> str:
+    from vaex_spark.datapipe.text import _STOPWORDS_EN
+    stop_re = "\\b(" + "|".join(_STOPWORDS_EN) + ")\\b"
+    return f"""
+WITH f AS (
+  SELECT source, n_chars,
+    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+         ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens,
+    LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+    LEN(regexp_extract_all(lower(text), '{{stop_re}}')) AS stop_hits,
+    GREATEST(LENGTH(text), 1) AS safe_chars
+  FROM documents),
+q AS (
+  SELECT source, n_chars, n_tokens,
+    ROUND(LEAST(n_tokens / 20.0, 1.0)
+          * (CAST(n_alpha AS DOUBLE) / safe_chars)
+          * LEAST(CAST(stop_hits AS DOUBLE) / GREATEST(n_tokens, 1) * 4.0, 1.0)
+          * GREATEST(0.0, 1.0 - CAST(n_digits AS DOUBLE) / safe_chars * 3.0),
+          6) AS q
+  FROM f)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(n_tokens AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+       ROUND(CAST(SUM(CAST(q AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS mean_quality,
+       ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_len,
+       ROUND(quantile_cont(n_chars, 0.95), 6) AS p95_len
+FROM q GROUP BY source ORDER BY source
+""".format(stop_re=stop_re)
+
+
 def _q89_vocabulary(spark, sf_dir):
     """Tokenizer-prep vocabulary (datapipe/text.py:build_vocab): the
     top-50 corpus tokens by frequency with rank and exact coverage
@@ -2911,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_interval_overlap": _q88_interval_overlap,
         "q89_vocabulary": _q89_vocabulary,
         "q90_oov_rate": _q90_oov_rate,
+        "q91_corpus_profile": _q91_corpus_profile,
     }
 
 
@@ -3005,4 +3051,5 @@ def oracle_sql() -> dict[str, str]:
         "q88_interval_overlap": _Q88_SQL,
         "q89_vocabulary": _Q89_SQL,
         "q90_oov_rate": _Q90_SQL,
+        "q91_corpus_profile": _q91_oracle_sql(),
     }

@@ -1154,23 +1154,29 @@ def test_stratified_sample_boundary_bucket_parity(spark):
         "doc_id": np.arange(3000),
         "source": (["hot"] * 2500 + ["warm"] * 400 + ["cold"] * 100)})
     sdf = spark.createDataFrame(pdf)
-    for frac in (0.001, 0.07, 0.2, 0.5, 1.0):
-        got = set(r["doc_id"] for r in stratified_sample(
-            sdf, frac, group_col="source", id_col="doc_id")
-            .select("doc_id").collect())
-        # naive oracle: full rank per group
-        h = F.md5(F.concat_ws("-", F.col("doc_id").cast("string"),
-                              F.lit("42")))
-        w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
-        from decimal import Decimal
-        exp = set(r["doc_id"] for r in sdf
-                  .withColumn("__rn", F.row_number().over(w))
-                  .withColumn("__k", F.ceil(
-                      F.count(F.lit(1)).over(Window.partitionBy("source"))
-                      .cast("decimal(20,0)") * F.lit(Decimal(repr(frac)))))
-                  .filter(F.col("__rn") <= F.col("__k"))
-                  .select("doc_id").collect())
-        assert got == exp, (frac, len(got), len(exp))
+    # force the boundary-bucket path: with the default 64MB advisory the
+    # small-frame fast path (plain rank) would run instead
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    try:
+        for frac in (0.001, 0.07, 0.2, 0.5, 1.0):
+            got = set(r["doc_id"] for r in stratified_sample(
+                sdf, frac, group_col="source", id_col="doc_id")
+                .select("doc_id").collect())
+            # naive oracle: full rank per group
+            h = F.md5(F.concat_ws("-", F.col("doc_id").cast("string"),
+                                  F.lit("42")))
+            w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+            from decimal import Decimal
+            exp = set(r["doc_id"] for r in sdf
+                      .withColumn("__rn", F.row_number().over(w))
+                      .withColumn("__k", F.ceil(
+                          F.count(F.lit(1)).over(Window.partitionBy("source"))
+                          .cast("decimal(20,0)") * F.lit(Decimal(repr(frac)))))
+                      .filter(F.col("__rn") <= F.col("__k"))
+                      .select("doc_id").collect())
+            assert got == exp, (frac, len(got), len(exp))
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
 
 
 def test_stratified_sample_ranks_only_boundary_bucket(spark):
@@ -1182,9 +1188,13 @@ def test_stratified_sample_ranks_only_boundary_bucket(spark):
     from vaex_spark.datapipe.mixing import stratified_sample
     pdf = pd.DataFrame({"doc_id": np.arange(5000),
                         "source": ["hot"] * 5000})
-    out = stratified_sample(spark.createDataFrame(pdf), 0.1,
-                            group_col="source", id_col="doc_id")
-    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    try:
+        out = stratified_sample(spark.createDataFrame(pdf), 0.1,
+                                group_col="source", id_col="doc_id")
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
     # the rank window's subtree must filter __hb = boundary first
     import re
     assert re.search(r"__hb#\d+L? = ", plan) or "__bd_b" in plan, plan
@@ -1270,3 +1280,34 @@ def test_theta_sketch_set_algebra(spark):
                        (r["n_intersection"], len(ka & kb)),
                        (r["n_only_a"], len(ka - kb))):
         assert abs(got - exact) <= 0.05 * max(exact, 1), (got, exact)
+
+
+def test_corpus_profile_with_sketch_state(spark):
+    """corpus_profile(include_sketches=True): exact columns match the
+    plain profile, and the attached HLL/KLL state yields per-source
+    distinct-text and median-length estimates within sketch bounds —
+    one aggregate producing both report and mergeable state."""
+    import vaex_spark as vs
+    from pyspark.sql import functions as F
+    from vaex_spark.datapipe.text import corpus_profile
+    docs = vs.open("/root/testdata/sf0.01/documents.parquet", spark=spark)
+    plain = {r["source"]: r for r in corpus_profile(docs).spark.collect()}
+    rich = corpus_profile(docs, include_sketches=True).spark
+    rows = rich.withColumn("n_distinct",
+                           F.hll_sketch_estimate(F.col("__hll")).cast("long")) \
+               .withColumn("p50_sketch",
+                           F.kll_sketch_get_quantile_bigint(F.col("__kll"),
+                                                            F.lit(0.5))) \
+               .collect()
+    exact = {r["source"]: (r["nd"], r["med"]) for r in
+             docs.spark.groupBy("source").agg(
+                 F.countDistinct("text").alias("nd"),
+                 F.expr("percentile(n_chars, 0.5)").alias("med")).collect()}
+    for r in rows:
+        p = plain[r["source"]]
+        assert (r["n_docs"], r["n_tokens"]) == (p["n_docs"], p["n_tokens"])
+        nd, med = exact[r["source"]]
+        assert abs(r["n_distinct"] - nd) <= max(2, 0.03 * nd)
+        # KLL median within rank error of exact (values, not ranks:
+        # allow the neighboring order statistic)
+        assert abs(r["p50_sketch"] - med) <= max(50, 0.1 * med)

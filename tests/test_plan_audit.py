@@ -215,7 +215,11 @@ def test_partition_sensitive_queries_invariant_under_tiny_partitions(spark):
                  # aggs (q73/q74), decimal-accumulated divergence (q75),
                  # grouping-set nulls (q76)
                  "q73_supplier_share", "q74_quarter_top_supplier",
-                 "q75_source_drift", "q76_rollup_revenue"]
+                 "q75_source_drift", "q76_rollup_revenue",
+                 # round 5: persisted token-count relation read twice
+                 # (vocab total + top-N), decimal means + exact
+                 # percentiles per group
+                 "q89_vocabulary", "q91_corpus_profile"]
     con = duckdb.connect()
     sf = "/root/testdata/sf0.001"
     for t in TABLES:

@@ -176,6 +176,25 @@ def stratified_sample(df, frac: float, group_col: str = "source",
 
     h = F.md5(F.concat_ws("-", F.col(id_col).cast("string"),
                           F.lit(str(seed))))
+    # Small-frame fast path (the q10 convention): when Catalyst's size
+    # stats say the whole input fits one advisory-sized partition, the
+    # per-group rank is a single cheap task anyway — the boundary-bucket
+    # machinery (bucket histogram + broadcast + 2-branch union) would be
+    # pure job-floor overhead.  Selection is identical either way.
+    from ..datapipe.dedup import _plan_size_bytes
+    from ..operators.window import _parse_bytes
+    size = _plan_size_bytes(sdf)
+    advisory = _parse_bytes(sdf.sparkSession.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"), 64 << 20)
+    if size is not None and size <= advisory:
+        counts = (sdf.groupBy(group_col)
+                  .agg(F.count(F.lit(1)).alias("__gn")))
+        w = Window.partitionBy(F.col(group_col)).orderBy(h, F.col(id_col))
+        out = (sdf.join(F.broadcast(counts), on=group_col)
+               .withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") <= k_of(F.col("__gn")))
+               .drop("__rn", "__gn"))
+        return DataFrame(out) if wrapped else out
     hashed = sdf.withColumn("__h", h).withColumn(
         "__hb", F.conv(F.substring(F.col("__h"), 1, 2), 16, 10).cast("int"))
     # (group, bucket) counts -> per-group cumulative; boundary = first

@@ -569,3 +569,40 @@ def oov_rate(df, vocab, text_col: str = "text", group_col: str = "source"):
            .withColumn("oov_rate", F.round(F.col("n_oov")
                                            / F.col("n_tokens"), 9)))
     return DataFrame(out) if wrapped else out
+
+
+def corpus_profile(df, text_col: str = "text", group_col: str = "source",
+                   length_col: str = "n_chars", include_sketches: bool = False):
+    """Per-group corpus health profile — the monitoring table a 100 TB
+    curation pipeline materializes per snapshot: document count, total
+    and mean whitespace tokens, mean quality score, and exact p50/p95
+    of ``length_col``.  One grouped aggregate over scan-speed Column
+    expressions (no UDF, no second pass).
+
+    ``include_sketches=True`` additionally attaches mergeable state —
+    an HLL fingerprint sketch (running distinct texts across snapshots)
+    and a KLL length sketch (distribution merges) — turning each
+    profile row into incremental state (see datapipe/sketches.py).
+    """
+    from ..dataframe import DataFrame
+    wrapped = isinstance(df, DataFrame)
+    sdf = df._spark_df() if wrapped else df
+    toks = token_count_whitespace(F.col(text_col))
+    q = quality_score(F.col(text_col))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(toks.cast("long")).cast("long").alias("n_tokens"),
+        F.round(F.sum(toks.cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)), 6).alias("mean_tokens"),
+        F.round(F.sum(F.round(q, 6).cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)), 6).alias("mean_quality"),
+        F.round(F.expr(f"percentile({length_col}, 0.5)"), 6).alias("p50_len"),
+        F.round(F.expr(f"percentile({length_col}, 0.95)"), 6).alias("p95_len"),
+    ]
+    if include_sketches:
+        aggs.append(F.hll_sketch_agg(
+            fingerprint(F.col(text_col)), F.lit(12)).alias("__hll"))
+        aggs.append(F.kll_sketch_agg_bigint(
+            F.col(length_col).cast("bigint"), F.lit(200)).alias("__kll"))
+    out = sdf.groupBy(group_col).agg(*aggs)
+    return DataFrame(out) if wrapped else out

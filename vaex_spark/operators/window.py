@@ -753,6 +753,13 @@ def ntile_exact(df, k, order_key, out_col="ntile"):
         keys = order_key if isinstance(order_key, (list, tuple)) else [order_key]
         sdf, order_cols = df, [F.col(c) for c in keys]
     k = int(k)
+    if _range_partition_count(sdf) == 1:
+        # fits one advisory partition: the single-task window IS the
+        # intended plan, and native F.ntile is its cheapest form (one
+        # window pass; the rank+count arithmetic would take two)
+        w = bounded_window(*order_cols)
+        out = sdf.withColumn(out_col, F.ntile(k).over(w))
+        return DataFrame(out) if wrapped else out
     ranked = _global_rank_sdf(sdf, order_cols)
     r, n = F.col("__grank"), F.col("__gn")
     base, rem = F.floor(n / k), n % k
