@@ -550,3 +550,22 @@ def test_global_rank_dense_and_total(spark):
     assert sorted(r["r"] for r in out) == list(range(1, n + 1))
     for row in out:
         assert row["r"] == row["v"] + 1  # v is a permutation of 0..n-1
+
+
+def test_rolling_range_bucket_seconds_invariant(events):
+    """Global rolling_range results are IDENTICAL for any explicit
+    bucket size >= 2*window (the donation-exactness contract the scale
+    probes exploit as a self-consistency oracle)."""
+    from vaex_spark.operators.window import rolling_range
+    base = {r["event_id"]: r["value_rolling_mean"] for r in
+            rolling_range(events, 600, on="ts", column=["value"],
+                          agg="mean").spark
+            .select("event_id", "value_rolling_mean").collect()}
+    for S in (1200, 1999, 86_400):
+        alt = {r["event_id"]: r["value_rolling_mean"] for r in
+               rolling_range(events, 600, on="ts", column=["value"],
+                             agg="mean", bucket_seconds=S).spark
+               .select("event_id", "value_rolling_mean").collect()}
+        assert alt.keys() == base.keys()
+        for k, v in base.items():
+            assert alt[k] == v or abs(alt[k] - v) < 1e-9, (S, k)

@@ -563,6 +563,50 @@ def groupby_apply_cardinality(spark):
           f"applyInPandas in {t:.1f}s (rows preserved, residuals centered)")
 
 
+def global_time_window(spark):
+    """Round-5 probe: the GLOBAL (no partition_by) rolling_range at
+    6.4M rows — value-bucket donation — under (a) uniform density and
+    (b) adversarial clock skew (60% of rows crammed into a 150-second
+    slice, so one epoch bucket holds millions).  Correctness oracle:
+    donation is exact for ANY bucket size S >= 2*window, so two
+    independent bucketings must agree row-for-row; a bucket-boundary
+    bug would break the agreement."""
+    from pyspark.sql import functions as F_
+    from vaex_spark.operators.window import rolling_range
+    ev = spark.read.parquet(f"{SCALE_DIR}/events.parquet") \
+        .select("event_id", "ts", "value")
+    n = ev.count()
+
+    def run(df, tag):
+        t0 = time.time()
+        a = rolling_range(df, 600, on="ts", column=["value"], agg="mean")
+        sa = a.agg(F_.count("value_rolling_mean").alias("c"),
+                   F_.sum(F_.col("value_rolling_mean")
+                          .cast("decimal(30,10)")).alias("s")).collect()[0]
+        t1 = time.time() - t0
+        t0 = time.time()
+        b = rolling_range(df, 600, on="ts", column=["value"], agg="mean",
+                          bucket_seconds=7777)
+        sb = b.agg(F_.count("value_rolling_mean").alias("c"),
+                   F_.sum(F_.col("value_rolling_mean")
+                          .cast("decimal(30,10)")).alias("s")).collect()[0]
+        t2 = time.time() - t0
+        assert sa["c"] == n and sb["c"] == n, (sa["c"], sb["c"], n)
+        # decimal sums agree exactly across bucketings (order-free)
+        assert abs(float(sa["s"]) - float(sb["s"])) < 1e-4, (sa["s"], sb["s"])
+        print(f"global_time_window[{tag}]: auto-bucket {t1:.1f}s, "
+              f"S=7777 {t2:.1f}s, decimal checksums agree ({sa['s']})")
+
+    run(ev, "uniform")
+    # clock skew: 60% of events remapped into a 150-second slice
+    lo = ev.agg(F_.min(F_.unix_timestamp("ts"))).collect()[0][0]
+    skewed = ev.withColumn("ts", F_.when(
+        F_.col("event_id") % 5 < 3,
+        F_.to_timestamp(F_.lit(lo + 5000) + (F_.col("event_id") % 150)))
+        .otherwise(F_.col("ts")))
+    run(skewed, "60%-hot-slice")
+
+
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "ann_recall": ann_recall, "wide_window": wide_window,
           "stream_volume": stream_volume, "bloom_dedup": bloom_dedup,
@@ -572,7 +616,8 @@ PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "interval_length_skew": interval_length_skew,
           "ntile_scale": ntile_scale,
           "stratified_hot": stratified_hot,
-          "groupby_apply_cardinality": groupby_apply_cardinality}
+          "groupby_apply_cardinality": groupby_apply_cardinality,
+          "global_time_window": global_time_window}
 
 
 def main():

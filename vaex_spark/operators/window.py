@@ -518,7 +518,7 @@ class Rolling:
 
 
 def rolling_range(df, window_seconds, on, column=None, agg="mean",
-                  partition_by=None):
+                  partition_by=None, bucket_seconds=None):
     """Time-range rolling aggregate: for each row, aggregate ``column``
     over rows of the same partition whose ``on`` timestamp lies in
     ``(t - window_seconds, t]`` — the trailing-window form of
@@ -587,7 +587,12 @@ def rolling_range(df, window_seconds, on, column=None, agg="mean",
             return DataFrame(out) if wrapped else out
         span = max(1, int(bounds["hi"]) - int(bounds["lo"]))
         par = sdf.sparkSession.sparkContext.defaultParallelism
-        S = max(2 * win, span // max(1, 4 * par) + 1)
+        # bucket_seconds overrides the auto size (still floored at
+        # 2*window, the donation-exactness requirement) — results are
+        # IDENTICAL for any valid S, which the scale probes exploit as
+        # a self-consistency oracle (two bucketings must agree exactly)
+        S = max(2 * win, int(bucket_seconds)) if bucket_seconds \
+            else max(2 * win, span // max(1, 4 * par) + 1)
         ep = F.unix_timestamp(F.col(on))
         bkt = F.floor(ep / S).cast("long")
         real = sdf.withColumn("__tbk", bkt).withColumn("__tdon", F.lit(False))
