@@ -2757,6 +2757,30 @@ ORDER BY l.event_id
 """
 
 
+def _q92_kmeans_profile(spark, sf_dir):
+    """KMeans (ml.py:KMeans, reference vaex-ml cluster.py parity) over
+    (n_chars, quality) document features: fit 4 clusters, return
+    per-cluster sizes and centroid coordinates.  Iterative Lloyd's —
+    not SQL-expressible, so this entry is rows-only at the driver; the
+    planted-blob pytest is the correctness oracle.  Per-row work stays
+    in whole-stage codegen (literal-centroid argmin), per-iteration
+    driver traffic is k x d floats."""
+    from vaex_spark.datapipe.text import quality_score
+    from vaex_spark.ml import KMeans
+    import vaex_spark as vs
+    docs = _t(spark, sf_dir, "documents").spark
+    feat = vs.DataFrame(docs.select(
+        F.col("n_chars").cast("double").alias("len_chars"),
+        quality_score(F.col("text")).alias("q")))
+    km = KMeans(features=["len_chars", "q"], n_clusters=4, random_state=5,
+                max_iter=25)
+    km.fit(feat)
+    out = km.transform(feat)
+    return (out.spark.groupBy(F.col("prediction_kmeans").alias("cluster"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy("cluster"))
+
+
 def _q91_corpus_profile(spark, sf_dir):
     """Per-source corpus health profile (datapipe/text.py:
     corpus_profile): the monitoring table a curation pipeline
@@ -2957,6 +2981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_vocabulary": _q89_vocabulary,
         "q90_oov_rate": _q90_oov_rate,
         "q91_corpus_profile": _q91_corpus_profile,
+        "q92_kmeans_profile": _q92_kmeans_profile,  # rows-only: iterative
     }
 
 

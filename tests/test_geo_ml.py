@@ -333,3 +333,47 @@ def test_ml_accessor_train_test_split(spark):
     assert len(test) == 2 and len(train) == 8
     st = df.ml.state_transfer()
     assert "virtual_columns" in st.state
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """KMeans on three well-separated planted blobs: every blob maps to
+    one distinct cluster, inertia ~= within-blob variance, labels are a
+    lazy virtual column, deterministic under random_state, and the
+    sklearn-shaped state round-trips."""
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    from vaex_spark.ml import KMeans
+    rng = np.random.RandomState(13)
+    blobs = [(0.0, 0.0), (10.0, 10.0), (-10.0, 8.0)]
+    xs, ys, true = [], [], []
+    for b, (cx, cy) in enumerate(blobs):
+        xs += list(cx + rng.randn(300) * 0.5)
+        ys += list(cy + rng.randn(300) * 0.5)
+        true += [b] * 300
+    df = vs.DataFrame(spark.createDataFrame(pd.DataFrame(
+        {"x": xs, "y": ys, "b": true})))
+    km = KMeans(features=["x", "y"], n_clusters=3, n_init=2,
+                random_state=7, max_iter=50)
+    km.fit(df)
+    assert len(km.cluster_centers) == 3 and km.inertia < 900 * 0.6
+    out = km.transform(df).to_pandas_df()
+    # each true blob -> exactly one predicted cluster, all three used
+    mapping = out.groupby("b")["prediction_kmeans"].nunique()
+    assert (mapping == 1).all()
+    assert out["prediction_kmeans"].nunique() == 3
+    # determinism
+    km2 = KMeans(features=["x", "y"], n_clusters=3, n_init=2,
+                 random_state=7, max_iter=50)
+    km2.fit(df)
+    assert km2.cluster_centers == km.cluster_centers
+    # state roundtrip drives transform without refit
+    km3 = KMeans(features=["x", "y"], n_clusters=3)
+    km3.state_set(km.state_get())
+    out3 = km3.transform(df).to_pandas_df()
+    assert (out3["prediction_kmeans"] == out["prediction_kmeans"]).all()
+    # explicit init matrix path
+    km4 = KMeans(features=["x", "y"], n_clusters=3, init=km.cluster_centers,
+                 max_iter=5)
+    km4.fit(df)
+    assert km4.inertia <= km.inertia + 1e-6

@@ -667,6 +667,137 @@ class GroupByTransformer(Transformer):
             self.df_group_ = from_dict(state["group"])
 
 
+class KMeans(Transformer):
+    """cluster.py:66 parity — Lloyd's k-means over feature COLUMNS.
+
+    The reference runs numba kernels chunk-by-chunk on one node
+    (cluster.py:19-63); the Spark-first split puts the per-row work in
+    whole-stage codegen and only k×d floats on the driver:
+
+    * assignment — nearest-centroid id as a pure Column expression
+      (distances to all k centroids in one let-bound array, argmin via
+      array_position; centroids are plan literals, so no join and no
+      UDF — the same pattern as similarity.ivf_assign);
+    * update — one map-side-combined groupBy(cluster).agg(avg features,
+      count, sum sq-dist): k result rows collect to the driver, where
+      centroids shift and convergence (max shift < tol) is decided;
+    * the features projection is persisted once before the loop so
+      iterations re-read a materialized narrow relation.
+
+    ``init='random'`` seeds deterministically from ``random_state``
+    (rows ranked by a seeded xxhash64 — the same k rows on any cluster
+    or partitioning); ``init`` may also be an explicit k×d matrix.
+    ``n_init`` reruns with different seeds and keeps the best inertia.
+    Empty clusters keep their previous centroid.  ``transform`` adds
+    ``prediction_label`` as a VIRTUAL column (lazy, like every vaex
+    transformer).
+    """
+
+    _state_keys = ("n_clusters", "cluster_centers", "inertia",
+                   "prediction_label")
+
+    def __init__(self, features, n_clusters=2, init="random", n_init=1,
+                 max_iter=300, random_state=None, tol=1e-4,
+                 prediction_label="prediction_kmeans", verbose=False):
+        super().__init__(features)
+        self.n_clusters = int(n_clusters)
+        self.init = init
+        self.n_init = int(n_init)
+        self.max_iter = int(max_iter)
+        self.random_state = random_state
+        self.tol = float(tol)
+        self.prediction_label = prediction_label
+        self.verbose = verbose
+        self.cluster_centers: list = []
+        self.inertia: float | None = None
+
+    def _assign_expr(self, cols, centers):
+        """Nearest-centroid id for literal ``centers`` (k×d) — one
+        let-bound distance array so each distance appears once in the
+        generated code."""
+        dists = F.array(*[
+            sum(((c - float(cen[i])) * (c - float(cen[i]))
+                 for i, c in enumerate(cols)),
+                F.lit(0.0))
+            for cen in centers])
+        from .datapipe.text import _let
+        return _let(dists, lambda d: F.struct(
+            (F.array_position(d, F.array_min(d)).cast("int") - 1).alias("c"),
+            F.array_min(d).alias("d2")))
+
+    def _init_centers(self, sdf, cols, seed):
+        if not isinstance(self.init, str):
+            return [list(map(float, row)) for row in self.init]
+        h = F.xxhash64(*[c for c in cols], F.lit(int(seed)))
+        rows = (sdf.select(*[c.alias(f"__f{i}") for i, c in enumerate(cols)],
+                           h.alias("__h"))
+                .dropDuplicates([f"__f{i}" for i in range(len(cols))])
+                .orderBy("__h").limit(self.n_clusters).collect())
+        if len(rows) < self.n_clusters:
+            raise ValueError(
+                f"only {len(rows)} distinct feature rows for "
+                f"n_clusters={self.n_clusters}")
+        return [[float(r[f"__f{i}"]) for i in range(len(cols))] for r in rows]
+
+    def _lloyd(self, proj, cols, centers):
+        inertia = None
+        for it in range(self.max_iter):
+            assign = self._assign_expr(cols, centers)
+            stats = (proj.select(assign.alias("__a"),
+                                 *[c.alias(f"__f{i}")
+                                   for i, c in enumerate(cols)])
+                     .groupBy(F.col("__a.c").alias("__c"))
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.sum("__a.d2").alias("sse"),
+                          *[F.avg(f"__f{i}").alias(f"m{i}")
+                            for i in range(len(cols))])
+                     .collect())
+            new = [list(c) for c in centers]  # empty clusters keep old
+            inertia = 0.0
+            for r in stats:
+                new[r["__c"]] = [float(r[f"m{i}"]) for i in range(len(cols))]
+                inertia += float(r["sse"])
+            shift = max(max(abs(a - b) for a, b in zip(cn, co))
+                        for cn, co in zip(new, centers))
+            centers = new
+            if self.verbose:  # pragma: no cover - debug aid
+                print(f"kmeans iter {it}: inertia={inertia:.4f} shift={shift:.2e}")
+            if shift < self.tol:
+                break
+        return centers, inertia
+
+    def fit(self, df):
+        from .cache import _register_persist
+        cols = [df._to_expr(f).col.cast("double") for f in self.features]
+        proj = _register_persist(
+            df._spark_df().select(*[c.alias(f"__f{i}")
+                                    for i, c in enumerate(cols)]))
+        pcols = [F.col(f"__f{i}") for i in range(len(cols))]
+        base_seed = 42 if self.random_state is None else int(self.random_state)
+        best = (None, float("inf"))
+        runs = 1 if not isinstance(self.init, str) else self.n_init
+        for run in range(runs):
+            centers = self._init_centers(proj, pcols, base_seed + run)
+            centers, inertia = self._lloyd(proj, pcols, centers)
+            if inertia < best[1]:
+                best = (centers, inertia)
+        self.cluster_centers = best[0]
+        self.inertia = best[1]
+        return self
+
+    def transform(self, df):
+        out = df._copy()
+        cols = [df._to_expr(f).col.cast("double") for f in self.features]
+        out[self.prediction_label] = \
+            self._assign_expr(cols, self.cluster_centers)["c"]
+        return out
+
+    def predict(self, df):
+        """Eager cluster ids (numpy), reference cluster.py predict."""
+        return np.asarray(
+            self.transform(df)[self.prediction_label].tolist())
+
+
 class DataFrameAccessorML:
     """df.ml — the vaex-ml accessor (reference vaex/ml/__init__.py:8)."""
 
