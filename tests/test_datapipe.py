@@ -1311,3 +1311,41 @@ def test_corpus_profile_with_sketch_state(spark):
         # KLL median within rank error of exact (values, not ranks:
         # allow the neighboring order statistic)
         assert abs(r["p50_sketch"] - med) <= max(50, 0.1 * med)
+
+
+def test_curate_stream_fuzzy_cross_batch(spark, tmp_path):
+    """fuzzy_lsh_dir: batch 2's NEAR-duplicates of batch 1's emissions
+    (one word substituted — exact fingerprints differ) are dropped via
+    the persisted MinHash-LSH index; genuinely fresh docs survive; the
+    index itself is batch_id-partitioned like every other sink."""
+    import pandas as pd
+    from vaex_spark import streaming as st
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "for testing purposes in document number %d")
+    texts = [base % i for i in range(12)]
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"doc_id": range(12), "text": texts}).to_parquet(src / "b1.parquet")
+    common = dict(out_dir=str(tmp_path / "out"), state_dir=str(tmp_path / "state"),
+                  fuzzy_lsh_dir=str(tmp_path / "lsh"), fuzzy_threshold=0.5,
+                  min_quality=None, repetition_filter=False, dedup=None)
+
+    stream = st.open_stream(str(src), spark=spark)
+    st.curate_stream(stream, checkpoint=str(tmp_path / "ckpt"), **common)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 12
+    assert spark.read.parquet(str(tmp_path / "lsh")).count() > 0
+
+    # batch 2: 6 near-dups (one word changed) + 4 fresh docs
+    near = [texts[i].replace("lazy", "sleepy") for i in range(6)]
+    fresh = ["completely different content about distributed engines "
+             "and columnar formats variant %d with extra words" % i
+             for i in range(4)]
+    pd.DataFrame({"doc_id": range(200, 210),
+                  "text": near + fresh}).to_parquet(src / "b2.parquet")
+    stream = st.open_stream(str(src), spark=spark)
+    st.curate_stream(stream, checkpoint=str(tmp_path / "ckpt"), **common)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert ids == list(range(12)) + list(range(206, 210)), ids

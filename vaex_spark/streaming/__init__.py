@@ -257,6 +257,9 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
                   text_col: str = "text", id_col: str = "doc_id",
                   sketch_dir: str | None = None,
                   sketch_group: str = "source",
+                  fuzzy_lsh_dir: str | None = None,
+                  fuzzy_threshold: float = 0.5,
+                  fuzzy_params: dict | None = None,
                   **curate_kw):
     """Streaming corpus curation with CROSS-batch exact dedup.
 
@@ -277,6 +280,20 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
     from the state table, and exactly-once comes from the stream
     checkpoint.  At 100 TB the state table is fingerprints only (8 B a
     row before encoding), shuffled hash-to-hash.
+
+    ``fuzzy_lsh_dir`` additionally enables CROSS-batch NEAR-dup dedup:
+    each batch's survivors are checked against every earlier batch's
+    emitted documents via the persisted MinHash-LSH index
+    (datapipe.dedup.corpus_lsh_index — (id, band, bucket) rows,
+    ~num_bands × 16 B a document), so the corpus is never re-hashed;
+    only (band, bucket) candidate joins and per-candidate text
+    fetches run per batch.  Batch docs whose exact shingle-Jaccard
+    against any earlier emission reaches ``fuzzy_threshold`` are
+    dropped; the survivors' bands append to the index under the same
+    per-``__batch_id`` idempotent-overwrite discipline as every other
+    sink.  ``fuzzy_params`` tunes (shingle_k, num_perm, num_bands) —
+    the index and batch sides always share the parameter set, which is
+    what makes their buckets comparable.
     """
     import os
 
@@ -299,6 +316,19 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
                                               text_col=text_col, id_col=id_col)
         else:
             fresh = D.exact_dedup(VDF(csdf), text_col=text_col, id_col=id_col)
+        if fuzzy_lsh_dir is not None:
+            fp = dict(shingle_k=5, num_perm=64, num_bands=32,
+                      **(fuzzy_params or {}))
+            has_index = os.path.isdir(fuzzy_lsh_dir) and any(
+                e.startswith("__batch_id=") for e in os.listdir(fuzzy_lsh_dir))
+            if has_index:
+                prior = F.col("__batch_id") < int(batch_id)
+                corpus = VDF(spark.read.parquet(out_dir).filter(prior))
+                index = VDF(spark.read.parquet(fuzzy_lsh_dir).filter(prior))
+                fresh = D.near_dup_against_corpus(
+                    fresh, corpus, text_col=text_col, id_col=id_col,
+                    threshold=float(fuzzy_threshold), corpus_index=index,
+                    **fp)
         fsdf = fresh._spark_df().withColumn("__batch_id", F.lit(int(batch_id)))
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                                    "static")
@@ -310,6 +340,14 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
              .withColumn("__batch_id", F.lit(int(batch_id)))
              .write.mode("overwrite").partitionBy("__batch_id")
              .parquet(state_dir))
+            if fuzzy_lsh_dir is not None:
+                fp = dict(shingle_k=5, num_perm=64, num_bands=32,
+                          **(fuzzy_params or {}))
+                (D.corpus_lsh_index(fresh, text_col=text_col, id_col=id_col,
+                                    **fp)._spark_df()
+                 .withColumn("__batch_id", F.lit(int(batch_id)))
+                 .write.mode("overwrite").partitionBy("__batch_id")
+                 .parquet(fuzzy_lsh_dir))
             if sketch_dir is not None:
                 # per-batch HLL sketch of the EMITTED documents: a
                 # few-KB mergeable state row per group, same
