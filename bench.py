@@ -63,6 +63,9 @@ EXTENDED = [
     "q86_top_trigrams_per_source",  # per-group heavy hitters
     "q87_quality_deciles",     # ntile distribution view
     "q88_interval_overlap",    # bucketized interval-overlap join
+    "q89_vocabulary",          # top-N token vocab (TakeOrdered)
+    "q90_oov_rate",            # OOV vs broadcast vocab
+    "q91_corpus_profile",      # one-agg per-source health profile
 ]
 
 

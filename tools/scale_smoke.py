@@ -607,6 +607,57 @@ def global_time_window(spark):
     run(skewed, "60%-hot-slice")
 
 
+def stream_fuzzy(spark):
+    """Round-5 probe: streaming fuzzy cross-batch dedup at volume —
+    batch 1 emits 50k docs and its LSH index; batch 2 (the other 50k,
+    texts IDENTICAL across replicas) checks against the PERSISTED index
+    (no corpus re-hash) and must drop every replica of an already-
+    emitted text.  Volume analogue of the pytest near-dup case."""
+    import shutil as _sh
+    import vaex_spark as vs
+    from vaex_spark import streaming as st
+    base = "/tmp/scale/stream_fuzzy"
+    _sh.rmtree(base, ignore_errors=True)
+    import os
+    os.makedirs(f"{base}/src")
+    docs = spark.read.parquet(f"{SCALE_DIR}/documents.parquet")
+    # replica halves share the SAME text set (doc_id = base + rep*5000,
+    # texts identical per base): batch 1 = first 10 replicas; batch 2 =
+    # the rest with a short suffix appended, so exact fingerprints
+    # DIFFER but shingle-Jaccard stays high — only the fuzzy LSH path
+    # can catch them
+    docs.filter(F.col("doc_id") < 50_000).repartition(8) \
+        .write.parquet(f"{base}/src/b1.parquet")
+    common = dict(out_dir=f"{base}/out", state_dir=f"{base}/state",
+                  fuzzy_lsh_dir=f"{base}/lsh", fuzzy_threshold=0.5,
+                  min_quality=None, repetition_filter=False, dedup=None)
+    t0 = time.time()
+    # batches are parquet DIRECTORIES (multi-file writes), so the file
+    # stream needs the glob form to see inside them
+    st.curate_stream(st.open_stream(f"{base}/src/*", spark=spark),
+                     checkpoint=f"{base}/ckpt", **common)
+    n1 = spark.read.parquet(f"{base}/out").count()
+    t1 = time.time() - t0
+    (docs.filter(F.col("doc_id") >= 50_000)
+         .withColumn("text", F.concat(F.col("text"),
+                                      F.lit(" tail marker words appended")))
+         .repartition(8)
+         .write.parquet(f"{base}/src/b2.parquet"))
+    t0 = time.time()
+    st.curate_stream(st.open_stream(f"{base}/src/*", spark=spark),
+                     checkpoint=f"{base}/ckpt", **common)
+    t2 = time.time() - t0
+    out = spark.read.parquet(f"{base}/out")
+    n_total = out.count()
+    n2 = n_total - n1
+    # every batch-2 text is a near-dup (suffix-appended) of a batch-1
+    # emission; at threshold 0.5 the LSH path must drop the great
+    # majority (very short docs can fall under the Jaccard bar)
+    assert n2 <= 0.2 * n1, (n1, n2)
+    print(f"stream_fuzzy: batch1 {n1} emitted in {t1:.1f}s; batch2 50k "
+          f"near-dups vs persisted LSH index -> {n2} emitted in {t2:.1f}s")
+
+
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "ann_recall": ann_recall, "wide_window": wide_window,
           "stream_volume": stream_volume, "bloom_dedup": bloom_dedup,
@@ -617,7 +668,8 @@ PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "ntile_scale": ntile_scale,
           "stratified_hot": stratified_hot,
           "groupby_apply_cardinality": groupby_apply_cardinality,
-          "global_time_window": global_time_window}
+          "global_time_window": global_time_window,
+          "stream_fuzzy": stream_fuzzy}
 
 
 def main():

@@ -50,7 +50,11 @@ def open_stream(path, schema=None, fmt: str = "parquet",
         import glob as g
         import os
         matches = sorted(g.glob(os.path.join(str(path), "*"))) or [str(path)]
-        schema = spark.read.format(fmt).load(matches[0]).schema
+        # skip write markers (_SUCCESS, .crc, _metadata) — inferring
+        # from one of those fails with UNABLE_TO_INFER_SCHEMA
+        data = [m for m in matches
+                if not os.path.basename(m).startswith(("_", "."))]
+        schema = spark.read.format(fmt).load((data or matches)[0]).schema
     sdf = reader.schema(schema).load(str(path))
     for c in ns_cols:
         if dict(sdf.dtypes).get(c) == "bigint":
