@@ -101,10 +101,21 @@ HEADLINE_JOB_CEILING = {
     "q35_minhash_near_dups": 19,
     "q66_semantic_dedup": 3,
     "q67_duplicated_spans": 8,
-    "q77_bloom_incremental_dedup": 9,
-    "q78_domain_caps": 2,
-    "q79_dedup_keep_best": 3,
-    "q80_stratified_sample": 4,
+    "q77_bloom_incremental_dedup": 10,
+    "q78_domain_caps": 3,
+    "q79_dedup_keep_best": 4,
+    "q80_stratified_sample": 5,
+    "q81_text_cleanup": 2,
+    "q82_cube_orders": 5,
+    "q83_trailing_time_window": 3,
+    "q84_sessionization": 5,
+    "q85_cheapest_supplier_per_part": 3,
+    "q86_top_trigrams_per_source": 5,
+    "q87_quality_deciles": 6,
+    "q88_interval_overlap": 8,
+    "q89_vocabulary": 6,
+    "q90_oov_rate": 10,
+    "q91_corpus_profile": 5,
 }
 
 
@@ -115,11 +126,15 @@ def test_headline_query_job_counts_do_not_regress(spark):
     un-reused exchange, or lost broadcast."""
     import bench
     import __spark_entry__ as e
+    import vaex_spark as vs
     qs = e.queries()
     over = {}
-    for name in bench.HEADLINE:
+    # every query with a calibrated ceiling — the bench headline set
+    # plus the extended operators (ceilings = measured + 1 headroom)
+    for name in HEADLINE_JOB_CEILING:
         qs[name](spark, "/root/testdata/sf0.001").toPandas()  # warm
         spark.catalog.clearCache()
+        vs.cache.release_operator_caches()
         n = []
         with count_jobs(spark, n):
             qs[name](spark, "/root/testdata/sf0.001").toPandas()
