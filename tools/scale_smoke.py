@@ -658,6 +658,44 @@ def stream_fuzzy(spark):
           f"near-dups vs persisted LSH index -> {n2} emitted in {t2:.1f}s")
 
 
+def ntile_ties(spark):
+    """Round-5 probe: exact NTILE over a LOW-CARDINALITY order key (5
+    distinct event_types across 6.4M rows).  Without the content-hash
+    tiebreaker every tie class lands in one range partition (equal keys
+    compare identically against all boundaries) and ~1.3M-row groups
+    serialize; with it ties split across partitions.  Invariants:
+    decile sizes exact, and the decile sequence respects the key order
+    (a tie class spans contiguous deciles)."""
+    from pyspark.sql import functions as F_
+    from vaex_spark.operators.window import ntile_exact
+    ev = spark.read.parquet(f"{SCALE_DIR}/events.parquet") \
+        .select("event_id", "event_type")
+    n = ev.count()
+    t0 = time.time()
+    out = ntile_exact(ev, 10, ["event_type"], out_col="d")
+    stats = (out.groupBy("event_type", "d")
+             .agg(F_.count(F_.lit(1)).alias("c")).collect())
+    t = time.time() - t0
+    per_d = {}
+    for r in stats:
+        per_d[r["d"]] = per_d.get(r["d"], 0) + r["c"]
+    sizes = [per_d[d] for d in sorted(per_d)]
+    assert sum(sizes) == n and max(sizes) - min(sizes) <= 1, sizes
+    # key order respected: each event_type's decile range must not
+    # overlap a lexicographically-later type's range except at the
+    # shared boundary decile
+    spans = {}
+    for r in stats:
+        lo, hi = spans.get(r["event_type"], (99, -1))
+        spans[r["event_type"]] = (min(lo, r["d"]), max(hi, r["d"]))
+    ordered = sorted(spans.items())
+    for (ka, (_, hi_a)), (kb, (lo_b, _)) in zip(ordered, ordered[1:]):
+        assert hi_a <= lo_b, (ka, kb, spans)
+    print(f"ntile_ties: NTILE(10) over a 5-value key at {n} rows in "
+          f"{t:.1f}s; sizes exact ({sizes[0]}), tie classes split "
+          f"across partitions, key order preserved")
+
+
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "ann_recall": ann_recall, "wide_window": wide_window,
           "stream_volume": stream_volume, "bloom_dedup": bloom_dedup,
@@ -669,7 +707,8 @@ PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "stratified_hot": stratified_hot,
           "groupby_apply_cardinality": groupby_apply_cardinality,
           "global_time_window": global_time_window,
-          "stream_fuzzy": stream_fuzzy}
+          "stream_fuzzy": stream_fuzzy,
+          "ntile_ties": ntile_ties}
 
 
 def main():

@@ -663,28 +663,37 @@ def _global_rank_sdf(sdf, order_cols):
     broadcast cumulative-offset map (partition-count-sized).  One
     full-data exchange; the counts probe reads the persisted exchange.
 
-    Ties: repartitionByRange keeps equal keys in one partition (rows
-    compare identically against every boundary), so ranks within a tie
-    are assigned arbitrarily-but-once, the same contract as SQL
-    row_number.  Pass a tie-broken key for deterministic results.
+    Ties: within equal order keys SQL row_number assigns ranks
+    arbitrarily-but-once; a LOW-CARDINALITY key would therefore defeat
+    the range exchange (equal keys compare identically against every
+    boundary and land in ONE partition — a 90%-constant key serializes
+    90% of the table into one task).  The exchange therefore appends a
+    deterministic content-hash tiebreaker (xxhash64 over every input
+    column) to the partitioning AND the sort: ties split evenly across
+    partitions, the order stays total, and the output is deterministic
+    for any input — identical rows are interchangeable, so even full
+    duplicates yield a stable rank multiset.  Pass your own tiebreak
+    column in ``order_cols`` when you need a specific tie order.
 
     Returns (sdf_with___grank, total_count_column_name) — the frame
     additionally carries ``__gn`` (total rows) so callers can derive
     quantile buckets without a second aggregate.
     """
     n = _range_partition_count(sdf)
+    salt = F.xxhash64(*[F.col(c) for c in sdf.columns])
     if n == 1:
         # fits one advisory partition: the single-task window IS the
         # intended plan (same fast path as _exchange_window)
-        w = bounded_window(*order_cols)
+        w = bounded_window(*order_cols, salt)
         pan = w.rowsBetween(Window.unboundedPreceding,
                             Window.unboundedFollowing)
         return (sdf.withColumn("__grank", F.row_number().over(w)
                                .cast("long"))
                 .withColumn("__gn", F.count(F.lit(1)).over(pan)))
-    ranged = (sdf.repartitionByRange(n, *order_cols) if n
-              else sdf.repartitionByRange(*order_cols))
-    part = (ranged.sortWithinPartitions(*order_cols)
+    keys = list(order_cols) + [salt]
+    ranged = (sdf.repartitionByRange(n, *keys) if n
+              else sdf.repartitionByRange(*keys))
+    part = (ranged.sortWithinPartitions(*keys)
             .withColumn("__mid", F.monotonically_increasing_id())
             .withColumn("__rpid", F.shiftright("__mid", 33))
             .withColumn("__lrn", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
@@ -761,8 +770,11 @@ def ntile_exact(df, k, order_key, out_col="ntile"):
     if _range_partition_count(sdf) == 1:
         # fits one advisory partition: the single-task window IS the
         # intended plan, and native F.ntile is its cheapest form (one
-        # window pass; the rank+count arithmetic would take two)
-        w = bounded_window(*order_cols)
+        # window pass; the rank+count arithmetic would take two).  The
+        # same content-hash tiebreaker as the exchange path keeps tie
+        # assignment consistent across the two plans.
+        salt = F.xxhash64(*[F.col(c) for c in sdf.columns])
+        w = bounded_window(*order_cols, salt)
         out = sdf.withColumn(out_col, F.ntile(k).over(w))
         return DataFrame(out) if wrapped else out
     ranked = _global_rank_sdf(sdf, order_cols)
