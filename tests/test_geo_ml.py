@@ -377,3 +377,60 @@ def test_kmeans_recovers_planted_clusters(spark):
                  max_iter=5)
     km4.fit(df)
     assert km4.inertia <= km.inertia + 1e-6
+
+
+class _TinyOLS:
+    """Module-level (broadcast-picklable) least-squares stub with the
+    sklearn fit/partial_fit/predict protocol."""
+
+    def fit(self, X, y):
+        import numpy as np
+        Xb = np.column_stack([X, np.ones(len(X))])
+        self.w, *_ = np.linalg.lstsq(Xb, y, rcond=None)
+        return self
+
+    def partial_fit(self, X, y):
+        import numpy as np
+        if not hasattr(self, "_X"):
+            self._X, self._y = X, y
+        else:
+            self._X = np.vstack([self._X, X])
+            self._y = np.concatenate([self._y, y])
+        return self.fit(self._X, self._y)
+
+    def predict(self, X):
+        import numpy as np
+        return np.column_stack([X, np.ones(len(X))]) @ self.w
+
+
+def test_predictor_bridge_with_fake_estimator(spark):
+    """Predictor/IncrementalPredictor (reference sklearn.py parity)
+    accept ANY object with the sklearn fit/predict (or partial_fit)
+    protocol — tested with a closed-form least-squares stub since
+    scikit-learn is absent here; scoring must run distributed through
+    the broadcast + pandas_udf path and match driver-side predict."""
+    import numpy as np
+    import vaex_spark as vs
+    from vaex_spark.ml import IncrementalPredictor, Predictor
+
+    # tests/ is not importable on python workers: ship the stub class
+    # by value (users' estimators come from installed libs, which ARE
+    # importable worker-side — this is purely a test-rig concern)
+    import sys
+    from pyspark import cloudpickle
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    rng = np.random.RandomState(3)
+    x1, x2 = rng.randn(500), rng.randn(500)
+    y = 3.0 * x1 - 2.0 * x2 + 0.5
+    df = vs.from_arrays(x1=list(x1), x2=list(x2), y=list(y), spark=spark)
+    p = Predictor(model=_TinyOLS(), features=["x1", "x2"], target="y")
+    p.fit(df)
+    out = p.transform(df).to_pandas_df()
+    assert np.allclose(out["prediction"], y, atol=1e-6)
+    assert np.allclose(p.predict(df), y, atol=1e-6)
+    # incremental: partial_fit batches through toLocalIterator
+    ip = IncrementalPredictor(model=_TinyOLS(), features=["x1", "x2"],
+                              target="y", batch_size=128)
+    ip.fit(df)
+    out2 = ip.transform(df).to_pandas_df()
+    assert np.allclose(out2["prediction"], y, atol=1e-5)

@@ -798,6 +798,95 @@ class KMeans(Transformer):
             self.transform(df)[self.prediction_label].tolist())
 
 
+class Predictor(Transformer):
+    """sklearn.py:16 parity — wrap any scikit-learn estimator as a
+    pipeline object.  ``fit`` materializes the feature matrix to the
+    driver (the reference does the same full-memory copy —
+    sklearn.py:26-27: single-node estimators can't fit distributed);
+    ``transform`` is lazy and DISTRIBUTED: the fitted model ships in
+    the pandas_udf closure (cloudpickle — serialized by VALUE, so
+    estimators defined anywhere work; cached per python worker) and
+    predicts over Arrow batches, so scoring scales even though fitting
+    doesn't.  For genuinely
+    distributed fitting use the engine's own transformers (PCA/KMeans/
+    scalers/encoders fit via aggregates).  Raises ImportError at fit
+    time when scikit-learn (or whatever library backs ``model``) is
+    absent from the environment — no silent stub."""
+
+    _state_keys = ("target", "prediction_name")
+
+    def __init__(self, model=None, features=None, target=None,
+                 prediction_name="prediction"):
+        super().__init__(features or [])
+        self.model = model
+        self.target = target
+        self.prediction_name = prediction_name
+
+    def fit(self, df, **kwargs):
+        X = np.column_stack([np.asarray(df[f].tolist(), dtype="float64")
+                             for f in self.features])
+        y = (np.asarray(df[self.target].tolist())
+             if self.target is not None else None)
+        self.model.fit(X, y, **kwargs)
+        return self
+
+    def transform(self, df):
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        model = self.model
+
+        def _predict(*cols):
+            import numpy as _np
+            X = _np.column_stack([c.to_numpy(dtype="float64") for c in cols])
+            return pd.Series(model.predict(X))
+
+        _predict.__annotations__ = {"cols": pd.Series, "return": pd.Series}
+        out = df._copy()
+        udf = pandas_udf(_predict, "double")
+        out[self.prediction_name] = udf(
+            *[df._to_expr(f).col.cast("double") for f in self.features])
+        return out
+
+    def predict(self, df):
+        """Eager numpy predictions (reference sklearn.py:75)."""
+        X = np.column_stack([np.asarray(df[f].tolist(), dtype="float64")
+                             for f in self.features])
+        return self.model.predict(X)
+
+
+class IncrementalPredictor(Predictor):
+    """sklearn.py:115 parity — estimators with ``partial_fit``: the
+    frame streams to the driver in Arrow batches (toLocalIterator — one
+    partition in memory at a time, not a full copy) and each batch
+    partial_fits; scoring distributes exactly like Predictor."""
+
+    def __init__(self, model=None, features=None, target=None,
+                 prediction_name="prediction", batch_size=100_000):
+        super().__init__(model, features, target, prediction_name)
+        self.batch_size = int(batch_size)
+
+    def fit(self, df, **kwargs):
+        if not hasattr(self.model, "partial_fit"):
+            raise ValueError("model lacks partial_fit; use Predictor")
+        import itertools
+        cols = self.features + ([self.target] if self.target else [])
+        sdf = df._spark_df().select(
+            *[df._to_expr(c).col.alias(c) for c in cols])
+        # toLocalIterator streams one partition at a time to the driver
+        # — bounded memory, unlike a full collect
+        it = sdf.toLocalIterator(prefetchPartitions=True)
+        while True:
+            rows = list(itertools.islice(it, self.batch_size))
+            if not rows:
+                break
+            X = np.array([[r[f] for f in self.features] for r in rows],
+                         dtype="float64")
+            y = (np.array([r[self.target] for r in rows])
+                 if self.target else None)
+            self.model.partial_fit(X, y, **kwargs)
+        return self
+
+
 class DataFrameAccessorML:
     """df.ml — the vaex-ml accessor (reference vaex/ml/__init__.py:8)."""
 
