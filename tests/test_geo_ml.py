@@ -434,3 +434,45 @@ def test_predictor_bridge_with_fake_estimator(spark):
     ip.fit(df)
     out2 = ip.transform(df).to_pandas_df()
     assert np.allclose(out2["prediction"], y, atol=1e-5)
+
+
+def test_metrics_accessor_vs_reference_semantics(spark):
+    """df.ml.metrics — the reference's doctest values (metrics.py) plus
+    multiclass/macro and regression metrics vs closed-form numpy."""
+    import numpy as np
+    import vaex_spark as vs
+    df = vs.from_arrays(y_true=[1, 1, 0, 1, 0], y_pred=[1, 0, 0, 1, 1],
+                        spark=spark)
+    m = df.ml.metrics
+    assert abs(m.accuracy_score("y_true", "y_pred") - 0.6) < 1e-12
+    C = m.confusion_matrix("y_true", "y_pred")
+    assert C.tolist() == [[1, 1], [1, 2]]
+    # reference doctest (6-row variant): precision=recall=f1=0.75
+    df2 = vs.from_arrays(y_true=[1, 1, 0, 1, 0, 1],
+                         y_pred=[1, 0, 0, 1, 1, 1], spark=spark)
+    p, r, f = df2.ml.metrics.precision_recall_fscore("y_true", "y_pred")
+    assert (p, r, f) == (0.75, 0.75, 0.75)
+    assert df2.ml.metrics.f1_score("y_true", "y_pred") == 0.75
+    # macro over 3 classes
+    df3 = vs.from_arrays(y_true=[0, 1, 2, 0, 1, 2],
+                         y_pred=[0, 2, 1, 0, 0, 1], spark=spark)
+    p3, r3, f3 = df3.ml.metrics.precision_recall_fscore(
+        "y_true", "y_pred", average="macro")
+    # class 0: prec 2/3, rec 1; classes 1/2: 0
+    assert abs(p3 - (2 / 3) / 3) < 1e-12 and abs(r3 - 1 / 3) < 1e-12
+    # MCC on the binary case vs the closed form
+    mcc = df2.ml.metrics.matthews_correlation_coefficient("y_true", "y_pred")
+    tp, tn, fp, fn = 3, 1, 1, 1
+    exp = (tp * tn - fp * fn) / np.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    assert abs(mcc - exp) < 1e-12
+    # regression metrics
+    dfr = vs.from_arrays(t=[1.0, 2.0, 3.0, 4.0], p=[1.1, 1.9, 3.2, 3.7],
+                         spark=spark)
+    mr = dfr.ml.metrics
+    t = np.array([1, 2, 3, 4.0]); q = np.array([1.1, 1.9, 3.2, 3.7])
+    assert abs(mr.mean_absolute_error("t", "p") - np.abs(t - q).mean()) < 1e-12
+    assert abs(mr.mean_squared_error("t", "p") - ((t - q) ** 2).mean()) < 1e-12
+    r2 = 1 - ((t - q) ** 2).sum() / ((t - t.mean()) ** 2).sum()
+    assert abs(mr.r2_score("t", "p") - r2) < 1e-9
+    assert "Accuracy" in m.classification_report("y_true", "y_pred")

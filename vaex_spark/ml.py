@@ -887,11 +887,135 @@ class IncrementalPredictor(Predictor):
         return self
 
 
+class MetricsAccessor:
+    """df.ml.metrics — reference vaex/ml/metrics.py parity.
+
+    Every classification metric derives from ONE distributed aggregate:
+    the (y_true, y_pred) confusion counts (map-side-combined groupBy,
+    class² result rows to the driver); regression metrics are single
+    moment aggregates.  Nothing here scans twice or moves data."""
+
+    def __init__(self, df):
+        self.df = df
+
+    def _cm(self, y_true, y_pred, selection=None):
+        df = self.df
+        sdf = df._spark_df()
+        sel = df._selection_col(selection)
+        if sel is not None:
+            sdf = sdf.filter(sel)
+        t, p = df._to_expr(y_true).col, df._to_expr(y_pred).col
+        rows = (sdf.groupBy(t.alias("__t"), p.alias("__p"))
+                .agg(F.count(F.lit(1)).alias("__n")).collect())
+        labels = sorted({r["__t"] for r in rows} | {r["__p"] for r in rows})
+        idx = {v: i for i, v in enumerate(labels)}
+        C = np.zeros((len(labels), len(labels)), dtype="int64")
+        for r in rows:
+            C[idx[r["__t"]], idx[r["__p"]]] = r["__n"]
+        return C, labels
+
+    def confusion_matrix(self, y_true, y_pred, selection=None,
+                         array_type=None):
+        """metrics.py:128 — rows = true class, cols = predicted."""
+        C, _ = self._cm(y_true, y_pred, selection)
+        return C
+
+    def accuracy_score(self, y_true, y_pred, selection=None):
+        C, _ = self._cm(y_true, y_pred, selection)
+        return float(np.trace(C) / C.sum())
+
+    def precision_recall_fscore(self, y_true, y_pred, average="binary",
+                                selection=None):
+        """metrics.py:157 — binary assumes 0/1 with 1 the positive
+        class; macro is the unweighted per-class mean."""
+        assert average in ("binary", "macro")
+        C, labels = self._cm(y_true, y_pred, selection)
+        diag = np.diag(C).astype("float64")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            prec = np.where(C.sum(axis=0) > 0, diag / C.sum(axis=0), 0.0)
+            rec = np.where(C.sum(axis=1) > 0, diag / C.sum(axis=1), 0.0)
+            f1 = np.where(prec + rec > 0, 2 * prec * rec / (prec + rec), 0.0)
+        if average == "binary":
+            if C.shape != (2, 2):
+                raise ValueError('average="binary" needs exactly 2 classes')
+            i = labels.index(1) if 1 in labels else 1
+            return float(prec[i]), float(rec[i]), float(f1[i])
+        return float(prec.mean()), float(rec.mean()), float(f1.mean())
+
+    def precision_score(self, y_true, y_pred, average="binary", selection=None):
+        return self.precision_recall_fscore(y_true, y_pred, average, selection)[0]
+
+    def recall_score(self, y_true, y_pred, average="binary", selection=None):
+        return self.precision_recall_fscore(y_true, y_pred, average, selection)[1]
+
+    def f1_score(self, y_true, y_pred, average="binary", selection=None):
+        return self.precision_recall_fscore(y_true, y_pred, average, selection)[2]
+
+    def matthews_correlation_coefficient(self, y_true, y_pred, selection=None):
+        """metrics.py:327 — multiclass MCC from the confusion matrix
+        (the R_k statistic)."""
+        C, _ = self._cm(y_true, y_pred, selection)
+        C = C.astype("float64")
+        t_sum, p_sum, n = C.sum(axis=1), C.sum(axis=0), C.sum()
+        cov_tp = np.trace(C) * n - t_sum @ p_sum
+        cov_pp = n * n - p_sum @ p_sum
+        cov_tt = n * n - t_sum @ t_sum
+        denom = np.sqrt(cov_pp * cov_tt)
+        return float(cov_tp / denom) if denom else 0.0
+
+    def classification_report(self, y_true, y_pred, average="binary",
+                              decimals=3, selection=None):
+        """metrics.py:376 — formatted summary string."""
+        acc = self.accuracy_score(y_true, y_pred, selection)
+        p, r, f = self.precision_recall_fscore(y_true, y_pred, average,
+                                               selection)
+        fmt = f"%.{decimals}f"
+        return ("\n        Classification report:\n\n"
+                f"        Accuracy:  {fmt % acc}\n"
+                f"        Precision: {fmt % p}\n"
+                f"        Recall:    {fmt % r}\n"
+                f"        F1:        {fmt % f}\n        ")
+
+    def _reg(self, y_true, y_pred, selection=None):
+        df = self.df
+        sdf = df._spark_df()
+        sel = df._selection_col(selection)
+        if sel is not None:
+            sdf = sdf.filter(sel)
+        t = df._to_expr(y_true).col.cast("double")
+        p = df._to_expr(y_pred).col.cast("double")
+        return sdf, t, p
+
+    def mean_absolute_error(self, y_true, y_pred, selection=None):
+        sdf, t, p = self._reg(y_true, y_pred, selection)
+        return float(sdf.agg(F.avg(F.abs(t - p))).collect()[0][0])
+
+    def mean_squared_error(self, y_true, y_pred, selection=None):
+        sdf, t, p = self._reg(y_true, y_pred, selection)
+        d = t - p
+        return float(sdf.agg(F.avg(d * d)).collect()[0][0])
+
+    def r2_score(self, y_true, y_pred, selection=None):
+        """metrics.py:461 — 1 - SS_res/SS_tot, one aggregate pass."""
+        sdf, t, p = self._reg(y_true, y_pred, selection)
+        d = t - p
+        row = sdf.agg(F.sum(d * d).alias("ss_res"),
+                      F.sum(t * t).alias("stt"),
+                      F.sum(t).alias("st"),
+                      F.count(t).alias("n")).collect()[0]
+        ss_tot = row["stt"] - row["st"] * row["st"] / row["n"]
+        return float(1.0 - row["ss_res"] / ss_tot)
+
+
 class DataFrameAccessorML:
     """df.ml — the vaex-ml accessor (reference vaex/ml/__init__.py:8)."""
 
     def __init__(self, df):
         self.df = df
+
+    @property
+    def metrics(self) -> "MetricsAccessor":
+        return MetricsAccessor(self.df)
 
     def state_transfer(self) -> StateTransfer:
         return StateTransfer(state=self.df.state_get())
