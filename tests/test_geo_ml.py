@@ -476,3 +476,28 @@ def test_metrics_accessor_vs_reference_semantics(spark):
     r2 = 1 - ((t - q) ** 2).sum() / ((t - t.mean()) ** 2).sum()
     assert abs(mr.r2_score("t", "p") - r2) < 1e-9
     assert "Accuracy" in m.classification_report("y_true", "y_pred")
+
+
+def test_pipeline_save_load_roundtrip(spark, tmp_path):
+    """ml.Pipeline — fit a scaler→PCA→KMeans chain, JSON save/load, and
+    the reloaded pipeline reproduces the exact same output columns."""
+    import numpy as np
+    import vaex_spark as vs
+    from vaex_spark import ml
+    rng = np.random.RandomState(19)
+    df = vs.from_arrays(x=rng.randn(200) * 3 + 1, y=rng.randn(200) - 2,
+                        spark=spark)
+    pipe = ml.Pipeline([
+        ml.StandardScaler(["x", "y"]),
+        ml.PCA(["standard_scaled_x", "standard_scaled_y"], n_components=2),
+        ml.KMeans(features=["PCA_0", "PCA_1"], n_clusters=3,
+                  random_state=11, max_iter=20),
+    ])
+    pipe.fit(df)
+    out = pipe.transform(df).to_pandas_df()
+    path = str(tmp_path / "pipe.json")
+    pipe.save(path)
+    pipe2 = ml.Pipeline().load(path)
+    out2 = pipe2.transform(df).to_pandas_df()
+    assert (out["prediction_kmeans"] == out2["prediction_kmeans"]).all()
+    np.testing.assert_allclose(out["PCA_0"], out2["PCA_0"], rtol=1e-12)

@@ -887,6 +887,68 @@ class IncrementalPredictor(Predictor):
         return self
 
 
+class Pipeline(list):
+    """pipeline.py:5 parity — an ordered list of fitted transformers
+    with JSON save/load.  State is (class name, state dict) pairs;
+    every Transformer here round-trips through state_get/state_set, so
+    a pipeline file written on one session replays on another."""
+
+    def save(self, f):
+        import json
+        states = [{"cls": type(t).__name__, "state": t.state_get()}
+                  for t in self]
+        if hasattr(f, "write"):
+            json.dump(states, f)
+        else:
+            with open(f, "w") as fh:
+                json.dump(states, fh)
+
+    def load(self, f):
+        import json
+        import sys
+        mod = sys.modules[__name__]
+        if hasattr(f, "read"):
+            states = json.load(f)
+        else:
+            with open(f) as fh:
+                states = json.load(fh)
+        objs = []
+        for s in states:
+            cls = getattr(mod, s["cls"])
+            # normal construction first, so behavioral defaults not
+            # covered by _state_keys (e.g. with_mean) exist; state_set
+            # then restores everything fitted
+            try:
+                obj = cls(s["state"]["features"])
+            except TypeError:
+                obj = cls.__new__(cls)
+                Transformer.__init__(obj, [])
+            obj.state_set(s["state"])
+            objs.append(obj)
+        del self[:]
+        self.extend(objs)
+        return self
+
+    def fit(self, df):
+        """Fit each stage on the output of the previous ones."""
+        for t in self[:-1]:
+            df = t.fit_transform(df)
+        self[-1].fit(df)
+        return self
+
+    def transform(self, df):
+        assert len(self) > 0, "cannot transform with an empty pipeline"
+        for t in self:
+            df = t.transform(df)
+        return df
+
+    def predict(self, df):
+        assert len(self) > 0, "cannot predict with an empty pipeline"
+        for t in self[:-1]:
+            df = t.transform(df)
+        return self[-1].predict(df)
+
+
 class MetricsAccessor:
     """df.ml.metrics — reference vaex/ml/metrics.py parity.
 
