@@ -569,3 +569,42 @@ def test_rolling_range_bucket_seconds_invariant(events):
         assert alt.keys() == base.keys()
         for k, v in base.items():
             assert alt[k] == v or abs(alt[k] - v) < 1e-9, (S, k)
+
+
+def test_global_asof_bucketed_matches_single_partition(spark):
+    """Global (by=None) as-of join, forced multi-partition: the
+    value-bucket + carry-prefix-scan plan must reproduce the naive
+    single-window result exactly for all three directions, including
+    rows whose nearest right row lives in an EARLIER bucket (sparse
+    right side), and must not route the data through an Exchange
+    SinglePartition (the bucket-count carry scan is exempt)."""
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    rng = np.random.RandomState(37)
+    nl, nr = 20_000, 40  # sparse right: most buckets carry, not match
+    lt = np.sort(rng.uniform(0, 1e6, nl))
+    rt = np.sort(rng.uniform(0, 1e6, nr))
+    left = vs.DataFrame(spark.createDataFrame(pd.DataFrame(
+        {"t": lt, "lid": np.arange(nl)})))
+    right = vs.DataFrame(spark.createDataFrame(pd.DataFrame(
+        {"t": rt, "rv": np.arange(nr).astype("float64")})))
+    try:
+        for direction in ("backward", "forward", "nearest"):
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+            got = {r["lid"]: r["rv"] for r in
+                   left.join_asof(right, on="t", direction=direction)
+                   .spark.select("lid", "rv").collect()}
+            plan = (left.join_asof(right, on="t", direction=direction)
+                    .spark._jdf.queryExecution().executedPlan().toString())
+            assert "__abkt" in plan, plan
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+            exp = {r["lid"]: r["rv"] for r in
+                   left.join_asof(right, on="t", direction=direction)
+                   .spark.select("lid", "rv").collect()}
+            assert got == exp, direction
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "64MB")

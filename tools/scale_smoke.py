@@ -696,6 +696,50 @@ def ntile_ties(spark):
           f"across partitions, key order preserved")
 
 
+def asof_global(spark):
+    """Round-5 probe: GLOBAL (by=None) as-of join at 6.4M left rows x
+    51k right rows — the value-bucket + carry-prefix-scan plan.  The
+    sparse right side makes most buckets carry-only.  Oracle: per-key
+    asof with a CONSTANT key column must give identical picks (the
+    constant-key form is the naive single-window plan)."""
+    from pyspark.sql import functions as F_
+    import vaex_spark as vs
+    from vaex_spark.operators.join import join_asof
+    ev = vs.open(f"{SCALE_DIR}/events.parquet", spark=spark)
+    quotes = vs.DataFrame(
+        spark.read.parquet(f"{SCALE_DIR}/events.parquet")
+        .filter(F_.col("event_id") % 125 == 0)
+        .select(F_.col("ts"), F_.col("value").alias("qv")))
+    n = ev.spark.count()
+    t0 = time.time()
+    out = join_asof(ev, quotes, on="ts", direction="backward")
+    agg = out.spark.agg(
+        F_.count(F_.lit(1)).alias("n"),
+        F_.count("qv").alias("matched"),
+        F_.sum(F_.col("qv").cast("decimal(30,6)")).alias("s")).collect()[0]
+    t = time.time() - t0
+    assert agg["n"] == n
+    plan = out.spark._jdf.queryExecution().executedPlan().toString()
+    assert "__abkt" in plan, "bucketed path did not engage"
+    # sampled equality vs the single-window form on a 1% slice
+    sample = ev.spark.filter(F_.col("event_id") % 100 == 0)
+    sdf = vs.DataFrame(sample.withColumn("__k", F_.lit(0)))
+    qk = vs.DataFrame(quotes.spark.withColumn("__k", F_.lit(0)))
+    naive = {r["event_id"]: r["qv"] for r in
+             join_asof(sdf, qk, on="ts", by="__k",
+                       direction="backward").spark
+             .select("event_id", "qv").collect()}
+    got = {r["event_id"]: r["qv"] for r in
+           out.spark.filter(F_.col("event_id") % 100 == 0)
+           .select("event_id", "qv").collect()}
+    diffs = sum(1 for k in naive if got.get(k) != naive[k])
+    assert diffs == 0, diffs
+    print(f"asof_global: {n} x {quotes.spark.count()} backward asof in "
+          f"{t:.1f}s; {agg['matched']} matched, decimal checksum "
+          f"{agg['s']}; 64k-row sample identical to the single-window "
+          f"oracle; bucketed plan engaged")
+
+
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "ann_recall": ann_recall, "wide_window": wide_window,
           "stream_volume": stream_volume, "bloom_dedup": bloom_dedup,
@@ -708,7 +752,8 @@ PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "groupby_apply_cardinality": groupby_apply_cardinality,
           "global_time_window": global_time_window,
           "stream_fuzzy": stream_fuzzy,
-          "ntile_ties": ntile_ties}
+          "ntile_ties": ntile_ties,
+          "asof_global": asof_global}
 
 
 def main():

@@ -130,9 +130,20 @@ def join_asof(left, right, on, by=None, direction="backward", tolerance=None,
     key; no pair explosion, no sort-merge of candidates.  The right
     row's columns travel as ONE struct so nulls inside a matched row are
     preserved atomically (a per-column carry would resurrect older
-    values).  Without ``by`` the global window routes through the same
-    partition-boundary machinery as shift/diff via a constant key — use
-    ``by`` at scale.
+    values).
+
+    Without ``by`` (and whenever the frame outgrows one advisory
+    partition) the global order is parallelized by VALUE BUCKETS plus a
+    carry prefix-scan: rows hash to ``floor(on / S)`` (deterministic
+    value boundaries — equal timestamps never split), each bucket
+    computes its first/last right-struct in ONE map-side-combined
+    aggregate, a window over that BUCKET-COUNT-sized relation
+    prefix-scans the carry-in for every bucket (metadata-sized single
+    task, same envelope as the shift/diff pid map), and the carries
+    broadcast back — the per-bucket running window then falls back to
+    its bucket's carry-in via coalesce.  No data-path Exchange
+    SinglePartition.  Carry-ins come from strictly-earlier values, so
+    ``allow_exact_matches`` tie handling stays entirely intra-bucket.
     """
     from pyspark.sql import Window
     from ..dataframe import DataFrame
@@ -159,9 +170,29 @@ def join_asof(left, right, on, by=None, direction="backward", tolerance=None,
             rhs = rhs.withColumn(c, F.lit(None).cast(dict(lsdf.dtypes)[c]))
     merged = lhs.unionByName(rhs, allowMissingColumns=True)
 
-    part = [F.col(c) for c in by_cols] if by_cols else [F.lit(0)]
     is_ts = dict(merged.dtypes)[on].startswith("timestamp")
     oncol = F.col(on).cast("double") if not is_ts else F.unix_micros(F.col(on)) / 1e6
+
+    bucketed = False
+    if by_cols:
+        part = [F.col(c) for c in by_cols]
+    else:
+        from .window import _range_partition_count
+        n_parts = _range_partition_count(merged)
+        bounds = None
+        if n_parts is not None and n_parts > 1:
+            bounds = merged.agg(F.min(oncol).alias("lo"),
+                                F.max(oncol).alias("hi")).collect()[0]
+        if (bounds is not None and bounds["lo"] is not None
+                and bounds["hi"] > bounds["lo"]):
+            par = merged.sparkSession.sparkContext.defaultParallelism
+            S = (float(bounds["hi"]) - float(bounds["lo"])) / max(1, 4 * par)
+            merged = merged.withColumn("__abkt",
+                                       F.floor(oncol / S).cast("long"))
+            part = [F.col("__abkt")]
+            bucketed = True
+        else:
+            part = [F.lit(0)]  # degenerate span / unknown stats: 1 task
 
     def pick(side_order, frame_end):
         # equal-timestamp ties: to include exact matches the right row must
@@ -176,12 +207,39 @@ def join_asof(left, right, on, by=None, direction="backward", tolerance=None,
         fn = F.last if frame_end == "back" else F.first
         return fn(F.when(F.col("__side") == 0, F.col("__r")), ignorenulls=True).over(w)
 
+    if bucketed:
+        # per-bucket first/last right-struct -> prefix-scan carries over
+        # the bucket-count relation -> broadcast back.  The scan's
+        # single partition holds ~4*parallelism rows (metadata-sized).
+        # grouped over ALL buckets (left-only buckets must still appear
+        # with a null own-carry, or they would drop from the broadcast
+        # join and lose their carry-in entirely); the when() makes
+        # max_by/min_by consider right rows only
+        ron = F.when(F.col("__side") == 0, oncol)
+        per_b = (merged.groupBy("__abkt")
+                 .agg(F.max_by(F.col("__r"), ron).alias("__bl"),
+                      F.min_by(F.col("__r"), ron).alias("__bf")))
+        wb = Window.orderBy("__abkt").rowsBetween(Window.unboundedPreceding, -1)
+        wf = Window.orderBy("__abkt").rowsBetween(1, Window.unboundedFollowing)
+        carries = per_b.select(
+            "__abkt",
+            F.last("__bl", ignorenulls=True).over(wb).alias("__back_in"),
+            F.first("__bf", ignorenulls=True).over(wf).alias("__fwd_in"))
+        merged = merged.join(F.broadcast(carries), on="__abkt", how="left")
+
+    def with_carry(col, carry):
+        return F.coalesce(col, F.col(carry)) if bucketed else col
+
     if direction in ("backward", "nearest"):
-        merged = merged.withColumn("__back", pick(oncol.asc(), "back"))
+        merged = merged.withColumn(
+            "__back", with_carry(pick(oncol.asc(), "back"), "__back_in"))
     if direction in ("forward", "nearest"):
-        merged = merged.withColumn("__fwd", pick(oncol.asc(), "fwd"))
+        merged = merged.withColumn(
+            "__fwd", with_carry(pick(oncol.asc(), "fwd"), "__fwd_in"))
 
     out = merged.filter(F.col("__side") == 1)
+    if bucketed:
+        out = out.drop("__abkt", "__back_in", "__fwd_in")
     if direction == "backward":
         chosen = F.col("__back")
     elif direction == "forward":
