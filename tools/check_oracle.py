@@ -47,6 +47,15 @@ def main():
     import vaex_spark as vsp
 
     spark = vsp.get_session()
+    # VS_ADVERSARIAL=1: force the multi-partition code paths (tiny
+    # advisory partitions + odd shuffle count) — the configuration that
+    # exposed the round-3 window branch-misalignment bug.  Results must
+    # be identical to the default-config sweep.
+    import os
+    if os.environ.get("VS_ADVERSARIAL"):
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        print("# adversarial conf: advisory=8KB shuffle.partitions=13")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
