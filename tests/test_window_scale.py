@@ -608,3 +608,43 @@ def test_global_asof_bucketed_matches_single_partition(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                        "64MB")
+
+
+def test_asof_split_hot_keys_matches_per_key_plan(spark):
+    """join_asof(split_hot_keys=True): within-key bucketing + per-key
+    carry prefix-scan must be bit-identical to the default per-key
+    window across all directions, on a skewed key mix (one key holds
+    90% of rows) with a sparse right side."""
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    from vaex_spark.operators.join import join_asof
+    rng = np.random.RandomState(41)
+    n = 30_000
+    keys = np.where(rng.rand(n) < 0.9, 0, rng.randint(1, 5, n))
+    lt = rng.uniform(0, 1e6, n)
+    left = vs.DataFrame(spark.createDataFrame(pd.DataFrame(
+        {"k": keys, "t": lt, "lid": np.arange(n)})))
+    rk = rng.randint(0, 5, 60)
+    rt = rng.uniform(0, 1e6, 60)
+    right = vs.DataFrame(spark.createDataFrame(pd.DataFrame(
+        {"k": rk, "t": rt, "rv": np.arange(60).astype("float64")})))
+    try:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        for direction in ("backward", "forward", "nearest"):
+            hot = {r["lid"]: r["rv"] for r in
+                   join_asof(left, right, on="t", by="k",
+                             direction=direction, split_hot_keys=True)
+                   .spark.select("lid", "rv").collect()}
+            plain = {r["lid"]: r["rv"] for r in
+                     join_asof(left, right, on="t", by="k",
+                               direction=direction)
+                     .spark.select("lid", "rv").collect()}
+            assert hot == plain, direction
+        plan = (join_asof(left, right, on="t", by="k",
+                          split_hot_keys=True)
+                .spark._jdf.queryExecution().executedPlan().toString())
+        assert "__abkt" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "64MB")

@@ -738,6 +738,23 @@ def asof_global(spark):
           f"{t:.1f}s; {agg['matched']} matched, decimal checksum "
           f"{agg['s']}; 64k-row sample identical to the single-window "
           f"oracle; bucketed plan engaged")
+    # hot-key variant: ALL rows share one by= key — split_hot_keys must
+    # match the per-key plan's checksum while splitting the key's range
+    hot = vs.DataFrame(ev.spark.withColumn("__k", F_.lit(7)))
+    qh = vs.DataFrame(quotes.spark.withColumn("__k", F_.lit(7)))
+    t0 = time.time()
+    a1 = join_asof(hot, qh, on="ts", by="__k", direction="backward",
+                   split_hot_keys=True)
+    s1 = a1.spark.agg(F_.sum(F_.col("qv").cast("decimal(30,6)"))).collect()[0][0]
+    t_split = time.time() - t0
+    t0 = time.time()
+    a0 = join_asof(hot, qh, on="ts", by="__k", direction="backward")
+    s0 = a0.spark.agg(F_.sum(F_.col("qv").cast("decimal(30,6)"))).collect()[0][0]
+    t_one = time.time() - t0
+    assert s1 == s0, (s1, s0)
+    print(f"asof_hot_key: one 6.4M-row by= key — split_hot_keys "
+          f"{t_split:.1f}s vs single-task per-key {t_one:.1f}s, "
+          f"identical decimal checksums")
 
 
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,

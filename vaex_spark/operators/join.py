@@ -113,7 +113,8 @@ def join(left, right, on=None, how="left", left_on=None, right_on=None,
 
 
 def join_asof(left, right, on, by=None, direction="backward", tolerance=None,
-              rprefix="", rsuffix="_right", allow_exact_matches=True):
+              rprefix="", rsuffix="_right", allow_exact_matches=True,
+              split_hot_keys=False):
     """As-of join (pandas merge_asof semantics; the reference has no
     native equivalent — SURVEY's custom-operator slot).
 
@@ -144,6 +145,14 @@ def join_asof(left, right, on, by=None, direction="backward", tolerance=None,
     its bucket's carry-in via coalesce.  No data-path Exchange
     SinglePartition.  Carry-ins come from strictly-earlier values, so
     ``allow_exact_matches`` tie handling stays entirely intra-bucket.
+
+    ``split_hot_keys=True`` applies the same bucket + carry machinery
+    WITHIN ``by`` keys: the window partitions by (by, bucket) and the
+    carry prefix-scan runs per key over the (key, bucket) aggregate —
+    parallel across keys AND across a single dominant key's time range.
+    Use it when one ``by`` value holds a partition-breaking share of
+    the rows; the default per-key window is cheaper when keys are
+    plentiful and individually small.
     """
     from pyspark.sql import Window
     from ..dataframe import DataFrame
@@ -174,13 +183,14 @@ def join_asof(left, right, on, by=None, direction="backward", tolerance=None,
     oncol = F.col(on).cast("double") if not is_ts else F.unix_micros(F.col(on)) / 1e6
 
     bucketed = False
-    if by_cols:
+    want_buckets = split_hot_keys if by_cols else True
+    if by_cols and not split_hot_keys:
         part = [F.col(c) for c in by_cols]
     else:
         from .window import _range_partition_count
         n_parts = _range_partition_count(merged)
         bounds = None
-        if n_parts is not None and n_parts > 1:
+        if n_parts is not None and n_parts > 1 and want_buckets:
             bounds = merged.agg(F.min(oncol).alias("lo"),
                                 F.max(oncol).alias("hi")).collect()[0]
         if (bounds is not None and bounds["lo"] is not None
@@ -189,8 +199,10 @@ def join_asof(left, right, on, by=None, direction="backward", tolerance=None,
             S = (float(bounds["hi"]) - float(bounds["lo"])) / max(1, 4 * par)
             merged = merged.withColumn("__abkt",
                                        F.floor(oncol / S).cast("long"))
-            part = [F.col("__abkt")]
+            part = [F.col(c) for c in by_cols] + [F.col("__abkt")]
             bucketed = True
+        elif by_cols:
+            part = [F.col(c) for c in by_cols]  # tiny frame: per-key plan
         else:
             part = [F.lit(0)]  # degenerate span / unknown stats: 1 task
 
@@ -216,16 +228,25 @@ def join_asof(left, right, on, by=None, direction="backward", tolerance=None,
         # join and lose their carry-in entirely); the when() makes
         # max_by/min_by consider right rows only
         ron = F.when(F.col("__side") == 0, oncol)
-        per_b = (merged.groupBy("__abkt")
+        gcols = by_cols + ["__abkt"]
+        per_b = (merged.groupBy(*gcols)
                  .agg(F.max_by(F.col("__r"), ron).alias("__bl"),
                       F.min_by(F.col("__r"), ron).alias("__bf")))
-        wb = Window.orderBy("__abkt").rowsBetween(Window.unboundedPreceding, -1)
-        wf = Window.orderBy("__abkt").rowsBetween(1, Window.unboundedFollowing)
+        # prefix scan per by-key (parallel across keys; for the global
+        # form this is one bucket-count-sized task)
+        cw = Window.partitionBy(*[F.col(c) for c in by_cols]) \
+            .orderBy("__abkt") if by_cols else Window.orderBy("__abkt")
+        wb = cw.rowsBetween(Window.unboundedPreceding, -1)
+        wf = cw.rowsBetween(1, Window.unboundedFollowing)
         carries = per_b.select(
-            "__abkt",
+            *gcols,
             F.last("__bl", ignorenulls=True).over(wb).alias("__back_in"),
             F.first("__bf", ignorenulls=True).over(wf).alias("__fwd_in"))
-        merged = merged.join(F.broadcast(carries), on="__abkt", how="left")
+        # with by keys the carry relation is (keys x buckets)-sized —
+        # let Catalyst pick the join strategy; the global form is
+        # bucket-count rows and always broadcasts
+        carries = F.broadcast(carries) if not by_cols else carries
+        merged = merged.join(carries, on=gcols, how="left")
 
     def with_carry(col, carry):
         return F.coalesce(col, F.col(carry)) if bucketed else col
