@@ -35,6 +35,38 @@ def _wrap(sdf):
     return DataFrame(sdf)
 
 
+def _drop_table_and_orphaned_location(spark, table_name: str) -> None:
+    """Make ``saveAsTable(mode="overwrite")`` idempotent against a dirty
+    warehouse.
+
+    A crashed run can leave the table's directory on disk while a fresh
+    derby metastore no longer knows the table; ``saveAsTable`` then
+    raises LOCATION_ALREADY_EXISTS.  Drop the catalog entry (if any) AND
+    remove the orphaned default-location directory for local
+    ``file:``/path warehouses.  Only the *managed default* location is
+    touched — never a user-supplied external path.
+    """
+    import os
+    import shutil
+    from urllib.parse import urlparse, unquote
+
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    parts = table_name.split(".")
+    db, tbl = (parts[-2], parts[-1]) if len(parts) > 1 else (None, parts[-1])
+    try:
+        if db is None:
+            db = spark.catalog.currentDatabase()
+        loc = spark.catalog.getDatabase(db).locationUri
+    except Exception:  # pragma: no cover - exotic catalog; fall back to conf
+        loc = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    parsed = urlparse(loc)
+    if parsed.scheme not in ("", "file"):
+        return  # remote warehouse: nothing local to clean
+    path = os.path.join(unquote(parsed.path) or loc, tbl.lower())
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def export_bucketed(df, table_name: str, by, n_buckets: int = 32,
                     sort_by=None, mode: str = "overwrite"):
     """Write ``df`` as a bucketed catalog table.
@@ -43,9 +75,17 @@ def export_bucketed(df, table_name: str, by, n_buckets: int = 32,
     same ``n_buckets`` run without any Exchange (verified by
     tests/test_scale_join.py asserting the physical plan).  ``sort_by``
     additionally sorts within buckets so sort-merge joins skip the sort.
+
+    ``mode="overwrite"`` is idempotent even against a *dirty* warehouse:
+    a stale table directory left by a crashed run (which a fresh
+    metastore no longer owns) is removed before the write instead of
+    poisoning it with LOCATION_ALREADY_EXISTS.
     """
     by = [by] if isinstance(by, str) else list(by)
-    writer = _sdf(df).write.mode(mode).bucketBy(n_buckets, *by)
+    sdf = _sdf(df)
+    if mode == "overwrite":
+        _drop_table_and_orphaned_location(sdf.sparkSession, table_name)
+    writer = sdf.write.mode(mode).bucketBy(n_buckets, *by)
     if sort_by is not None:
         sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         writer = writer.sortBy(*sort_by)
