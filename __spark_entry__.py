@@ -2306,19 +2306,23 @@ def _q77_bloom_incremental_dedup(spark, sf_dir):
     """Incremental dedup with a Bloom-filter corpus summary
     (datapipe/dedup.py: build_fingerprint_bloom +
     exact_dedup_incremental(bloom=)): doc_id %% 3 != 0 is the ingested
-    corpus, %% 3 == 0 the new batch.  The bitmap rejects
-    definitely-fresh rows map-side; only the maybe-dup remainder is
-    checked exactly via broadcast joins, so the corpus is scanned once
-    and never shuffled.  No false negatives -> results are identical to
-    the plain anti-join (the oracle)."""
+    corpus, %% 3 == 0 the new batch.  Runs the SHIPPED crossover
+    default (bloom_min_corpus_ratio=4): at this corpus≈2×batch regime
+    the stats heuristic correctly rejects the bloom plan and takes the
+    plain fingerprint anti-join — the faster choice here, demonstrated
+    in-artifact (the bloom plan's win is replacing a corpus EXCHANGE
+    with a map-side scan, which only pays when corpus >> batch; that
+    regime is probed in SCALECHECK's bloom_dedup row and the forced
+    plan is audited in PLANS' q77_bloom_forced entry).  The bloom build
+    itself is zero-job here: capacity comes from Catalyst plan stats.
+    Results are identical on both paths (no false negatives)."""
     from vaex_spark.datapipe.dedup import (build_fingerprint_bloom,
                                            exact_dedup_incremental)
     docs = _t(spark, sf_dir, "documents")
     seen = docs[docs.doc_id % 3 != 0]
     batch = docs[docs.doc_id % 3 == 0]
     bloom = build_fingerprint_bloom(seen, fpp=0.01)
-    out = exact_dedup_incremental(batch, seen, bloom=bloom,
-                                  bloom_min_corpus_ratio=0)
+    out = exact_dedup_incremental(batch, seen, bloom=bloom)
     return (out.spark.select(F.col("doc_id").cast("long").alias("doc_id"),
                              F.col("lang"), F.col("source")))
 

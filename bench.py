@@ -47,11 +47,10 @@ HEADLINE = [
 
 # New-operator queries measured the same way but reported OUTSIDE the
 # headline total: their sf0.1 inputs are small enough that the numbers
-# mostly measure Spark's fixed per-job floor (q77's bloom build is 3
-# driver-coordinated jobs on a 5k-doc corpus), which would distort the
+# mostly measure Spark's fixed per-job floor, which would distort the
 # round-over-round headline trend while adding no plan information.
 EXTENDED = [
-    "q77_bloom_incremental_dedup",  # bloom prefilter + broadcast joins
+    "q77_bloom_incremental_dedup",  # stats-sized bloom + crossover heuristic
     "q78_domain_caps",         # WindowGroupLimit per-domain caps
     "q79_dedup_keep_best",     # quality-aware dedup survivors
     "q80_stratified_sample",   # exact per-group sampling

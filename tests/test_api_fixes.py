@@ -452,6 +452,22 @@ def test_pivot_explicit_and_discovered_domains_agree(spark):
     assert a.equals(b)
 
 
+def test_pivot_cardinality_guard_raises_typed(spark):
+    """A high-cardinality pivot column must fail with the library's own
+    RowLimitException (vaex __init__.py:870 row_limit contract) before
+    Spark's opaque pivotMaxValues error — and the discovery scan is
+    bounded (limit(n+1)), not a full distinct materialization."""
+    import pytest
+    import vaex_spark as vs
+    df = vs.DataFrame(spark.range(0, 5000).selectExpr(
+        "id % 7 AS grp", "CAST(id AS STRING) AS wide_key", "id AS v"))
+    with pytest.raises(vs.RowLimitException, match="column_limit=1000"):
+        df.pivot("grp", "wide_key", "v", agg="sum")
+    # raising the limit past the cardinality works
+    out = df.pivot("grp", "wide_key", "v", agg="sum", column_limit=5000)
+    assert len(out.get_column_names()) == 5001  # grp + 5000 value columns
+
+
 def test_melt_round_trips_pivot(spark):
     """pivot -> melt reproduces the long-format aggregate."""
     import vaex_spark as vs

@@ -875,6 +875,62 @@ def test_bloom_incremental_dedup_matches_exact(spark):
     assert boosted2 == plain
 
 
+def test_bloom_build_capacity_from_stats_is_single_job(spark):
+    """capacity=None sizes the bitmap from Catalyst plan stats — the
+    build must run exactly ONE job (the mapInPandas bitmap collect),
+    with no separate count pass, and the resulting filter must still
+    have no false negatives at the estimated capacity."""
+    import vaex_spark as vs
+    from tests.test_job_counts import count_jobs
+    from vaex_spark.datapipe.dedup import build_fingerprint_bloom
+    docs = vs.open("/root/testdata/sf0.01/documents.parquet", spark=spark)
+    build_fingerprint_bloom(docs)  # warm (parquet footer read etc.)
+    n = []
+    with count_jobs(spark, n):
+        bf = build_fingerprint_bloom(docs)
+    assert n[0] <= 1, f"stats-sized bloom build ran {n[0]} jobs"
+    # no false negatives regardless of how rough the capacity estimate was
+    from pyspark.sql import functions as F
+    from vaex_spark.datapipe.dedup import fingerprint
+    fps = (docs.spark.select(fingerprint(F.col("text")).alias("__fp"))
+           .toPandas()["__fp"].to_numpy())
+    assert bf.might_contain_np(fps).all()
+
+
+def test_bloom_build_capacity_falls_back_to_count(spark):
+    """When the plan has no usable size stats (e.g. a local-relation
+    union Catalyst reports at the defaultSizeInBytes sentinel is fine,
+    but a zero/unknown estimate is not), the build counts instead of
+    guessing — and explicit capacity= skips both."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import BloomFilter, build_fingerprint_bloom
+    docs = vs.from_arrays(doc_id=list(range(50)),
+                          text=[f"doc {i}" for i in range(50)], spark=spark)
+    bf = build_fingerprint_bloom(docs)          # works whichever path fires
+    bf2 = build_fingerprint_bloom(docs, capacity=50)
+    assert isinstance(bf, BloomFilter) and isinstance(bf2, BloomFilter)
+    proto = BloomFilter.for_capacity(50, 0.01)
+    assert (bf2.m, bf2.k) == (proto.m, proto.k)
+
+
+def test_bloom_crossover_shipped_default_picks_antijoin_at_parity(spark):
+    """The q77 bench regime (corpus≈2×batch, same source): the shipped
+    bloom_min_corpus_ratio=4 heuristic must reject the bloom plan — the
+    executed plan has a LeftAnti and NO Arrow membership stage."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import (build_fingerprint_bloom,
+                                           exact_dedup_incremental)
+    docs = vs.open("/root/testdata/sf0.01/documents.parquet", spark=spark)
+    seen = vs.DataFrame(docs.spark.filter("doc_id % 3 != 0"))
+    batch = vs.DataFrame(docs.spark.filter("doc_id % 3 = 0"))
+    bf = build_fingerprint_bloom(seen)
+    out = exact_dedup_incremental(batch, seen, bloom=bf).spark
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
 def test_bloom_incremental_corpus_never_exchanges(spark):
     """The 100 TB contract: with a bloom prefilter the corpus
     fingerprint relation is only scanned map-side under broadcast

@@ -101,7 +101,7 @@ HEADLINE_JOB_CEILING = {
     "q35_minhash_near_dups": 19,
     "q66_semantic_dedup": 3,
     "q67_duplicated_spans": 8,
-    "q77_bloom_incremental_dedup": 10,
+    "q77_bloom_incremental_dedup": 7,  # r6: stats-sized bloom (no count job) + crossover anti-join
     "q78_domain_caps": 3,
     "q79_dedup_keep_best": 4,
     "q80_stratified_sample": 5,

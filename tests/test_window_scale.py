@@ -638,7 +638,7 @@ def test_asof_split_hot_keys_matches_per_key_plan(spark):
                    .spark.select("lid", "rv").collect()}
             plain = {r["lid"]: r["rv"] for r in
                      join_asof(left, right, on="t", by="k",
-                               direction=direction)
+                               direction=direction, split_hot_keys=False)
                      .spark.select("lid", "rv").collect()}
             assert hot == plain, direction
         plan = (join_asof(left, right, on="t", by="k",
@@ -648,3 +648,53 @@ def test_asof_split_hot_keys_matches_per_key_plan(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                        "64MB")
+
+
+def test_asof_auto_hot_key_detection(spark):
+    """split_hot_keys='auto' (the default): the key-skew probe flips to
+    within-key bucketing when one key exceeds ~1/parallelism of rows,
+    stays on the per-key plan for plentiful balanced keys, and skips
+    the probe entirely for frames Catalyst places in one advisory
+    partition — with identical results to both explicit settings in
+    every regime."""
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    from vaex_spark.operators.join import join_asof
+    rng = np.random.RandomState(47)
+    n = 30_000
+    rk = rng.randint(0, 200, 80)
+    rt = rng.uniform(0, 1e6, 80)
+    right = vs.DataFrame(spark.createDataFrame(pd.DataFrame(
+        {"k": rk, "t": rt, "rv": np.arange(80).astype("float64")})))
+
+    def run(left, **kw):
+        return {r["lid"]: r["rv"] for r in
+                join_asof(left, right, on="t", by="k", **kw)
+                .spark.select("lid", "rv").collect()}
+
+    def plan_of(left, **kw):
+        return (join_asof(left, right, on="t", by="k", **kw)
+                .spark._jdf.queryExecution().executedPlan().toString())
+
+    # 90%-hot mix vs 200 balanced keys, both multi-partition (8KB advisory)
+    hot_keys = np.where(rng.rand(n) < 0.9, 0, rng.randint(1, 200, n))
+    bal_keys = rng.randint(0, 200, n)
+    lt = rng.uniform(0, 1e6, n)
+    hot_left = vs.DataFrame(spark.createDataFrame(pd.DataFrame(
+        {"k": hot_keys, "t": lt, "lid": np.arange(n)})))
+    bal_left = vs.DataFrame(spark.createDataFrame(pd.DataFrame(
+        {"k": bal_keys, "t": lt, "lid": np.arange(n)})))
+    try:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        assert "__abkt" in plan_of(hot_left), "auto must bucket the hot mix"
+        assert "__abkt" not in plan_of(bal_left), \
+            "auto must keep the per-key plan for balanced keys"
+        assert run(hot_left) == run(hot_left, split_hot_keys=True)
+        assert run(bal_left) == run(bal_left, split_hot_keys=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "64MB")
+    # small frame at default advisory: no probe, per-key plan, same answer
+    assert "__abkt" not in plan_of(hot_left)
+    assert run(hot_left) == run(hot_left, split_hot_keys=False)

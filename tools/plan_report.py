@@ -47,10 +47,22 @@ CASES = {
         "per-cluster pair work only.",
         [r"(ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|PythonMapInArrow|MapInArrow)"]),
     "q77_bloom_incremental_dedup": (
-        "Bloom incremental dedup: corpus fingerprints only ever join "
-        "as the probe side of BroadcastHashJoins (LeftSemi then "
-        "LeftAnti); no SortMergeJoin anywhere.",
-        [r"BroadcastHashJoin.*LeftSemi", r"BroadcastHashJoin.*LeftAnti"]),
+        "Bloom incremental dedup at the SHIPPED crossover default: at "
+        "corpus≈2×batch the stats heuristic rejects the bloom plan, so "
+        "the executed plan is the plain fingerprint anti-join with NO "
+        "Arrow membership stage — the crossover demonstrably choosing "
+        "the faster path for this regime (the bloom-winning regime is "
+        "audited in q77_bloom_forced below).",
+        [r"LeftAnti", r"!ArrowEvalPython"]),
+    "q77_bloom_forced": (
+        "Bloom incremental dedup, bloom path FORCED "
+        "(bloom_min_corpus_ratio=0 — the corpus>>batch shape): corpus "
+        "fingerprints only ever join as the probe side of "
+        "BroadcastHashJoins (LeftSemi then LeftAnti), the membership "
+        "scan is the vectorized Arrow stage, and the corpus is never "
+        "exchanged (no SortMergeJoin / hash exchange of corpus rows).",
+        [r"BroadcastHashJoin.*LeftSemi", r"BroadcastHashJoin.*LeftAnti",
+         r"ArrowEvalPython", r"!SortMergeJoin"]),
     "q78_domain_caps": (
         "Per-domain caps: WindowGroupLimit pre-truncates each map "
         "task's groups before the exchange (skew-proof top-k).",
@@ -76,6 +88,25 @@ CASES = {
 }
 
 
+def _bloom_forced(spark, sf_dir):
+    """The corpus>>batch regime's plan, forced for audit: identical to
+    __spark_entry__._q77_bloom_incremental_dedup but with the crossover
+    heuristic bypassed so the bloom branch is what executes."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import (build_fingerprint_bloom,
+                                           exact_dedup_incremental)
+    docs = vs.open(f"{sf_dir}/documents.parquet", spark=spark)
+    seen = docs[docs.doc_id % 3 != 0]
+    batch = docs[docs.doc_id % 3 == 0]
+    bloom = build_fingerprint_bloom(seen, fpp=0.01)
+    out = exact_dedup_incremental(batch, seen, bloom=bloom,
+                                  bloom_min_corpus_ratio=0)
+    return out.spark
+
+
+EXTRA_BUILDERS = {"q77_bloom_forced": _bloom_forced}
+
+
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else "PLANS_r05.md"
     import vaex_spark as vs
@@ -89,10 +120,13 @@ def main():
              "upgrade joins to broadcast).", ""]
     failures = []
     for name, (claim, patterns) in CASES.items():
-        df = qs[name](spark, SF_DIR)
+        builder = qs.get(name) or EXTRA_BUILDERS[name]
+        df = builder(spark, SF_DIR)
         df.count()  # let AQE finalize the executed plan
         plan = df._jdf.queryExecution().executedPlan().toString()
-        ok = {p: bool(re.search(p, plan)) for p in patterns}
+        # a leading "!" marks a must-NOT-match pattern
+        ok = {p: (not re.search(p[1:], plan)) if p.startswith("!")
+              else bool(re.search(p, plan)) for p in patterns}
         missing = [p for p, hit in ok.items() if not hit]
         if missing:
             failures.append((name, missing))

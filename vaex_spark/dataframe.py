@@ -1148,21 +1148,41 @@ class DataFrame:
         return out
 
     def pivot(self, index, columns: str, values: str, agg: str = "sum",
-              column_values=None) -> "DataFrame":
+              column_values=None, column_limit: int = 1000) -> "DataFrame":
         """Wide-format aggregation (beyond reference; Spark-native
         ``groupBy().pivot()``): one output row per ``index`` value, one
         column per distinct ``columns`` value, cells aggregated from
         ``values``.
 
         Pass ``column_values`` explicitly at scale: it skips the
-        distinct-scan Spark needs to discover the pivot domain and keeps
-        the output schema deterministic (a new value appearing upstream
-        otherwise changes the schema under you)."""
+        distinct-scan needed to discover the pivot domain and keeps the
+        output schema deterministic (a new value appearing upstream
+        otherwise changes the schema under you).  When absent, the
+        domain discovery is BOUNDED: more than ``column_limit`` distinct
+        values raises :class:`RowLimitException` (the reference's
+        ``row_limit`` contract, vaex __init__.py:870) instead of
+        building a million-column frame or surfacing Spark's opaque
+        ``spark.sql.pivotMaxValues`` failure — a pivot domain is a
+        schema, and a schema wider than ~1e3 columns is almost always a
+        mis-chosen ``columns`` key at 100 TB."""
         from . import agg as vagg
+        from .groupby import RowLimitException
         index = [index] if isinstance(index, str) else list(index)
         sdf = self._spark_df()
+        if column_values is None:
+            # one bounded job: limit(n+1) stops the scan early instead
+            # of materializing an unbounded distinct domain
+            rows = (sdf.select(F.col(columns).alias("__pv")).distinct()
+                    .limit(column_limit + 1).collect())
+            if len(rows) > column_limit:
+                raise RowLimitException(
+                    f"pivot column {columns!r} has more than "
+                    f"column_limit={column_limit} distinct values; pass "
+                    f"column_values= explicitly or raise column_limit")
+            column_values = sorted((r["__pv"] for r in rows),
+                                   key=lambda v: (v is None, v))
         gp = sdf.groupBy(*[F.col(c) for c in index]).pivot(
-            columns, list(column_values) if column_values is not None else None)
+            columns, list(column_values))
         fn = {"sum": F.sum, "mean": F.avg, "avg": F.avg, "min": F.min,
               "max": F.max, "count": F.count, "first": F.first}.get(agg)
         if fn is None:

@@ -711,6 +711,21 @@ class BloomFilter:
         return cls(m, k, np.frombuffer(raw[16:], dtype=np.uint64).copy())
 
 
+def _estimate_rows(sdf) -> "int | None":
+    """Row-count estimate from Catalyst's size stats, no job.
+
+    The one-column long projection is estimated by EstimationUtils at
+    ~16 bytes/row (8 B row overhead + 8 B long), so plan-size/16 ≈ rows.
+    Compression skew in the underlying scan bytes makes this a rough
+    bound either way — callers must tolerate both directions (a Bloom
+    capacity overestimate wastes broadcast-sized bitmap bytes, an
+    underestimate raises fpp but never breaks correctness)."""
+    size = _plan_size_bytes(sdf)
+    if size is None:
+        return None
+    return max(1, size // 16)
+
+
 def build_fingerprint_bloom(df, text_col: str = "text", fp_col: str | None = None,
                             capacity: int | None = None, fpp: float = 0.01,
                             normalize: bool = True) -> BloomFilter:
@@ -722,8 +737,11 @@ def build_fingerprint_bloom(df, text_col: str = "text", fp_col: str | None = Non
     together — the classic treeAggregate shape, no data shuffle at all.
     ``fp_col`` reads an existing fingerprint column (e.g. the persisted
     ``__fp`` table from corpus_fingerprints); otherwise fingerprints are
-    computed from ``text_col`` JVM-side.  ``capacity=None`` counts the
-    corpus first (one metadata-cheap agg job)."""
+    computed from ``text_col`` JVM-side.  ``capacity=None`` sizes the
+    bitmap from Catalyst's plan stats when available (zero jobs — a 2×
+    safety margin absorbs the estimate's compression skew; an
+    undersized bitmap only raises fpp, never produces false negatives)
+    and falls back to one count job when the catalog has no stats."""
     import pandas as pd
     sdf = _sdf(df)
     if fp_col is None:
@@ -732,7 +750,8 @@ def build_fingerprint_bloom(df, text_col: str = "text", fp_col: str | None = Non
     else:
         fps = sdf.select(F.col(fp_col).alias("__fp"))
     if capacity is None:
-        capacity = fps.count()
+        est = _estimate_rows(fps)
+        capacity = max(4096, 2 * est) if est is not None else fps.count()
     proto = BloomFilter.for_capacity(capacity, fpp)
     m, k = proto.m, proto.k
 

@@ -114,7 +114,7 @@ def join(left, right, on=None, how="left", left_on=None, right_on=None,
 
 def join_asof(left, right, on, by=None, direction="backward", tolerance=None,
               rprefix="", rsuffix="_right", allow_exact_matches=True,
-              split_hot_keys=False):
+              split_hot_keys="auto"):
     """As-of join (pandas merge_asof semantics; the reference has no
     native equivalent — SURVEY's custom-operator slot).
 
@@ -151,8 +151,17 @@ def join_asof(left, right, on, by=None, direction="backward", tolerance=None,
     carry prefix-scan runs per key over the (key, bucket) aggregate —
     parallel across keys AND across a single dominant key's time range.
     Use it when one ``by`` value holds a partition-breaking share of
-    the rows; the default per-key window is cheaper when keys are
+    the rows; the plain per-key window is cheaper when keys are
     plentiful and individually small.
+
+    ``split_hot_keys="auto"`` (the default) decides from a key-skew
+    probe: frames Catalyst's stats place within one advisory partition
+    take the per-key plan outright (no probe job); larger frames pay
+    ONE pruned map-side-combined count-by-key pass and flip to
+    within-key bucketing when the hottest key exceeds ~1/parallelism of
+    the rows — the share at which a single key serializes a whole
+    executor core under the per-key window.  Both plans are exact;
+    the probe only picks which one runs.
     """
     from pyspark.sql import Window
     from ..dataframe import DataFrame
@@ -181,6 +190,21 @@ def join_asof(left, right, on, by=None, direction="backward", tolerance=None,
 
     is_ts = dict(merged.dtypes)[on].startswith("timestamp")
     oncol = F.col(on).cast("double") if not is_ts else F.unix_micros(F.col(on)) / 1e6
+
+    if by_cols and split_hot_keys == "auto":
+        from .window import _range_partition_count
+        split_hot_keys = False
+        if (_range_partition_count(merged) or 1) > 1:
+            # one pruned pass: per-key counts shrink map-side to the
+            # distinct-key cardinality before the (tiny) stats agg
+            st = (merged.groupBy(*by_cols).count()
+                  .agg(F.max("count").alias("mx"),
+                       F.sum("count").alias("tot")).collect()[0])
+            par = merged.sparkSession.sparkContext.defaultParallelism
+            if st["mx"] is not None and st["mx"] * max(1, par) > st["tot"]:
+                split_hot_keys = True
+    elif split_hot_keys == "auto":
+        split_hot_keys = False  # irrelevant without by keys (global form)
 
     bucketed = False
     want_buckets = split_hot_keys if by_cols else True
