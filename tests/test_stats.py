@@ -89,6 +89,32 @@ def test_binby_edges(base_df):
     assert grid.sum() == 21
 
 
+def test_binby_grid_memory_guard_raises_typed(base_df):
+    """A dense grid over the driver budget must raise GridMemoryError at
+    plan time (vaex memory.py pre_alloc parity) — no Spark job, no
+    driver OOM — and the guard must be tunable/disablable."""
+    import pytest
+    import vaex_spark as vs
+    old = vs.memory.grid_limit()
+    try:
+        vs.memory.set_grid_limit(1024 ** 2)  # 1 MiB budget
+        with pytest.raises(vs.GridMemoryError, match="grid budget"):
+            base_df.count(binby=["x", "y"], shape=[4096, 4096],
+                          limits=[[-2, 19], [0, 400]])
+        with pytest.raises(vs.GridMemoryError):
+            base_df.binby(["x", "y"], shape=4096,
+                          limits=[[-2, 19], [0, 400]])
+        # within budget still works; disabling the guard also works
+        grid = base_df.count(binby="x", shape=7, limits=[-2.0, 19.0])
+        assert grid.sum() == 21
+        vs.memory.set_grid_limit(None)
+        grid = base_df.count(binby=["x", "y"], shape=[512, 64],
+                             limits=[[-2, 19], [0, 400]])
+        assert grid.sum() > 0
+    finally:
+        vs.memory.set_grid_limit(old)
+
+
 def test_unique_nunique(base_df):
     assert base_df.nunique("bool") == 2
     vals = base_df.unique("bool")

@@ -748,16 +748,59 @@ def asof_global(spark):
     s1 = a1.spark.agg(F_.sum(F_.col("qv").cast("decimal(30,6)"))).collect()[0][0]
     t_split = time.time() - t0
     t0 = time.time()
-    a0 = join_asof(hot, qh, on="ts", by="__k", direction="backward")
+    a0 = join_asof(hot, qh, on="ts", by="__k", direction="backward",
+                   split_hot_keys=False)
     s0 = a0.spark.agg(F_.sum(F_.col("qv").cast("decimal(30,6)"))).collect()[0][0]
     t_one = time.time() - t0
     assert s1 == s0, (s1, s0)
-    print(f"asof_hot_key: one 6.4M-row by= key — split_hot_keys "
-          f"{t_split:.1f}s vs single-task per-key {t_one:.1f}s, "
-          f"identical decimal checksums")
+    # r6: the 'auto' default must detect the hot key itself (one pruned
+    # count-by-key probe pass) and land on the split plan's wall time
+    t0 = time.time()
+    a2 = join_asof(hot, qh, on="ts", by="__k", direction="backward")
+    s2 = a2.spark.agg(F_.sum(F_.col("qv").cast("decimal(30,6)"))).collect()[0][0]
+    t_auto = time.time() - t0
+    assert s2 == s0, (s2, s0)
+    plan2 = a2.spark._jdf.queryExecution().executedPlan().toString()
+    assert "__abkt" in plan2, "auto did not flip to within-key bucketing"
+    print(f"asof_hot_key: one 6.4M-row by= key — split_hot_keys=True "
+          f"{t_split:.1f}s, auto-detected {t_auto:.1f}s (incl. probe), "
+          f"vs single-task per-key {t_one:.1f}s; identical decimal "
+          f"checksums; auto chose the split plan")
+
+
+def binby_grid(spark):
+    """Round-6 probe: dense binby grids near the driver budget at 6.4M
+    rows.  A 512×512×8 count grid (2.1M cells, ~17 MB driver-side) must
+    complete with the exact total row count in its cells; a deliberately
+    overflowing 4096³ request must fail with the typed GridMemoryError
+    at PLAN time — before any Spark job runs — not a driver OOM."""
+    import numpy as np
+    import vaex_spark as vs
+    ev = vs.open(f"{SCALE_DIR}/events.parquet", spark=spark)
+    n = ev.spark.count()
+    t0 = time.time()
+    grid = ev.count(binby=["value", "user_id", "event_id"],
+                    shape=[512, 512, 8], limits="minmax")
+    t = time.time() - t0
+    assert grid.shape == (512, 512, 8)
+    total = float(np.sum(grid))
+    # minmax limits are inclusive both ends -> every non-null row lands
+    nn = ev.spark.filter("value IS NOT NULL AND user_id IS NOT NULL "
+                         "AND event_id IS NOT NULL").count()
+    assert total == nn, (total, nn)
+    try:
+        ev.count(binby=["value", "user_id", "event_id"], shape=4096,
+                 limits=[[0, 1], [0, 1], [0, 1]])
+        raise AssertionError("overflowing grid did not raise")
+    except vs.GridMemoryError as e:
+        msg = str(e)
+    print(f"binby_grid: 512x512x8 over {n} rows exact ({int(total)} "
+          f"non-null) in {t:.1f}s; 4096^3 raised GridMemoryError at "
+          f"plan time ({msg.split(';')[0]})")
 
 
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,
+          "binby_grid": binby_grid,
           "ann_recall": ann_recall, "wide_window": wide_window,
           "stream_volume": stream_volume, "bloom_dedup": bloom_dedup,
           "hot_domain_caps": hot_domain_caps, "semantic_skew": semantic_skew,

@@ -15,6 +15,8 @@ from . import ml  # noqa: F401
 from .dataframe import DataFrame  # noqa: F401
 from .expression import Expression  # noqa: F401
 from . import cache  # noqa: F401
+from . import memory  # noqa: F401
+from .memory import GridMemoryError  # noqa: F401
 from .functions import register_function, registry  # noqa: F401
 from .groupby import Binner, BinnerTime, GrouperLimited, RowLimitException  # noqa: F401
 from .session import get_session  # noqa: F401

@@ -125,13 +125,18 @@ def grid_agg(df, make_agg, expression, binby, shape, limits, selections,
         made = make_agg(c, df._selection_col(sel)) if two_arg else make_agg(c)
         aggs.append(made.alias(f"_a{j}"))
 
+    full_shapes = [(s + 3) if edges else s for s in shapes]
+    from .. import memory
+    cells = int(np.prod([int(s) for s in full_shapes], dtype=object))
+    memory.pre_alloc(cells * 8 * max(1, len(selections)),
+                     f"binby grid shape={tuple(full_shapes)} "
+                     f"× {len(selections)} selection(s)")
     grouped = sdf.groupBy(*bin_cols).agg(*aggs)
     if not edges:
         for i in range(ndim):
             grouped = grouped.filter(F.col(f"_b{i}").isNotNull())
     rows = grouped.collect()
 
-    full_shapes = [(s + 3) if edges else s for s in shapes]
     out = []
     for j in range(len(selections)):
         grid = np.zeros(full_shapes, dtype="float64")
@@ -160,6 +165,10 @@ def binby(df, by, agg=None, shape=128, limits=None):
     aggs = [agg] if single else (list(agg.values()) if isinstance(agg, dict) else list(agg))
     names = ["agg"] if single else (list(agg.keys()) if isinstance(agg, dict) else [f"agg_{i}" for i in range(len(aggs))])
 
+    from .. import memory
+    cells = int(np.prod([int(s) for s in shapes], dtype=object))
+    memory.pre_alloc(cells * 8 * max(1, len(aggs)),
+                     f"binby grid shape={tuple(shapes)} × {len(aggs)} agg(s)")
     sdf = df._spark_df()
     bin_cols = [bin_index_col(df._to_expr(b).col, lo, hi, sh, False).alias(f"_b{i}")
                 for i, (b, (lo, hi), sh) in enumerate(zip(by, lims, shapes))]
