@@ -379,6 +379,70 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert km4.inertia <= km.inertia + 1e-6
 
 
+def test_kmeans_assign_strategies_agree(spark):
+    """The literal-codegen and Arrow-argmin assignments are two physical
+    strategies for ONE operator: identical cluster ids and d2 on the
+    same centers, and 'auto' picks literal below the k×d threshold,
+    arrow above it."""
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    from pyspark.sql import functions as F
+    from vaex_spark.ml import KMeans
+    rng = np.random.RandomState(11)
+    n = 5000
+    df = vs.DataFrame(spark.createDataFrame(pd.DataFrame(
+        {"x": rng.rand(n) * 100, "y": rng.rand(n) * 100,
+         "rid": np.arange(n)})))
+    cols = [df._to_expr(f).col.cast("double") for f in ["x", "y"]]
+    for k in (8, 300):
+        C = np.column_stack([rng.rand(k) * 100, rng.rand(k) * 100]).tolist()
+        km = KMeans(features=["x", "y"], n_clusters=k)
+        lit = {r["rid"]: r["c"] for r in df._spark_df().select(
+            "rid", km._assign_expr(cols, C)["c"].alias("c")).collect()}
+        arw = {r["rid"]: r["c"] for r in df._spark_df().select(
+            "rid", km._assign_arrow(cols, C)["c"].alias("c")).collect()}
+        diffs = sum(1 for i in lit if lit[i] != arw[i])
+        # FP-rounding near-ties may flip a handful of boundary points
+        assert diffs <= n * 0.001, (k, diffs)
+        # auto dispatch: k*d=16 -> literal (no Python stage); 600 -> arrow
+        plan = df._spark_df().select(km._assign(cols, C).alias("a"))
+        s = plan._jdf.queryExecution().executedPlan().toString()
+        if k * 2 <= KMeans._LITERAL_ASSIGN_MAX:
+            assert "ArrowEvalPython" not in s
+        else:
+            assert "ArrowEvalPython" in s
+
+
+def test_kmeans_large_k_planted_blobs(spark):
+    """k=2048 planted blobs through the Arrow assignment path: fit from
+    the planted centers converges, every blob maps to its own cluster,
+    and no literal-codegen plan is built (one Janino compile per Lloyd
+    iteration at k×d=4096 measured ~54 s — the failure mode this
+    strategy exists to avoid)."""
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    from vaex_spark.ml import KMeans
+    rng = np.random.RandomState(17)
+    k = 2048
+    # blob centers on a jittered grid, 4 points each, tight spread
+    gx, gy = np.meshgrid(np.arange(64), np.arange(32))
+    centers = np.column_stack([gx.ravel() * 10.0, gy.ravel() * 10.0])[:k]
+    X = np.repeat(centers, 4, axis=0) + rng.randn(4 * k, 2) * 0.05
+    true = np.repeat(np.arange(k), 4)
+    df = vs.DataFrame(spark.createDataFrame(pd.DataFrame(
+        {"x": X[:, 0], "y": X[:, 1], "b": true})))
+    km = KMeans(features=["x", "y"], n_clusters=k,
+                init=centers.tolist(), max_iter=3, tol=1e-3)
+    km.fit(df)
+    assert km.inertia < 4 * k * 2 * 0.05 ** 2 * 3  # ~sum of blob variances
+    out = km.transform(df).to_pandas_df()
+    mapping = out.groupby("b")["prediction_kmeans"].nunique()
+    assert (mapping == 1).all()
+    assert out["prediction_kmeans"].nunique() == k
+
+
 class _TinyOLS:
     """Module-level (broadcast-picklable) least-squares stub with the
     sklearn fit/partial_fit/predict protocol."""

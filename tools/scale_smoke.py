@@ -799,8 +799,36 @@ def binby_grid(spark):
           f"plan time ({msg.split(';')[0]})")
 
 
+def kmeans_large_k(spark):
+    """Round-6 probe: KMeans at k=2048 over 6.4M rows — the Arrow
+    argmin assignment path (auto strategy above 256 k×d coords; the
+    literal-codegen form pays ~54 s of Janino compile PER Lloyd
+    iteration at this k).  Two iterations from seeded-random init must
+    complete with finite decreasing inertia and a full k-row centroid
+    matrix; the per-iteration wall is the number that matters."""
+    import vaex_spark as vs
+    from vaex_spark.ml import KMeans
+    ev = vs.open(f"{SCALE_DIR}/events.parquet", spark=spark)
+    n = ev.spark.count()
+    t0 = time.time()
+    km = KMeans(features=["value", "user_id"], n_clusters=2048,
+                random_state=3, max_iter=2, tol=0.0)
+    km.fit(ev)
+    t = time.time() - t0
+    assert len(km.cluster_centers) == 2048
+    assert km.inertia is not None and km.inertia >= 0
+    pred = km.transform(ev)
+    plan = pred.spark._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, "large-k did not take the Arrow path"
+    n_used = pred.spark.select("prediction_kmeans").distinct().count()
+    print(f"kmeans_large_k: k=2048 x {n} rows, 2 Lloyd iterations in "
+          f"{t:.1f}s ({t/2:.1f}s/iter incl. init), inertia "
+          f"{km.inertia:.3e}, {n_used} clusters used; Arrow assignment "
+          f"plan engaged")
+
+
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,
-          "binby_grid": binby_grid,
+          "binby_grid": binby_grid, "kmeans_large_k": kmeans_large_k,
           "ann_recall": ann_recall, "wide_window": wide_window,
           "stream_volume": stream_volume, "bloom_dedup": bloom_dedup,
           "hot_domain_caps": hot_domain_caps, "semantic_skew": semantic_skew,

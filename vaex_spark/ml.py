@@ -691,14 +691,26 @@ class KMeans(Transformer):
     Empty clusters keep their previous centroid.  ``transform`` adds
     ``prediction_label`` as a VIRTUAL column (lazy, like every vaex
     transformer).
+
+    Assignment strategy scales with k×d: the literal-codegen expression
+    embeds every centroid coordinate in the plan — and Lloyd's loop
+    emits NEW literals every iteration, so each iteration pays a fresh
+    Janino compile (measured ~10 s at k×d=512, ~54 s at 4096, vs <1 s
+    Arrow).  ``assign_strategy='auto'`` (default) switches above
+    ``_LITERAL_ASSIGN_MAX`` k×d coordinates to a vectorized Arrow
+    pandas_udf — one numpy ``|X|² − 2·X·Cᵀ + |C|²`` argmin per batch
+    with the k×d matrix in the closure (MB-sized at k=10k) — still a
+    pure map stage and still a Column, so transform stays lazy/virtual.
     """
 
     _state_keys = ("n_clusters", "cluster_centers", "inertia",
                    "prediction_label")
+    _LITERAL_ASSIGN_MAX = 256  # k×d coordinates; above -> Arrow argmin
 
     def __init__(self, features, n_clusters=2, init="random", n_init=1,
                  max_iter=300, random_state=None, tol=1e-4,
-                 prediction_label="prediction_kmeans", verbose=False):
+                 prediction_label="prediction_kmeans", verbose=False,
+                 assign_strategy="auto"):
         super().__init__(features)
         self.n_clusters = int(n_clusters)
         self.init = init
@@ -708,8 +720,46 @@ class KMeans(Transformer):
         self.tol = float(tol)
         self.prediction_label = prediction_label
         self.verbose = verbose
+        if assign_strategy not in ("auto", "literal", "arrow"):
+            raise ValueError(f"assign_strategy={assign_strategy!r}")
+        self.assign_strategy = assign_strategy
         self.cluster_centers: list = []
         self.inertia: float | None = None
+
+    def _assign(self, cols, centers):
+        """struct<c:int, d2:double> nearest-centroid Column, strategy
+        picked by k×d (see class docstring)."""
+        use_literal = (self.assign_strategy == "literal"
+                       or (self.assign_strategy == "auto"
+                           and len(centers) * max(1, len(cols))
+                           <= self._LITERAL_ASSIGN_MAX))
+        if use_literal:
+            return self._assign_expr(cols, centers)
+        return self._assign_arrow(cols, centers)
+
+    def _assign_arrow(self, cols, centers):
+        """Vectorized Arrow assignment: per batch, numpy argmin over
+        ||x-c||² = |x|² − 2·x·cᵀ + |c|² against the closure-shipped k×d
+        matrix.  Ties take the lowest cluster id (np.argmin first-hit),
+        matching array_position-of-min in the literal form."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        C = np.asarray(centers, dtype="float64")
+        c2 = (C * C).sum(axis=1)
+
+        def _a(*fcols):
+            X = np.column_stack([s.to_numpy(dtype="float64") for s in fcols])
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+            idx = d2.argmin(axis=1)
+            best = d2[np.arange(len(idx)), idx]
+            np.maximum(best, 0.0, out=best)  # FP cancellation floor
+            return pd.DataFrame({"c": idx.astype("int32"), "d2": best})
+
+        # real annotation objects (the module-level `from __future__
+        # import annotations` stringifies inline hints, which pandas_udf
+        # eval-type inference cannot resolve); the vararg needs one too
+        _a.__annotations__ = {"fcols": pd.Series, "return": pd.DataFrame}
+        return pandas_udf(_a, "c int, d2 double")(*cols)
 
     def _assign_expr(self, cols, centers):
         """Nearest-centroid id for literal ``centers`` (k×d) — one
@@ -742,7 +792,7 @@ class KMeans(Transformer):
     def _lloyd(self, proj, cols, centers):
         inertia = None
         for it in range(self.max_iter):
-            assign = self._assign_expr(cols, centers)
+            assign = self._assign(cols, centers)
             stats = (proj.select(assign.alias("__a"),
                                  *[c.alias(f"__f{i}")
                                    for i, c in enumerate(cols)])
@@ -789,7 +839,7 @@ class KMeans(Transformer):
         out = df._copy()
         cols = [df._to_expr(f).col.cast("double") for f in self.features]
         out[self.prediction_label] = \
-            self._assign_expr(cols, self.cluster_centers)["c"]
+            self._assign(cols, self.cluster_centers)["c"]
         return out
 
     def predict(self, df):
