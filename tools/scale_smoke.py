@@ -827,8 +827,41 @@ def kmeans_large_k(spark):
           f"plan engaged")
 
 
+def cc_path_graph(spark):
+    """Round-6 probe (SURVEY §7 lead): connected_components on the
+    worst-case topology — one 1,048,576-node PATH (diameter 2^20) plus
+    100k singleton 2-cliques.  Plain min-propagation needs a million
+    rounds here; pointer jumping must converge inside the default
+    max_iter budget (~22 rounds: 20 doublings + a step + the zero-change
+    detection round) with every path node labeled 0 and every pair
+    labeled by its even endpoint."""
+    import vaex_spark as vs  # noqa: F401 - session bootstrap parity
+    from vaex_spark.datapipe.dedup import connected_components
+    n = 1 << 20
+    path = (spark.range(n - 1)
+            .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")))
+    pairs = (spark.range(100_000)
+             .select((F.lit(n) + 2 * F.col("id")).alias("id_a"),
+                     (F.lit(n) + 2 * F.col("id") + 1).alias("id_b")))
+    t0 = time.time()
+    labels = connected_components(path.union(pairs))
+    bad_path = labels.filter((F.col("id") < n) & (F.col("comp") != 0)).count()
+    bad_pair = labels.filter(
+        (F.col("id") >= n)
+        & (F.col("comp") != F.col("id") - ((F.col("id") - n) % 2))).count()
+    t = time.time() - t0
+    assert bad_path == 0 and bad_pair == 0, (bad_path, bad_pair)
+    n_nodes = labels.count()
+    assert n_nodes == n + 200_000
+    print(f"cc_path_graph: 2^20-diameter path + 100k 2-cliques "
+          f"({n_nodes} nodes) exact in {t:.1f}s within the default "
+          f"max_iter budget (pointer jumping, ~22 rounds; plain "
+          f"propagation would need 2^20)")
+
+
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "binby_grid": binby_grid, "kmeans_large_k": kmeans_large_k,
+          "cc_path_graph": cc_path_graph,
           "ann_recall": ann_recall, "wide_window": wide_window,
           "stream_volume": stream_volume, "bloom_dedup": bloom_dedup,
           "hot_domain_caps": hot_domain_caps, "semantic_skew": semantic_skew,

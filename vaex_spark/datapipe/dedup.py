@@ -399,7 +399,7 @@ def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id",
     return pairs
 
 
-def connected_components(pairs: SparkDataFrame, max_iter: int = 20,
+def connected_components(pairs: SparkDataFrame, max_iter: int = 32,
                          shortcut: bool = True,
                          strict: bool = True) -> SparkDataFrame:
     """Distributed connected components over an edge list (id_a, id_b):
@@ -412,9 +412,12 @@ def connected_components(pairs: SparkDataFrame, max_iter: int = 20,
     Near-dup graphs are usually star-shaped (1-2 rounds either way),
     but chain/path components (transitive near-dup bridges) would need
     diameter rounds under plain propagation and silently ship WRONG
-    labels when max_iter ran out; with shortcutting a 2^20-long chain
-    converges inside the default budget, and ``strict=True`` raises
-    instead of returning unconverged labels.  Each round is a groupBy
+    labels when max_iter ran out; with shortcutting the reach doubles
+    per round, so a 2^20-diameter path takes ~22 rounds (20 doublings,
+    one +1-step round, one zero-change detection round — probed exactly
+    in scale_smoke.cc_path_graph) and the default budget of 32 covers
+    any graph to diameter ~2^30.  Rounds after convergence never run,
+    and ``strict=True`` raises instead of returning unconverged labels.  Each round is a groupBy
     plus a self-join of the (node, label) relation only; at 100 TB the
     edge list is the near-dup pair set (tiny versus the corpus), so the
     iteration cost is negligible next to candidate generation.
