@@ -740,20 +740,48 @@ class KMeans(Transformer):
     def _assign_arrow(self, cols, centers):
         """Vectorized Arrow assignment: per batch, numpy argmin over
         ||x-c||² = |x|² − 2·x·cᵀ + |c|² against the closure-shipped k×d
-        matrix.  Ties take the lowest cluster id (np.argmin first-hit),
-        matching array_position-of-min in the literal form."""
+        matrix.  Ties take the lowest cluster id (first-hit / strict-<
+        block update), matching array_position-of-min in the literal
+        form.
+
+        The n×k distance matrix is the cost at scale — NOT the FLOPs:
+        materializing it streams n×k×8 bytes through DRAM per
+        iteration, and on a 32-core box every worker contends for the
+        same memory bus (measured: the naive form ran 6.4M×2048 no
+        faster distributed than single-process).  So distances are
+        computed over CENTROID BLOCKS of 512 with a running
+        (min, argmin) — each 10k×512 block lives in L2 and only the two
+        n-vectors ever hit memory — in float32 when every centroid
+        coordinate is below 1e7 (squared distances then carry ~7
+        significant digits; only genuinely-ambiguous boundary points
+        can flip, which Lloyd's tolerates by construction), float64
+        otherwise.  Measured 150 s → 36 s single-process on
+        6.4M×2048×2."""
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
-        C = np.asarray(centers, dtype="float64")
+        dt = (np.float32 if float(np.abs(np.asarray(centers)).max()) < 1e7
+              else np.float64)
+        C = np.asarray(centers, dtype=dt)
         c2 = (C * C).sum(axis=1)
+        B = 512
 
         def _a(*fcols):
-            X = np.column_stack([s.to_numpy(dtype="float64") for s in fcols])
-            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
-            idx = d2.argmin(axis=1)
-            best = d2[np.arange(len(idx)), idx]
+            X = np.column_stack([s.to_numpy(dtype=dt) for s in fcols])
+            x2 = (X * X).sum(axis=1)
+            n = len(X)
+            best = np.full(n, np.inf, dtype=dt)
+            bidx = np.zeros(n, dtype=np.int64)
+            rows = np.arange(n)
+            for j in range(0, len(C), B):
+                d2 = x2[:, None] - 2.0 * (X @ C[j:j + B].T) + c2[None, j:j + B]
+                k = d2.argmin(axis=1)
+                v = d2[rows, k]
+                upd = v < best  # strict: earlier block keeps ties
+                best[upd] = v[upd]
+                bidx[upd] = k[upd] + j
             np.maximum(best, 0.0, out=best)  # FP cancellation floor
-            return pd.DataFrame({"c": idx.astype("int32"), "d2": best})
+            return pd.DataFrame({"c": bidx.astype("int32"),
+                                 "d2": best.astype("float64")})
 
         # real annotation objects (the module-level `from __future__
         # import annotations` stringifies inline hints, which pandas_udf
