@@ -2313,15 +2313,19 @@ def _q77_bloom_incremental_dedup(spark, sf_dir):
     in-artifact (the bloom plan's win is replacing a corpus EXCHANGE
     with a map-side scan, which only pays when corpus >> batch; that
     regime is probed in SCALECHECK's bloom_dedup row and the forced
-    plan is audited in PLANS' q77_bloom_forced entry).  The bloom build
-    itself is zero-job here: capacity comes from Catalyst plan stats.
-    Results are identical on both paths (no false negatives)."""
+    plan is audited in PLANS' q77_bloom_forced entry).  The crossover
+    gates the BUILD too: corpus_wants_bloom is a zero-job
+    Catalyst-stats check, so the snapshot pipeline never pays the
+    corpus bitmap scan for a bloom the planner would discard.  Results
+    are identical on both paths (no false negatives)."""
     from vaex_spark.datapipe.dedup import (build_fingerprint_bloom,
+                                           corpus_wants_bloom,
                                            exact_dedup_incremental)
     docs = _t(spark, sf_dir, "documents")
     seen = docs[docs.doc_id % 3 != 0]
     batch = docs[docs.doc_id % 3 == 0]
-    bloom = build_fingerprint_bloom(seen, fpp=0.01)
+    bloom = (build_fingerprint_bloom(seen, fpp=0.01)
+             if corpus_wants_bloom(batch, seen) else None)
     out = exact_dedup_incremental(batch, seen, bloom=bloom)
     return (out.spark.select(F.col("doc_id").cast("long").alias("doc_id"),
                              F.col("lang"), F.col("source")))

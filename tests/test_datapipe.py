@@ -913,6 +913,25 @@ def test_bloom_build_capacity_falls_back_to_count(spark):
     assert (bf2.m, bf2.k) == (proto.m, proto.k)
 
 
+def test_corpus_wants_bloom_gates_the_build(spark):
+    """corpus_wants_bloom mirrors exact_dedup_incremental's crossover
+    so pipelines can skip the bloom BUILD when the anti-join will win:
+    False at corpus≈batch (tied filter stats), True when forced with
+    ratio<=0, and zero Spark jobs either way."""
+    import vaex_spark as vs
+    from tests.test_job_counts import count_jobs
+    from vaex_spark.datapipe.dedup import corpus_wants_bloom
+    docs = vs.open("/root/testdata/sf0.01/documents.parquet", spark=spark)
+    seen = vs.DataFrame(docs.spark.filter("doc_id % 3 != 0"))
+    batch = vs.DataFrame(docs.spark.filter("doc_id % 3 = 0"))
+    n = []
+    with count_jobs(spark, n):
+        assert corpus_wants_bloom(batch, seen) is False
+        assert corpus_wants_bloom(batch, seen,
+                                  bloom_min_corpus_ratio=0) is True
+    assert n[0] == 0, f"stats-only check ran {n[0]} jobs"
+
+
 def test_bloom_crossover_shipped_default_picks_antijoin_at_parity(spark):
     """The q77 bench regime (corpus≈2×batch, same source): the shipped
     bloom_min_corpus_ratio=4 heuristic must reject the bloom plan — the

@@ -570,6 +570,31 @@ def _plan_size_bytes(sdf) -> "int | None":
     return size
 
 
+def _bloom_plan_wins(nsdf, ssdf, min_corpus_ratio: float) -> bool:
+    """The crossover decision: True when Catalyst's size stats say the
+    corpus is at least ``min_corpus_ratio`` × the batch (both stats
+    known), i.e. the bloom plan's corpus-scan-not-exchange trade pays.
+    ``min_corpus_ratio <= 0`` forces True."""
+    if min_corpus_ratio <= 0:
+        return True
+    corpus_b, batch_b = _plan_size_bytes(ssdf), _plan_size_bytes(nsdf)
+    return (corpus_b is not None and batch_b is not None
+            and corpus_b >= min_corpus_ratio * max(batch_b, 1))
+
+
+def corpus_wants_bloom(new_df, seen_df,
+                       bloom_min_corpus_ratio: float = 4.0) -> bool:
+    """Should this snapshot build/load a corpus Bloom filter at all?
+
+    The same stats-only crossover exact_dedup_incremental applies to a
+    SUPPLIED bloom, exposed up front so a pipeline can skip the build
+    (one corpus scan) when the plain fingerprint anti-join is going to
+    win anyway — deciding before paying, not discarding after.  Zero
+    Spark jobs: pure Catalyst size stats."""
+    return _bloom_plan_wins(_sdf(new_df), _sdf(seen_df),
+                            bloom_min_corpus_ratio)
+
+
 def exact_dedup_incremental(new_df, seen_df, text_col: str = "text",
                             id_col: str = "doc_id", normalize: bool = True,
                             keep: str = "min", bloom: "BloomFilter | None" = None,
@@ -613,11 +638,9 @@ def exact_dedup_incremental(new_df, seen_df, text_col: str = "text",
     else:
         seen_fp = ssdf.select(fp.alias("__fp")).distinct()
     keyed = nsdf.select(fp.alias("__fp"), F.col(id_col))
-    if bloom is not None and bloom_min_corpus_ratio > 0:
-        corpus_b, batch_b = _plan_size_bytes(ssdf), _plan_size_bytes(nsdf)
-        if (corpus_b is not None and batch_b is not None
-                and corpus_b < bloom_min_corpus_ratio * max(batch_b, 1)):
-            bloom = None  # corpus too small for the bloom plan to win
+    if bloom is not None and not _bloom_plan_wins(nsdf, ssdf,
+                                                  bloom_min_corpus_ratio):
+        bloom = None  # corpus too small for the bloom plan to win
     if bloom is not None:
         maybe_flag = bloom_might_contain(bloom, F.col("__fp"), nsdf.sparkSession)
         maybe_fps = keyed.filter(maybe_flag).select("__fp").distinct()
