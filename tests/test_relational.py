@@ -383,6 +383,44 @@ def test_groupby_apply_distributed_per_group(spark):
     assert np.allclose(gpd["resid"].to_numpy(), exp["resid"].to_numpy(), atol=1e-9)
 
 
+def test_groupby_apply_arrow_engine_matches_pandas(spark):
+    """engine='arrow' (applyInArrow: fn(pyarrow.Table) -> Table) gives
+    the same result as the pandas engine and plans FlatMapGroupsInArrow
+    — the tiny-groups escape hatch that skips per-group pandas
+    construction."""
+    import numpy as np
+    import pyarrow as pa
+    import vaex_spark as vs
+    df = vs.open("/root/testdata/sf0.01/orders.parquet", spark=spark)
+
+    def demean_arrow(tbl):
+        price = tbl.column("o_totalprice").to_numpy()
+        return pa.table({
+            "o_orderkey": tbl.column("o_orderkey"),
+            "o_custkey": tbl.column("o_custkey"),
+            "resid": pa.array(price - price.mean(), type=pa.float64())})
+
+    schema = "o_orderkey long, o_custkey long, resid double"
+    got = (df.groupby("o_custkey").apply(demean_arrow, schema, engine="arrow"))
+    plan = got.spark._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInArrow" in plan or "ArrowGroupMap" in plan, plan
+    gpd = got.spark.toPandas().sort_values("o_orderkey").reset_index(drop=True)
+
+    def demean(pdf):
+        out = pdf[["o_orderkey", "o_custkey"]].copy()
+        out["resid"] = pdf["o_totalprice"] - pdf["o_totalprice"].mean()
+        return out
+
+    exp = (df.groupby("o_custkey").apply(demean, schema)
+           .spark.toPandas().sort_values("o_orderkey").reset_index(drop=True))
+    assert (gpd["o_orderkey"].to_numpy() == exp["o_orderkey"].to_numpy()).all()
+    assert np.allclose(gpd["resid"].to_numpy(), exp["resid"].to_numpy(),
+                       atol=1e-9)
+    import pytest
+    with pytest.raises(ValueError, match="engine"):
+        df.groupby("o_custkey").apply(demean, schema, engine="polars")
+
+
 def test_rollup_mixed_udaf_null_keys_grouping_id(spark):
     """ADVICE r4: rollup with mixed built-in + pandas-UDAF aggregates
     joins two grouped halves; on key columns alone a (a, NULL) subtotal
