@@ -385,12 +385,29 @@ def semantic_dedup(corpus, n_clusters: int = 8, threshold: float = 0.95,
                     continue
                 X = np.vstack(pdf[vc0].to_numpy()).astype("float64")
                 Xn = X / np.sqrt((X ** 2).sum(axis=1, keepdims=True))
-                cos = np.round(Xn @ Cu0.T, rnd0)
-                # np.argmax takes the FIRST max -> lowest cluster id,
-                # matching the oracle's (cos DESC, cid ASC) tie-break
+                # centroid BLOCKS with a running (max, argmax): the full
+                # n×k cosine matrix is DRAM traffic that makes every
+                # worker queue on the memory bus at large k (the KMeans
+                # lesson, ml.py:_assign_arrow) — each n×512 block stays
+                # cache-resident.  Strict > keeps the FIRST max across
+                # blocks -> lowest cluster id, matching np.argmax and
+                # the oracle's (cos DESC, cid ASC) tie-break.  float64
+                # throughout: the rounded-cosine compare spaces values
+                # 1e-6 apart, inside float32's error band.
+                n_r = len(Xn)
+                best = np.full(n_r, -np.inf)
+                bidx = np.zeros(n_r, dtype=np.int64)
+                rows_ix = np.arange(n_r)
+                for j in range(0, len(Cu0), 512):
+                    cos = np.round(Xn @ Cu0[j:j + 512].T, rnd0)
+                    a = cos.argmax(axis=1)
+                    v = cos[rows_ix, a]
+                    upd = v > best
+                    best[upd] = v[upd]
+                    bidx[upd] = a[upd] + j
                 yield pd.DataFrame({idc0: pdf[idc0].astype("int64"),
                                     "__u": list(Xn),
-                                    "cluster": cos.argmax(axis=1).astype("int32")})
+                                    "cluster": bidx.astype("int32")})
 
         assigned = sdf.select(F.col(id_col), F.col(vec_col)).mapInPandas(
             _assign, schema=f"{id_col} long, __u array<double>, cluster int")
