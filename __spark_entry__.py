@@ -2893,6 +2893,61 @@ ORDER BY source
 """
 
 
+def _q93_group_delta_min(spark, sf_dir):
+    """Distributed per-group custom transform through
+    GroupBy.apply(engine='arrow') (groupby.py:apply — applyInArrow):
+    each customer's orders minus their cheapest order, computed by a
+    user function over a per-group pyarrow.Table.  Exact doubles (min
+    is order-independent, unlike mean), so the SQL window oracle
+    hash-matches bit-for-bit.  The arrow engine skips per-group pandas
+    construction — measured 6× on the 1M-tiny-groups probe
+    (SCALECHECK groupby_apply_cardinality)."""
+    import pyarrow as pa
+    orders = _t(spark, sf_dir, "orders")
+
+    def delta_min(tbl):
+        price = tbl.column("o_totalprice").to_numpy()
+        return pa.table({
+            "o_orderkey": tbl.column("o_orderkey"),
+            "o_custkey": tbl.column("o_custkey"),
+            "delta": pa.array(price - price.min(), type=pa.float64())})
+
+    out = orders.groupby("o_custkey").apply(
+        delta_min, "o_orderkey long, o_custkey long, delta double",
+        engine="arrow")
+    return out.spark.select(F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                            F.col("o_custkey").cast("long").alias("o_custkey"),
+                            F.col("delta"))
+
+
+_Q93_SQL = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       o_totalprice - MIN(o_totalprice) OVER (PARTITION BY o_custkey) AS delta
+FROM orders
+"""
+
+
+def _q94_salted_priority_count(spark, sf_dir):
+    """Explicit two-phase salted aggregation (operators/scale.py:
+    salted_group_count) over a 5-value grouping key — the 100 TB
+    pattern for a key too hot for one reducer when AQE's join-only skew
+    handling can't help.  Counts are exactly the plain groupBy's (the
+    salt only spreads, never splits semantics)."""
+    from vaex_spark.operators import scale
+    orders = _t(spark, sf_dir, "orders")
+    out = scale.salted_group_count(orders, "o_orderpriority", salt=16)
+    return (out.select(F.col("o_orderpriority"),
+                       F.col("count").cast("long").alias("n_orders"))
+            .orderBy("o_orderpriority"))
+
+
+_Q94_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -2990,6 +3045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_oov_rate": _q90_oov_rate,
         "q91_corpus_profile": _q91_corpus_profile,
         "q92_kmeans_profile": _q92_kmeans_profile,  # rows-only: iterative
+        "q93_group_delta_min": _q93_group_delta_min,
+        "q94_salted_priority_count": _q94_salted_priority_count,
     }
 
 
@@ -3085,4 +3142,6 @@ def oracle_sql() -> dict[str, str]:
         "q89_vocabulary": _Q89_SQL,
         "q90_oov_rate": _Q90_SQL,
         "q91_corpus_profile": _q91_oracle_sql(),
+        "q93_group_delta_min": _Q93_SQL,
+        "q94_salted_priority_count": _Q94_SQL,
     }

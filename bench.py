@@ -65,6 +65,8 @@ EXTENDED = [
     "q89_vocabulary",          # top-N token vocab (TakeOrdered)
     "q90_oov_rate",            # OOV vs broadcast vocab
     "q91_corpus_profile",      # one-agg per-source health profile
+    "q93_group_delta_min",     # GroupBy.apply(engine='arrow') transform
+    "q94_salted_priority_count",  # explicit two-phase salted agg
 ]
 
 

@@ -116,6 +116,8 @@ HEADLINE_JOB_CEILING = {
     "q89_vocabulary": 6,
     "q90_oov_rate": 10,
     "q91_corpus_profile": 5,
+    "q93_group_delta_min": 3,
+    "q94_salted_priority_count": 6,
 }
 
 
