@@ -80,6 +80,16 @@ CASES = {
         "into every covered bucket.",
         [r"BroadcastNestedLoopJoin",
          r"(Exchange hashpartitioning.*__bk|BroadcastHashJoin \[__bk)"]),
+    "q93_group_delta_min": (
+        "GroupBy.apply(engine='arrow'): one grouped Arrow map stage "
+        "(FlatMapGroupsInArrow) — per-group user code with no pandas "
+        "Block construction and no second exchange.",
+        [r"(FlatMapGroupsInArrow|ArrowGroupMap)"]),
+    "q94_salted_priority_count": (
+        "Salted two-phase count: partial aggregate on (key, salt) then "
+        "final sum on key — two HashAggregate pairs, no single-reducer "
+        "hot key.",
+        [r"HashAggregate"]),
     "q89_vocabulary": (
         "Vocabulary build: top-N via TakeOrderedAndProject (map-side "
         "top-N + driver merge, no global sort materialization of the "
