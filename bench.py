@@ -65,9 +65,15 @@ EXTENDED = [
     "q89_vocabulary",          # top-N token vocab (TakeOrdered)
     "q90_oov_rate",            # OOV vs broadcast vocab
     "q91_corpus_profile",      # one-agg per-source health profile
-    "q93_group_delta_min",     # GroupBy.apply(engine='arrow') transform
     "q94_salted_priority_count",  # explicit two-phase salted agg
 ]
+# q93_group_delta_min stays OUT of the timed sections deliberately: it
+# exists to oracle-check the GroupBy.apply(engine='arrow') machinery,
+# and per-group Python against DuckDB's window function is not a
+# like-for-like timing (the library's own docs say: use Column windows
+# for window-expressible transforms; apply is for custom per-group
+# logic).  Its scale evidence is SCALECHECK's groupby_apply_cardinality
+# row (1M tiny groups: pandas 90.7s, arrow 13.1s).
 
 
 def main():

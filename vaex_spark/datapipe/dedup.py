@@ -626,7 +626,7 @@ def exact_dedup_incremental(new_df, seen_df, text_col: str = "text",
     cost of extra stages (Arrow membership scan, maybe-set distinct +
     broadcast, a second anti-join).  When corpus ≈ batch the plain
     anti-join shuffles the same volume with fewer stages and wins
-    (measured crossover in SCALECHECK_r04).  So even with ``bloom``
+    (measured crossover, SCALECHECK bloom_dedup row).  So even with ``bloom``
     supplied, the plan falls back to the anti-join unless Catalyst's
     size stats say corpus >= ``bloom_min_corpus_ratio`` × batch (both
     stats known); pass ``bloom_min_corpus_ratio=0`` to force the bloom
