@@ -139,3 +139,29 @@ def test_explode(spark):
     rows2 = sorted([(r.k, r.v) for r in out2.spark.collect()],
                    key=lambda t: (t[0], t[1] if t[1] is not None else -1))
     assert rows2 == [(1, 10), (1, 20), (2, None), (3, None)]
+
+
+def test_connect_gate_raises_actionable_without_grpcio():
+    """vs.connect() (Spark Connect shim) must fail with the actionable
+    grpcio gate — probed round 6: even the in-process Connect server
+    path (builder.remote('local[2]')) needs the grpc client transport,
+    which is not bundled here.  If grpcio ever lands, this test flips
+    to exercising a real local Connect round-trip."""
+    import pytest
+    import vaex_spark as vs
+    try:
+        import grpc  # noqa: F401
+        has_grpc = True
+    except ImportError:
+        has_grpc = False
+    if not has_grpc:
+        with pytest.raises(ImportError, match="grpcio"):
+            vs.connect("sc://localhost:15002")
+    else:  # pragma: no cover - environment-dependent path
+        from pyspark.sql import SparkSession
+        s = SparkSession.builder.remote("local[2]").getOrCreate()
+        try:
+            df = vs.vrange(0, 10, spark=s)
+            assert df.count() == 10
+        finally:
+            s.stop()

@@ -257,7 +257,18 @@ def connect(url: str, **kwargs) -> SparkSession:
 
     ``url`` is a Spark Connect endpoint (``sc://host:port``).  Returns a
     SparkSession to pass into ``vs.open(..., spark=session)``.
+    ``grpcio`` (the Connect client transport) is not bundled in this
+    environment, so the gate below raises with the actionable cause
+    instead of PySpark's PACKAGE_NOT_INSTALLED at first use (probed
+    round 6: ``SparkSession.builder.remote("local[2]")`` — even the
+    in-process Connect server path — needs it).
     """
+    try:
+        import grpc  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "vaex_spark.connect requires the optional 'grpcio' package "
+            "(Spark Connect's client transport)") from e
     from pyspark.sql import SparkSession as _S
     return _S.builder.remote(url).getOrCreate()
 
