@@ -449,7 +449,12 @@ def semantic_dedup(corpus, n_clusters: int = 8, threshold: float = 0.95,
         X = np.vstack(pdf["__u"].to_numpy()[order]).astype("float64")
         n_rows = len(ids)
         out_id, out_dup = [], []
-        B = 2048
+        # bound the n_rows×B similarity block to ~1 GB regardless of
+        # cluster size: a fixed B=2048 puts a 1M-row cluster's block at
+        # 16 GB — past task memory.  Total FLOPs are unchanged; only the
+        # peak is capped (the cluster's own vectors are already the
+        # applyInPandas group, so n_rows×d is the floor we can't cut).
+        B = max(64, min(2048, (1 << 27) // max(n_rows, 1)))
         for s in range(0, n_rows, B):
             e = min(s + B, n_rows)
             Sb = X @ X[s:e].T                     # (n_rows, e-s)
