@@ -2948,6 +2948,55 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# centers inside every SF's (value, user_id) envelope (value 0..~330+,
+# user_id 0..14 at sf0.001) so all four clusters populate at all SFs
+_Q95_CENTERS = [[40.0, 2.0], [200.0, 2.0], [40.0, 11.0], [200.0, 11.0]]
+
+
+def _q95_kmeans_assign(spark, sf_dir):
+    """KMeans ASSIGNMENT semantics under a full SQL oracle (q92 keeps
+    the iterative fit rows-only; this pins the part that actually runs
+    at 100 TB — the per-row nearest-centroid transform, ml.py:_assign,
+    literal-codegen strategy at k×d=8): fixed centroids, one pass over
+    events (value, user_id), per-cluster count + decimal-exact means.
+    Ties break to the lowest cluster id on both engines."""
+    from vaex_spark.ml import KMeans
+    ev = _t(spark, sf_dir, "events")
+    km = KMeans(features=["value", "user_id"], n_clusters=len(_Q95_CENTERS))
+    km.cluster_centers = [list(c) for c in _Q95_CENTERS]
+    out = km.transform(ev)
+    sdf = out.spark
+    return (sdf.groupBy(F.col(km.prediction_label).cast("long").alias("cluster"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(25,6)"))
+                         .cast("double") / F.count(F.lit(1)), 6).alias("mean_value"),
+                 F.round(F.sum(F.col("user_id").cast("decimal(25,6)"))
+                         .cast("double") / F.count(F.lit(1)), 6).alias("mean_user"))
+            .orderBy("cluster"))
+
+
+def _q95_oracle_sql() -> str:
+    terms = []
+    for i, (cx, cy) in enumerate(_Q95_CENTERS):
+        terms.append(f"(value - {cx!r}) * (value - {cx!r}) "
+                     f"+ (user_id - {cy!r}) * (user_id - {cy!r}) AS d{i}")
+    k = len(_Q95_CENTERS)
+    case = "CASE "
+    for i in range(k - 1):
+        rest = ", ".join(f"d{j}" for j in range(i + 1, k))
+        case += f"WHEN d{i} <= LEAST({rest}) THEN {i} "
+    case += f"ELSE {k - 1} END"
+    return f"""
+WITH d AS (SELECT value, user_id, {', '.join(terms)} FROM events),
+a AS (SELECT value, user_id, {case} AS cluster FROM d)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS mean_value,
+       ROUND(CAST(SUM(CAST(user_id AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS mean_user
+FROM a GROUP BY cluster ORDER BY cluster
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3047,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_kmeans_profile": _q92_kmeans_profile,  # rows-only: iterative
         "q93_group_delta_min": _q93_group_delta_min,
         "q94_salted_priority_count": _q94_salted_priority_count,
+        "q95_kmeans_assign": _q95_kmeans_assign,
     }
 
 
@@ -3144,4 +3194,5 @@ def oracle_sql() -> dict[str, str]:
         "q91_corpus_profile": _q91_oracle_sql(),
         "q93_group_delta_min": _Q93_SQL,
         "q94_salted_priority_count": _Q94_SQL,
+        "q95_kmeans_assign": _q95_oracle_sql(),
     }

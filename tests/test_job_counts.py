@@ -118,6 +118,7 @@ HEADLINE_JOB_CEILING = {
     "q91_corpus_profile": 5,
     "q93_group_delta_min": 3,
     "q94_salted_priority_count": 6,
+    "q95_kmeans_assign": 5,
 }
 
 
