@@ -2997,6 +2997,56 @@ FROM a GROUP BY cluster ORDER BY cluster
 """
 
 
+def _q96_winnow_overlap(spark, sf_dir):
+    """Winnowed-fingerprint document overlap (datapipe/text.py:
+    winnow_fingerprints — Schleimer/Wilkerson/Aiken SIGMOD'03 local
+    fingerprinting, the MOSS algorithm): per-window minimum over the
+    word-5-gram sequence (window=4), distinct per doc, then pairs of
+    documents sharing >= 2 fingerprints.  Any shared run of
+    window+k-1 = 8 words guarantees a shared fingerprint, while only
+    ~2/(window+1) of grams are stored — position-robust overlap
+    candidates without all-pairs work.  ``fp_type='gram'`` orders
+    windows by the gram string so the DuckDB oracle replays the exact
+    selection (xxhash64 has no DuckDB equivalent; the hash form is the
+    production default and pytest-covered)."""
+    from vaex_spark.datapipe.text import winnow_fingerprints
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, k=5, window=4, fp_type="gram").spark
+    return (fps.alias("a")
+            .join(fps.alias("b"),
+                  (F.col("a.fp") == F.col("b.fp"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").cast("long").alias("id_a"),
+                     F.col("b.doc_id").cast("long").alias("id_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= 2)
+            .orderBy("id_a", "id_b"))
+
+
+_Q96_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS g
+  FROM words, UNNEST(range(1, greatest(len(w) - 4, 1) + 1)) AS t(i)),
+mins AS (
+  SELECT doc_id,
+         MIN(g) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM grams),
+fps AS (SELECT DISTINCT doc_id, fp FROM mins)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+ORDER BY id_a, id_b
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3097,6 +3147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_group_delta_min": _q93_group_delta_min,
         "q94_salted_priority_count": _q94_salted_priority_count,
         "q95_kmeans_assign": _q95_kmeans_assign,
+        "q96_winnow_overlap": _q96_winnow_overlap,
     }
 
 
@@ -3195,4 +3246,5 @@ def oracle_sql() -> dict[str, str]:
         "q93_group_delta_min": _Q93_SQL,
         "q94_salted_priority_count": _Q94_SQL,
         "q95_kmeans_assign": _q95_oracle_sql(),
+        "q96_winnow_overlap": _Q96_SQL,
     }

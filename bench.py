@@ -67,6 +67,7 @@ EXTENDED = [
     "q91_corpus_profile",      # one-agg per-source health profile
     "q94_salted_priority_count",  # explicit two-phase salted agg
     "q95_kmeans_assign",       # literal-codegen nearest-centroid pass
+    "q96_winnow_overlap",      # MOSS winnowed-fingerprint doc overlap
 ]
 # q93_group_delta_min stays OUT of the timed sections deliberately: it
 # exists to oracle-check the GroupBy.apply(engine='arrow') machinery,

@@ -1424,3 +1424,52 @@ def test_curate_stream_fuzzy_cross_batch(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
     assert ids == list(range(12)) + list(range(206, 210)), ids
+
+
+def test_winnow_fingerprints_matches_bruteforce(spark):
+    """winnow_fingerprints == per-window-min brute force computed from
+    Spark's own k-gram hashes (positions exploded driver-side), on real
+    documents including ones shorter than the window."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import shingles, winnow_fingerprints
+    docs = vs.open("/root/testdata/sf0.001/documents.parquet", spark=spark)
+    k, w = 5, 4
+    got = {}
+    for r in winnow_fingerprints(docs, k=k, window=w).spark.collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    # brute force from the same hash function (Spark xxhash64 on grams)
+    rows = (docs.spark.select(
+        "doc_id", F.posexplode(shingles(F.col("text"), k=k)).alias("p", "g"))
+        .select("doc_id", "p", F.xxhash64("g").alias("h"))
+        .collect())
+    seqs = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["p"])):
+        seqs.setdefault(r["doc_id"], []).append(r["h"])
+    exp = {}
+    for did, hs in seqs.items():
+        fps = {min(hs[s:s + w]) for s in range(len(hs))}
+        exp[did] = fps
+    assert got == exp
+    # compression: winnowing stores far fewer hashes than all grams
+    n_grams = sum(len(v) for v in seqs.values())
+    n_fps = sum(len(v) for v in got.values())
+    assert n_fps < 0.8 * n_grams
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """The winnowing guarantee: two documents sharing a run of at least
+    window + k - 1 words share at least one fingerprint; documents with
+    entirely disjoint vocabularies share none."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import winnow_fingerprints
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = w + k - 1
+    a = "one two " + shared + " three four five six"
+    b = "seven eight nine ten " + shared + " eleven"
+    c = "totally different words everywhere in this unrelated document"
+    df = vs.from_arrays(doc_id=[1, 2, 3], text=[a, b, c], spark=spark)
+    fps = {}
+    for r in winnow_fingerprints(df, k=k, window=w).spark.collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared run must produce a shared fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])

@@ -153,6 +153,58 @@ def shingles(text, k: int = 5) -> Column:
         F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")))
 
 
+def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 5, window: int = 4,
+                        fp_type: str = "hash"):
+    """Winnowed document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    word k-gram, slide a ``window`` over consecutive hashes, and record
+    each window's minimum (rightmost on ties).  Guarantees: any shared
+    substring of at least ``window + k - 1`` words produces at least
+    one shared fingerprint, while storing only ~2/(window+1) of the
+    hashes — position-robust near-dup/plagiarism detection with a
+    compact signature.
+
+    The recorded SET is tie-rule-independent: whichever position a
+    window's (rightmost-)min tie-break picks, the recorded VALUE is the
+    window minimum — so the distinct (id, fp) output equals the plain
+    per-window-min value set, and the whole selection is ONE row-frame
+    window function.  100 TB plan: posexplode of the k-gram hash
+    sequence, ``min(h) over (partition by doc order by pos rows
+    between current and window-1 following)``, distinct — one
+    (doc)-keyed exchange; join two corpora on ``fp`` to find overlap
+    candidates, bounded by fingerprint matches rather than all-pairs.
+    Trailing truncated windows are kept (a doc shorter than ``window``
+    grams still yields its global min).
+
+    Winnowing needs only a TOTAL ORDER on k-grams; ``fp_type="hash"``
+    (default) orders by xxhash64 — uniform selection density, 8-byte
+    fingerprints.  ``fp_type="gram"`` orders by the gram STRING itself
+    (lexicographic min) — bigger fingerprints and skewed toward rare
+    prefixes, but reproducible in engines without xxhash64, which is
+    what the DuckDB oracle (q96) checks the selection machinery with.
+
+    Returns (id_col, fp) — one row per distinct selected fingerprint.
+    """
+    from pyspark.sql import Window
+    from ..dataframe import DataFrame
+    if fp_type not in ("hash", "gram"):
+        raise ValueError(f"fp_type={fp_type!r}")
+    wrapped = isinstance(df, DataFrame)
+    sdf = df._spark_df() if wrapped else df
+    grams = sdf.select(
+        F.col(id_col),
+        F.posexplode(shingles(F.col(text_col), k=k)).alias("__pos", "__g"))
+    key = F.xxhash64("__g") if fp_type == "hash" else F.col("__g")
+    hashed = grams.select(id_col, "__pos", key.alias("__h"))
+    frame = (Window.partitionBy(id_col).orderBy("__pos")
+             .rowsBetween(0, window - 1))
+    out = (hashed.select(F.col(id_col),
+                         F.min("__h").over(frame).alias("fp"))
+           .distinct())
+    return DataFrame(out) if wrapped else out
+
+
 # --------------------------------------------------------------------------
 # DataFrame-level helpers
 # --------------------------------------------------------------------------
