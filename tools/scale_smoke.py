@@ -881,9 +881,42 @@ def cc_path_graph(spark):
           f"propagation would need 2^20)")
 
 
+def winnow_overlap(spark):
+    """Round-6 probe: winnowed fingerprints over the replicated corpus
+    (100k docs = 5k base texts × 20 exact replicas).  Exact replicas
+    share their ENTIRE fingerprint set, so every same-base replica pair
+    (5000 × C(20,2) = 950,000 pairs) must surface — a completeness
+    oracle for the fingerprint join at volume."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import winnow_fingerprints
+    docs = vs.open(f"{SCALE_DIR}/documents.parquet", spark=spark)
+    n_docs = docs.spark.count()
+    base = n_docs // 20
+    t0 = time.time()
+    fps = winnow_fingerprints(docs, k=5, window=4).spark
+    from vaex_spark.cache import _register_persist
+    fps = _register_persist(fps)
+    n_fps = fps.count()
+    pairs = (fps.alias("a")
+             .join(fps.alias("b"),
+                   (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    same_base = pairs.filter(
+        (F.col("id_a") % base) == (F.col("id_b") % base)).count()
+    t = time.time() - t0
+    want = base * (20 * 19 // 2)
+    assert same_base >= want, (same_base, want)
+    print(f"winnow_overlap: {n_docs} docs -> {n_fps} fingerprints "
+          f"(~{n_fps / n_docs:.0f}/doc); all {want} same-base replica "
+          f"pairs recovered ({same_base} found) in {t:.1f}s")
+
+
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "binby_grid": binby_grid, "kmeans_large_k": kmeans_large_k,
-          "cc_path_graph": cc_path_graph,
+          "cc_path_graph": cc_path_graph, "winnow_overlap": winnow_overlap,
           "ann_recall": ann_recall, "wide_window": wide_window,
           "stream_volume": stream_volume, "bloom_dedup": bloom_dedup,
           "hot_domain_caps": hot_domain_caps, "semantic_skew": semantic_skew,
