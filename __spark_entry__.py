@@ -3008,18 +3008,16 @@ def _q96_winnow_overlap(spark, sf_dir):
     candidates without all-pairs work.  ``fp_type='gram'`` orders
     windows by the gram string so the DuckDB oracle replays the exact
     selection (xxhash64 has no DuckDB equivalent; the hash form is the
-    production default and pytest-covered)."""
-    from vaex_spark.datapipe.text import winnow_fingerprints
+    production default and pytest-covered).  winnow_overlap_pairs
+    persists the narrow (id, fp) relation so the self-join reads ONE
+    fingerprint pass, not two corpus scans (plan-asserted in tests)."""
+    from vaex_spark.datapipe.text import winnow_overlap_pairs
     docs = _t(spark, sf_dir, "documents")
-    fps = winnow_fingerprints(docs, k=5, window=4, fp_type="gram").spark
-    return (fps.alias("a")
-            .join(fps.alias("b"),
-                  (F.col("a.fp") == F.col("b.fp"))
-                  & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").cast("long").alias("id_a"),
-                     F.col("b.doc_id").cast("long").alias("id_b"))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-            .filter(F.col("n_shared") >= 2)
+    out = winnow_overlap_pairs(docs, k=5, window=4, min_shared=2,
+                               fp_type="gram").spark
+    return (out.select(F.col("id_a").cast("long").alias("id_a"),
+                       F.col("id_b").cast("long").alias("id_b"),
+                       F.col("n_shared").cast("long").alias("n_shared"))
             .orderBy("id_a", "id_b"))
 
 

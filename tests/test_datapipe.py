@@ -1473,3 +1473,17 @@ def test_winnow_shared_substring_guarantee(spark):
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     assert fps[1] & fps[2], "shared run must produce a shared fingerprint"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnow_overlap_pairs_single_fingerprint_pass(spark):
+    """winnow_overlap_pairs persists the narrow (id, fp) relation: both
+    self-join sides read the cache (InMemoryTableScan), instead of the
+    naive self-join's TWO full explode+window corpus passes."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import winnow_overlap_pairs
+    docs = vs.open("/root/testdata/sf0.001/documents.parquet", spark=spark)
+    out = winnow_overlap_pairs(docs, min_shared=1).spark
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    vs.cache.release_operator_caches()

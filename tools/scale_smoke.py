@@ -892,18 +892,10 @@ def winnow_overlap(spark):
     docs = vs.open(f"{SCALE_DIR}/documents.parquet", spark=spark)
     n_docs = docs.spark.count()
     base = n_docs // 20
+    from vaex_spark.datapipe.text import winnow_overlap_pairs
     t0 = time.time()
-    fps = winnow_fingerprints(docs, k=5, window=4).spark
-    from vaex_spark.cache import _register_persist
-    fps = _register_persist(fps)
-    n_fps = fps.count()
-    pairs = (fps.alias("a")
-             .join(fps.alias("b"),
-                   (F.col("a.fp") == F.col("b.fp"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("id_a"),
-                      F.col("b.doc_id").alias("id_b"))
-             .agg(F.count(F.lit(1)).alias("n_shared")))
+    n_fps = winnow_fingerprints(docs, k=5, window=4).spark.count()
+    pairs = winnow_overlap_pairs(docs, k=5, window=4, min_shared=1).spark
     same_base = pairs.filter(
         (F.col("id_a") % base) == (F.col("id_b") % base)).count()
     t = time.time() - t0
