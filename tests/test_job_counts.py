@@ -119,7 +119,7 @@ HEADLINE_JOB_CEILING = {
     "q93_group_delta_min": 3,
     "q94_salted_priority_count": 6,
     "q95_kmeans_assign": 5,
-    "q96_winnow_overlap": 6,
+    "q96_winnow_overlap": 8,  # +1 persist materialization (single fingerprint pass)
 }
 
 

@@ -95,6 +95,11 @@ CASES = {
         "top-N + driver merge, no global sort materialization of the "
         "full token-count relation).",
         [r"TakeOrderedAndProject"]),
+    "q96_winnow_overlap": (
+        "Winnowed-fingerprint overlap: the narrow (id, fp) relation is "
+        "persisted and BOTH self-join sides read the cache — one "
+        "explode+window fingerprint pass over the corpus, not two.",
+        [r"InMemoryTableScan"]),
 }
 
 
