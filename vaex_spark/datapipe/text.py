@@ -192,9 +192,25 @@ def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
         raise ValueError(f"fp_type={fp_type!r}")
     wrapped = isinstance(df, DataFrame)
     sdf = df._spark_df() if wrapped else df
-    grams = sdf.select(
-        F.col(id_col),
-        F.posexplode(shingles(F.col(text_col), k=k)).alias("__pos", "__g"))
+    # k-grams via arrays_zip of k shifted slices + row-level concat_ws,
+    # NOT shingles()'s transform() lambda — higher-order functions
+    # evaluate interpreted per element (measured 4 s for 270k grams at
+    # sf0.1; the zip form stays in whole-stage codegen — same trick as
+    # the q86 trigram miner).  greatest(n-k+1, 1) makes short docs
+    # (n < k) emit exactly one zip row whose missing slices pad to
+    # null, which concat_ws skips — the whole-text gram, matching
+    # shingles()' n<k branch.
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                            r"\s+", " ")), " ")
+    n = F.size(words)
+    ln = F.greatest(n - (k - 1), F.lit(1))
+    z = F.arrays_zip(*[F.slice(words, j + 1, ln).alias(f"w{j}")
+                       for j in range(k)])
+    grams = (sdf.select(F.col(id_col),
+                        F.posexplode(z).alias("__pos", "__t"))
+             .select(id_col, "__pos",
+                     F.concat_ws(" ", *[F.col(f"__t.w{j}")
+                                        for j in range(k)]).alias("__g")))
     key = F.xxhash64("__g") if fp_type == "hash" else F.col("__g")
     hashed = grams.select(id_col, "__pos", key.alias("__h"))
     frame = (Window.partitionBy(id_col).orderBy("__pos")
