@@ -3010,7 +3010,11 @@ def _q96_winnow_overlap(spark, sf_dir):
     selection (xxhash64 has no DuckDB equivalent; the hash form is the
     production default and pytest-covered).  winnow_overlap_pairs
     persists the narrow (id, fp) relation so the self-join reads ONE
-    fingerprint pass, not two corpus scans (plan-asserted in tests)."""
+    fingerprint pass, not two corpus scans (plan-asserted in tests),
+    and drops fingerprints with document frequency > max_df (default
+    256 — MOSS's over-common-fingerprint rule; the oracle mirrors the
+    cap with a COUNT window over the distinct (doc, fp) relation) so
+    one boilerplate fingerprint can never make the join quadratic."""
     from vaex_spark.datapipe.text import winnow_overlap_pairs
     docs = _t(spark, sf_dir, "documents")
     out = winnow_overlap_pairs(docs, k=5, window=4, min_shared=2,
@@ -3034,7 +3038,11 @@ mins AS (
          MIN(g) OVER (PARTITION BY doc_id ORDER BY i
                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
   FROM grams),
-fps AS (SELECT DISTINCT doc_id, fp FROM mins)
+fps0 AS (SELECT DISTINCT doc_id, fp FROM mins),
+fps AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS dfreq FROM fps0)
+  WHERE dfreq <= 256)
 SELECT CAST(a.doc_id AS BIGINT) AS id_a,
        CAST(b.doc_id AS BIGINT) AS id_b,
        CAST(COUNT(*) AS BIGINT) AS n_shared

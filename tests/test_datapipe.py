@@ -1487,3 +1487,57 @@ def test_winnow_overlap_pairs_single_fingerprint_pass(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 2, plan
     vs.cache.release_operator_caches()
+
+
+def test_winnow_max_df_caps_boilerplate(spark):
+    """max_df (MOSS's over-common-fingerprint rule) drops fingerprints
+    shared by more than max_df documents BEFORE the self-join: a
+    boilerplate run shared by all m docs no longer emits its m(m-1)/2
+    pairs, while a pair sharing a RARE run (df=2) survives the cap."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import winnow_overlap_pairs
+    k, w = 5, 4
+    boiler = "all rights reserved license text follows here now"  # 8 = w+k-1
+    m = 10
+    texts, ids = [], []
+    for i in range(m):
+        filler = " ".join(f"u{i}w{j}" for j in range(12))
+        texts.append(f"{filler} {boiler} tail{i}a tail{i}b")
+        ids.append(i)
+    rare = " ".join(f"rare{j}" for j in range(12))  # shared by docs 100, 101 only
+    texts += [f"intro{0} {rare} endx{0}", f"intro{1} {rare} endx{1}"]
+    ids += [100, 101]
+    df = vs.from_arrays(doc_id=ids, text=texts, spark=spark)
+    uncapped = {(r["id_a"], r["id_b"]) for r in winnow_overlap_pairs(
+        df, k=k, window=w, min_shared=1, max_df=None).spark.collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in winnow_overlap_pairs(
+        df, k=k, window=w, min_shared=1, max_df=5).spark.collect()}
+    boiler_pairs = {(a, b) for a in range(m) for b in range(m) if a < b}
+    assert boiler_pairs <= uncapped and (100, 101) in uncapped
+    assert capped & boiler_pairs == set(), capped
+    assert (100, 101) in capped
+    vs.cache.release_operator_caches()
+
+
+def test_lsh_bucket_cap_drops_giant_clusters(spark):
+    """minhash_lsh_candidates(max_bucket_size=...) drops over-full
+    (band, bucket) groups: an 8-copy identical-template cluster stops
+    emitting its 28 quadratic candidates, while an independent near-dup
+    pair (bucket size 2) survives."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import minhash_lsh_candidates
+    template = " ".join(f"tmpl{j}" for j in range(30))
+    near_a = " ".join(f"pair{j}" for j in range(30))
+    near_b = near_a + " extraword"
+    ids = list(range(8)) + [100, 101]
+    texts = [template] * 8 + [near_a, near_b]
+    df = vs.from_arrays(doc_id=ids, text=texts, spark=spark)
+    base = {(r["id_a"], r["id_b"])
+            for r in minhash_lsh_candidates(df).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in minhash_lsh_candidates(df, max_bucket_size=4).collect()}
+    cluster_pairs = {(a, b) for a in range(8) for b in range(8) if a < b}
+    assert cluster_pairs <= base and (100, 101) in base
+    assert capped & cluster_pairs == set(), capped
+    assert (100, 101) in capped
+    vs.cache.release_operator_caches()

@@ -119,7 +119,9 @@ HEADLINE_JOB_CEILING = {
     "q93_group_delta_min": 3,
     "q94_salted_priority_count": 6,
     "q95_kmeans_assign": 5,
-    "q96_winnow_overlap": 8,  # +1 persist materialization (single fingerprint pass)
+    # +1 persist materialization (single fingerprint pass), +1 AQE stage
+    # for the max_df cap's fp-partitioned count window
+    "q96_winnow_overlap": 9,
 }
 
 

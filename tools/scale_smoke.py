@@ -906,7 +906,47 @@ def winnow_overlap(spark):
           f"pairs recovered ({same_base} found) in {t:.1f}s")
 
 
+def winnow_hot_fp(spark):
+    """Round-7 probe: the planted-boilerplate case the r6 verdict said
+    no probe could see.  ONE shared 8-word run (window + k - 1) is
+    appended to EVERY document in the 100k corpus, so its winnow
+    fingerprint has document frequency 100,000 — uncapped, that single
+    fingerprint's self-join bucket alone emits C(100k, 2) ≈ 5.0e9
+    pairs.  With the default max_df=256 (MOSS's over-common-fingerprint
+    rule) the hot fingerprints are dropped on the already-computed
+    (id, fp) relation before the join: output stays bounded by the
+    REAL overlaps (the 20-replica groups), and every same-base replica
+    pair still surfaces (replicas share their rare fingerprints too)."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import winnow_fingerprints, winnow_overlap_pairs
+    boiler = "copyright all rights reserved see license file terms"  # 8 words
+    docs = vs.open(f"{SCALE_DIR}/documents.parquet", spark=spark)
+    n_docs = docs.spark.count()
+    base = n_docs // 20
+    hot = vs.DataFrame(docs.spark.withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.lit(boiler))))
+    # confirm the planted threat: the hottest fingerprint is corpus-wide
+    fps = winnow_fingerprints(hot, k=5, window=4).spark
+    max_df = (fps.groupBy("fp").count()
+              .agg(F.max("count").alias("m")).collect()[0]["m"])
+    assert max_df >= n_docs, max_df  # >= : several boilerplate windows
+    implied = max_df * (max_df - 1) // 2
+    t0 = time.time()
+    pairs = winnow_overlap_pairs(hot, k=5, window=4, min_shared=1).spark
+    n_pairs = pairs.count()
+    same_base = pairs.filter(
+        (F.col("id_a") % base) == (F.col("id_b") % base)).count()
+    t = time.time() - t0
+    want = base * (20 * 19 // 2)
+    assert same_base >= want, (same_base, want)
+    assert n_pairs < 4 * want, n_pairs  # bounded: no quadratic blowup
+    print(f"winnow_hot_fp: boilerplate fp df={max_df} (uncapped bucket "
+          f"would emit {implied:,} pairs); capped run produced "
+          f"{n_pairs:,} pairs incl. all {want:,} replica pairs in {t:.1f}s")
+
+
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,
+          "winnow_hot_fp": winnow_hot_fp,
           "binby_grid": binby_grid, "kmeans_large_k": kmeans_large_k,
           "cc_path_graph": cc_path_graph, "winnow_overlap": winnow_overlap,
           "ann_recall": ann_recall, "wide_window": wide_window,

@@ -201,14 +201,38 @@ def minhash_bands_col(sig: Column, num_bands: int, rows_per_band: int) -> Column
             b + 1000)))
 
 
+def _cap_buckets(banded, max_bucket_size):
+    """Drop LSH (band, bucket) groups larger than ``max_bucket_size``
+    before a self-join — the bucket-size analogue of
+    winnow_overlap_pairs' max_df cap: one bucket of m docs emits
+    m(m−1)/2 pairs, so a single million-member template cluster makes
+    the candidate join quadratic.  A capped bucket's members are by
+    construction a giant near-identical cluster — route those through
+    exact dedup (curate's first stage) instead of pairwise LSH.  One
+    count-window partitioned on the join key; no extra job."""
+    if max_bucket_size is None:
+        return banded
+    import logging
+    from pyspark.sql import Window
+    logging.getLogger(__name__).info(
+        "LSH bucket cap active: (band, bucket) groups with > %d members "
+        "are dropped from candidate generation", max_bucket_size)
+    wb = Window.partitionBy("band", "bucket")
+    return (banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= int(max_bucket_size)).drop("__bsz"))
+
+
 def minhash_lsh_candidates(df, text_col: str = "text", id_col: str = "doc_id",
                            num_perm: int = 64, num_bands: int = 16,
-                           shingle_k: int = 5) -> SparkDataFrame:
+                           shingle_k: int = 5,
+                           max_bucket_size: "int | None" = None) -> SparkDataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
     doc -> signature -> per-band bucket key -> self-join per bucket.
     Only same-bucket pairs materialize; distinct() dedups pairs found
     in several bands.  Returns (id_a, id_b) with id_a < id_b.
+    ``max_bucket_size`` (opt-in) drops over-full buckets before the
+    join — see :func:`_cap_buckets` for when that is the right trade.
     """
     rows_per_band = num_perm // num_bands
     sdf = _spread(_sdf(df).select(F.col(id_col), F.col(text_col)))
@@ -216,8 +240,9 @@ def minhash_lsh_candidates(df, text_col: str = "text", id_col: str = "doc_id",
     bands = minhash_bands_col(sig, num_bands, rows_per_band)
     # long-format (band, bucket, id): posexplode of the band array,
     # persisted so the self-join's sides share one signature pass
-    banded = _register_persist(
-        sdf.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket")))
+    banded = _register_persist(_cap_buckets(
+        sdf.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket")),
+        max_bucket_size))
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (left.join(right, on=[F.col("l.band") == F.col("r.band"),
@@ -255,7 +280,8 @@ def ngram_jaccard(df, pairs: SparkDataFrame | None = None, text_col: str = "text
 
 def near_dup_pairs(df, text_col: str = "text", id_col: str = "doc_id",
                    shingle_k: int = 5, num_perm: int = 64, num_bands: int = 32,
-                   threshold: float = 0.5) -> SparkDataFrame:
+                   threshold: float = 0.5,
+                   max_bucket_size: "int | None" = None) -> SparkDataFrame:
     """One-pass MinHash-LSH near-dup detection with exact-Jaccard verify.
 
     Computes (id, shingle_set, signature) ONCE and persists it; both the
@@ -270,6 +296,11 @@ def near_dup_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     thresholds use wider rows-per-band (r=4) for fewer random-collision
     candidates at the cost of recall on borderline pairs.
 
+    ``max_bucket_size`` (opt-in) drops over-full (band, bucket) groups
+    before the candidate join (:func:`_cap_buckets`) — a guard for
+    corpora with giant near-identical template clusters that exact
+    dedup didn't remove first.
+
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     sdf = _spread(_sdf(df).select(F.col(id_col), F.col(text_col)))
@@ -280,9 +311,12 @@ def near_dup_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     # persist the narrow (id, band, bucket) relation: the self-join's
     # two sides would otherwise each recompute the full num_perm-hash
     # signature pass (no CSE across join branches) — caching num_bands
-    # rows of (long,int,long) per doc halves the dominant CPU cost
-    banded = _register_persist(
-        sdf.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket")))
+    # rows of (long,int,long) per doc halves the dominant CPU cost.
+    # max_bucket_size (opt-in) caps (band, bucket) group sizes first —
+    # see _cap_buckets.
+    banded = _register_persist(_cap_buckets(
+        sdf.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket")),
+        max_bucket_size))
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (l.join(r, on=[F.col("l.band") == F.col("r.band"),
                            F.col("l.bucket") == F.col("r.bucket"),

@@ -223,24 +223,45 @@ def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
 
 def winnow_overlap_pairs(df, text_col: str = "text", id_col: str = "doc_id",
                          k: int = 5, window: int = 4, min_shared: int = 2,
-                         fp_type: str = "hash"):
+                         fp_type: str = "hash", max_df: "int | None" = 256):
     """Document pairs sharing >= ``min_shared`` winnowed fingerprints
     (id_a < id_b, with the shared count) — the overlap-candidate
     generator built on :func:`winnow_fingerprints`.
 
-    The narrow (id, fp) relation is PERSISTED before the self-join:
-    without it the two join sides each recompute the full
-    explode+window fingerprint pass over the text (two corpus scans —
-    the plan Catalyst builds from a naive self-join, verified in
-    tests), which doubles the dominant cost at 100 TB.  The join then
-    shuffles only fingerprint keys; output is bounded by fingerprint
-    matches, never all-pairs."""
+    ``max_df`` drops fingerprints whose document frequency exceeds it
+    BEFORE the self-join — MOSS's over-common-fingerprint rule
+    (Schleimer/Wilkerson/Aiken SIGMOD'03 §5 discard boilerplate
+    matches).  Without the cap one fingerprint shared by m documents
+    emits m(m−1)/2 pairs; at web scale a licence header / template
+    fingerprint with df in the millions makes the join output
+    quadratic.  A dropped fingerprint is shared by >max_df documents —
+    useless as an overlap *discriminator* — so recall loss is limited
+    to pairs whose ONLY shared runs are corpus-wide boilerplate; raise
+    ``min_shared`` or ``max_df`` if those matter, ``max_df=None``
+    disables the cap.  The frequency comes from ONE count-window over
+    the already-computed (id, fp) relation, partitioned on ``fp`` —
+    the same key the self-join shuffles on.
+
+    The narrow (id, fp) relation is PERSISTED (after the cap, so the
+    cache holds only join-eligible rows) before the self-join: without
+    it the two join sides each recompute the full explode+window
+    fingerprint pass over the text (two corpus scans — the plan
+    Catalyst builds from a naive self-join, verified in tests), which
+    doubles the dominant cost at 100 TB.  The join then shuffles only
+    fingerprint keys; output is bounded by fingerprint matches and the
+    per-fingerprint cap, never all-pairs."""
+    from pyspark.sql import Window
     from ..dataframe import DataFrame
     from ..cache import _register_persist
     wrapped = isinstance(df, DataFrame)
     fps = winnow_fingerprints(df, text_col=text_col, id_col=id_col,
                               k=k, window=window, fp_type=fp_type)
-    fsdf = _register_persist(fps._spark_df() if wrapped else fps)
+    fsdf = fps._spark_df() if wrapped else fps
+    if max_df is not None:
+        wfp = Window.partitionBy("fp")
+        fsdf = (fsdf.withColumn("__dfreq", F.count(F.lit(1)).over(wfp))
+                .filter(F.col("__dfreq") <= int(max_df)).drop("__dfreq"))
+    fsdf = _register_persist(fsdf)
     ia, ib = f"a.{id_col}", f"b.{id_col}"
     out = (fsdf.alias("a")
            .join(fsdf.alias("b"),
