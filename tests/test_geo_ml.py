@@ -232,6 +232,39 @@ def test_kbins_discretizer(spark):
     assert [r["binned_x"] for r in kb2.transform(df2).spark.collect()] == [0, 2]
 
 
+def test_kbins_discretizer_kmeans(spark):
+    """strategy='kmeans' (reference transformations.py:1146-1155):
+    1-D Lloyd's per feature from uniform-midpoint init; inner edges at
+    sorted-center midpoints, outer edges at min/max(+eps).  On three
+    well-separated blobs the bins ARE the blobs — a split uniform
+    binning cannot produce (blob 3 spans two uniform bins here)."""
+    import numpy as np
+    import vaex_spark as vs
+    from vaex_spark import ml
+    blobs = ([0.0, 0.5, 1.0, 1.5] + [50.0, 50.5, 51.0]
+             + [99.0, 99.5, 100.0, 100.5, 101.0])
+    df = vs.from_arrays(x=blobs, spark=spark)
+    kb = ml.KBinsDiscretizer(["x"], n_bins=3, strategy="kmeans")
+    out = kb.fit_transform(df)
+    codes = [r["binned_x"] for r in out.spark.collect()]
+    assert codes == [0] * 4 + [1] * 3 + [2] * 5, codes
+    edges = kb.bin_edges_["x"]
+    assert len(edges) == 4 and kb.n_bins_["x"] == 3
+    # outer edges at the data extent; inner edges between the blobs
+    assert edges[0] == 0.0 and abs(edges[3] - 101.0) < 1e-6
+    assert 1.5 < edges[1] < 50.0 and 51.0 < edges[2] < 99.0
+    # inner edges sit halfway between consecutive fitted blob means
+    means = [np.mean(blobs[:4]), np.mean(blobs[4:7]), np.mean(blobs[7:])]
+    assert abs(edges[1] - (means[0] + means[1]) / 2) < 1e-6
+    assert abs(edges[2] - (means[1] + means[2]) / 2) < 1e-6
+    # state round-trip reproduces the transform without a refit
+    kb2 = ml.KBinsDiscretizer(["x"], n_bins=3, strategy="kmeans")
+    kb2.state_set(kb.state_get())
+    codes2 = [r["binned_x"] for r in kb2.transform(df).spark.collect()]
+    assert codes2 == codes
+    vs.cache.release_operator_caches()
+
+
 def test_multihot_encoder(spark):
     """Reference docstring example (transformations.py:444)."""
     import vaex_spark as vs
@@ -412,6 +445,24 @@ def test_kmeans_assign_strategies_agree(spark):
             assert "ArrowEvalPython" not in s
         else:
             assert "ArrowEvalPython" in s
+
+
+def test_kmeans_arrow_large_values_fall_back_to_float64(spark):
+    """The Arrow assignment's float32 fast path must gate on the BATCH's
+    feature magnitude, not only the centroids': with centers {0, 3} a
+    point at x=1e8 has d2 ≈ 1e16 where float32's resolution (~1e9)
+    swallows the 6e8 gap between the two distances — float32 would tie
+    and mis-assign to cluster 0.  The per-batch gate routes such
+    batches through float64, so the far point lands on the truly
+    nearest center."""
+    import vaex_spark as vs
+    from vaex_spark.ml import KMeans
+    df = vs.from_arrays(rid=[0, 1, 2], x=[1.0, 2.9, 1e8], spark=spark)
+    cols = [df._to_expr("x").col.cast("double")]
+    km = KMeans(features=["x"], n_clusters=2, assign_strategy="arrow")
+    got = {r["rid"]: r["c"] for r in df._spark_df().select(
+        "rid", km._assign_arrow(cols, [[0.0], [3.0]])["c"].alias("c")).collect()}
+    assert got == {0: 0, 1: 1, 2: 1}, got
 
 
 def test_kmeans_large_k_planted_blobs(spark):

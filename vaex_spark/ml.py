@@ -553,9 +553,14 @@ class WeightOfEvidenceEncoder(Transformer):
 class KBinsDiscretizer(Transformer):
     """transformations.py:1067 — bin continuous features into ordinal
     bin labels.  strategy='uniform' fits from one batched min/max
-    aggregation; 'quantile' from percentile_approx ('kmeans' is not
-    supported — raise, don't silently substitute).  transform clips
-    out-of-range samples into the closest bin like the reference."""
+    aggregation; 'quantile' from percentile_approx; 'kmeans'
+    (transformations.py:1146-1155) runs a per-feature 1-D Lloyd's
+    KMeans (deterministic uniform-midpoint init, n_init=1, the in-repo
+    distributed :class:`KMeans`) and places inner edges halfway between
+    consecutive sorted centers, outer edges at the feature min/max —
+    bins adapt to density clusters instead of width or mass.  transform
+    clips out-of-range samples into the closest bin like the
+    reference."""
 
     prefix = "binned_"
     _state_keys = ("bin_edges_", "n_bins_", "epsilon")
@@ -563,9 +568,7 @@ class KBinsDiscretizer(Transformer):
     def __init__(self, features, n_bins=5, strategy="uniform", epsilon=1e-8, prefix=None):
         super().__init__(features, prefix)
         assert n_bins > 1, "Kwarg `n_bins` must be greater than 1."
-        if strategy == "kmeans":
-            raise NotImplementedError("strategy='kmeans' is not supported")
-        assert strategy in ("uniform", "quantile")
+        assert strategy in ("uniform", "quantile", "kmeans")
         self.n_bins = n_bins
         self.strategy = strategy
         self.epsilon = float(epsilon)
@@ -588,6 +591,34 @@ class KBinsDiscretizer(Transformer):
                                     float(row[f"{f}__hi"]),
                                     self.n_bins + 1)
                      for f in self.features}
+        elif self.strategy == "kmeans":
+            # per-feature 1-D KMeans: deterministic init at the
+            # midpoints of the uniform grid (reference
+            # transformations.py:1146-1155), inner edges halfway
+            # between consecutive sorted centers, outer edges at
+            # min / max+eps.  Each fit is Lloyd's over ONE projected
+            # column — per-iteration cost is a k-row map-side-combined
+            # aggregate, so n_features sequential fits stay cheap even
+            # at full scale; the epsilon on the top edge keeps the
+            # uniform init strictly inside the data span.
+            aggs = []
+            for f in self.features:
+                c = df._to_expr(f).col
+                aggs += [F.min(c).alias(f"{f}__lo"), F.max(c).alias(f"{f}__hi")]
+            row = sdf.agg(*aggs).collect()[0]
+            edges = {}
+            for f in self.features:
+                lo = float(row[f"{f}__lo"])
+                hi = float(row[f"{f}__hi"]) + self.epsilon
+                ue = np.linspace(lo, hi, self.n_bins + 1)
+                init = [[float(v)] for v in (ue[1:] + ue[:-1]) * 0.5]
+                km = KMeans(features=[f], n_clusters=self.n_bins,
+                            init=init, n_init=1)
+                km.fit(df)
+                centers = np.sort(np.asarray(km.cluster_centers,
+                                             dtype=float).ravel())
+                mid = (centers[1:] + centers[:-1]) * 0.5
+                edges[f] = np.r_[lo, mid, hi]
         else:
             qs = np.linspace(0.0, 1.0, self.n_bins + 1).tolist()
             aggs = [F.percentile_approx(df._to_expr(f).col.cast("double"), qs, 10000).alias(f)
@@ -752,23 +783,37 @@ class KMeans(Transformer):
         computed over CENTROID BLOCKS of 512 with a running
         (min, argmin) — each 10k×512 block lives in L2 and only the two
         n-vectors ever hit memory — in float32 when every centroid
-        coordinate is below 1e7 (squared distances then carry ~7
-        significant digits; only genuinely-ambiguous boundary points
-        can flip, which Lloyd's tolerates by construction), float64
-        otherwise.  Measured 150 s → 36 s single-process on
-        6.4M×2048×2."""
+        coordinate AND every feature value in the batch is below 1e7
+        (squared distances then carry ~7 significant digits; only
+        genuinely-ambiguous boundary points can flip, which Lloyd's
+        tolerates by construction — and user-facing transform/predict
+        at k×d>256 get the same guarantee because the gate re-checks
+        per batch), float64 otherwise.  Measured 150 s → 36 s
+        single-process on 6.4M×2048×2."""
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
-        dt = (np.float32 if float(np.abs(np.asarray(centers)).max()) < 1e7
-              else np.float64)
-        C = np.asarray(centers, dtype=dt)
-        c2 = (C * C).sum(axis=1)
+        # float32 is only safe when BOTH the centroids and the batch's
+        # feature values are small enough that squared distances keep
+        # ~7 significant digits; the data half of that check can only
+        # happen per batch (features are unbounded), so both centroid
+        # precisions ship in the closure and each batch picks —
+        # a batch containing any |x| >= 1e7 (or NaN/inf) runs float64
+        C64 = np.asarray(centers, dtype=np.float64)
+        C32 = C64.astype(np.float32) if np.abs(C64).max() < 1e7 else None
+        c2_64 = (C64 * C64).sum(axis=1)
+        c2_32 = (C32 * C32).sum(axis=1) if C32 is not None else None
         B = 512
 
         def _a(*fcols):
-            X = np.column_stack([s.to_numpy(dtype=dt) for s in fcols])
-            x2 = (X * X).sum(axis=1)
+            X = np.column_stack([s.to_numpy(dtype=np.float64) for s in fcols])
             n = len(X)
+            use32 = (C32 is not None and n > 0
+                     and float(np.abs(X).max()) < 1e7)  # False on NaN/inf
+            if use32:
+                X, C, c2, dt = X.astype(np.float32), C32, c2_32, np.float32
+            else:
+                C, c2, dt = C64, c2_64, np.float64
+            x2 = (X * X).sum(axis=1)
             best = np.full(n, np.inf, dtype=dt)
             bidx = np.zeros(n, dtype=np.int64)
             rows = np.arange(n)
