@@ -950,6 +950,37 @@ def test_bloom_crossover_shipped_default_picks_antijoin_at_parity(spark):
     assert "ArrowEvalPython" not in plan, plan
 
 
+def test_supplied_bloom_survives_unknown_stats(spark):
+    """A USER-SUPPLIED bloom is discarded only on a CONFIRMED ratio
+    failure: when Catalyst can't price the batch (here an RDD-backed
+    frame — the defaultSizeInBytes sentinel, same as join products)
+    the caller's paid-for filter stays in force and the corpus-scan
+    plan runs (Arrow membership stage present, no corpus shuffle) —
+    while the BUILD gate corpus_wants_bloom keeps its conservative
+    unknown→False default."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import (build_fingerprint_bloom,
+                                           corpus_wants_bloom,
+                                           exact_dedup_incremental)
+    docs = vs.open("/root/testdata/sf0.01/documents.parquet", spark=spark)
+    seen = vs.DataFrame(docs.spark.filter("doc_id % 3 != 0"))
+    raw = docs.spark.filter("doc_id % 3 = 0")
+    batch = vs.DataFrame(spark.createDataFrame(raw.rdd, raw.schema))
+    from vaex_spark.datapipe.dedup import _plan_size_bytes
+    assert _plan_size_bytes(batch.spark) is None  # stats truly unknown
+    bf = build_fingerprint_bloom(seen)
+    out = exact_dedup_incremental(batch, seen, bloom=bf).spark
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan  # bloom membership kept
+    assert corpus_wants_bloom(batch, seen) is False  # build gate: no
+    # and the kept-bloom path returns the exact survivor set
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    base = {r["doc_id"] for r in
+            exact_dedup_incremental(vs.DataFrame(raw), seen)
+            .spark.select("doc_id").collect()}
+    assert kept == base
+
+
 def test_bloom_incremental_corpus_never_exchanges(spark):
     """The 100 TB contract: with a bloom prefilter the corpus
     fingerprint relation is only scanned map-side under broadcast

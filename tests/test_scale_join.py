@@ -82,6 +82,28 @@ def test_export_bucketed_idempotent_against_dirty_warehouse(spark):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_export_bucketed_overwrite_preserves_external_data(spark, tmp_path):
+    """Overwriting a name that was registered as an EXTERNAL table must
+    not delete the external data: DROP TABLE deliberately preserves it,
+    and the orphan-cleanup rmtree must not undo that.  The overwrite
+    re-creates the name as a managed bucketed table; the external
+    parquet files stay readable at their path."""
+    import vaex_spark as vs
+    name = "external_probe_b"
+    ext = str(tmp_path / "ext_data")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    df = vs.from_arrays(k=[1, 2, 3], v=[10, 20, 30], spark=spark)
+    df.spark.write.parquet(ext)
+    spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{ext}'")
+    try:
+        scale.export_bucketed(df, name, by="k", n_buckets=2)
+        assert spark.table(name).count() == 3
+        # the external table's data survived the overwrite
+        assert spark.read.parquet(ext).count() == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_salted_join_matches_plain(spark):
     import vaex_spark as vs
     # skewed left: 90% of rows share key 1

@@ -608,12 +608,29 @@ def _bloom_plan_wins(nsdf, ssdf, min_corpus_ratio: float) -> bool:
     """The crossover decision: True when Catalyst's size stats say the
     corpus is at least ``min_corpus_ratio`` × the batch (both stats
     known), i.e. the bloom plan's corpus-scan-not-exchange trade pays.
-    ``min_corpus_ratio <= 0`` forces True."""
+    ``min_corpus_ratio <= 0`` forces True.  Unknown stats → False: the
+    BUILD gate (corpus_wants_bloom) must not green-light paying a
+    corpus scan on a guess."""
     if min_corpus_ratio <= 0:
         return True
     corpus_b, batch_b = _plan_size_bytes(ssdf), _plan_size_bytes(nsdf)
     return (corpus_b is not None and batch_b is not None
             and corpus_b >= min_corpus_ratio * max(batch_b, 1))
+
+
+def _bloom_plan_loses(nsdf, ssdf, min_corpus_ratio: float) -> bool:
+    """The DISCARD decision for an already-supplied bloom: True only on
+    a CONFIRMED ratio failure (both stats known and corpus <
+    ``min_corpus_ratio`` × batch).  Unknown stats → False: the caller
+    already paid the corpus scan to build the filter, so the
+    documented corpus>>batch plan must stay reachable when Catalyst
+    can't price the inputs (e.g. a join-product batch) — the opposite
+    default from the build gate above."""
+    if min_corpus_ratio <= 0:
+        return False
+    corpus_b, batch_b = _plan_size_bytes(ssdf), _plan_size_bytes(nsdf)
+    return (corpus_b is not None and batch_b is not None
+            and corpus_b < min_corpus_ratio * max(batch_b, 1))
 
 
 def corpus_wants_bloom(new_df, seen_df,
@@ -661,10 +678,14 @@ def exact_dedup_incremental(new_df, seen_df, text_col: str = "text",
     broadcast, a second anti-join).  When corpus ≈ batch the plain
     anti-join shuffles the same volume with fewer stages and wins
     (measured crossover, SCALECHECK bloom_dedup row).  So even with ``bloom``
-    supplied, the plan falls back to the anti-join unless Catalyst's
-    size stats say corpus >= ``bloom_min_corpus_ratio`` × batch (both
-    stats known); pass ``bloom_min_corpus_ratio=0`` to force the bloom
-    path."""
+    supplied, the plan falls back to the anti-join when Catalyst's
+    size stats CONFIRM corpus < ``bloom_min_corpus_ratio`` × batch;
+    when either stat is unknown (e.g. the batch is a join product) a
+    supplied bloom stays in force — the caller already paid its build
+    scan, and only a confirmed ratio failure may discard it (the
+    build-side gate, corpus_wants_bloom, keeps the opposite
+    conservative default).  Pass ``bloom_min_corpus_ratio=0`` to force
+    the bloom path."""
     nsdf, ssdf = _sdf(new_df), _sdf(seen_df)
     fp = fingerprint(F.col(text_col), normalize=normalize)
     if "__fp" in ssdf.columns:
@@ -672,9 +693,10 @@ def exact_dedup_incremental(new_df, seen_df, text_col: str = "text",
     else:
         seen_fp = ssdf.select(fp.alias("__fp")).distinct()
     keyed = nsdf.select(fp.alias("__fp"), F.col(id_col))
-    if bloom is not None and not _bloom_plan_wins(nsdf, ssdf,
-                                                  bloom_min_corpus_ratio):
-        bloom = None  # corpus too small for the bloom plan to win
+    if bloom is not None and _bloom_plan_loses(nsdf, ssdf,
+                                               bloom_min_corpus_ratio):
+        bloom = None  # CONFIRMED corpus-too-small; unknown stats keep
+        # the supplied bloom (the caller already paid its build scan)
     if bloom is not None:
         maybe_flag = bloom_might_contain(bloom, F.col("__fp"), nsdf.sparkSession)
         maybe_fps = keyed.filter(maybe_flag).select("__fp").distinct()

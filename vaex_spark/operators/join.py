@@ -112,6 +112,40 @@ def join(left, right, on=None, how="left", left_on=None, right_on=None,
     return o
 
 
+def _sampled_hot_key_share(sdf, by_cols, max_parts=64, rows_per_part=512):
+    """Bounded key-skew estimate for the ``split_hot_keys="auto"``
+    probe: (max_key_count, total) over a sample of at most
+    ``max_parts × rows_per_part`` rows, read from the HEADS of up to
+    ``max_parts`` evenly-spaced partitions via ``runJob`` — cost is
+    independent of corpus size (the r6 form ran a full
+    count-by-key pass over left+right on every call, one extra corpus
+    read at 100 TB just to pick a plan).
+
+    The probe only chooses between two EXACT plans, so estimate error
+    is a performance matter, not correctness: a head sample
+    over-represents keys that open partitions (worst case: pointless
+    bucketing, mildly slower on balanced data) and can miss a hot key
+    confined to partition tails (worst case: the per-key plan's
+    straggler, exactly what an explicit ``split_hot_keys=True``
+    overrides).  Detection needs the hot key's share to clear
+    ~1/parallelism, which a few-thousand-row sample resolves with
+    sub-percent error."""
+    from itertools import islice
+    rdd = sdf.select(*by_cols).rdd
+    n = rdd.getNumPartitions()
+    if n == 0:
+        return 0, 0
+    pids = (list(range(n)) if n <= max_parts
+            else [(i * n) // max_parts for i in range(max_parts)])
+    sc = sdf.sparkSession.sparkContext
+    rows = sc.runJob(rdd, lambda it: list(islice(it, rows_per_part)), pids)
+    from collections import Counter
+    counts = Counter(tuple(r) for r in rows)
+    if not counts:
+        return 0, 0
+    return max(counts.values()), sum(counts.values())
+
+
 def join_asof(left, right, on, by=None, direction="backward", tolerance=None,
               rprefix="", rsuffix="_right", allow_exact_matches=True,
               split_hot_keys="auto"):
@@ -156,12 +190,15 @@ def join_asof(left, right, on, by=None, direction="backward", tolerance=None,
 
     ``split_hot_keys="auto"`` (the default) decides from a key-skew
     probe: frames Catalyst's stats place within one advisory partition
-    take the per-key plan outright (no probe job); larger frames pay
-    ONE pruned map-side-combined count-by-key pass and flip to
-    within-key bucketing when the hottest key exceeds ~1/parallelism of
-    the rows — the share at which a single key serializes a whole
-    executor core under the per-key window.  Both plans are exact;
-    the probe only picks which one runs.
+    take the per-key plan outright (no probe job); larger frames pay a
+    BOUNDED head-of-partition sample (:func:`_sampled_hot_key_share`,
+    ≤64 partitions × 512 rows regardless of corpus size) and flip to
+    within-key bucketing when the hottest sampled key exceeds
+    ~1/parallelism of the sample — the share at which a single key
+    serializes a whole executor core under the per-key window.  Both
+    plans are exact; the probe only picks which one runs.  Pass
+    ``split_hot_keys=False`` on known-balanced keys to skip even the
+    sample, or ``True`` when a hot key hides from the sample.
     """
     from pyspark.sql import Window
     from ..dataframe import DataFrame
@@ -195,13 +232,9 @@ def join_asof(left, right, on, by=None, direction="backward", tolerance=None,
         from .window import _range_partition_count
         split_hot_keys = False
         if (_range_partition_count(merged) or 1) > 1:
-            # one pruned pass: per-key counts shrink map-side to the
-            # distinct-key cardinality before the (tiny) stats agg
-            st = (merged.groupBy(*by_cols).count()
-                  .agg(F.max("count").alias("mx"),
-                       F.sum("count").alias("tot")).collect()[0])
+            mx, tot = _sampled_hot_key_share(merged, by_cols)
             par = merged.sparkSession.sparkContext.defaultParallelism
-            if st["mx"] is not None and st["mx"] * max(1, par) > st["tot"]:
+            if tot and mx * max(1, par) > tot:
                 split_hot_keys = True
     elif split_hot_keys == "auto":
         split_hot_keys = False  # irrelevant without by keys (global form)

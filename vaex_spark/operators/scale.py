@@ -44,13 +44,23 @@ def _drop_table_and_orphaned_location(spark, table_name: str) -> None:
     raises LOCATION_ALREADY_EXISTS.  Drop the catalog entry (if any) AND
     remove the orphaned default-location directory for local
     ``file:``/path warehouses.  Only the *managed default* location is
-    touched — never a user-supplied external path.
+    touched — never a user-supplied external path, and never the data
+    of an EXTERNAL table that merely sits at the default path (DROP
+    deliberately preserves external data; deleting it here would turn a
+    catalog-entry overwrite into data loss).
     """
     import os
     import shutil
     from urllib.parse import urlparse, unquote
 
+    was_external = False
+    try:
+        was_external = spark.catalog.getTable(table_name).tableType == "EXTERNAL"
+    except Exception:
+        pass  # not in the catalog: the orphaned-directory case below
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    if was_external:
+        return  # DROP kept its data on purpose — nothing to clean
     parts = table_name.split(".")
     db, tbl = (parts[-2], parts[-1]) if len(parts) > 1 else (None, parts[-1])
     try:
