@@ -3025,6 +3025,26 @@ def _q96_winnow_overlap(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def _q97_winnow_overlap_hash(spark, sf_dir):
+    """The PRODUCTION form of q96: winnowed-fingerprint overlap with
+    ``fp_type='hash'`` (8-byte xxhash64 fingerprints — uniform
+    selection density, no string fingerprints in the shuffle).  q96's
+    gram form exists so DuckDB can replay the window selection; this
+    entry benches what a 100 TB run would actually execute.  Rows-only
+    by design: xxhash64 has no DuckDB equivalent, so the selection
+    itself is oracle-checked by the q96 gram twin plus the brute-force
+    pytest (tests/test_datapipe.py winnow bruteforce/guarantee);
+    the driver's weaker rows+schema check still applies here."""
+    from vaex_spark.datapipe.text import winnow_overlap_pairs
+    docs = _t(spark, sf_dir, "documents")
+    out = winnow_overlap_pairs(docs, k=5, window=4, min_shared=2,
+                               fp_type="hash").spark
+    return (out.select(F.col("id_a").cast("long").alias("id_a"),
+                       F.col("id_b").cast("long").alias("id_b"),
+                       F.col("n_shared").cast("long").alias("n_shared"))
+            .orderBy("id_a", "id_b"))
+
+
 _Q96_SQL = r"""
 WITH words AS (
   SELECT doc_id,
@@ -3154,6 +3174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_salted_priority_count": _q94_salted_priority_count,
         "q95_kmeans_assign": _q95_kmeans_assign,
         "q96_winnow_overlap": _q96_winnow_overlap,
+        "q97_winnow_overlap_hash": _q97_winnow_overlap_hash,
     }
 
 

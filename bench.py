@@ -67,7 +67,8 @@ EXTENDED = [
     "q91_corpus_profile",      # one-agg per-source health profile
     "q94_salted_priority_count",  # explicit two-phase salted agg
     "q95_kmeans_assign",       # literal-codegen nearest-centroid pass
-    "q96_winnow_overlap",      # MOSS winnowed-fingerprint doc overlap
+    "q96_winnow_overlap",      # MOSS winnowed-fingerprint doc overlap (gram oracle form)
+    "q97_winnow_overlap_hash",  # same operator, production xxhash64 form (rows-only)
 ]
 # q93_group_delta_min stays OUT of the timed sections deliberately: it
 # exists to oracle-check the GroupBy.apply(engine='arrow') machinery,

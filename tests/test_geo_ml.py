@@ -447,6 +447,43 @@ def test_kmeans_assign_strategies_agree(spark):
             assert "ArrowEvalPython" in s
 
 
+def test_kmeans_oversampled_init(spark):
+    """init='oversampled' (k-means|| spirit, SCALECHECK_r07
+    kmeans_init_study): a driver-side sample Lloyd pre-converges the
+    centers, the distributed loop then needs fewer corpus scans.  On
+    planted blobs it must land each blob in its own cluster,
+    deterministically; over-asking clusters vs distinct rows raises."""
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    from vaex_spark.ml import KMeans
+    rng = np.random.RandomState(23)
+    xs, ys, true = [], [], []
+    for b, (cx, cy) in enumerate([(0.0, 0.0), (10.0, 10.0), (-10.0, 8.0)]):
+        xs += list(cx + rng.randn(300) * 0.5)
+        ys += list(cy + rng.randn(300) * 0.5)
+        true += [b] * 300
+    df = vs.DataFrame(spark.createDataFrame(pd.DataFrame(
+        {"x": xs, "y": ys, "b": true})))
+    km = KMeans(features=["x", "y"], n_clusters=3, init="oversampled",
+                random_state=5, max_iter=20)
+    km.fit(df)
+    out = km.transform(df).to_pandas_df()
+    assert (out.groupby("b")["prediction_kmeans"].nunique() == 1).all()
+    assert out["prediction_kmeans"].nunique() == 3
+    km2 = KMeans(features=["x", "y"], n_clusters=3, init="oversampled",
+                 random_state=5, max_iter=20)
+    km2.fit(df)
+    assert km2.cluster_centers == km.cluster_centers  # deterministic
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        KMeans(features=["x"], n_clusters=4, init="oversampled").fit(
+            vs.from_arrays(x=[1.0, 2.0, 3.0], spark=spark))
+    with _pytest.raises(ValueError):
+        KMeans(features=["x"], init="kmeans++")
+    vs.cache.release_operator_caches()
+
+
 def test_kmeans_arrow_large_values_fall_back_to_float64(spark):
     """The Arrow assignment's float32 fast path must gate on the BATCH's
     feature magnitude, not only the centroids': with centers {0, 3} a

@@ -122,6 +122,7 @@ HEADLINE_JOB_CEILING = {
     # +1 persist materialization (single fingerprint pass), +1 AQE stage
     # for the max_df cap's fp-partitioned count window
     "q96_winnow_overlap": 9,
+    "q97_winnow_overlap_hash": 9,  # same shape, hash fingerprints
 }
 
 

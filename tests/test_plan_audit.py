@@ -219,7 +219,10 @@ def test_partition_sensitive_queries_invariant_under_tiny_partitions(spark):
                  # round 5: persisted token-count relation read twice
                  # (vocab total + top-N), decimal means + exact
                  # percentiles per group
-                 "q89_vocabulary", "q91_corpus_profile"]
+                 "q89_vocabulary", "q91_corpus_profile",
+                 # round 7: the max_df cap's fp-partitioned count
+                 # window feeding a persisted self-join relation
+                 "q96_winnow_overlap"]
     con = duckdb.connect()
     sf = "/root/testdata/sf0.001"
     for t in TABLES:

@@ -849,6 +849,73 @@ def kmeans_large_k(spark):
           f"plan engaged")
 
 
+def kmeans_init_study(spark):
+    """Round-7 measurement (VERDICT r6 #6): is a k-means||-style
+    oversampled init worth building into the library at large k?
+    Both arms run the SAME distributed Lloyd loop (library machinery,
+    k=2048 × 6.4M rows) for 3 traced iterations; only the init
+    differs:
+
+    * current — seeded-random distinct rows (dropDuplicates + hash
+      orderBy + limit k, one ~2 s job);
+    * ``init='oversampled'`` (the SHIPPED round-7 implementation,
+      ml.py:_init_centers_oversampled) — draw a ~20k-row sample to
+      the driver, D²-seed k centers on it (k-means++ weighting), run
+      10 numpy Lloyd rounds on the sample (blocked distance argmin),
+      use the sample's converged centers as the distributed init —
+      the k-means|| idea (Bahmani et al., VLDB'12) collapsed to one
+      sampling round, which a 2-D 6.4M-row corpus amply supports.
+
+    The metric that matters at 100 TB is DISTRIBUTED ITERATIONS SAVED:
+    every Lloyd iteration is a full corpus scan (~50 s here), so a
+    smarter init pays if its inertia trace runs >= 1 full iteration
+    ahead.  The probe prints both traces; the decision lands in
+    SCALECHECK_r07.md."""
+    import numpy as np
+    import vaex_spark as vs
+    from vaex_spark.cache import _register_persist
+    from vaex_spark.ml import KMeans
+    ev = vs.open(f"{SCALE_DIR}/events.parquet", spark=spark)
+    n = ev.spark.count()
+    feats = ["value", "user_id"]
+    cols = [ev._to_expr(f).col.cast("double") for f in feats]
+    proj = _register_persist(ev._spark_df().select(
+        *[c.alias(f"__f{i}") for i, c in enumerate(cols)]))
+    proj.count()  # materialize once, outside both arms' timings
+    pcols = [F.col(f"__f{i}") for i in range(len(feats))]
+    k, iters = 2048, 3
+    km = KMeans(features=feats, n_clusters=k, tol=0.0, max_iter=1)
+
+    def trace(centers):
+        out = []
+        for _ in range(iters):
+            t0 = time.time()
+            centers, inertia = km._lloyd(proj, pcols, centers)
+            out.append((inertia, time.time() - t0))
+        return out
+
+    t0 = time.time()
+    c_cur = km._init_centers(proj, pcols, seed=3)
+    wall_cur = time.time() - t0
+    tr_cur = trace(c_cur)
+
+    t0 = time.time()
+    c_os = km._init_centers_oversampled(proj, pcols, seed=3)
+    wall_os = time.time() - t0
+    tr_os = trace(c_os)
+
+    fmt = lambda tr: ", ".join(f"{i}:{v:.4e} ({w:.0f}s)"
+                               for i, (v, w) in enumerate(tr))
+    print(f"kmeans_init_study: k={k} x {n} rows, {iters} traced "
+          f"distributed iterations per arm")
+    print(f"  current init   ({wall_cur:.1f}s): {fmt(tr_cur)}")
+    print(f"  oversampled    ({wall_os:.1f}s): {fmt(tr_os)}")
+    ahead = sum(1 for (a, _), (b, _) in zip(tr_cur, tr_os) if b < a)
+    print(f"  oversampled ahead on {ahead}/{iters} traced iterations; "
+          f"an iteration here is a full corpus scan, so >=1 iteration "
+          f"saved pays for the {wall_os:.1f}s sample init")
+
+
 def cc_path_graph(spark):
     """Round-6 probe (SURVEY §7 lead): connected_components on the
     worst-case topology — one 1,048,576-node PATH (diameter 2^20) plus
@@ -947,6 +1014,7 @@ def winnow_hot_fp(spark):
 
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "winnow_hot_fp": winnow_hot_fp,
+          "kmeans_init_study": kmeans_init_study,
           "binby_grid": binby_grid, "kmeans_large_k": kmeans_large_k,
           "cc_path_graph": cc_path_graph, "winnow_overlap": winnow_overlap,
           "ann_recall": ann_recall, "wide_window": wide_window,
