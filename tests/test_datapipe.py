@@ -68,6 +68,42 @@ def test_cosine_topk_exact(spark):
     assert got == expected
 
 
+def test_cosine_topk_arrow_strategy_matches_expr(spark):
+    """The Arrow map-side top-k (batch BLAS + batch-local composite-
+    order selection) is a physical strategy for the SAME operator:
+    identical output to the HOF/window form — including boundary TIES
+    (integer vectors make every dot product exact, and duplicated rows
+    plant cos-ties at the k boundary that only the (cos desc, id asc)
+    selection order resolves identically).  'auto' dispatches arrow
+    above q×d=256 (plan shows a Python map stage), expr below."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe import similarity
+    rng = np.random.RandomState(7)
+    vecs = rng.randint(-5, 6, size=(120, 6)).astype("float64")
+    vecs[vecs.sum(1) == 0, 0] += 1  # avoid zero vectors
+    vecs[60:] = vecs[:60]  # exact duplicates -> cos ties at the boundary
+    df = vs.from_arrays(spark=spark, vec_id=list(range(120)),
+                        embedding=[list(v) for v in vecs])
+    df = vs.DataFrame(df.spark.repartition(7))  # multi-batch selection
+    queries = [(i, list(vecs[i])) for i in range(8)]
+    a = similarity.brute_force_topk(df, queries, k=5, strategy="expr")
+    b = similarity.brute_force_topk(df, queries, k=5, strategy="arrow")
+    ra = [(r["query_id"], r["rank"], r["neighbor_id"], r["cos"])
+          for r in a.orderBy("query_id", "rank").collect()]
+    rb = [(r["query_id"], r["rank"], r["neighbor_id"], r["cos"])
+          for r in b.orderBy("query_id", "rank").collect()]
+    assert ra == rb
+    # auto dispatch: 8 queries x 6 dims = 48 -> expr (no Python stage);
+    # 50 queries x 6 dims = 300 -> arrow
+    small = similarity.brute_force_topk(df, queries, k=3)
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    big_q = [(i, list(vecs[i])) for i in range(50)]
+    big = similarity.brute_force_topk(df, big_q, k=3)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+
+
 def test_lsh_and_ivf_recall(spark):
     import vaex_spark as vs
     from vaex_spark.datapipe import similarity

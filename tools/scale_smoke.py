@@ -916,6 +916,43 @@ def kmeans_init_study(spark):
           f"saved pays for the {wall_os:.1f}s sample init")
 
 
+def ann_topk_strategies(spark):
+    """Round-7 probe (SURVEY candidate #3 — audit Arrow kernels that
+    materialize n×k intermediates): brute_force_topk at 50k corpus ×
+    256 queries × 64 dims through both physical strategies.  The expr
+    form explodes 12.8M (corpus × query) rows through an interpreted
+    HOF cosine before the ranking window; the arrow form computes each
+    Arrow batch's cosines as ONE BLAS matmul and emits only the
+    batch-local top-k per query (composite-order selection), so the
+    window ranks ≤ q×k×batches rows and the corpus never explodes.
+    Both are exact; outputs must agree except FP-associativity flips
+    at the rounding digit."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe import similarity as S
+    emb = vs.open(f"{SCALE_DIR}/embeddings.parquet", spark=spark)
+    n = emb.spark.count()
+    qrows = (emb.spark.filter(F.col("vec_id") < 256)
+             .select("vec_id", "embedding").collect())
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+               for r in qrows]
+    t0 = time.time()
+    a = S.brute_force_topk(emb, queries, k=10, strategy="expr").collect()
+    wa = time.time() - t0
+    t0 = time.time()
+    b = S.brute_force_topk(emb, queries, k=10, strategy="arrow").collect()
+    wb = time.time() - t0
+    sa = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in a}
+    sb = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in b}
+    assert len(a) == len(b) == 256 * 10, (len(a), len(b))
+    agree = len(sa & sb)
+    assert agree >= 0.99 * len(sa), (len(sa), agree)
+    print(f"ann_topk_strategies: {n} corpus x {len(queries)} queries, "
+          f"k=10 — expr {wa:.1f}s vs arrow {wb:.1f}s "
+          f"({wa / max(wb, 1e-9):.1f}x); {agree}/{len(sa)} "
+          f"(query, rank, neighbor) triples identical (rest are "
+          f"FP-rounding boundary flips)")
+
+
 def cc_path_graph(spark):
     """Round-6 probe (SURVEY §7 lead): connected_components on the
     worst-case topology — one 1,048,576-node PATH (diameter 2^20) plus
@@ -1015,6 +1052,7 @@ def winnow_hot_fp(spark):
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "winnow_hot_fp": winnow_hot_fp,
           "kmeans_init_study": kmeans_init_study,
+          "ann_topk_strategies": ann_topk_strategies,
           "binby_grid": binby_grid, "kmeans_large_k": kmeans_large_k,
           "cc_path_graph": cc_path_graph, "winnow_overlap": winnow_overlap,
           "ann_recall": ann_recall, "wide_window": wide_window,

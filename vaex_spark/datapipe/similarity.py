@@ -57,32 +57,105 @@ def normalize(a: Column) -> Column:
 # --------------------------------------------------------------------------
 # brute force top-k
 # --------------------------------------------------------------------------
+_BRUTE_EXPR_MAX = 256  # q×d coordinates; above -> Arrow map-side top-k
+
+
 def brute_force_topk(corpus, queries, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      query_id_col: str | None = None,
-                     round_to: int = 8) -> SparkDataFrame:
+                     round_to: int = 8, strategy: str = "auto") -> SparkDataFrame:
     """Exact cosine top-k for each query vector.
 
-    ``queries`` may be a (small) DataFrame or a list of (id, vector).
-    The query side is broadcast — the corpus never shuffles; per-query
-    ranking uses a window over (query_id) partitions.
+    ``queries`` may be a (small) DataFrame or a list of (id, vector) —
+    broadcast-small by contract; the corpus never shuffles raw vectors.
+
+    Two physical strategies (``strategy='auto'`` picks by q×d, the
+    same crossover shape as KMeans._LITERAL_ASSIGN_MAX):
+
+    * ``'expr'`` (q×d <= 256) — codegen HOF cosine against the
+      broadcast query side, per-query ranking via a window;
+      rank <= k is pushed map-side as WindowGroupLimit, so the
+      exchange carries ~k×tasks rows per query.  Interpreted HOF cost
+      grows with q×d per corpus row — fine for a handful of queries.
+    * ``'arrow'`` — ONE mapInPandas pass: per Arrow batch the cosines
+      are a BLAS matmul X @ Qᵀ (the k×d query matrix ships in the
+      closure) and only each batch's top-k per query is emitted —
+      selected under the SAME (cos desc, neighbor_id asc) order as the
+      final ranking, so the union of batch winners provably contains
+      the global top-k even through boundary ties.  The corpus never
+      explodes into q×n rows at all; the final window ranks ≤ q×k rows
+      per batch.  NaN cosines (zero vectors) are kept greatest during
+      batch selection, matching Spark's descending NaN order.  The two
+      strategies agree exactly up to FP associativity at the
+      ``round_to`` digit (BLAS vs fold-ordered dot products).
     """
     spark = _sdf(corpus).sparkSession
     corpus_sdf = _sdf(corpus)
     query_id_col = query_id_col or id_col
+    if strategy not in ("auto", "expr", "arrow"):
+        raise ValueError(f"strategy={strategy!r}")
     if isinstance(queries, (list, tuple)):
+        qrows = [(int(i), [float(x) for x in v]) for i, v in queries]
         qdf = spark.createDataFrame(
-            [(int(i), [float(x) for x in v]) for i, v in queries],
-            f"{query_id_col} bigint, {vec_col} array<double>")
+            qrows, f"{query_id_col} bigint, {vec_col} array<double>")
+        qid_dt = "bigint"
     else:
         qdf = _sdf(queries)
-    q = F.broadcast(qdf.select(F.col(query_id_col).alias("query_id"),
-                               F.col(vec_col).alias("__qvec")))
-    scored = (corpus_sdf.select(F.col(id_col), F.col(vec_col))
-              .crossJoin(q)
-              .select("query_id", F.col(id_col).alias("neighbor_id"),
-                      F.round(cosine(F.col("__qvec"), F.col(vec_col)), round_to).alias("cos")))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+        qrows = None
+        qid_dt = dict(qdf.dtypes)[query_id_col]
+    if strategy == "auto" or strategy == "arrow":
+        if qrows is None:  # query side is small by contract; one tiny job
+            qrows = [(r[0], [float(x) for x in r[1]]) for r in
+                     qdf.select(query_id_col, vec_col).collect()]
+        d = len(qrows[0][1]) if qrows else 0
+        if strategy == "auto":
+            strategy = "arrow" if len(qrows) * d > _BRUTE_EXPR_MAX else "expr"
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    if strategy == "expr":
+        q = F.broadcast(qdf.select(F.col(query_id_col).alias("query_id"),
+                                   F.col(vec_col).alias("__qvec")))
+        scored = (corpus_sdf.select(F.col(id_col), F.col(vec_col))
+                  .crossJoin(q)
+                  .select("query_id", F.col(id_col).alias("neighbor_id"),
+                          F.round(cosine(F.col("__qvec"), F.col(vec_col)),
+                                  round_to).alias("cos")))
+    else:
+        import pandas as pd
+        Q = np.asarray([v for _, v in qrows], dtype=np.float64)
+        qids = np.asarray([i for i, _ in qrows])
+        qn = np.sqrt((Q * Q).sum(1))
+        id_dt = dict(corpus_sdf.dtypes)[id_col]
+        kk = int(k)
+        rnd = int(round_to)
+
+        def _topk(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf[vec_col]])
+                xn = np.sqrt((X * X).sum(1))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.round((X @ Q.T) / (xn[:, None] * qn[None, :]), rnd)
+                sel = np.nan_to_num(cos, nan=np.inf, posinf=np.inf)
+                nb = pdf[id_col].to_numpy()
+                take = min(kk, len(X))
+                oq, on, oc = [], [], []
+                for j in range(len(qids)):
+                    # exact composite order (-cos, neighbor_id): the
+                    # batch-local selection must break boundary ties the
+                    # same way the global window does, or a tied lower-id
+                    # neighbor could be dropped before ranking
+                    idx = np.lexsort((nb, -sel[:, j]))[:take]
+                    oq += [qids[j]] * take
+                    on += list(nb[idx])
+                    oc += list(cos[idx, j])
+                yield pd.DataFrame({"query_id": oq, "neighbor_id": on,
+                                    "cos": oc})
+
+        scored = corpus_sdf.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            _topk, schema=f"query_id {qid_dt}, neighbor_id {id_dt}, cos double")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos", "rank"))
