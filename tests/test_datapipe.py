@@ -1493,6 +1493,57 @@ def test_curate_stream_fuzzy_cross_batch(spark, tmp_path):
     assert ids == list(range(12)) + list(range(206, 210)), ids
 
 
+def test_banded_long_bit_identical_to_column_form(spark):
+    """_banded_long (explode + codegen min-aggregates) must produce the
+    EXACT (id, band, bucket) rows of the Column signature form
+    (posexplode(minhash_bands_col(minhash_signature(text)))) on real
+    documents — the fast path is a physical rewrite of the same hash
+    family, and persisted LSH indexes built by either must
+    interoperate.  Covers short docs (n < k) via planted rows."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import (_banded_long, minhash_bands_col,
+                                           minhash_signature)
+    docs = vs.open("/root/testdata/sf0.001/documents.parquet", spark=spark)
+    extra = vs.from_arrays(doc_id=[9001, 9002, 9003],
+                           text=["tiny", "two words", ""], spark=spark)
+    sdf = docs.spark.select("doc_id", "text").unionByName(extra.spark)
+    num_perm, num_bands, k = 64, 16, 5
+    sig = minhash_signature(F.col("text"), num_perm=num_perm, shingle_k=k)
+    bands = minhash_bands_col(sig, num_bands, num_perm // num_bands)
+    old = sorted((r["doc_id"], r["band"], r["bucket"]) for r in
+                 sdf.select("doc_id", F.posexplode(bands).alias("band", "bucket"))
+                 .collect())
+    new = sorted((r["doc_id"], r["band"], r["bucket"]) for r in
+                 _banded_long(sdf, "doc_id", "text", num_perm, num_bands, k)
+                 .collect())
+    assert old == new
+    assert len(new) == sdf.count() * num_bands
+
+
+def test_banded_auto_dispatch(spark):
+    """_banded_auto is stats-gated: a corpus Catalyst places in ONE
+    advisory partition takes the zero-exchange Column form (no
+    HashAggregate over __s0 buffers in the plan); forcing a tiny
+    advisory makes the same corpus multi-partition and flips to the
+    explode + codegen min-aggregate form.  Values are identical either
+    way (the bit-identity test above)."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.dedup import _banded_auto
+    docs = vs.open("/root/testdata/sf0.001/documents.parquet", spark=spark)
+    sdf = docs.spark.select("doc_id", "text")
+    small = _banded_auto(sdf, "doc_id", "text", 64, 16, 5)
+    assert "__s0" not in small._jdf.queryExecution().optimizedPlan().toString()
+    try:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        big = _banded_auto(sdf, "doc_id", "text", 64, 16, 5)
+        assert "__s0" in big._jdf.queryExecution().optimizedPlan().toString()
+        assert (sorted(map(tuple, small.collect()))
+                == sorted(map(tuple, big.collect())))
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "64MB")
+
+
 def test_winnow_fingerprints_matches_bruteforce(spark):
     """winnow_fingerprints == per-window-min brute force computed from
     Spark's own k-gram hashes (positions exploded driver-side), on real

