@@ -104,6 +104,39 @@ def test_cosine_topk_arrow_strategy_matches_expr(spark):
     assert "MapInPandas" in plan, plan
 
 
+def test_bucket_long_matches_column_form(spark):
+    """_bucket_long (one Arrow BLAS matmul per batch, long format
+    emitted directly) must produce the exact (id, table, bucket) rows
+    of the Column hyperplane_bucket form on real embeddings, and
+    _bucket_auto dispatches by Catalyst stats (Column form for a
+    one-advisory-partition frame; Arrow beyond — forced via a tiny
+    advisory)."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.similarity import (_bucket_auto, _bucket_long,
+                                                _hyperplanes,
+                                                hyperplane_bucket)
+    emb = vs.open("/root/testdata/sf0.001/embeddings.parquet", spark=spark)
+    sdf = emb.spark.select("vec_id", "embedding")
+    dim, bits, nt, seed = 64, 6, 8, 42
+    buckets = F.array(*[hyperplane_bucket(F.col("embedding"),
+                                          _hyperplanes(dim, bits, seed + t))
+                        for t in range(nt)])
+    old = sorted(map(tuple, sdf.select(
+        "vec_id", F.posexplode(buckets).alias("table", "bucket")).collect()))
+    new = sorted(map(tuple, _bucket_long(
+        sdf, "vec_id", "embedding", dim, bits, nt, seed).collect()))
+    assert old == new and len(new) == sdf.count() * nt
+    small = _bucket_auto(sdf, "vec_id", "embedding", dim, bits, nt, seed)
+    assert "MapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+    try:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        big = _bucket_auto(sdf, "vec_id", "embedding", dim, bits, nt, seed)
+        assert "MapInPandas" in big._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "64MB")
+
+
 def test_lsh_and_ivf_recall(spark):
     import vaex_spark as vs
     from vaex_spark.datapipe import similarity
