@@ -194,7 +194,8 @@ def hyperplane_bucket(vec: Column, planes: np.ndarray) -> Column:
     return out
 
 
-def _bucket_long(sdf, id_col, vec_col, dim, bits, n_tables, seed):
+def _bucket_long(sdf, id_col, vec_col, dim, bits, n_tables, seed,
+                 carry_vec=False):
     """(id, table, bucket) hyperplane-LSH relation via ONE Arrow map
     stage: all n_tables × bits projections are a single BLAS matmul
     X @ Pᵀ per batch (P = the stacked hyperplane matrix, closure-
@@ -211,6 +212,7 @@ def _bucket_long(sdf, id_col, vec_col, dim, bits, n_tables, seed):
     P = np.vstack([_hyperplanes(dim, bits, seed + t) for t in range(n_tables)])
     nt, nb = int(n_tables), int(bits)
     id_dt = dict(sdf.dtypes)[id_col]
+    vec_dt = dict(sdf.dtypes)[vec_col]
 
     def _b(batches):
         weights = (1 << np.arange(nb)).astype(np.int64)
@@ -221,29 +223,40 @@ def _bucket_long(sdf, id_col, vec_col, dim, bits, n_tables, seed):
                           for v in pdf[vec_col]])
             S = (X @ P.T) > 0
             n = len(X)
-            yield pd.DataFrame({
+            cols = {
                 "__id": np.repeat(pdf[id_col].to_numpy(), nt),
                 "table": np.tile(np.arange(nt), n).astype("int32"),
                 "bucket": (S.reshape(n, nt, nb)
-                           * weights[None, None, :]).sum(2).reshape(-1)})
+                           * weights[None, None, :]).sum(2).reshape(-1)}
+            if carry_vec:  # payload rides along (consumers that score
+                cols["__vec"] = np.repeat(pdf[vec_col].to_numpy(), nt)
+            yield pd.DataFrame(cols)
 
-    out = sdf.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        _b, schema=f"__id {id_dt}, table int, bucket long")
-    return out.withColumnRenamed("__id", id_col)
+    schema = f"__id {id_dt}, table int, bucket long"
+    if carry_vec:
+        schema += f", __vec {vec_dt}"
+    out = sdf.select(F.col(id_col), F.col(vec_col)).mapInPandas(_b, schema=schema)
+    out = out.withColumnRenamed("__id", id_col)
+    return out.withColumnRenamed("__vec", vec_col) if carry_vec else out
 
 
-def _bucket_auto(sdf, id_col, vec_col, dim, bits, n_tables, seed):
+def _bucket_auto(sdf, id_col, vec_col, dim, bits, n_tables, seed,
+                 carry_vec=False):
     """Stats gate (same rule as dedup._banded_auto): one advisory
     partition keeps the zero-overhead Column form; larger frames take
-    the Arrow BLAS form."""
+    the Arrow BLAS form.  ``carry_vec`` keeps the vector column in the
+    output (for consumers that score candidates in place, lsh_topk)."""
     from ..operators.window import _range_partition_count
     if (_range_partition_count(sdf) or 2) <= 1:
         buckets = F.array(*[hyperplane_bucket(F.col(vec_col),
                                               _hyperplanes(dim, bits, seed + t))
                             for t in range(n_tables)])
-        return sdf.select(F.col(id_col),
+        keep = ([F.col(id_col), F.col(vec_col)] if carry_vec
+                else [F.col(id_col)])
+        return sdf.select(*keep,
                           F.posexplode(buckets).alias("table", "bucket"))
-    return _bucket_long(sdf, id_col, vec_col, dim, bits, n_tables, seed)
+    return _bucket_long(sdf, id_col, vec_col, dim, bits, n_tables, seed,
+                        carry_vec=carry_vec)
 
 
 def lsh_topk(corpus, queries, k: int = 10, bits: int = 8, n_tables: int = 2,
@@ -268,11 +281,15 @@ def lsh_topk(corpus, queries, k: int = 10, bits: int = 8, n_tables: int = 2,
         qdf = _sdf(queries)
 
     def bucketize(sdf, label):
-        buckets = F.array(*[hyperplane_bucket(F.col(vec_col), _hyperplanes(dim, bits, seed + t))
-                            for t in range(n_tables)])
-        return sdf.select(F.col(id_col).alias(f"{label}_id"),
-                          F.col(vec_col).alias(f"__{label}_vec"),
-                          F.posexplode(buckets).alias("table", f"{label}_bucket"))
+        # corpus side: stats-gated Arrow BLAS projections (carry_vec so
+        # candidates score in place); the broadcast query side is tiny
+        # either way and the gate picks the Column form for it
+        tagged = _bucket_auto(sdf, id_col, vec_col, dim, bits, n_tables,
+                              seed, carry_vec=True)
+        return tagged.select(F.col(id_col).alias(f"{label}_id"),
+                             F.col(vec_col).alias(f"__{label}_vec"),
+                             F.col("table"),
+                             F.col("bucket").alias(f"{label}_bucket"))
 
     c = bucketize(corpus_sdf, "c")
     q = F.broadcast(bucketize(qdf, "q"))
