@@ -123,6 +123,13 @@ HEADLINE_JOB_CEILING = {
     # for the max_df cap's fp-partitioned count window
     "q96_winnow_overlap": 9,
     "q97_winnow_overlap_hash": 9,  # same shape, hash fingerprints
+    # ANN family (round-7 Arrow strategies must not add scans/jobs):
+    # q33 = query collect + ranking (expr path at q×d<=256); q34 = dim
+    # probe + bucket join; q44 = dim probe + persisted bucket relation
+    # + verify joins
+    "q33_topk_ann": 4,
+    "q34_lsh_topk": 5,
+    "q44_embedding_near_dups": 7,
 }
 
 
