@@ -100,6 +100,13 @@ CASES = {
         "persisted and BOTH self-join sides read the cache — one "
         "explode+window fingerprint pass over the corpus, not two.",
         [r"InMemoryTableScan"]),
+    "q44_embedding_near_dups": (
+        "Embedding near-dups: the narrow (id, table, bucket) hyperplane "
+        "relation is persisted so both self-join sides share one "
+        "projection pass; candidates join on bucket keys — never a "
+        "cartesian / nested-loop pair product.",
+        [r"InMemoryTableScan", r"!CartesianProduct",
+         r"!BroadcastNestedLoop"]),
 }
 
 
