@@ -104,6 +104,36 @@ def test_cosine_topk_arrow_strategy_matches_expr(spark):
     assert "MapInPandas" in plan, plan
 
 
+def test_ivf_topk_arrow_matches_expr(spark):
+    """ivf_topk's arrow scoring (per-cell BLAS matmul, batch-local
+    top-k under the final composite order, driver-side probe selection
+    with the Column form's (distance, cell-id) tie order) must equal
+    the expr form exactly on integer vectors (dot products exact), and
+    'auto' dispatches by q×d."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe import similarity
+    rng = np.random.RandomState(3)
+    vecs = rng.randint(-4, 5, size=(200, 8)).astype("float64")
+    vecs[vecs.sum(1) == 0, 0] += 1
+    df = vs.from_arrays(spark=spark, vec_id=list(range(200)),
+                        embedding=[list(v) for v in vecs])
+    df = vs.DataFrame(df.spark.repartition(5))
+    queries = [(i, list(vecs[i])) for i in range(6)]
+    a = similarity.ivf_topk(df, queries, k=5, n_cells=8, n_probe=8,
+                            strategy="expr")
+    b = similarity.ivf_topk(df, queries, k=5, n_cells=8, n_probe=8,
+                            strategy="arrow")
+    ra = [(r["query_id"], r["rank"], r["neighbor_id"], r["cos"])
+          for r in a.orderBy("query_id", "rank").collect()]
+    rb = [(r["query_id"], r["rank"], r["neighbor_id"], r["cos"])
+          for r in b.orderBy("query_id", "rank").collect()]
+    assert ra == rb and len(ra) == 30
+    big_q = [(i, list(vecs[i])) for i in range(40)]  # 40*8=320 > 256
+    plan = similarity.ivf_topk(df, big_q, k=3)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+
+
 def test_bucket_long_matches_column_form(spark):
     """_bucket_long (one Arrow BLAS matmul per batch, long format
     emitted directly) must produce the exact (id, table, bucket) rows

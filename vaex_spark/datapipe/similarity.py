@@ -409,34 +409,118 @@ def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
 
 
 def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
-             vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 42) -> SparkDataFrame:
+             vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 42,
+             strategy: str = "auto") -> SparkDataFrame:
     """IVF search: corpus partitioned by nearest centroid; each query
-    scores only its n_probe nearest cells."""
+    scores only its n_probe nearest cells.
+
+    Scoring strategies (same auto crossover as brute_force_topk):
+
+    * ``'expr'`` (q×d <= 256) — probe cells as Column expressions, the
+      (cell-matched corpus × query) join scored by the HOF cosine.
+    * ``'arrow'`` — probe cells chosen driver-side (queries are
+      broadcast-small by contract; identical (distance, cell-id)
+      tie order), then ONE mapInPandas pass over the assigned corpus:
+      per batch and per cell present, the scores are a single
+      X_cell @ Q_probing^T BLAS matmul and only the batch-local top-k
+      per query is emitted under the final (cos desc, id asc)
+      composite order — candidates never explode into (row × query)
+      join rows, and the ranking window sees ≤ q×k×batches rows.
+    """
+    import pandas as pd
     spark = _sdf(corpus).sparkSession
     corpus_sdf = _sdf(corpus)
+    if strategy not in ("auto", "expr", "arrow"):
+        raise ValueError(f"strategy={strategy!r}")
     cent = train_centroids(corpus, n_cells=n_cells, vec_col=vec_col, seed=seed)
     assigned = corpus_sdf.withColumn("__cell", ivf_assign(F.col(vec_col), cent))
     if isinstance(queries, (list, tuple)):
         qrows = [(int(i), [float(x) for x in v]) for i, v in queries]
         qdf = spark.createDataFrame(qrows, f"{id_col} bigint, {vec_col} array<double>")
+        qid_dt = "bigint"
     else:
         qdf = _sdf(queries)
-    # per-query probe cells, computed distributed (no driver loop):
-    # sort (distance, cell) structs, take the first n_probe cell ids
-    dists = F.array(*[
-        F.aggregate(F.zip_with(F.col(vec_col), F.lit([float(x) for x in c]),
-                               lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc)),
-                    F.lit(0.0), lambda acc, v: acc + v)
-        for c in cent])
-    zipped = F.arrays_zip(dists.alias("d"), F.sequence(F.lit(0), F.lit(len(cent) - 1)).alias("i"))
-    probe_cells = F.slice(F.transform(F.array_sort(zipped), lambda s: s.getField("i")), 1, n_probe)
-    q = F.broadcast(qdf.select(F.col(id_col).alias("query_id"),
-                               F.col(vec_col).alias("__qvec"),
-                               F.explode(probe_cells).alias("__cell")))
-    scored = (assigned.join(q, on="__cell")
-              .select("query_id", F.col(id_col).alias("neighbor_id"),
-                      F.round(cosine(F.col("__qvec"), F.col(vec_col)), 8).alias("cos")))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+        qrows = None
+        qid_dt = dict(qdf.dtypes)[id_col]
+    if strategy in ("auto", "arrow"):
+        if qrows is None:
+            qrows = [(r[0], [float(x) for x in r[1]]) for r in
+                     qdf.select(id_col, vec_col).collect()]
+        d = len(qrows[0][1]) if qrows else 0
+        if strategy == "auto":
+            strategy = "arrow" if len(qrows) * d > _BRUTE_EXPR_MAX else "expr"
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    if strategy == "expr":
+        # per-query probe cells, computed distributed (no driver loop):
+        # sort (distance, cell) structs, take the first n_probe cell ids
+        dists = F.array(*[
+            F.aggregate(F.zip_with(F.col(vec_col), F.lit([float(x) for x in c]),
+                                   lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc)),
+                        F.lit(0.0), lambda acc, v: acc + v)
+            for c in cent])
+        zipped = F.arrays_zip(dists.alias("d"), F.sequence(F.lit(0), F.lit(len(cent) - 1)).alias("i"))
+        probe_cells = F.slice(F.transform(F.array_sort(zipped), lambda s: s.getField("i")), 1, n_probe)
+        q = F.broadcast(qdf.select(F.col(id_col).alias("query_id"),
+                                   F.col(vec_col).alias("__qvec"),
+                                   F.explode(probe_cells).alias("__cell")))
+        scored = (assigned.join(q, on="__cell")
+                  .select("query_id", F.col(id_col).alias("neighbor_id"),
+                          F.round(cosine(F.col("__qvec"), F.col(vec_col)), 8).alias("cos")))
+    else:
+        Q = np.asarray([v for _, v in qrows], dtype=np.float64)
+        qids = np.asarray([i for i, _ in qrows])
+        # driver-side probe selection, same (distance, cell-id) tie
+        # order as the Column form's struct array_sort
+        C = np.asarray(cent, dtype=np.float64)
+        d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(2)
+        cell2q = {}
+        for qi in range(len(Q)):
+            order = np.lexsort((np.arange(len(C)), d2[qi]))[:n_probe]
+            for c in order:
+                cell2q.setdefault(int(c), []).append(qi)
+        cell2q = {c: np.asarray(v) for c, v in cell2q.items()}
+        qn = np.sqrt((Q * Q).sum(1))
+        id_dt = dict(corpus_sdf.dtypes)[id_col]
+        kk = int(k)
+
+        def _t(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf[vec_col]])
+                xn = np.sqrt((X * X).sum(1))
+                nb = pdf[id_col].to_numpy()
+                cells = pdf["__cell"].to_numpy()
+                acc_i, acc_c = {}, {}
+                for c in np.unique(cells):
+                    qs = cell2q.get(int(c))
+                    if qs is None:
+                        continue
+                    m = cells == c
+                    Xc, xc, nc = X[m], xn[m], nb[m]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = np.round((Xc @ Q[qs].T)
+                                       / (xc[:, None] * qn[qs][None, :]), 8)
+                    for j, qi in enumerate(qs):
+                        acc_i.setdefault(qi, []).append(nc)
+                        acc_c.setdefault(qi, []).append(cos[:, j])
+                oq, on, oc = [], [], []
+                for qi, chunks in acc_i.items():
+                    ids_all = np.concatenate(chunks)
+                    cos_all = np.concatenate(acc_c[qi])
+                    sel = np.nan_to_num(cos_all, nan=np.inf, posinf=np.inf)
+                    idx = np.lexsort((ids_all, -sel))[:kk]
+                    oq += [qids[qi]] * len(idx)
+                    on += list(ids_all[idx])
+                    oc += list(cos_all[idx])
+                yield pd.DataFrame({"query_id": oq, "neighbor_id": on,
+                                    "cos": oc})
+
+        scored = assigned.select(F.col(id_col), F.col(vec_col),
+                                 F.col("__cell")).mapInPandas(
+            _t, schema=f"query_id {qid_dt}, neighbor_id {id_dt}, cos double")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos", "rank"))
