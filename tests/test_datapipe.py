@@ -134,6 +134,60 @@ def test_ivf_topk_arrow_matches_expr(spark):
     assert "MapInPandas" in plan, plan
 
 
+def test_topk_query_dispatch_edge_cases(spark):
+    """ADVICE r7: (a) empty query set under explicit strategy='arrow'
+    returns an empty frame (expr fallback) instead of a numpy axis
+    error, for both brute_force_topk and ivf_topk; (b) the 'auto'
+    decision on a DataFrame query side probes q×d with a bounded
+    limit().count(), never a full collect — checked by dispatching on
+    a query frame Spark can't know is large (range-generated) and
+    asserting the chosen plan, both sides of the threshold."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe import similarity
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 8).astype("float64")
+    df = vs.from_arrays(spark=spark, vec_id=list(range(60)),
+                        embedding=[list(v) for v in vecs])
+    for fn, kw in ((similarity.brute_force_topk, {}),
+                   (similarity.ivf_topk, {"n_cells": 4, "n_probe": 2})):
+        out = fn(df, [], k=3, strategy="arrow", **kw)
+        assert out.count() == 0
+        assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
+    # DataFrame query side: auto must pick expr at q*d=6*8=48 <= 256
+    # and arrow at 40*8=320 > 256, deciding from the bounded probe
+    qsmall = df.spark.limit(6).select("vec_id", "embedding")
+    qbig = df.spark.limit(40).select("vec_id", "embedding")
+    p1 = (similarity.brute_force_topk(df, qsmall, k=3)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" not in p1, p1
+    p2 = (similarity.brute_force_topk(df, qbig, k=3)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" in p2, p2
+    p3 = (similarity.ivf_topk(df, qsmall, k=3, n_cells=4, n_probe=2)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" not in p3, p3
+    p4 = (similarity.ivf_topk(df, qbig, k=3, n_cells=4, n_probe=2)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" in p4, p4
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """The Arrow kernels' _round_half_up agrees with F.round (BigDecimal
+    HALF_UP) on exact decimal midpoints where np.round (half-to-even)
+    does not, and on ordinary values, signs, and specials."""
+    from vaex_spark.datapipe.similarity import _round_half_up
+    vals = [0.125, -0.125, 0.375, -0.375, 0.005, 2.675, -2.675,
+            1.0, -1.0, 0.123456, -0.654321, 0.0]
+    for r in (2, 6):
+        sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+        want = [row[0] for row in
+                sdf.select(F.round("x", r)).collect()]
+        got = list(_round_half_up(np.array(vals), r))
+        assert got == want, (r, list(zip(vals, got, want)))
+    out = _round_half_up(np.array([np.nan, np.inf, -np.inf]), 6)
+    assert np.isnan(out[0]) and out[1] == np.inf and out[2] == -np.inf
+
+
 def test_bucket_long_matches_column_form(spark):
     """_bucket_long (one Arrow BLAS matmul per batch, long format
     emitted directly) must produce the exact (id, table, bucket) rows
@@ -1657,17 +1711,85 @@ def test_winnow_shared_substring_guarantee(spark):
 
 
 def test_winnow_overlap_pairs_single_fingerprint_pass(spark):
-    """winnow_overlap_pairs persists the narrow (id, fp) relation: both
-    self-join sides read the cache (InMemoryTableScan), instead of the
-    naive self-join's TWO full explode+window corpus passes."""
+    """The fingerprint pass over the corpus text runs exactly ONCE in
+    both overlap forms.  Capped (default): the grouped pair generator
+    is structurally single-pass — one FileScan of the corpus, no
+    persist, no self-join.  Uncapped (max_df=None): the fp self-join
+    would recompute the pass on each side, so the narrow (id, fp)
+    relation is persisted and both sides read the cache
+    (InMemoryTableScan)."""
     import vaex_spark as vs
     from vaex_spark.datapipe.text import winnow_overlap_pairs
     docs = vs.open("/root/testdata/sf0.001/documents.parquet", spark=spark)
     out = winnow_overlap_pairs(docs, min_shared=1).spark
-    out.count()
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert plan.count("FileScan") == 1, plan
+    assert "InMemoryTableScan" not in plan, plan
+    assert "Join" not in plan, plan
+    uncapped = winnow_overlap_pairs(docs, min_shared=1, max_df=None).spark
+    uncapped.count()
+    plan2 = uncapped._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("InMemoryTableScan") >= 2, plan2
     vs.cache.release_operator_caches()
+
+
+def test_winnow_expr_strategy_matches_window(spark):
+    """The zero-exchange expression selection (_winnow_fps_expr) is
+    bit-identical to the declarative window form for BOTH fp types —
+    including with the source repartitioned (multi-partition scan) and
+    at a non-default (k, window) so the slice arithmetic is exercised
+    off the defaults.  Also covers the edge docs the fixture carries:
+    n < k (single whole-text gram) and n < window (truncated trailing
+    frames only)."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import winnow_fingerprints
+    docs = vs.open("/root/testdata/sf0.001/documents.parquet", spark=spark)
+    sdf = docs.spark.repartition(5)
+    edge = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d e"), (3, ""), (4, "x x x x x x x")],
+        "doc_id bigint, text string")
+    for frame, k, w in ((sdf, 5, 4), (sdf, 3, 7), (edge, 5, 4),
+                        (edge, 2, 3)):
+        for fp_type in ("hash", "gram"):
+            win = {tuple(r) for r in winnow_fingerprints(
+                frame, k=k, window=w, fp_type=fp_type,
+                strategy="window").collect()}
+            ex = {tuple(r) for r in winnow_fingerprints(
+                frame, k=k, window=w, fp_type=fp_type,
+                strategy="expr").collect()}
+            assert win == ex, (fp_type, k, w)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(sdf, strategy="nope")
+
+
+def test_winnow_expr_zero_exchange_plan(spark):
+    """The expr selection never key-exchanges, sorts, or leaves the
+    JVM — scan -> project (the whole selection is one Column) ->
+    Generate explode (the declarative twin pays Exchange(doc)+Sort for
+    the window and a hash Exchange for the distinct).  The only
+    Exchange permitted is the stats-gated round-robin spread of the
+    RAW text rows (1-file scan at sf0.001 < 32 cores — 1/expansion of
+    what the window form shuffles)."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import winnow_fingerprints
+    docs = vs.open("/root/testdata/sf0.001/documents.parquet", spark=spark)
+    plan = (winnow_fingerprints(docs.spark, strategy="expr")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Generate explode" in plan, plan
+    for bad in ("hashpartitioning", "Sort", "Window", "MapInPandas",
+                "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, (bad, plan)
+    assert plan.count("Exchange") <= 1, plan  # the parallelism spread
+    # the spread never STACKS on an upstream repartition — Catalyst
+    # collapses adjacent round-robins, so the plan keeps exactly one
+    # Exchange (and still no key exchange / sort) even when the caller
+    # already spread the corpus themselves
+    wide = winnow_fingerprints(
+        docs.spark.repartition(64), strategy="expr")
+    plan2 = wide._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Exchange") == 1, plan2
+    assert "RoundRobinPartitioning" in plan2, plan2
+    assert "hashpartitioning" not in plan2 and "Sort" not in plan2, plan2
 
 
 def test_winnow_max_df_caps_boilerplate(spark):

@@ -121,8 +121,8 @@ HEADLINE_JOB_CEILING = {
     "q95_kmeans_assign": 5,
     # +1 persist materialization (single fingerprint pass), +1 AQE stage
     # for the max_df cap's fp-partitioned count window
-    "q96_winnow_overlap": 9,
-    "q97_winnow_overlap_hash": 9,  # same shape, hash fingerprints
+    "q96_winnow_overlap": 7,  # grouped pair-gen: scan+2 exchanges (r8)
+    "q97_winnow_overlap_hash": 7,  # same shape, hash fingerprints
     # ANN family (round-7 Arrow strategies must not add scans/jobs):
     # q33 = query collect + ranking (expr path at q×d<=256); q34 = dim
     # probe + bucket join; q44 = dim probe + persisted bucket relation

@@ -60,6 +60,41 @@ def normalize(a: Column) -> Column:
 _BRUTE_EXPR_MAX = 256  # q×d coordinates; above -> Arrow map-side top-k
 
 
+def _round_half_up(a, r: int):
+    """Spark ``F.round`` semantics (BigDecimal ROUND_HALF_UP — away
+    from zero at decimal midpoints) for the Arrow kernels.  np.round is
+    half-to-EVEN, which disagrees with the expr strategies at exactly-
+    representable midpoints (0.125 at r=2 -> 0.13 here and in Spark,
+    0.12 under np.round) — measure-zero on real cosines, but the
+    cross-strategy equality tests assert exact tuples."""
+    s = 10.0 ** int(r)
+    return np.copysign(np.floor(np.abs(a) * s + 0.5), a) / s
+
+
+def _collect_qrows(qdf, id_col, vec_col):
+    return [(r[0], [float(x) for x in r[1]]) for r in
+            qdf.select(id_col, vec_col).collect()]
+
+
+def _auto_wants_arrow(qdf, id_col, vec_col, qrows) -> bool:
+    """q×d > _BRUTE_EXPR_MAX, probed CHEAPLY for DataFrame queries:
+    one head row for the dimension, then a bounded limit().count() for
+    whether q crosses the threshold — never a full collect just to
+    dispatch (a contract-violating large query frame must not become a
+    driver OOM inside the 'auto' decision; it is only collected once
+    'arrow' is actually chosen)."""
+    if qrows is not None:
+        d = len(qrows[0][1]) if qrows else 0
+        return len(qrows) * d > _BRUTE_EXPR_MAX
+    head = qdf.select(vec_col).head(1)
+    if not head or head[0][0] is None:
+        return False
+    d = max(len(head[0][0]), 1)
+    need = _BRUTE_EXPR_MAX // d + 1
+    q = qdf.select(id_col).limit(need + 1).count()
+    return q * d > _BRUTE_EXPR_MAX
+
+
 def brute_force_topk(corpus, queries, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      query_id_col: str | None = None,
@@ -103,13 +138,14 @@ def brute_force_topk(corpus, queries, k: int = 10,
         qdf = _sdf(queries)
         qrows = None
         qid_dt = dict(qdf.dtypes)[query_id_col]
-    if strategy == "auto" or strategy == "arrow":
+    if strategy == "auto":
+        strategy = ("arrow" if _auto_wants_arrow(qdf, query_id_col, vec_col,
+                                                 qrows) else "expr")
+    if strategy == "arrow":
         if qrows is None:  # query side is small by contract; one tiny job
-            qrows = [(r[0], [float(x) for x in r[1]]) for r in
-                     qdf.select(query_id_col, vec_col).collect()]
-        d = len(qrows[0][1]) if qrows else 0
-        if strategy == "auto":
-            strategy = "arrow" if len(qrows) * d > _BRUTE_EXPR_MAX else "expr"
+            qrows = _collect_qrows(qdf, query_id_col, vec_col)
+        if not qrows:  # empty query set: expr returns it as an empty
+            strategy = "expr"  # frame instead of a numpy axis error
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
                                                F.col("neighbor_id").asc())
     if strategy == "expr":
@@ -137,7 +173,7 @@ def brute_force_topk(corpus, queries, k: int = 10,
                               for v in pdf[vec_col]])
                 xn = np.sqrt((X * X).sum(1))
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = np.round((X @ Q.T) / (xn[:, None] * qn[None, :]), rnd)
+                    cos = _round_half_up((X @ Q.T) / (xn[:, None] * qn[None, :]), rnd)
                 sel = np.nan_to_num(cos, nan=np.inf, posinf=np.inf)
                 nb = pdf[id_col].to_numpy()
                 take = min(kk, len(X))
@@ -442,13 +478,14 @@ def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
         qdf = _sdf(queries)
         qrows = None
         qid_dt = dict(qdf.dtypes)[id_col]
-    if strategy in ("auto", "arrow"):
+    if strategy == "auto":
+        strategy = ("arrow" if _auto_wants_arrow(qdf, id_col, vec_col, qrows)
+                    else "expr")
+    if strategy == "arrow":
         if qrows is None:
-            qrows = [(r[0], [float(x) for x in r[1]]) for r in
-                     qdf.select(id_col, vec_col).collect()]
-        d = len(qrows[0][1]) if qrows else 0
-        if strategy == "auto":
-            strategy = "arrow" if len(qrows) * d > _BRUTE_EXPR_MAX else "expr"
+            qrows = _collect_qrows(qdf, id_col, vec_col)
+        if not qrows:  # empty query set: expr returns it as an empty
+            strategy = "expr"  # frame instead of a numpy axis error
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
                                                F.col("neighbor_id").asc())
     if strategy == "expr":
@@ -501,8 +538,8 @@ def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
                     m = cells == c
                     Xc, xc, nc = X[m], xn[m], nb[m]
                     with np.errstate(divide="ignore", invalid="ignore"):
-                        cos = np.round((Xc @ Q[qs].T)
-                                       / (xc[:, None] * qn[qs][None, :]), 8)
+                        cos = _round_half_up((Xc @ Q[qs].T)
+                                             / (xc[:, None] * qn[qs][None, :]), 8)
                     for j, qi in enumerate(qs):
                         acc_i.setdefault(qi, []).append(nc)
                         acc_c.setdefault(qi, []).append(cos[:, j])
@@ -623,7 +660,7 @@ def semantic_dedup(corpus, n_clusters: int = 8, threshold: float = 0.95,
                 bidx = np.zeros(n_r, dtype=np.int64)
                 rows_ix = np.arange(n_r)
                 for j in range(0, len(Cu0), 512):
-                    cos = np.round(Xn @ Cu0[j:j + 512].T, rnd0)
+                    cos = _round_half_up(Xn @ Cu0[j:j + 512].T, rnd0)
                     a = cos.argmax(axis=1)
                     v = cos[rows_ix, a]
                     upd = v > best
@@ -682,7 +719,7 @@ def semantic_dedup(corpus, n_clusters: int = 8, threshold: float = 0.95,
         for s in range(0, n_rows, B):
             e = min(s + B, n_rows)
             Sb = X @ X[s:e].T                     # (n_rows, e-s)
-            np.round(Sb, rnd, out=Sb)
+            Sb = _round_half_up(Sb, rnd)
             M = Sb >= thr
             # strict upper triangle: row index (candidate dup_of) must
             # precede the column's global position == lower id

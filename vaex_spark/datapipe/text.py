@@ -153,9 +153,60 @@ def shingles(text, k: int = 5) -> Column:
         F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")))
 
 
+def _winnow_fps_expr(text_col: str, k: int, window: int, gram: bool) -> Column:
+    """Zero-exchange winnow selection as ONE row-level Column: the
+    per-document distinct fingerprint array, entirely in Catalyst
+    expressions — ``explode`` it and the whole selection is a narrow
+    scan->project->generate plan with NO Exchange, NO Sort, and NO
+    Python worker.
+
+    The selection is row-local per document (a window's minimum never
+    needs another doc's grams), so nothing forces the Exchange(doc) +
+    Sort + window + distinct machinery the declarative twin pays (two
+    full shuffles of the exploded gram relation, PLANS_r07 q96):
+
+    * ``words``  — one split of the normalized text (let-bound via
+      :func:`_let`; inlined it would be re-split per k-gram slice —
+      the pre-r8 posexplode form paid exactly that, 11 split calls
+      per row visible in its plan),
+    * ``keys``   — ``transform(sequence(1, n-k+1), i ->
+      concat_ws(' ', slice(words, i, k)))`` (+ ``xxhash64`` per gram
+      for ``fp_type='hash'``), also let-bound,
+    * minima     — ``transform(sequence(1, size(keys)), i ->
+      array_min(slice(keys, i, window)))``: every window start, with
+      trailing frames truncated by ``slice`` — exactly the window
+      twin's ``rowsBetween(0, window-1)`` semantics,
+    * distinct   — ``array_distinct`` (per-doc, which IS the global
+      (id, fp) distinct since id is in the output key).
+
+    Values are bit-identical to the window form: the hash form mins
+    the same xxhash64 longs; the gram form's ``array_min`` compares
+    UTF8String binary order, the same order ``F.min`` sorts strings
+    by.  Short docs (n < k) emit ``slice(words, 1, k)`` = the whole
+    text as their single gram, matching shingles()' n<k branch.
+    O(n·window) comparisons per doc — winnow windows are small (the
+    SIGMOD'03 guarantee needs window+k-1-word runs, so window ~4–50);
+    measured at sf0.1 (250k grams): 0.31–0.33 s vs 0.68–0.95 s for an
+    Arrow mapInPandas sliding-min kernel of the same selection (the
+    Arrow hop + per-doc numpy dispatch cost more than interpreted
+    HOFs at window=4), and ~1.0–1.4 s for the window twin."""
+    def _with_words(wd):
+        m = F.greatest(F.size(wd) - (k - 1), F.lit(1))
+        grams = F.transform(F.sequence(F.lit(1), m),
+                            lambda i: F.concat_ws(" ", F.slice(wd, i, k)))
+        keys = grams if gram else F.transform(grams,
+                                              lambda g: F.xxhash64(g))
+        return _let(keys, lambda h: F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(h)),
+            lambda i: F.array_min(F.slice(h, i, window)))))
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                            r"\s+", " ")), " ")
+    return _let(words, _with_words)
+
+
 def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
                         k: int = 5, window: int = 4,
-                        fp_type: str = "hash"):
+                        fp_type: str = "hash", strategy: str = "auto"):
     """Winnowed document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
     word k-gram, slide a ``window`` over consecutive hashes, and record
@@ -168,14 +219,20 @@ def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
     The recorded SET is tie-rule-independent: whichever position a
     window's (rightmost-)min tie-break picks, the recorded VALUE is the
     window minimum — so the distinct (id, fp) output equals the plain
-    per-window-min value set, and the whole selection is ONE row-frame
-    window function.  100 TB plan: posexplode of the k-gram hash
-    sequence, ``min(h) over (partition by doc order by pos rows
-    between current and window-1 following)``, distinct — one
-    (doc)-keyed exchange; join two corpora on ``fp`` to find overlap
-    candidates, bounded by fingerprint matches rather than all-pairs.
-    Trailing truncated windows are kept (a doc shorter than ``window``
-    grams still yields its global min).
+    per-window-min value set.  And that set is row-local per document,
+    so the 100 TB plan is a ZERO-EXCHANGE scan: the whole selection is
+    one row-level Column (:func:`_winnow_fps_expr` — let-bound split,
+    gram+hash arrays, per-position ``array_min`` windows,
+    ``array_distinct``) followed by ``explode`` — no Exchange(doc), no
+    Sort, no distinct shuffle, no Python worker.  Join two corpora on
+    ``fp`` to find overlap candidates, bounded by fingerprint matches
+    rather than all-pairs.  ``strategy='auto'`` takes that ``'expr'``
+    form; ``'window'`` keeps the declarative twin — posexplode of the
+    gram relation, ``min over (partition by doc order by pos rows
+    between current and window-1 following)`` + distinct — the form
+    the DuckDB oracle SQL replays, and the parity oracle for the expr
+    form in tests.  Trailing truncated windows are kept (a doc shorter
+    than ``window`` grams still yields its global min).
 
     Winnowing needs only a TOTAL ORDER on k-grams; ``fp_type="hash"``
     (default) orders by xxhash64 — uniform selection density, 8-byte
@@ -190,16 +247,45 @@ def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
     from ..dataframe import DataFrame
     if fp_type not in ("hash", "gram"):
         raise ValueError(f"fp_type={fp_type!r}")
+    if strategy not in ("auto", "window", "expr"):
+        raise ValueError(f"strategy={strategy!r}")
     wrapped = isinstance(df, DataFrame)
     sdf = df._spark_df() if wrapped else df
-    # k-grams via arrays_zip of k shifted slices + row-level concat_ws,
-    # NOT shingles()'s transform() lambda — higher-order functions
-    # evaluate interpreted per element (measured 4 s for 270k grams at
-    # sf0.1; the zip form stays in whole-stage codegen — same trick as
-    # the q86 trigram miner).  greatest(n-k+1, 1) makes short docs
-    # (n < k) emit exactly one zip row whose missing slices pad to
-    # null, which concat_ws skips — the whole-text gram, matching
-    # shingles()' n<k branch.
+    if strategy == "auto":
+        # the expr selection has STRICTLY fewer exchanges than the
+        # window form at every scale (zero vs two) and measured faster
+        # at every probed size, so auto is always expr; 'window' stays
+        # as the explicit declarative twin (the form the DuckDB oracle
+        # SQL replays, and the parity oracle for expr in tests).
+        strategy = "expr"
+    if strategy == "expr":
+        # The pipeline is CPU-bound (k-gram + hash + sliding min) and
+        # narrow, so its parallelism is the SCAN's.  A corpus small
+        # enough to collapse to fewer scan partitions than the cluster
+        # has cores would strand the whole pass on a few cores;
+        # spreading the TEXT rows first costs one exchange of the raw
+        # documents — 1/expansion of what the window form shuffles (it
+        # exchanges the exploded gram relation) — and buys full-width
+        # execution.  Stats-gated: at real scale the estimate exceeds
+        # core count and the plan stays zero-exchange (unknown stats
+        # also skip the spread — never shuffle a possibly-huge corpus
+        # for parallelism it already has).
+        from ..operators.window import _range_partition_count
+        nparts = _range_partition_count(sdf)
+        par = sdf.sparkSession.sparkContext.defaultParallelism
+        if nparts is not None and 0 < nparts < par:
+            sdf = sdf.repartition(par)
+        fps = _winnow_fps_expr(text_col, k, window,
+                               gram=(fp_type == "gram"))
+        out = sdf.select(F.col(id_col), F.explode(fps).alias("fp"))
+        return DataFrame(out) if wrapped else out
+    # declarative twin: k-grams via arrays_zip of k shifted slices +
+    # row-level concat_ws (NOT shingles()'s transform() over an
+    # inlined split — the split would be recomputed per element),
+    # posexplode, min over the row frame, distinct.  greatest(n-k+1,
+    # 1) makes short docs (n < k) emit exactly one zip row whose
+    # missing slices pad to null, which concat_ws skips — the
+    # whole-text gram, matching shingles()' n<k branch.
     words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
                                             r"\s+", " ")), " ")
     n = F.size(words)
@@ -223,7 +309,8 @@ def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
 
 def winnow_overlap_pairs(df, text_col: str = "text", id_col: str = "doc_id",
                          k: int = 5, window: int = 4, min_shared: int = 2,
-                         fp_type: str = "hash", max_df: "int | None" = 256):
+                         fp_type: str = "hash", max_df: "int | None" = 256,
+                         strategy: str = "auto"):
     """Document pairs sharing >= ``min_shared`` winnowed fingerprints
     (id_a < id_b, with the shared count) — the overlap-candidate
     generator built on :func:`winnow_fingerprints`.
@@ -238,29 +325,54 @@ def winnow_overlap_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     useless as an overlap *discriminator* — so recall loss is limited
     to pairs whose ONLY shared runs are corpus-wide boilerplate; raise
     ``min_shared`` or ``max_df`` if those matter, ``max_df=None``
-    disables the cap.  The frequency comes from ONE count-window over
-    the already-computed (id, fp) relation, partitioned on ``fp`` —
-    the same key the self-join shuffles on.
+    disables the cap.  NOTE (since the cap became default-on): pairs
+    whose only shared fingerprints are hot (df > max_df) silently
+    disappear relative to ``max_df=None`` — see README §winnowing.
 
-    The narrow (id, fp) relation is PERSISTED (after the cap, so the
-    cache holds only join-eligible rows) before the self-join: without
-    it the two join sides each recompute the full explode+window
-    fingerprint pass over the text (two corpus scans — the plan
-    Catalyst builds from a naive self-join, verified in tests), which
-    doubles the dominant cost at 100 TB.  The join then shuffles only
-    fingerprint keys; output is bounded by fingerprint matches and the
-    per-fingerprint cap, never all-pairs."""
-    from pyspark.sql import Window
+    Physical plan, capped (the default): ``groupBy(fp).collect_list
+    (id)`` — ONE exchange of the narrow (id, fp) relation — then the
+    cap is a free row-level ``size(ids) <= max_df`` filter on the
+    grouped row, pairs are generated inline from the sorted id array
+    (nested ``transform`` + ``flatten`` + ``explode`` — per-group
+    output bounded by max_df²/2, so the generated array is small by
+    construction), and one more exchange aggregates the per-pair
+    shared counts.  No self-join, no persist (the fingerprint pass
+    runs exactly once), no broadcast — two exchanges total, both of
+    relations that are tiny next to the corpus text.  Measured at
+    sf0.1: 0.47–0.57 s vs 0.82–0.90 s for the persist + hot-fp
+    broadcast anti-join + fp self-join form it replaces.
+
+    Uncapped (``max_df=None``) falls back to the fp self-join with the
+    (id, fp) relation PERSISTED (without it both join sides recompute
+    the fingerprint pass — two corpus scans, verified in tests): a
+    hot fingerprint's m(m−1)/2 pairs then STREAM out of the join
+    rather than materializing as one m²/2-element array row, which is
+    the degradation you want when the caller explicitly asked to keep
+    boilerplate matches."""
     from ..dataframe import DataFrame
     from ..cache import _register_persist
     wrapped = isinstance(df, DataFrame)
     fps = winnow_fingerprints(df, text_col=text_col, id_col=id_col,
-                              k=k, window=window, fp_type=fp_type)
+                              k=k, window=window, fp_type=fp_type,
+                              strategy=strategy)
     fsdf = fps._spark_df() if wrapped else fps
     if max_df is not None:
-        wfp = Window.partitionBy("fp")
-        fsdf = (fsdf.withColumn("__dfreq", F.count(F.lit(1)).over(wfp))
-                .filter(F.col("__dfreq") <= int(max_df)).drop("__dfreq"))
+        ids = F.col("__ids")
+        grp = (fsdf.groupBy("fp")
+               .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
+               .filter((F.size(ids) >= 2) & (F.size(ids) <= int(max_df))))
+        prs = F.flatten(F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1,
+                                               F.lit(0))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")))))
+        out = (grp.select(F.explode(prs).alias("__p"))
+               .select("__p.id_a", "__p.id_b")
+               .groupBy("id_a", "id_b")
+               .agg(F.count(F.lit(1)).alias("n_shared"))
+               .filter(F.col("n_shared") >= int(min_shared)))
+        return DataFrame(out) if wrapped else out
     fsdf = _register_persist(fsdf)
     ia, ib = f"a.{id_col}", f"b.{id_col}"
     out = (fsdf.alias("a")
