@@ -2731,7 +2731,12 @@ def _q88_interval_overlap(spark, sf_dir):
     intersect it.  Bucketized rewrite (1000s buckets): both sides
     explode to covered buckets, equi-join on bucket, overlap filter,
     and the first-shared-bucket predicate keeps exactly one emission
-    per pair — no distinct pass."""
+    per pair — no distinct pass.  Spans are 60+value seconds with value
+    bounded by the generator, so every interval covers ≤2 of the 1000s
+    buckets: max_explode=None opts out of the interval-length skew
+    routing (two broadcast jobs + two extra input scans that guard
+    against giant spans this data cannot contain; results are exact
+    either way)."""
     from vaex_spark.operators.join import join_intervals
     ev = _t(spark, sf_dir, "events").spark
     base = ev.select(F.col("event_id").cast("long").alias("event_id"),
@@ -2743,7 +2748,7 @@ def _q88_interval_overlap(spark, sf_dir):
              .select(F.col("event_id").alias("rid"),
                      F.col("lo").alias("rlo"), F.col("hi").alias("rhi")))
     out = join_intervals(left, right, "lo", "hi", "rlo", "rhi",
-                         bucket_width=1000)
+                         bucket_width=1000, max_explode=None)
     return (out.spark.groupBy("event_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_overlaps"))
             .orderBy("event_id"))

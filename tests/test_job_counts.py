@@ -112,7 +112,7 @@ HEADLINE_JOB_CEILING = {
     "q85_cheapest_supplier_per_part": 3,
     "q86_top_trigrams_per_source": 5,
     "q87_quality_deciles": 6,
-    "q88_interval_overlap": 8,
+    "q88_interval_overlap": 6,  # r8: max_explode=None drops the 2 empty-tail broadcasts
     "q89_vocabulary": 6,
     "q90_oov_rate": 10,
     "q91_corpus_profile": 5,

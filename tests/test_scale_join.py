@@ -318,6 +318,17 @@ def test_join_intervals_length_skew_tail(spark):
     assert set(got) == exp
     plan = out.spark._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan, plan
+    # max_explode=None: the routing guard is OFF — same exact pairs
+    # (giants just explode), and the plan carries NO broadcast branch
+    # and no union (two fewer scans of each input)
+    off = join_intervals(left, right, "lo", "hi", "lo", "hi",
+                         bucket_width=10.0, max_explode=None)
+    got_off = [(r["lid"], r["rid"]) for r in
+               off.spark.select("lid", "rid").collect()]
+    assert len(got_off) == len(set(got_off)) and set(got_off) == exp
+    plan_off = off.spark._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan_off, plan_off
+    assert "Union" not in plan_off, plan_off
 
 
 def test_join_range_length_skew_tail(spark):

@@ -96,10 +96,15 @@ CASES = {
         "full token-count relation).",
         [r"TakeOrderedAndProject"]),
     "q96_winnow_overlap": (
-        "Winnowed-fingerprint overlap: the narrow (id, fp) relation is "
-        "persisted and BOTH self-join sides read the cache — one "
-        "explode+window fingerprint pass over the corpus, not two.",
-        [r"InMemoryTableScan"]),
+        "Winnowed-fingerprint overlap (r8 zero-exchange form): the "
+        "whole selection is one row-level Column over the scan — no "
+        "per-doc window/sort, no self-join, no persist, no Python — "
+        "then groupBy(fp).collect_list, the free size<=max_df cap, "
+        "native double-Generate pair expansion, and the pair-count "
+        "aggregate.  Exactly one corpus FileScan; the only exchanges "
+        "carry the narrow fp/pair relations.",
+        [r"Generate explode", r"collect_list", r"!InMemoryTableScan",
+         r"!Window", r"!SortMergeJoin", r"!MapInPandas"]),
     "q44_embedding_near_dups": (
         "Embedding near-dups: the narrow (id, table, bucket) hyperplane "
         "relation is persisted so both self-join sides share one "

@@ -144,7 +144,12 @@ def fingerprint(text, normalize: bool = True) -> Column:
 
 
 def shingles(text, k: int = 5) -> Column:
-    """Array of k-word shingles (for MinHash / Jaccard)."""
+    """Array of k-word shingles (for MinHash / Jaccard).
+
+    The inlined ``words`` reference inside the transform lambda is
+    fine: a let-bound variant measured a wash at sf0.1 (34 vs 43 ms —
+    the split is not re-evaluated per element in practice), so the
+    simpler form stays."""
     words = F.split(F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " ")), " ")
     n = F.size(words)
     # transform over 0..n-k producing space-joined k-grams
@@ -166,9 +171,10 @@ def _winnow_fps_expr(text_col: str, k: int, window: int, gram: bool) -> Column:
     full shuffles of the exploded gram relation, PLANS_r07 q96):
 
     * ``words``  — one split of the normalized text (let-bound via
-      :func:`_let`; inlined it would be re-split per k-gram slice —
-      the pre-r8 posexplode form paid exactly that, 11 split calls
-      per row visible in its plan),
+      :func:`_let` so the split appears once in the expression tree;
+      the win over the posexplode twin comes from dropping the row
+      expansion + exchange + sort + window machinery, not from split
+      dedup — a let-vs-inline A/B on shingles() measured a wash),
     * ``keys``   — ``transform(sequence(1, n-k+1), i ->
       concat_ws(' ', slice(words, i, k)))`` (+ ``xxhash64`` per gram
       for ``fp_type='hash'``), also let-bound,

@@ -23,9 +23,13 @@ strictly more scalable than the reference.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import functions as F
 
 from .rowid import ROW_ID, with_row_id
+
+_LOG = logging.getLogger(__name__)
 
 BROADCAST_LIMIT_BYTES = 64 * 1024 * 1024  # force-broadcast only clearly-small sides
 
@@ -143,7 +147,12 @@ def _sampled_hot_key_share(sdf, by_cols, max_parts=64, rows_per_part=512):
     counts = Counter(tuple(r) for r in rows)
     if not counts:
         return 0, 0
-    return max(counts.values()), sum(counts.values())
+    mx, tot = max(counts.values()), sum(counts.values())
+    # a mis-probe (hot key hiding in partition tails) is performance-
+    # only but hard to diagnose after the fact; leave the evidence
+    _LOG.debug("join_asof hot-key probe: max_key=%d of %d sampled rows "
+               "(%d partitions)", mx, tot, len(pids))
+    return mx, tot
 
 
 def join_asof(left, right, on, by=None, direction="backward", tolerance=None,
@@ -474,6 +483,15 @@ def join_intervals(left, right, left_lo, left_hi, right_lo, right_hi,
     long-left×all via broadcast, short-left×long-right via broadcast —
     so no pair is emitted twice.  ``max_explode`` bounds per-row
     explode volume; raise it if the long sets outgrow broadcast size.
+
+    ``max_explode=None`` disables the routing — a pure PERFORMANCE
+    opt-out for callers whose spans are bounded by construction
+    (span/bucket_width provably small): results stay exact either way
+    (an unexpectedly long interval just explodes), but the two tail
+    branches cost two broadcast-build jobs AND two extra scans of the
+    inputs even when their long sets are empty — Catalyst cannot prove
+    a data-dependent filter empty, so at 100 TB the guard itself reads
+    the corpus twice more.
     """
     from ..dataframe import DataFrame
 
@@ -504,20 +522,26 @@ def join_intervals(left, right, left_lo, left_hi, right_lo, right_hi,
     # nothing, and would make sequence() emit a DESCENDING run of bogus
     # buckets — they are excluded explicitly on both sides.
     lsdf, rsdf = lsdf.filter(lhi > llo), rsdf.filter(rhi > rlo)
-    l_span = _last_bucket_exclusive(lhi, w) - F.floor(llo / w).cast("long")
-    r_span = _last_bucket_exclusive(rhi, w) - F.floor(rlo / w).cast("long")
-    cap = int(max_explode)
-    l_short, l_long = lsdf.filter(l_span < cap), lsdf.filter(l_span >= cap)
-    r_short, r_long = rsdf.filter(r_span < cap), rsdf.filter(r_span >= cap)
-    lb = l_short.withColumn("__bk", F.explode(F.sequence(
-        F.floor(llo / w).cast("long"), _last_bucket_exclusive(lhi, w))))
-    rb = r_short.withColumn("__bk", F.explode(F.sequence(
-        F.floor(rlo / w).cast("long"), _last_bucket_exclusive(rhi, w))))
-    first_shared = F.greatest(F.floor(llo / w).cast("long"),
-                              F.floor(rlo / w).cast("long"))
+    l_first = F.floor(llo / w).cast("long")
+    r_first = F.floor(rlo / w).cast("long")
+    l_last = _last_bucket_exclusive(lhi, w)
+    r_last = _last_bucket_exclusive(rhi, w)
+    if max_explode is None:
+        l_short, r_short = lsdf, rsdf
+    else:
+        cap = int(max_explode)
+        l_short = lsdf.filter(l_last - l_first < cap)
+        l_long = lsdf.filter(l_last - l_first >= cap)
+        r_short = rsdf.filter(r_last - r_first < cap)
+        r_long = rsdf.filter(r_last - r_first >= cap)
+    lb = l_short.withColumn("__bk", F.explode(F.sequence(l_first, l_last)))
+    rb = r_short.withColumn("__bk", F.explode(F.sequence(r_first, r_last)))
+    first_shared = F.greatest(l_first, r_first)
     out = (lb.join(rb, on="__bk", how="inner")
            .filter(overlap & (F.col("__bk") == first_shared))
            .drop("__bk"))
+    if max_explode is None:
+        return DataFrame(out)
     # skew tail: long intervals join the other side by broadcast
     # non-equi — (long_l × all_r) ∪ (short_l × long_r) completes the
     # pair-space partition without double emission
