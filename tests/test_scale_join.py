@@ -355,3 +355,13 @@ def test_join_range_length_skew_tail(spark):
                      left.join_range(right, "x", "lo", "hi", how=how,
                                      bucket_width=None).spark.collect())
         assert got == exp, how
+        # max_explode=None: routing off, same exact result (the giant
+        # just explodes into its ~1e5 covered buckets), no broadcast
+        # tail branch in the plan
+        off = left.join_range(right, "x", "lo", "hi", how=how,
+                              bucket_width=10.0, max_explode=None)
+        got_off = sorted((r["id"], r["label"]) for r in off.spark.collect())
+        assert got_off == exp, how
+        if how == "inner":
+            p = off.spark._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastNestedLoopJoin" not in p, p

@@ -386,6 +386,11 @@ def join_range(left, right, left_on, right_lo, right_hi, how="inner",
     the long tail is by construction small, so it broadcast-non-equi
     joins the left side directly while short intervals take the bucket
     path; the two right-side sets are disjoint, so no pair duplicates.
+    ``max_explode=None`` disables the routing (same contract as
+    :func:`join_intervals`): a pure performance opt-out for interval
+    tables whose spans are bounded by construction — results stay exact
+    either way, and the empty-tail guard otherwise costs a broadcast
+    build plus one extra scan of the interval table per query.
     """
     from ..dataframe import DataFrame
 
@@ -419,9 +424,13 @@ def join_range(left, right, left_on, right_lo, right_hi, how="inner",
         # never affect the join result (including how='left').
         nonempty = (hi >= lo) if closed == "both" else (hi > lo)
         live = rsdf.filter(nonempty)
-        span = hi_bk - F.floor(lo / w).cast("long")
-        cap = int(max_explode)
-        r_short, r_long = live.filter(span < cap), live.filter(span >= cap)
+        if max_explode is None:
+            r_short, r_long = live, None
+        else:
+            span = hi_bk - F.floor(lo / w).cast("long")
+            cap = int(max_explode)
+            r_short = live.filter(span < cap)
+            r_long = live.filter(span >= cap)
         rb = r_short.withColumn("__bk", F.explode(F.sequence(
             F.floor(lo / w).cast("long"), hi_bk)))
         # tag left rows with a row id so the left-outer reconstruction is
@@ -437,10 +446,11 @@ def join_range(left, right, left_on, right_lo, right_hi, how="inner",
             lt = _register_persist(lt)
         lb = lt.withColumn("__bk", F.floor(val / w).cast("long"))
         out = lb.join(rb, on="__bk", how="inner").filter(contains).drop("__bk")
-        # skew tail: epoch-spanning intervals broadcast instead of
-        # exploding into every bucket they cover
-        out = out.unionByName(lt.join(F.broadcast(r_long), on=contains,
-                                      how="inner"))
+        if r_long is not None:
+            # skew tail: epoch-spanning intervals broadcast instead of
+            # exploding into every bucket they cover
+            out = out.unionByName(lt.join(F.broadcast(r_long), on=contains,
+                                          how="inner"))
         if how == "left":
             matched = out
             unmatched = lt.join(matched.select("__rj_rid"),
