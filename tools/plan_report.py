@@ -74,12 +74,15 @@ CASES = {
         "frames that outgrow one advisory partition).",
         [r"BroadcastHashJoin", r"row_number"]),
     "q88_interval_overlap": (
-        "Interval overlap join: short intervals equi-join on bucket id "
-        "(hash exchange), and the interval-length skew tail is routed "
-        "through BroadcastNestedLoopJoin branches instead of exploding "
-        "into every covered bucket.",
-        [r"BroadcastNestedLoopJoin",
-         r"(Exchange hashpartitioning.*__bk|BroadcastHashJoin \[__bk)"]),
+        "Interval overlap join: intervals equi-join on bucket id, and "
+        "the query opts OUT of the interval-length skew routing "
+        "(max_explode=None — spans are <=2 buckets by generator "
+        "construction), so the plan carries NO broadcast tail branches "
+        "and no Union: one bucket join, no extra input scans.  The "
+        "routed form's BroadcastNestedLoopJoin tail is plan-asserted "
+        "separately in tests/test_scale_join.py on planted giants.",
+        [r"(Exchange hashpartitioning.*__bk|BroadcastHashJoin \[__bk)",
+         r"!BroadcastNestedLoopJoin", r"!Union"]),
     "q93_group_delta_min": (
         "GroupBy.apply(engine='arrow'): one grouped Arrow map stage "
         "(FlatMapGroupsInArrow) — per-group user code with no pandas "
