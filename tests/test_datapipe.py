@@ -1746,7 +1746,10 @@ def test_winnow_expr_strategy_matches_window(spark):
     docs = vs.open("/root/testdata/sf0.001/documents.parquet", spark=spark)
     sdf = docs.spark.repartition(5)
     edge = spark.createDataFrame(
-        [(1, "one two"), (2, "a b c d e"), (3, ""), (4, "x x x x x x x")],
+        [(1, "one two"), (2, "a b c d e"), (3, ""), (4, "x x x x x x x"),
+         # non-ASCII: array_min and F.min must agree on UTF8String
+         # binary order (é > z in bytes, < z in some collations)
+         (5, "zebra é ágil ñu zebra é ágil ñu zebra")],
         "doc_id bigint, text string")
     for frame, k, w in ((sdf, 5, 4), (sdf, 3, 7), (edge, 5, 4),
                         (edge, 2, 3)):
