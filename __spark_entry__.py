@@ -3050,6 +3050,65 @@ def _q97_winnow_overlap_hash(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def _q98_winnow_against_corpus(spark, sf_dir):
+    """Incremental winnow overlap (text.py:winnow_overlap_against_
+    corpus): documents split into a standing CORPUS (doc_id % 3 != 0)
+    and an incoming BATCH (doc_id % 3 == 0); every batch doc sharing
+    >= 2 winnowed fingerprints with a corpus doc surfaces with the
+    shared count — the production plagiarism/novelty screen where the
+    corpus is indexed once (corpus_winnow_index) and batches equi-join
+    it on fp, never self-joining the union.  Gram fingerprints so the
+    DuckDB oracle can replay the selection; max_df caps CORPUS-side
+    document frequency (boilerplate rule).  The query exercises the
+    corpus_index= path: the index is derived in-plan here (same
+    relation a parquet snapshot would hold), proving batch results are
+    identical whether the index is fresh or persisted (pytest covers
+    the parquet round-trip)."""
+    from vaex_spark.datapipe.text import (corpus_winnow_index,
+                                          winnow_overlap_against_corpus)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs[docs.doc_id % 3 != 0]
+    batch = docs[docs.doc_id % 3 == 0]
+    idx = corpus_winnow_index(corpus, fp_type="gram").spark
+    out = winnow_overlap_against_corpus(batch, min_shared=2,
+                                        fp_type="gram", max_df=256,
+                                        corpus_index=idx).spark
+    return (out.select(F.col("batch_id").cast("long").alias("batch_id"),
+                       F.col("corpus_id").cast("long").alias("corpus_id"),
+                       F.col("n_shared").cast("long").alias("n_shared"))
+            .orderBy("batch_id", "corpus_id"))
+
+
+_Q98_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS g
+  FROM words, UNNEST(range(1, greatest(len(w) - 4, 1) + 1)) AS t(i)),
+mins AS (
+  SELECT doc_id,
+         MIN(g) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM grams),
+fps AS (SELECT DISTINCT doc_id, fp FROM mins),
+cfps AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS dfreq
+    FROM fps WHERE doc_id % 3 <> 0)
+  WHERE dfreq <= 256),
+bfps AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 = 0)
+SELECT CAST(b.doc_id AS BIGINT) AS batch_id,
+       CAST(c.doc_id AS BIGINT) AS corpus_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM bfps b JOIN cfps c ON b.fp = c.fp
+GROUP BY b.doc_id, c.doc_id
+HAVING COUNT(*) >= 2
+ORDER BY batch_id, corpus_id
+"""
+
+
 _Q96_SQL = r"""
 WITH words AS (
   SELECT doc_id,
@@ -3180,6 +3239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_kmeans_assign": _q95_kmeans_assign,
         "q96_winnow_overlap": _q96_winnow_overlap,
         "q97_winnow_overlap_hash": _q97_winnow_overlap_hash,
+        "q98_winnow_against_corpus": _q98_winnow_against_corpus,
     }
 
 
@@ -3279,4 +3339,5 @@ def oracle_sql() -> dict[str, str]:
         "q94_salted_priority_count": _Q94_SQL,
         "q95_kmeans_assign": _q95_oracle_sql(),
         "q96_winnow_overlap": _Q96_SQL,
+        "q98_winnow_against_corpus": _Q98_SQL,
     }

@@ -69,6 +69,7 @@ EXTENDED = [
     "q95_kmeans_assign",       # literal-codegen nearest-centroid pass
     "q96_winnow_overlap",      # MOSS winnowed-fingerprint doc overlap (gram oracle form)
     "q97_winnow_overlap_hash",  # same operator, production xxhash64 form (rows-only)
+    "q98_winnow_against_corpus",  # incremental batch-vs-corpus winnow overlap
 ]
 # q93_group_delta_min stays OUT of the timed sections deliberately: it
 # exists to oracle-check the GroupBy.apply(engine='arrow') machinery,

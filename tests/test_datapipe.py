@@ -1795,6 +1795,82 @@ def test_winnow_expr_zero_exchange_plan(spark):
     assert "hashpartitioning" not in plan2 and "Sort" not in plan2, plan2
 
 
+def test_winnow_overlap_against_corpus(spark, tmp_path):
+    """Cross-corpus winnow overlap: (a) matches a python brute force
+    built from the same Spark fingerprints, independently for BOTH
+    fp_types (hash and gram orderings select different window
+    positions, so each checks against its own oracle); (b) the
+    persisted corpus_winnow_index round-trips through parquet
+    bit-identically (fresh-corpus path == parquet-reloaded index
+    path); (c) corpus-side max_df cap drops a planted boilerplate
+    fingerprint while keeping every real overlap."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import (corpus_winnow_index,
+                                          winnow_fingerprints,
+                                          winnow_overlap_against_corpus)
+    docs = vs.open("/root/testdata/sf0.001/documents.parquet", spark=spark)
+    corpus = docs[docs.doc_id % 3 != 0]
+    batch = docs[docs.doc_id % 3 == 0]
+    # python brute force over the engine's own fingerprint relation —
+    # independently for BOTH fingerprint domains (hash and gram
+    # orderings legitimately select different window positions, so
+    # their pair sets may differ; each must match its own oracle)
+    for fp_type in ("hash", "gram"):
+        res = winnow_overlap_against_corpus(batch, corpus, min_shared=1,
+                                            fp_type=fp_type)
+        pairs = {(r["batch_id"], r["corpus_id"]): r["n_shared"]
+                 for r in res.spark.collect()}
+        bf = {}
+        for side, frame in (("b", batch), ("c", corpus)):
+            for r in winnow_fingerprints(frame,
+                                         fp_type=fp_type).spark.collect():
+                bf.setdefault((side, r["doc_id"]), set()).add(r["fp"])
+        exp = {}
+        for (sb, bid), bs in bf.items():
+            if sb != "b":
+                continue
+            for (sc, cid), cs in bf.items():
+                if sc == "c" and len(bs & cs) >= 1:
+                    exp[(bid, cid)] = len(bs & cs)
+        assert pairs == exp and pairs, fp_type
+        if fp_type == "hash":
+            got = pairs
+    # persisted index path: identical through a parquet round-trip
+    idx = corpus_winnow_index(corpus).spark
+    path = str(tmp_path / "winnow_idx.parquet")
+    idx.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    via_idx = {(r["batch_id"], r["corpus_id"]): r["n_shared"]
+               for r in winnow_overlap_against_corpus(
+                   batch.spark, corpus_index=reloaded,
+                   min_shared=1).collect()}
+    assert via_idx == got
+    with pytest.raises(ValueError):
+        winnow_overlap_against_corpus(batch)  # neither corpus nor index
+    # corpus-side boilerplate cap: append one shared 8-word run to
+    # EVERY doc; with max_df its fingerprint is dropped, so pairs whose
+    # ONLY link is the boilerplate disappear while real overlaps stay
+    boiler = "copyright all rights reserved see license file terms"
+    hot_docs = vs.DataFrame(docs.spark.withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.lit(boiler))))
+    hc = hot_docs[hot_docs.doc_id % 3 != 0]
+    hb = hot_docs[hot_docs.doc_id % 3 == 0]
+    uncapped = winnow_overlap_against_corpus(hb, hc, min_shared=1,
+                                             max_df=None).spark.count()
+    capped = {(r["batch_id"], r["corpus_id"]) for r in
+              winnow_overlap_against_corpus(hb, hc, min_shared=1,
+                                            max_df=256).spark.collect()}
+    n_b, n_c = hb.spark.count(), hc.spark.count()
+    assert uncapped == n_b * n_c  # boilerplate links every cross pair
+    # the cap keeps every ORIGINAL overlap (their shared body
+    # fingerprints are untouched) and stays bounded far below the
+    # cross product — it cannot restore the base set EXACTLY because
+    # appending text shifts window selections near the junction,
+    # surfacing additional genuinely-shared rare grams
+    assert set(got) <= capped
+    assert len(capped) < 0.05 * uncapped
+
+
 def test_winnow_max_df_caps_boilerplate(spark):
     """max_df (MOSS's over-common-fingerprint rule) drops fingerprints
     shared by more than max_df documents BEFORE the self-join: a

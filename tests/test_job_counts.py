@@ -119,10 +119,10 @@ HEADLINE_JOB_CEILING = {
     "q93_group_delta_min": 3,
     "q94_salted_priority_count": 6,
     "q95_kmeans_assign": 5,
-    # +1 persist materialization (single fingerprint pass), +1 AQE stage
-    # for the max_df cap's fp-partitioned count window
     "q96_winnow_overlap": 7,  # grouped pair-gen: scan+2 exchanges (r8)
     "q97_winnow_overlap_hash": 7,  # same shape, hash fingerprints
+    # corpus-index grouping + batch fp join (AQE broadcast) + pair agg
+    "q98_winnow_against_corpus": 9,
     # ANN family (round-7 Arrow strategies must not add scans/jobs):
     # q33 = query collect + ranking (expr path at q×d<=256); q34 = dim
     # probe + bucket join; q44 = dim probe + persisted bucket relation

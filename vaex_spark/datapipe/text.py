@@ -397,6 +397,83 @@ def winnow_overlap_pairs(df, text_col: str = "text", id_col: str = "doc_id",
 # --------------------------------------------------------------------------
 # DataFrame-level helpers
 # --------------------------------------------------------------------------
+def corpus_winnow_index(corpus, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5, window: int = 4,
+                        fp_type: str = "hash", strategy: str = "auto"):
+    """The persistable winnow fingerprint index of a corpus: the
+    distinct (id, fp) relation from :func:`winnow_fingerprints` —
+    ~2/(window+1) of the k-gram hashes per document, 8 B each for
+    ``fp_type='hash'``.  Write it to parquet once per corpus snapshot
+    and feed it to :func:`winnow_overlap_against_corpus`
+    (``corpus_index=``): each incoming batch then skips
+    re-fingerprinting the ENTIRE corpus — the dominant cost at 100 TB,
+    exactly the :func:`~vaex_spark.datapipe.dedup.corpus_lsh_index`
+    contract for the MinHash family.  Must be built with the same
+    (k, window, fp_type) the batch side uses; the selection is
+    deterministic, so equal params mean equal fingerprints."""
+    return winnow_fingerprints(corpus, text_col=text_col, id_col=id_col,
+                               k=k, window=window, fp_type=fp_type,
+                               strategy=strategy)
+
+
+def winnow_overlap_against_corpus(batch, corpus=None, text_col: str = "text",
+                                  id_col: str = "doc_id", k: int = 5,
+                                  window: int = 4, min_shared: int = 2,
+                                  fp_type: str = "hash",
+                                  max_df: "int | None" = 256,
+                                  strategy: str = "auto",
+                                  corpus_index=None):
+    """Cross-corpus winnow overlap (incremental plagiarism / overlap
+    check): (batch_id, corpus_id, n_shared) for every batch document
+    sharing >= ``min_shared`` winnowed fingerprints with a corpus
+    document — the production shape where a NEW batch is screened
+    against a standing corpus without self-joining the union.
+
+    Physical plan: the corpus side (or the persisted ``corpus_index``
+    — see :func:`corpus_winnow_index`) groups to (fp, sorted corpus-id
+    array) — ONE exchange of the narrow index relation, where
+    ``max_df`` is a free ``size() <= max_df`` filter (MOSS's
+    over-common-fingerprint rule, applied to CORPUS document
+    frequency: a fingerprint in more than max_df corpus docs is
+    boilerplate, not a discriminator, and capping it bounds output at
+    max_df pairs per batch fingerprint).  The batch fingerprints then
+    equi-join on ``fp`` — AQE broadcasts the batch side when it is
+    small, the common incremental case — explode the id array, and one
+    pair-count aggregate finishes.  The corpus TEXT is never scanned
+    when ``corpus_index`` is supplied, and neither side self-joins.
+
+    Returns (batch_id, corpus_id, n_shared); compose downstream (e.g.
+    anti-join the batch on ``batch_id`` to keep only novel docs)."""
+    from ..dataframe import DataFrame
+    wrapped = isinstance(batch, DataFrame)
+    bf = winnow_fingerprints(batch, text_col=text_col, id_col=id_col,
+                             k=k, window=window, fp_type=fp_type,
+                             strategy=strategy)
+    bfps = bf._spark_df() if isinstance(bf, DataFrame) else bf
+    if corpus_index is not None:
+        cfps = (corpus_index._spark_df()
+                if isinstance(corpus_index, DataFrame) else corpus_index)
+        cfps = cfps.select(F.col(id_col), F.col("fp"))
+    else:
+        if corpus is None:
+            raise ValueError("pass corpus= or corpus_index=")
+        cf = winnow_fingerprints(corpus, text_col=text_col, id_col=id_col,
+                                 k=k, window=window, fp_type=fp_type,
+                                 strategy=strategy)
+        cfps = cf._spark_df() if isinstance(cf, DataFrame) else cf
+    grp = (cfps.groupBy("fp")
+           .agg(F.array_sort(F.collect_list(id_col)).alias("__cids")))
+    if max_df is not None:
+        grp = grp.filter(F.size("__cids") <= int(max_df))
+    pairs = (bfps.join(grp, on="fp")
+             .select(F.col(id_col).alias("batch_id"),
+                     F.explode("__cids").alias("corpus_id")))
+    out = (pairs.groupBy("batch_id", "corpus_id")
+           .agg(F.count(F.lit(1)).alias("n_shared"))
+           .filter(F.col("n_shared") >= int(min_shared)))
+    return DataFrame(out) if wrapped else out
+
+
 def with_text_stats(df, text_col: str = "text"):
     """Attach token counts / quality / language columns (vaex_spark or
     Spark DataFrame in, same type out)."""
