@@ -1610,6 +1610,56 @@ def test_curate_stream_fuzzy_cross_batch(spark, tmp_path):
     assert ids == list(range(12)) + list(range(206, 210)), ids
 
 
+def test_curate_stream_winnow_cross_batch(spark, tmp_path):
+    """winnow_index_dir: batch 2 docs sharing a long run with batch 1's
+    emissions (a verbatim 12-word span lifted into otherwise-new text —
+    exact fingerprints AND shingle-Jaccard both change, so neither the
+    exact nor the fuzzy stage would catch it at threshold) are dropped
+    via the persisted winnow fingerprint index; genuinely fresh docs
+    survive; the index is batch_id-partitioned like every other
+    sink."""
+    import pandas as pd
+    from vaex_spark import streaming as st
+
+    base = ("document number %d starts here then the quick brown fox "
+            "jumps over the lazy dog every single time and closes with "
+            "its own distinct trailing words %d %d")
+    texts = [base % (i, i * 7, i * 13) for i in range(10)]
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"doc_id": range(10), "text": texts}).to_parquet(
+        src / "b1.parquet")
+    common = dict(out_dir=str(tmp_path / "out"),
+                  state_dir=str(tmp_path / "state"),
+                  winnow_index_dir=str(tmp_path / "widx"),
+                  winnow_min_shared=1,
+                  min_quality=None, repetition_filter=False, dedup=None)
+
+    stream = st.open_stream(str(src), spark=spark)
+    st.curate_stream(stream, checkpoint=str(tmp_path / "ckpt"), **common)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 10
+    widx = spark.read.parquet(str(tmp_path / "widx"))
+    assert widx.count() > 0 and set(widx.columns) >= {"doc_id", "fp"}
+
+    # batch 2: 5 docs lift the shared 12-word run into new prose
+    # (winnow guarantee: a shared run of >= window+k-1 = 8 words yields
+    # a shared fingerprint), 4 docs are genuinely fresh
+    lifted = ["totally new framing sentence before the quick brown fox "
+              "jumps over the lazy dog every single time plus novel "
+              "commentary afterwards variant %d" % i for i in range(5)]
+    fresh = ["independent text about columnar engines and shuffle "
+             "planning with no borrowed spans at all variant %d "
+             "padding words here" % i for i in range(4)]
+    pd.DataFrame({"doc_id": range(300, 309),
+                  "text": lifted + fresh}).to_parquet(src / "b2.parquet")
+    stream = st.open_stream(str(src), spark=spark)
+    st.curate_stream(stream, checkpoint=str(tmp_path / "ckpt"), **common)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert ids == list(range(10)) + list(range(305, 309)), ids
+
+
 def test_banded_long_bit_identical_to_column_form(spark):
     """_banded_long (explode + codegen min-aggregates) must produce the
     EXACT (id, band, bucket) rows of the Column signature form
@@ -1869,6 +1919,30 @@ def test_winnow_overlap_against_corpus(spark, tmp_path):
     # surfacing additional genuinely-shared rare grams
     assert set(got) <= capped
     assert len(capped) < 0.05 * uncapped
+
+
+def test_winnow_dedup_against_corpus(spark):
+    """The keep-only-novel form: surviving rows == batch minus exactly
+    the docs winnow_overlap_against_corpus flags; replicated texts are
+    all screened out, novel ones all survive."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import (winnow_dedup_against_corpus,
+                                          winnow_overlap_against_corpus)
+    docs = vs.open("/root/testdata/sf0.001/documents.parquet", spark=spark)
+    corpus = docs[docs.doc_id % 3 != 0]
+    batch = docs[docs.doc_id % 3 == 0]
+    kept = {r["doc_id"] for r in winnow_dedup_against_corpus(
+        batch, corpus, min_shared=1).spark.select("doc_id").collect()}
+    flagged = {r["batch_id"] for r in winnow_overlap_against_corpus(
+        batch, corpus, min_shared=1).spark.collect()}
+    all_batch = {r["doc_id"] for r in
+                 batch.spark.select("doc_id").collect()}
+    assert kept == all_batch - flagged and flagged
+    # a batch replicating a corpus doc verbatim is fully screened out
+    clone = vs.DataFrame(
+        corpus.spark.limit(5).withColumn("doc_id", F.col("doc_id") + 10000))
+    assert winnow_dedup_against_corpus(
+        clone, corpus, min_shared=1).spark.count() == 0
 
 
 def test_winnow_max_df_caps_boilerplate(spark):

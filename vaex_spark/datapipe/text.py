@@ -442,8 +442,9 @@ def winnow_overlap_against_corpus(batch, corpus=None, text_col: str = "text",
     pair-count aggregate finishes.  The corpus TEXT is never scanned
     when ``corpus_index`` is supplied, and neither side self-joins.
 
-    Returns (batch_id, corpus_id, n_shared); compose downstream (e.g.
-    anti-join the batch on ``batch_id`` to keep only novel docs)."""
+    Returns (batch_id, corpus_id, n_shared); compose downstream, or use
+    :func:`winnow_dedup_against_corpus` for the keep-only-novel-rows
+    form."""
     from ..dataframe import DataFrame
     wrapped = isinstance(batch, DataFrame)
     bf = winnow_fingerprints(batch, text_col=text_col, id_col=id_col,
@@ -471,6 +472,31 @@ def winnow_overlap_against_corpus(batch, corpus=None, text_col: str = "text",
     out = (pairs.groupBy("batch_id", "corpus_id")
            .agg(F.count(F.lit(1)).alias("n_shared"))
            .filter(F.col("n_shared") >= int(min_shared)))
+    return DataFrame(out) if wrapped else out
+
+
+def winnow_dedup_against_corpus(batch, corpus=None, text_col: str = "text",
+                                id_col: str = "doc_id", k: int = 5,
+                                window: int = 4, min_shared: int = 2,
+                                fp_type: str = "hash",
+                                max_df: "int | None" = 256,
+                                strategy: str = "auto",
+                                corpus_index=None):
+    """Keep only the batch documents with NO >= ``min_shared``-
+    fingerprint winnow overlap against the corpus — the
+    :func:`~vaex_spark.datapipe.dedup.near_dup_against_corpus` shape
+    for run-overlap (plagiarism/contamination) instead of Jaccard.
+    One left-anti join over :func:`winnow_overlap_against_corpus`'s
+    flagged batch ids; returns the surviving batch rows unchanged."""
+    from ..dataframe import DataFrame
+    wrapped = isinstance(batch, DataFrame)
+    bsdf = batch._spark_df() if wrapped else batch
+    hits = winnow_overlap_against_corpus(
+        bsdf, corpus, text_col=text_col, id_col=id_col, k=k, window=window,
+        min_shared=min_shared, fp_type=fp_type, max_df=max_df,
+        strategy=strategy, corpus_index=corpus_index)
+    flagged = hits.select(F.col("batch_id").alias(id_col)).distinct()
+    out = bsdf.join(flagged, on=id_col, how="left_anti")
     return DataFrame(out) if wrapped else out
 
 

@@ -264,6 +264,9 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
                   fuzzy_lsh_dir: str | None = None,
                   fuzzy_threshold: float = 0.5,
                   fuzzy_params: dict | None = None,
+                  winnow_index_dir: str | None = None,
+                  winnow_min_shared: int = 2,
+                  winnow_params: dict | None = None,
                   **curate_kw):
     """Streaming corpus curation with CROSS-batch exact dedup.
 
@@ -298,6 +301,21 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
     sink.  ``fuzzy_params`` tunes (shingle_k, num_perm, num_bands) —
     the index and batch sides always share the parameter set, which is
     what makes their buckets comparable.
+
+    ``winnow_index_dir`` enables CROSS-batch RUN-OVERLAP screening
+    (plagiarism/contamination, MOSS winnowing): each batch's survivors
+    are checked against the persisted winnow fingerprint index of all
+    earlier emissions (datapipe.text.corpus_winnow_index — distinct
+    (id, fp) rows, ~2/(window+1) of the gram hashes per doc at 8 B
+    each); a batch doc sharing >= ``winnow_min_shared`` fingerprints
+    with ANY earlier emission is dropped
+    (datapipe.text.winnow_dedup_against_corpus — one fp equi-join,
+    the earlier corpora's TEXT is never read).  Survivors' fingerprints
+    append to the index under the same per-``__batch_id``
+    idempotent-overwrite discipline.  ``winnow_params`` tunes
+    (k, window, fp_type, max_df); index and batch sides always share
+    it.  Composes with the exact and fuzzy stages — each screens what
+    the previous stages let through.
     """
     import os
 
@@ -333,6 +351,19 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
                     fresh, corpus, text_col=text_col, id_col=id_col,
                     threshold=float(fuzzy_threshold), corpus_index=index,
                     **fp)
+        if winnow_index_dir is not None:
+            from ..datapipe import text as T
+            wp = dict(k=5, window=4, fp_type="hash", max_df=256,
+                      **(winnow_params or {}))
+            has_widx = os.path.isdir(winnow_index_dir) and any(
+                e.startswith("__batch_id=") for e in os.listdir(winnow_index_dir))
+            if has_widx:
+                widx = (spark.read.parquet(winnow_index_dir)
+                        .filter(F.col("__batch_id") < int(batch_id)))
+                fresh = T.winnow_dedup_against_corpus(
+                    fresh, text_col=text_col, id_col=id_col,
+                    min_shared=int(winnow_min_shared), corpus_index=widx,
+                    **wp)
         fsdf = fresh._spark_df().withColumn("__batch_id", F.lit(int(batch_id)))
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                                    "static")
@@ -352,6 +383,16 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
                  .withColumn("__batch_id", F.lit(int(batch_id)))
                  .write.mode("overwrite").partitionBy("__batch_id")
                  .parquet(fuzzy_lsh_dir))
+            if winnow_index_dir is not None:
+                from ..datapipe import text as T
+                wp = dict(k=5, window=4, fp_type="hash",
+                          **{k_: v for k_, v in (winnow_params or {}).items()
+                             if k_ in ("k", "window", "fp_type")})
+                (T.corpus_winnow_index(fresh, text_col=text_col,
+                                       id_col=id_col, **wp)._spark_df()
+                 .withColumn("__batch_id", F.lit(int(batch_id)))
+                 .write.mode("overwrite").partitionBy("__batch_id")
+                 .parquet(winnow_index_dir))
             if sketch_dir is not None:
                 # per-batch HLL sketch of the EMITTED documents: a
                 # few-KB mergeable state row per group, same
