@@ -1885,16 +1885,23 @@ def test_winnow_overlap_against_corpus(spark, tmp_path):
         assert pairs == exp and pairs, fp_type
         if fp_type == "hash":
             got = pairs
-    # persisted index path: identical through a parquet round-trip
-    idx = corpus_winnow_index(corpus).spark
-    path = str(tmp_path / "winnow_idx.parquet")
-    idx.write.parquet(path)
-    reloaded = spark.read.parquet(path)
-    via_idx = {(r["batch_id"], r["corpus_id"]): r["n_shared"]
-               for r in winnow_overlap_against_corpus(
-                   batch.spark, corpus_index=reloaded,
-                   min_shared=1).collect()}
-    assert via_idx == got
+    # persisted index path: identical through a parquet round-trip,
+    # for BOTH index shapes (flat (id, fp) and pre-grouped (fp, ids) —
+    # the grouped form's plan must carry no groupBy of the index)
+    for grouped in (False, True):
+        idx = corpus_winnow_index(corpus, grouped=grouped).spark
+        path = str(tmp_path / f"winnow_idx_{grouped}.parquet")
+        idx.write.parquet(path)
+        reloaded = spark.read.parquet(path)
+        res = winnow_overlap_against_corpus(batch.spark,
+                                            corpus_index=reloaded,
+                                            min_shared=1)
+        via_idx = {(r["batch_id"], r["corpus_id"]): r["n_shared"]
+                   for r in res.collect()}
+        assert via_idx == got, grouped
+        if grouped:
+            plan = res._jdf.queryExecution().optimizedPlan().toString()
+            assert "collect_list" not in plan, plan
     with pytest.raises(ValueError):
         winnow_overlap_against_corpus(batch)  # neither corpus nor index
     # corpus-side boilerplate cap: append one shared 8-word run to
