@@ -347,3 +347,45 @@ def test_semantic_dedup_matches_bruteforce(spark, seed, n, k, thr):
         if mates:
             exp.append((j, int(assign[j]), min(mates)))
     assert got == sorted(exp), (seed, n, k, thr)
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(0, 10_000),
+       n_docs=st.integers(3, 12),
+       k=st.sampled_from([2, 3, 5]),
+       w=st.sampled_from([2, 4, 7]),
+       min_shared=st.sampled_from([1, 2]))
+def test_winnow_overlap_pairs_matches_python(spark, seed, n_docs, k, w,
+                                             min_shared):
+    """winnow_overlap_pairs == a pure-python MOSS replay: normalize,
+    k-gram, per-position window-min over gram strings, distinct per
+    doc, then pair counts of shared fingerprints — random small-vocab
+    docs (2-9 words from an 8-word vocab) force heavy gram collisions,
+    short docs (n<k, n<w), and tie-heavy windows.  fp_type='gram' so
+    the oracle needs no xxhash64; the hash form shares the selection
+    machinery (pinned by the expr/window parity test)."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import winnow_overlap_pairs
+    rng = np.random.RandomState(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "iota"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(2, 10)))
+             for _ in range(n_docs)]
+    df = vs.from_arrays(doc_id=list(range(n_docs)), text=texts, spark=spark)
+    got = sorted((r["id_a"], r["id_b"], r["n_shared"]) for r in
+                 winnow_overlap_pairs(df, k=k, window=w,
+                                      min_shared=min_shared,
+                                      fp_type="gram").spark.collect())
+    fps = {}
+    for did, text in enumerate(texts):
+        words = " ".join(text.lower().split()).split(" ")
+        m = max(len(words) - (k - 1), 1)
+        grams = [" ".join(words[i:i + k]) for i in range(m)]
+        sel = {min(grams[i:i + w]) for i in range(len(grams))}
+        fps[did] = sel
+    exp = []
+    for a in range(n_docs):
+        for b in range(a + 1, n_docs):
+            shared = len(fps[a] & fps[b])
+            if shared >= min_shared:
+                exp.append((a, b, shared))
+    assert got == sorted(exp), (seed, n_docs, k, w, min_shared)
