@@ -1813,6 +1813,10 @@ def test_winnow_expr_strategy_matches_window(spark):
             assert win == ex, (fp_type, k, w)
     with pytest.raises(ValueError):
         winnow_fingerprints(sdf, strategy="nope")
+    with pytest.raises(ValueError):
+        winnow_fingerprints(sdf, k=0)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(sdf, window=0)
 
 
 def test_winnow_expr_zero_exchange_plan(spark):

@@ -255,6 +255,8 @@ def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
         raise ValueError(f"fp_type={fp_type!r}")
     if strategy not in ("auto", "window", "expr"):
         raise ValueError(f"strategy={strategy!r}")
+    if int(k) < 1 or int(window) < 1:
+        raise ValueError(f"k={k!r} and window={window!r} must be >= 1")
     wrapped = isinstance(df, DataFrame)
     sdf = df._spark_df() if wrapped else df
     if strategy == "auto":
