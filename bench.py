@@ -80,6 +80,10 @@ EXTENDED = [
 # row (1M tiny groups: pandas 90.7s, arrow 13.1s).
 
 
+_LOAD_AT_START = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") \
+    else None
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -147,6 +151,10 @@ def main():
         "warmup_sec": round(warmup, 2),
         "n_runs": n_runs,
         "n_queries": len(times),
+        # 1-minute load average at bench START: the documented ±40%
+        # per-query bounce on this box is run-order contention — a
+        # high value here says the walls rode a loaded machine
+        "loadavg_1m_at_start": _LOAD_AT_START,
     }
     out["extended"] = {"value": round(sum(ext_times.values()), 4),
                        "queries": ext_times}
