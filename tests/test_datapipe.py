@@ -891,6 +891,15 @@ def test_chunk_documents_cover_and_overlap(spark):
     for r in rows:
         covered |= set(range(r["chunk_start"], r["chunk_start"] + r["n_chunk_tokens"]))
     assert covered == set(range(50))
+    # NULL text emits zero chunks (regression: size(null)=-1 made the
+    # chunk-start sequence raise illegal boundaries mid-scan); empty
+    # text still emits its single empty-token chunk
+    mixed = spark.createDataFrame([(1, None), (2, ""), (3, "a b c")],
+                                  "doc_id bigint, text string")
+    got = chunk_documents(mixed, chunk_tokens=2, stride=2)
+    per = {r["doc_id"]: r for r in got.collect()}
+    assert 1 not in per and 2 in per and 3 in per
+    assert got.filter(F.col("doc_id") == 3).count() == 2
 
 
 def test_bigram_pmi_favors_exclusive_pairs(spark):

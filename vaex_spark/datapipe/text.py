@@ -709,11 +709,16 @@ def chunk_documents(df, text_col: str = "text", id_col: str = "doc_id",
     posexplode -> slice.  One narrow scan, zero shuffles, zero Python;
     output size is input tokens x (chunk_tokens/stride) overlap factor,
     produced streaming per partition (never materialized per-doc).
+
+    NULL texts emit zero chunks (without the guard, ``size(null)`` is
+    -1 and the chunk-start ``sequence(0, -2, stride)`` raises an
+    illegal-boundaries error mid-scan — found by the r8 null-smoke).
     """
     from ..dataframe import DataFrame
     wrapped = isinstance(df, DataFrame)
     sdf = df._spark_df() if wrapped else df
-    base = sdf.select(F.col(id_col), _norm_words(text_col).alias("__w"))
+    base = (sdf.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col), _norm_words(text_col).alias("__w")))
     out = (base
            .select(F.col(id_col), F.col("__w"),
                    F.posexplode(F.sequence(F.lit(0), F.size("__w") - 1,
