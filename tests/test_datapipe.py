@@ -171,6 +171,54 @@ def test_topk_query_dispatch_edge_cases(spark):
     assert "MapInPandas" in p4, p4
 
 
+def test_similarity_null_and_degenerate_vectors(spark):
+    """Round-8 contract: NULL vectors are excluded at every similarity/
+    clustering operator boundary (corpus AND query sides — the Arrow
+    kernels crashed on np.stack(None), found by a null smoke);
+    degenerate cosines (zero-norm vectors, NaN coordinates) are NULL
+    and rank LAST in BOTH physical strategies, and the batch-local
+    Arrow selection treats them as -inf so they can never evict a real
+    neighbor.  The two strategies must be bit-identical on a corpus
+    full of degenerates."""
+    from vaex_spark.datapipe import similarity as S
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, None), (3, [0.0, 0.0, 0.0, 0.0]),
+            (4, [float("nan"), 1.0, 0.0, 0.0]), (5, [0.5, 0.5, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = [(0, [1.0, 0.0, 0.0, 0.0])]
+    a = sorted(map(tuple, S.brute_force_topk(
+        df, q, k=5, strategy="expr").collect()))
+    b = sorted(map(tuple, S.brute_force_topk(
+        df, q, k=5, strategy="arrow").collect()))
+    assert a == b
+    ranks = {r[1]: (r[3], r[2]) for r in a}  # neighbor -> (rank, cos)
+    assert 2 not in ranks                       # null vector excluded
+    assert ranks[0][0] == 1 and ranks[1][0] == 2 and ranks[5][0] == 3
+    assert ranks[3][1] is None and ranks[4][1] is None  # degenerate
+    assert {ranks[3][0], ranks[4][0]} == {4, 5}         # ... rank last
+    ia = sorted(map(tuple, S.ivf_topk(df, q, k=5, n_cells=2, n_probe=2,
+                                      strategy="expr").collect()))
+    ib = sorted(map(tuple, S.ivf_topk(df, q, k=5, n_cells=2, n_probe=2,
+                                      strategy="arrow").collect()))
+    assert ia == ib == a
+    # null QUERY rows in a DataFrame query side are excluded too
+    qdf = spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0]), (9, None)],
+                                "vec_id bigint, embedding array<double>")
+    out = S.brute_force_topk(df, qdf, k=3)
+    assert {r["query_id"] for r in out.collect()} == {0}
+    # every other family runs clean over the same corpus
+    assert S.lsh_topk(df, q, k=3, bits=3, n_tables=2).count() >= 1
+    assert S.embedding_near_dups(df, threshold=0.9, bits=2,
+                                 n_tables=2).count() >= 0
+    assert S.semantic_dedup(df, n_clusters=2, threshold=0.9).count() >= 0
+    assert len(S.train_centroids(df, n_cells=2)) == 2
+    # first-k centroid seeding skips a null in the first k rows
+    nf = spark.createDataFrame(
+        [(0, None), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>")
+    assert S.first_k_centroids(nf, 2).tolist() == [[1.0, 0.0], [0.0, 1.0]]
+
+
 def test_round_half_up_matches_spark_round(spark):
     """The Arrow kernels' _round_half_up agrees with F.round (BigDecimal
     HALF_UP) on exact decimal midpoints where np.round (half-to-even)

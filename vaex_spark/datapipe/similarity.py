@@ -31,6 +31,20 @@ def _sdf(df):
     return df._spark_df() if isinstance(df, DataFrame) else df
 
 
+def _drop_null_vecs(sdf, vec_col):
+    """Similarity/clustering contract (round 8): rows with a NULL
+    vector are not candidates, neighbors, queries, or centroid seeds —
+    they are excluded at the operator boundary.  Without this the two
+    physical strategies DISAGREED on nulls: the Arrow kernels crashed
+    (np.stack over None) while the expr twins ranked a null cosine —
+    one contract, enforced once, for every entry point.  NaN-valued
+    coordinates stay in the frame but their cosines are degenerate —
+    see :func:`_null_if_nan` (null, ranks last, in every strategy);
+    ``pairwise_cosine`` keeps nulls transparently (null in → null cos
+    out) as the oracle-friendly exception."""
+    return sdf.filter(F.col(vec_col).isNotNull())
+
+
 def dot(a: Column, b: Column) -> Column:
     """Deterministic dot product of two array columns (array-order sum)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -58,6 +72,17 @@ def normalize(a: Column) -> Column:
 # brute force top-k
 # --------------------------------------------------------------------------
 _BRUTE_EXPR_MAX = 256  # q×d coordinates; above -> Arrow map-side top-k
+
+
+def _null_if_nan(c: Column) -> Column:
+    """Degenerate cosines (zero-norm vectors, non-finite coordinates)
+    are NULL in every strategy: Spark's 0/0 division already yields
+    null, but a NaN-coordinate dot survives as NaN — which sorts
+    GREATEST in a descending window and would rank garbage above every
+    real neighbor.  nanvl routes NaN -> null so degenerates rank LAST,
+    matching the Arrow kernels (whose NaN outputs arrive as null
+    through the Arrow boundary)."""
+    return F.nanvl(c, F.lit(None).cast("double"))
 
 
 def _round_half_up(a, r: int):
@@ -133,13 +158,16 @@ def brute_force_topk(corpus, queries, k: int = 10,
       final ranking, so the union of batch winners provably contains
       the global top-k even through boundary ties.  The corpus never
       explodes into q×n rows at all; the final window ranks ≤ q×k rows
-      per batch.  NaN cosines (zero vectors) are kept greatest during
-      batch selection, matching Spark's descending NaN order.  The two
+      per batch.  Degenerate cosines (zero-norm vectors, NaN
+      coordinates) are treated as -inf during batch selection — they
+      can never evict a real neighbor — and emitted as NaN, which
+      arrives null through the Arrow boundary and ranks LAST, exactly
+      like the expr strategy's _null_if_nan-wrapped scores.  The two
       strategies agree exactly up to FP associativity at the
       ``round_to`` digit (BLAS vs fold-ordered dot products).
     """
     spark = _sdf(corpus).sparkSession
-    corpus_sdf = _sdf(corpus)
+    corpus_sdf = _drop_null_vecs(_sdf(corpus), vec_col)
     query_id_col = query_id_col or id_col
     if strategy not in ("auto", "expr", "arrow"):
         raise ValueError(f"strategy={strategy!r}")
@@ -149,7 +177,7 @@ def brute_force_topk(corpus, queries, k: int = 10,
             qrows, f"{query_id_col} bigint, {vec_col} array<double>")
         qid_dt = "bigint"
     else:
-        qdf = _sdf(queries)
+        qdf = _drop_null_vecs(_sdf(queries), vec_col)
         qrows = None
         qid_dt = dict(qdf.dtypes)[query_id_col]
     strategy, qrows = _dispatch_queries(qdf, query_id_col, vec_col,
@@ -162,8 +190,9 @@ def brute_force_topk(corpus, queries, k: int = 10,
         scored = (corpus_sdf.select(F.col(id_col), F.col(vec_col))
                   .crossJoin(q)
                   .select("query_id", F.col(id_col).alias("neighbor_id"),
-                          F.round(cosine(F.col("__qvec"), F.col(vec_col)),
-                                  round_to).alias("cos")))
+                          _null_if_nan(F.round(
+                              cosine(F.col("__qvec"), F.col(vec_col)),
+                              round_to)).alias("cos")))
     else:
         import pandas as pd
         Q = np.asarray([v for _, v in qrows], dtype=np.float64)
@@ -182,7 +211,7 @@ def brute_force_topk(corpus, queries, k: int = 10,
                 xn = np.sqrt((X * X).sum(1))
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = _round_half_up((X @ Q.T) / (xn[:, None] * qn[None, :]), rnd)
-                sel = np.nan_to_num(cos, nan=np.inf, posinf=np.inf)
+                sel = np.nan_to_num(cos, nan=-np.inf)
                 nb = pdf[id_col].to_numpy()
                 take = min(kk, len(X))
                 oq, on, oc = [], [], []
@@ -313,7 +342,7 @@ def lsh_topk(corpus, queries, k: int = 10, bits: int = 8, n_tables: int = 2,
     path: buckets shard the corpus so each query touches a sliver.
     """
     spark = _sdf(corpus).sparkSession
-    corpus_sdf = _sdf(corpus)
+    corpus_sdf = _drop_null_vecs(_sdf(corpus), vec_col)
     if dim is None:
         first = corpus_sdf.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
         dim = int(first[0]["d"])
@@ -322,7 +351,7 @@ def lsh_topk(corpus, queries, k: int = 10, bits: int = 8, n_tables: int = 2,
             [(int(i), [float(x) for x in v]) for i, v in queries],
             f"{id_col} bigint, {vec_col} array<double>")
     else:
-        qdf = _sdf(queries)
+        qdf = _drop_null_vecs(_sdf(queries), vec_col)
 
     def bucketize(sdf, label):
         # corpus side: stats-gated Arrow BLAS projections (carry_vec so
@@ -342,7 +371,9 @@ def lsh_topk(corpus, queries, k: int = 10, bits: int = 8, n_tables: int = 2,
                     F.col("__q_vec").alias("__qv"), F.col("__c_vec").alias("__cv"))
             .distinct())
     scored = cand.select("query_id", "neighbor_id",
-                         F.round(cosine(F.col("__qv"), F.col("__cv")), round_to).alias("cos"))
+                         _null_if_nan(F.round(cosine(F.col("__qv"),
+                                                     F.col("__cv")),
+                                              round_to)).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -363,7 +394,7 @@ def embedding_near_dups(corpus, threshold: float = 0.95, bits: int = 6,
     ``n_tables`` for tighter guarantees, raise ``bits`` to cut random
     collisions at scale.  Returns (id_a, id_b, cos) with id_a < id_b.
     """
-    corpus_sdf = _sdf(corpus)
+    corpus_sdf = _drop_null_vecs(_sdf(corpus), vec_col)
     if dim is None:
         first = corpus_sdf.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
         dim = int(first[0]["d"])
@@ -409,7 +440,7 @@ def train_centroids(corpus, n_cells: int = 16, vec_col: str = "embedding",
                     sample_rows: int = 2000, iters: int = 5, seed: int = 42) -> np.ndarray:
     """Tiny driver-side k-means on a sample (centroids are small; the
     heavy assignment runs distributed as expressions)."""
-    sdf = _sdf(corpus)
+    sdf = _drop_null_vecs(_sdf(corpus), vec_col)
     # a REAL random sample, not limit(): the first rows of a sorted/
     # clustered table are a biased centroid seed.  Oversample the
     # fraction slightly, cap at sample_rows.
@@ -473,7 +504,7 @@ def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
     """
     import pandas as pd
     spark = _sdf(corpus).sparkSession
-    corpus_sdf = _sdf(corpus)
+    corpus_sdf = _drop_null_vecs(_sdf(corpus), vec_col)
     if strategy not in ("auto", "expr", "arrow"):
         raise ValueError(f"strategy={strategy!r}")
     cent = train_centroids(corpus, n_cells=n_cells, vec_col=vec_col, seed=seed)
@@ -483,7 +514,7 @@ def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
         qdf = spark.createDataFrame(qrows, f"{id_col} bigint, {vec_col} array<double>")
         qid_dt = "bigint"
     else:
-        qdf = _sdf(queries)
+        qdf = _drop_null_vecs(_sdf(queries), vec_col)
         qrows = None
         qid_dt = dict(qdf.dtypes)[id_col]
     strategy, qrows = _dispatch_queries(qdf, id_col, vec_col, qrows, strategy)
@@ -504,7 +535,9 @@ def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
                                    F.explode(probe_cells).alias("__cell")))
         scored = (assigned.join(q, on="__cell")
                   .select("query_id", F.col(id_col).alias("neighbor_id"),
-                          F.round(cosine(F.col("__qvec"), F.col(vec_col)), 8).alias("cos")))
+                          _null_if_nan(F.round(cosine(F.col("__qvec"),
+                                                      F.col(vec_col)),
+                                               8)).alias("cos")))
     else:
         Q = np.asarray([v for _, v in qrows], dtype=np.float64)
         qids = np.asarray([i for i, _ in qrows])
@@ -548,7 +581,7 @@ def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
                 for qi, chunks in acc_i.items():
                     ids_all = np.concatenate(chunks)
                     cos_all = np.concatenate(acc_c[qi])
-                    sel = np.nan_to_num(cos_all, nan=np.inf, posinf=np.inf)
+                    sel = np.nan_to_num(cos_all, nan=-np.inf)
                     idx = np.lexsort((ids_all, -sel))[:kk]
                     oq += [qids[qi]] * len(idx)
                     on += list(ids_all[idx])
@@ -570,8 +603,11 @@ def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
 def first_k_centroids(corpus, k: int, vec_col: str = "embedding",
                       id_col: str = "vec_id") -> np.ndarray:
     """The k lowest-id vectors as centroids — deterministic (and hence
-    oracle-reproducible); ``train_centroids`` is the production seed."""
-    rows = _sdf(corpus).orderBy(id_col).select(vec_col).limit(k).collect()
+    oracle-reproducible); ``train_centroids`` is the production seed.
+    NULL vectors are skipped (the _drop_null_vecs contract — a null
+    among the first k would otherwise crash the float conversion)."""
+    rows = (_drop_null_vecs(_sdf(corpus), vec_col)
+            .orderBy(id_col).select(vec_col).limit(k).collect())
     return np.array([[float(x) for x in r[0]] for r in rows])
 
 
@@ -622,7 +658,7 @@ def semantic_dedup(corpus, n_clusters: int = 8, threshold: float = 0.95,
     """
     import pandas as pd
 
-    sdf = _sdf(corpus)
+    sdf = _drop_null_vecs(_sdf(corpus), vec_col)
     if centroids == "first-k":
         cent = first_k_centroids(corpus, n_clusters, vec_col, id_col)
     else:
