@@ -529,6 +529,32 @@ def test_kmeans_init_default_contract(spark):
     vs.cache.release_operator_caches()
 
 
+def test_kmeans_null_nan_features_contract(spark):
+    """Round-8 degenerate-input contract (mirrors the similarity
+    family): rows with a NULL or NaN feature are dropped from FIT (a
+    single null otherwise poisoned a centroid mean / crashed the
+    driver-side center update) and labeled NULL by transform — under
+    BOTH assignment strategies, with identical centers."""
+    import pandas as pd
+    import vaex_spark as vs
+    from vaex_spark.ml import KMeans
+    pdf = pd.DataFrame({"x": [1.0, 2.0, None, 4.0, float("nan"), 6.0] * 20,
+                        "y": [1.0, None, 3.0, 4.0, 5.0, 6.0] * 20})
+    df = vs.DataFrame(spark.createDataFrame(pdf))
+    results = {}
+    for strat in ("literal", "arrow"):
+        km = KMeans(features=["x", "y"], n_clusters=2, random_state=1,
+                    max_iter=5, assign_strategy=strat)
+        km.fit(df)
+        out = km.transform(df).to_pandas_df()
+        assert int(out["prediction_kmeans"].isna().sum()) == 60  # 3 of 6
+        results[strat] = km.cluster_centers
+    # only the fully-valid rows (1,1),(4,4),(6,6) fit the centers
+    assert results["literal"] == results["arrow"]
+    assert sorted(results["literal"]) == [[1.0, 1.0], [5.0, 5.0]]
+    vs.cache.release_operator_caches()
+
+
 def test_kmeans_arrow_large_values_fall_back_to_float64(spark):
     """The Arrow assignment's float32 fast path must gate on the BATCH's
     feature magnitude, not only the centroids': with centers {0, 3} a

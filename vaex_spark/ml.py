@@ -775,16 +775,31 @@ class KMeans(Transformer):
         self.cluster_centers: list = []
         self.inertia: float | None = None
 
+    @staticmethod
+    def _valid_features(cols):
+        """Rows with a NULL or NaN feature are unassignable: fit drops
+        them (a single null would otherwise poison a centroid mean or
+        crash the driver-side center update), transform labels them
+        null — the same degenerate-input contract as the similarity
+        family (datapipe/similarity._drop_null_vecs, round 8)."""
+        cond = F.lit(True)
+        for c in cols:
+            cond = cond & c.isNotNull() & ~F.isnan(c)
+        return cond
+
     def _assign(self, cols, centers):
         """struct<c:int, d2:double> nearest-centroid Column, strategy
-        picked by k×d (see class docstring)."""
+        picked by k×d (see class docstring).  Rows failing
+        :meth:`_valid_features` get a null struct (null label, null
+        d2) under EITHER strategy."""
         use_literal = (self.assign_strategy == "literal"
                        or (self.assign_strategy == "auto"
                            and len(centers) * max(1, len(cols))
                            <= self._LITERAL_ASSIGN_MAX))
-        if use_literal:
-            return self._assign_expr(cols, centers)
-        return self._assign_arrow(cols, centers)
+        inner = (self._assign_expr(cols, centers) if use_literal
+                 else self._assign_arrow(cols, centers))
+        return F.when(self._valid_features(cols), inner).otherwise(
+            F.lit(None).cast("struct<c:int,d2:double>"))
 
     def _assign_arrow(self, cols, centers):
         """Vectorized Arrow assignment: per batch, numpy argmin over
@@ -973,8 +988,8 @@ class KMeans(Transformer):
         from .cache import _register_persist
         cols = [df._to_expr(f).col.cast("double") for f in self.features]
         proj = _register_persist(
-            df._spark_df().select(*[c.alias(f"__f{i}")
-                                    for i, c in enumerate(cols)]))
+            df._spark_df().filter(self._valid_features(cols))
+            .select(*[c.alias(f"__f{i}") for i, c in enumerate(cols)]))
         pcols = [F.col(f"__f{i}") for i in range(len(cols))]
         base_seed = 42 if self.random_state is None else int(self.random_state)
         best = (None, float("inf"))
