@@ -1856,24 +1856,94 @@ def test_winnow_expr_strategy_matches_window(spark):
         [(1, "one two"), (2, "a b c d e"), (3, ""), (4, "x x x x x x x"),
          # non-ASCII: array_min and F.min must agree on UTF8String
          # binary order (é > z in bytes, < z in some collations)
-         (5, "zebra é ágil ñu zebra é ágil ñu zebra")],
+         (5, "zebra é ágil ñu zebra é ágil ñu zebra"),
+         # NULL text: the r8 expr form manufactured one phantom ""
+         # gram (size(null)->null->greatest(null,1)=1) and emitted the
+         # empty-string fingerprint where the window twin emits zero
+         # rows — the r9 null guard pins zero rows in BOTH strategies
+         (6, None),
+         (7, "   ")],
         "doc_id bigint, text string")
     for frame, k, w in ((sdf, 5, 4), (sdf, 3, 7), (edge, 5, 4),
                         (edge, 2, 3)):
         for fp_type in ("hash", "gram"):
-            win = {tuple(r) for r in winnow_fingerprints(
+            win = [tuple(r) for r in winnow_fingerprints(
                 frame, k=k, window=w, fp_type=fp_type,
-                strategy="window").collect()}
-            ex = {tuple(r) for r in winnow_fingerprints(
+                strategy="window").collect()]
+            ex = [tuple(r) for r in winnow_fingerprints(
                 frame, k=k, window=w, fp_type=fp_type,
-                strategy="expr").collect()}
-            assert win == ex, (fp_type, k, w)
+                strategy="expr").collect()]
+            assert set(win) == set(ex), (fp_type, k, w)
+            # unique-id input => no duplicate (id, fp) rows either
+            assert len(ex) == len(set(ex)), (fp_type, k, w)
+            if frame is edge:  # the planted NULL doc emits nothing
+                assert not any(i == 6 for i, _ in ex), (fp_type, k, w)
     with pytest.raises(ValueError):
         winnow_fingerprints(sdf, strategy="nope")
     with pytest.raises(ValueError):
         winnow_fingerprints(sdf, k=0)
     with pytest.raises(ValueError):
         winnow_fingerprints(sdf, window=0)
+
+
+def test_winnow_null_and_dup_id_contracts(spark):
+    """User-visible surface of the r9 fixes: (a) a NULL-text doc emits
+    NO fingerprints, so at min_shared=1 it matches nothing — not even
+    empty/whitespace docs (the r8 expr defect made NULL share the ""
+    fingerprint with every empty doc); (b) duplicate doc_id rows
+    through the capped pair generator produce no id_a == id_b
+    self-pairs and no multiplicity-inflated n_shared."""
+    from vaex_spark.datapipe.text import (
+        winnow_overlap_pairs, winnow_overlap_against_corpus,
+        winnow_dedup_against_corpus)
+    sdf = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, None),
+         (5, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in winnow_overlap_pairs(sdf, min_shared=1).collect()}
+    # NULL docs (1, 4) appear in NO pair; empty/whitespace (2, 3)
+    # legitimately share the ""-gram fingerprint with each other only
+    assert pairs == {(2, 3): 1}, pairs
+    # batch-vs-corpus: NULL batch docs never flag, and empty corpus
+    # docs never flag a NULL batch doc
+    corpus = spark.createDataFrame(
+        [(100, ""), (101, "totally unrelated corpus text here")],
+        "doc_id bigint, text string")
+    hits = winnow_overlap_against_corpus(
+        sdf, corpus, min_shared=1).collect()
+    assert sorted(r["batch_id"] for r in hits) == [2, 3], hits
+    kept = winnow_dedup_against_corpus(sdf, corpus, min_shared=1)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4, 5]
+    # duplicate-id robustness of the capped pair path
+    dup = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (1, "a b c d e f g h"),
+         (2, "a b c d e f g h")],
+        "doc_id bigint, text string")
+    dpairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+              for r in winnow_overlap_pairs(
+                  dup, k=3, window=2, min_shared=1).collect()}
+    assert all(a != b for a, b in dpairs), dpairs
+    assert dpairs == {(1, 2): 4}, dpairs
+
+
+def test_ann_list_queries_null_vector_contract(spark):
+    """List-form (id, vector) queries follow the same NULL contract as
+    the DataFrame side (_drop_null_vecs): a None vector is skipped at
+    every list-accepting entry point, not a float(None) crash."""
+    from vaex_spark.datapipe.similarity import (
+        brute_force_topk, lsh_topk, ivf_topk)
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(30)],
+        "vec_id bigint, embedding array<double>")
+    queries = [(0, [1.0, 0.0, 1.0]), (1, None), (2, [0.0, 1.0, 0.0])]
+    for fn, kw in ((brute_force_topk, {}),
+                   (lsh_topk, {"bits": 2, "n_tables": 2}),
+                   (ivf_topk, {"n_cells": 2, "n_probe": 2})):
+        rows = fn(corpus, queries, k=3, **kw).collect()
+        qids = {r["query_id"] for r in rows}
+        assert 1 not in qids, (fn.__name__, rows)
+        assert {0, 2} <= qids, (fn.__name__, rows)
 
 
 def test_winnow_expr_zero_exchange_plan(spark):
@@ -2064,4 +2134,87 @@ def test_lsh_bucket_cap_drops_giant_clusters(spark):
     assert cluster_pairs <= base and (100, 101) in base
     assert capped & cluster_pairs == set(), capped
     assert (100, 101) in capped
+    vs.cache.release_operator_caches()
+
+
+@pytest.mark.parametrize("fn_name", [
+    "shingles", "minhash_signature", "minhash_bands", "simhash"])
+def test_null_text_column_fns_emit_null(spark, fn_name):
+    """Round-9 NULL-asymmetry audit (the winnow bug class —
+    ``size(null)`` = -1 / ``greatest(null, 1)`` = 1 manufacturing
+    phantom elements): every text-derived Column function emits NULL
+    for a NULL text, never a phantom value a null doc could share with
+    empty docs — and stays non-null for empty text ('' is a real,
+    hashable document)."""
+    from pyspark.sql import functions as F
+    from vaex_spark.datapipe.text import shingles
+    from vaex_spark.datapipe.dedup import (minhash_signature,
+                                           minhash_bands_col, simhash)
+    col = {
+        "shingles": lambda: shingles("text", 3),
+        "minhash_signature": lambda: minhash_signature("text", num_perm=4),
+        "minhash_bands": lambda: minhash_bands_col(
+            minhash_signature("text", num_perm=4), 2, 2),
+        "simhash": lambda: simhash("text", num_bits=8),
+    }[fn_name]()
+    sdf = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real words here")],
+        "doc_id bigint, text string")
+    rows = dict((r[0], r[1]) for r in
+                sdf.select("doc_id", col.alias("v")).collect())
+    assert rows[1] is None, (fn_name, rows)
+    assert rows[2] is not None and rows[3] is not None, (fn_name, rows)
+
+
+def test_null_text_strategy_parity_minhash(spark):
+    """The MinHash Column band form and the exploding _banded_long
+    codegen twin (auto-dispatched by stats) emit IDENTICAL (id, band,
+    bucket) sets on a frame with planted NULL / empty / whitespace
+    texts — before r9 the Column form emitted bands for NULL docs that
+    the exploding twin dropped, so the auto dispatch made near-dup
+    candidacy of NULL docs depend on partition-count stats."""
+    from pyspark.sql import functions as F
+    from vaex_spark.datapipe.dedup import (minhash_signature,
+                                           minhash_bands_col, _banded_long)
+    sdf = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "a b c d e f g"),
+         (5, "a b c d e f g"), (6, None)],
+        "doc_id bigint, text string")
+    col_form = sdf.select(
+        "doc_id",
+        F.posexplode(minhash_bands_col(
+            minhash_signature("text", num_perm=8), 4, 2))
+        .alias("band", "bucket"))
+    long_form = _banded_long(sdf, "doc_id", "text", 8, 4, 5)
+    a = {tuple(r) for r in col_form.collect()}
+    b = {tuple(r) for r in long_form.collect()}
+    assert a == b
+    assert not any(i in (1, 6) for i, _, _ in a), a
+
+
+def test_null_text_stats_and_strip_contracts(spark):
+    """repetition_stats keeps one row per INPUT doc (n_lines=0, null
+    fracs for null/empty/whitespace text) and gopher_filter judges
+    repetition only — degenerate docs pass through; NULL text survives
+    strip_duplicated_spans as NULL, never coalesced to ''."""
+    from vaex_spark.datapipe.repetition import repetition_stats, gopher_filter
+    from vaex_spark.datapipe.dedup import strip_duplicated_spans
+    import vaex_spark as vs
+    sdf = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "),
+         (4, "dup dup dup dup dup dup dup dup dup dup"),
+         (5, "a perfectly normal sentence with reasonable words")],
+        "doc_id bigint, text string")
+    stats = {r["doc_id"]: (r["n_lines"], r["dup_line_frac"])
+             for r in repetition_stats(sdf).collect()}
+    assert set(stats) == {1, 2, 3, 4, 5}
+    assert stats[1] == (0, None) and stats[2] == (0, None) \
+        and stats[3] == (0, None)
+    kept = sorted(r["doc_id"] for r in
+                  gopher_filter(sdf).select("doc_id").collect())
+    assert kept == [1, 2, 3, 5], kept  # 4 fails top2gram, degenerates pass
+    stripped = {r["doc_id"]: r["text"]
+                for r in strip_duplicated_spans(sdf, width=3)
+                ._spark_df().collect()}
+    assert stripped[1] is None and stripped[2] == ""
     vs.cache.release_operator_caches()

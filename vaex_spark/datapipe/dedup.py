@@ -182,23 +182,38 @@ def minhash_signature(text, num_perm: int = 64, shingle_k: int = 5,
     re-hashing a ~30-byte string per permutation).  The permutation loop
     is ``transform`` over sequence(0, num_perm-1) with the base-hash
     array let-bound once; everything stays in codegen — no UDF, no
-    explode."""
+    explode.
+
+    NULL text / NULL shingle array → NULL signature (r9): the outer
+    transform iterates a LITERAL sequence, so without the guard a null
+    shingle array yielded a non-null array of null minima — a
+    "signature" the exploding :func:`_banded_long` twin never emits
+    (explode of the null gram zip drops the doc).  One contract both
+    ways: NULL docs are not near-dup candidates."""
     sh = precomputed_shingles if precomputed_shingles is not None else shingles(_colify(text), k=shingle_k)
     base = F.transform(sh, lambda s: F.xxhash64(s))
-    return _let(base, lambda arr: F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(F.transform(arr, lambda h: F.xxhash64(h, i)))))
+    return _let(base, lambda arr: F.when(
+        arr.isNotNull(),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda i: F.array_min(F.transform(arr, lambda h: F.xxhash64(h, i))))
+    ).otherwise(F.lit(None).cast("array<bigint>")))
 
 
 def minhash_bands_col(sig: Column, num_bands: int, rows_per_band: int) -> Column:
     """Array of band hashes: hash of each contiguous signature slice.
-    The signature is let-bound so it is computed once, not per band."""
-    return _let(sig, lambda s: F.transform(
-        F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda b: F.xxhash64(
-            F.array_join(F.transform(F.slice(s, b * rows_per_band + 1, rows_per_band),
-                                     lambda x: x.cast("string")), "_"),
-            b + 1000)))
+    The signature is let-bound so it is computed once, not per band.
+    NULL signature (NULL doc) → NULL band array, so ``posexplode``
+    drops the doc — matching :func:`_banded_long`."""
+    return _let(sig, lambda s: F.when(
+        s.isNotNull(),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_bands - 1)),
+            lambda b: F.xxhash64(
+                F.array_join(F.transform(F.slice(s, b * rows_per_band + 1, rows_per_band),
+                                         lambda x: x.cast("string")), "_"),
+                b + 1000))
+    ).otherwise(F.lit(None).cast("array<bigint>")))
 
 
 def _gram_hashes(sdf, id_col, text_col, shingle_k):
@@ -450,9 +465,17 @@ def simhash(text, num_bits: int = 64) -> Column:
 
     For each bit b: sum over tokens of sign(bit b of xxhash64(token));
     bit set if the sum is positive.  aggregate() over the token array
-    does the voting without explode."""
-    tokens = F.split(F.trim(F.regexp_replace(F.lower(_colify(text)), r"\s+", " ")), " ")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    does the voting without explode.
+
+    NULL text → NULL hash (r9): every per-bit vote over a null token
+    array is null, and ``when(null > 0)`` silently took the otherwise
+    branch — all NULL docs got simhash 0, within blocking distance of
+    every near-zero real hash.  A null simhash drops out of
+    :func:`simhash_near_dups` naturally (null block keys never
+    equi-join, null hamming never passes the filter)."""
+    t = _colify(text)
+    tokens = F.split(F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")), " ")
+    hashes = F.transform(tokens, lambda x: F.xxhash64(x))
 
     def _make_merge(b):
         # closure (not a default arg: pyspark reads lambda arity to pick
@@ -469,8 +492,11 @@ def simhash(text, num_bits: int = 64) -> Column:
         return out
 
     # let-bind the hash array: 64 per-bit aggregates reference it without
-    # re-running tokenization+hashing per bit
-    return _let(hashes, _vote_bits)
+    # re-running tokenization+hashing per bit.  The null guard must wrap
+    # the OUTPUT: a null vote inside _vote_bits falls through when(v > 0)
+    # to the otherwise(0) branch, so per-bit guards can't see it.
+    return F.when(t.isNotNull(), _let(hashes, _vote_bits)).otherwise(
+        F.lit(None).cast("long"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -1109,7 +1135,16 @@ def strip_duplicated_spans(df, text_col: str = "text", id_col: str = "doc_id",
                .agg(F.array_join(
                    F.transform(F.array_sort(F.collect_list(F.struct("__tpos", "__tok"))),
                                lambda s: s["__tok"]), " ").alias(text_col)))
-    all_ids = sdf.select(F.col(id_col))
+    # NULL-text docs stay NULL (r9): a null input doc was never
+    # "reduced to nothing" by stripping — coalescing it to '' would
+    # conflate it with genuinely-emptied docs, the exact null/empty
+    # confusion the winnow contract forbids.
+    all_ids = sdf.select(F.col(id_col),
+                         F.col(text_col).isNull().alias("__wasnull"))
     out = (all_ids.join(rebuilt, on=id_col, how="left")
-           .withColumn(text_col, F.coalesce(F.col(text_col), F.lit(""))))
+           .withColumn(text_col,
+                       F.when(F.col("__wasnull"),
+                              F.lit(None).cast("string"))
+                       .otherwise(F.coalesce(F.col(text_col), F.lit(""))))
+           .drop("__wasnull"))
     return _wrap(out)

@@ -65,7 +65,12 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id",
     """Per-document repetition signals.
 
     Returns (id, n_lines, dup_line_frac, dup_line_char_frac,
-    top{top_n}gram_char_frac, dup{dup_n}gram_char_frac).
+    top{top_n}gram_char_frac, dup{dup_n}gram_char_frac) — one row per
+    INPUT document (r9): docs with no non-empty lines (null/empty/
+    whitespace text) keep a row with ``n_lines`` 0 and null fracs
+    instead of silently vanishing from the stats (and therefore from
+    :func:`gopher_filter`, which judges repetition, not emptiness —
+    compose a length/quality filter for that).
     """
     from ..dataframe import DataFrame
     wrapped = isinstance(df, DataFrame)
@@ -87,7 +92,10 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id",
     tops = _gram_stats(sdf, id_col, word_ngrams(t, top_n), top_name, "_ignore_dup")
     dups = _gram_stats(sdf, id_col, word_ngrams(t, dup_n), "_ignore_top", dup_name)
 
-    out = (line_stats
+    out = (sdf.select(F.col(id_col))
+           .join(line_stats, on=id_col, how="left")
+           .withColumn("n_lines",
+                       F.coalesce(F.col("n_lines"), F.lit(0).cast("long")))
            .join(tops.select(id_col, top_name), on=id_col, how="left")
            .join(dups.select(id_col, dup_name), on=id_col, how="left"))
     return DataFrame(out) if wrapped else out

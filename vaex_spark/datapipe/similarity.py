@@ -101,6 +101,15 @@ def _collect_qrows(qdf, id_col, vec_col):
             qdf.select(id_col, vec_col).collect()]
 
 
+def _list_qrows(queries):
+    """List-form (id, vector) queries under the same NULL contract as
+    the DataFrame side's :func:`_drop_null_vecs`: a None vector is not
+    a query — skipped, not a float(None) crash (the two input forms
+    must agree on nulls)."""
+    return [(int(i), [float(x) for x in v])
+            for i, v in queries if v is not None]
+
+
 def _dispatch_queries(qdf, id_col, vec_col, qrows, strategy):
     """Resolve ('auto'|'expr'|'arrow', maybe-collected qrows) to a
     concrete (strategy, qrows) pair with at most one BOUNDED driver
@@ -172,7 +181,7 @@ def brute_force_topk(corpus, queries, k: int = 10,
     if strategy not in ("auto", "expr", "arrow"):
         raise ValueError(f"strategy={strategy!r}")
     if isinstance(queries, (list, tuple)):
-        qrows = [(int(i), [float(x) for x in v]) for i, v in queries]
+        qrows = _list_qrows(queries)
         qdf = spark.createDataFrame(
             qrows, f"{query_id_col} bigint, {vec_col} array<double>")
         qid_dt = "bigint"
@@ -348,7 +357,7 @@ def lsh_topk(corpus, queries, k: int = 10, bits: int = 8, n_tables: int = 2,
         dim = int(first[0]["d"])
     if isinstance(queries, (list, tuple)):
         qdf = spark.createDataFrame(
-            [(int(i), [float(x) for x in v]) for i, v in queries],
+            _list_qrows(queries),
             f"{id_col} bigint, {vec_col} array<double>")
     else:
         qdf = _drop_null_vecs(_sdf(queries), vec_col)
@@ -510,7 +519,7 @@ def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
     cent = train_centroids(corpus, n_cells=n_cells, vec_col=vec_col, seed=seed)
     assigned = corpus_sdf.withColumn("__cell", ivf_assign(F.col(vec_col), cent))
     if isinstance(queries, (list, tuple)):
-        qrows = [(int(i), [float(x) for x in v]) for i, v in queries]
+        qrows = _list_qrows(queries)
         qdf = spark.createDataFrame(qrows, f"{id_col} bigint, {vec_col} array<double>")
         qid_dt = "bigint"
     else:

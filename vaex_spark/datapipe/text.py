@@ -144,17 +144,24 @@ def fingerprint(text, normalize: bool = True) -> Column:
 
 
 def shingles(text, k: int = 5) -> Column:
-    """Array of k-word shingles (for MinHash / Jaccard).
+    """Array of k-word shingles (for MinHash / Jaccard).  NULL text →
+    NULL array (r9: was ``[null]`` — ``size(null)`` = -1 < k took the
+    whole-text branch and ``array_join(null)`` = null became a phantom
+    single-null shingle, which made every pair of NULL docs Jaccard-1.0
+    duplicates and fed the MinHash Column form a signature the
+    exploding ``_banded_long`` twin never computes).
 
     The inlined ``words`` reference inside the transform lambda is
     fine: a let-bound variant measured a wash at sf0.1 (34 vs 43 ms —
     the split is not re-evaluated per element in practice), so the
     simpler form stays."""
-    words = F.split(F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " ")), " ")
+    t = _c(text)
+    words = F.split(F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")), " ")
     n = F.size(words)
     # transform over 0..n-k producing space-joined k-grams
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n < k, F.array(F.array_join(words, " "))).otherwise(
+    return F.when(t.isNull(), F.lit(None).cast("array<string>")).when(
+        n < k, F.array(F.array_join(words, " "))).otherwise(
         F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")))
 
 
@@ -195,7 +202,14 @@ def _winnow_fps_expr(text_col: str, k: int, window: int, gram: bool) -> Column:
     measured at sf0.1 (250k grams): 0.31–0.33 s vs 0.68–0.95 s for an
     Arrow mapInPandas sliding-min kernel of the same selection (the
     Arrow hop + per-doc numpy dispatch cost more than interpreted
-    HOFs at window=4), and ~1.0–1.4 s for the window twin."""
+    HOFs at window=4), and ~1.0–1.4 s for the window twin.
+
+    NULL texts emit an EMPTY array (explode drops the row), matching
+    the window twin where ``posexplode`` of the null gram zip yields
+    no rows.  Without the guard, ``size(null)`` → null →
+    ``greatest(null, 1)`` = 1 manufactures one phantom gram that
+    ``concat_ws`` renders as ``""`` — a NULL doc would then share a
+    fingerprint with every empty-string doc."""
     def _with_words(wd):
         m = F.greatest(F.size(wd) - (k - 1), F.lit(1))
         grams = F.transform(F.sequence(F.lit(1), m),
@@ -207,7 +221,10 @@ def _winnow_fps_expr(text_col: str, k: int, window: int, gram: bool) -> Column:
             lambda i: F.array_min(F.slice(h, i, window)))))
     words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
                                             r"\s+", " ")), " ")
-    return _let(words, _with_words)
+    sel = _let(words, _with_words)
+    return F.when(F.col(text_col).isNotNull(), sel).otherwise(
+        F.array().cast("array<string>") if gram
+        else F.array().cast("array<bigint>"))
 
 
 def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
@@ -248,6 +265,16 @@ def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
     what the DuckDB oracle (q96) checks the selection machinery with.
 
     Returns (id_col, fp) — one row per distinct selected fingerprint.
+    PRECONDITION: ``id_col`` unique per row.  With duplicate id rows
+    BOTH strategies degrade, differently: 'expr' dedups per INPUT ROW
+    (``array_distinct`` on the per-doc array) and so emits duplicate
+    (id, fp) pairs, while 'window' interleaves the copies' gram
+    positions in ONE window partition — sliding minima then span two
+    documents' grams, selecting fingerprints neither copy would alone.
+    :func:`winnow_overlap_pairs`'s capped path dedups ids after
+    grouping (no self-pairs, no inflated counts); the uncapped
+    (``max_df=None``) self-join counts multiplicities — dedup
+    upstream if your ids repeat.
     """
     from pyspark.sql import Window
     from ..dataframe import DataFrame
@@ -371,8 +398,13 @@ def winnow_overlap_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     fsdf = fps._spark_df() if wrapped else fps
     if max_df is not None:
         ids = F.col("__ids")
+        # array_distinct guards duplicate doc_id input rows (the expr
+        # fingerprint strategy dedups (id, fp) per ROW, not globally —
+        # without it a repeated id would emit id_a == id_b self-pairs
+        # and inflate n_shared); free on the already-grouped row.
         grp = (fsdf.groupBy("fp")
-               .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
+               .agg(F.array_sort(F.array_distinct(
+                   F.collect_list(id_col))).alias("__ids"))
                .filter((F.size(ids) >= 2) & (F.size(ids) <= int(max_df))))
         lead = grp.select(F.posexplode(ids).alias("__i", "id_a"), ids)
         pairs = lead.select(
