@@ -3079,6 +3079,47 @@ def _q98_winnow_against_corpus(spark, sf_dir):
             .orderBy("batch_id", "corpus_id"))
 
 
+def _q99_winnow_screen_indexed(spark, sf_dir):
+    """PRODUCTION shape of q98 (bench-tracked since r9, per the r8
+    verdict: the headline q98 re-derives the corpus index in-plan each
+    run BY DESIGN so the DuckDB oracle replays end-to-end; its 4.1×
+    ratio therefore measured the deliberate re-derivation, not the
+    screen).  Here the GROUPED winnow corpus index (fp, sorted-id
+    array — text.py:corpus_winnow_index(grouped=True)) is a persisted
+    parquet snapshot, built ONCE per corpus snapshot and reused; the
+    per-run cost is only the incremental screen: batch fingerprinting
+    + one fp equi-join against the pre-grouped index (no query-time
+    groupBy over the index, no corpus text scan).  Same output as q98
+    — the oracle SQL is identical — so the driver value-hashes the
+    production path at every config too.  The index lands under a
+    path keyed by (sf_dir, params) and is rebuilt only when absent;
+    inside bench's median-of-5 the first run may pay the build and
+    the median reports the steady-state screen, which is exactly the
+    production cost model (index amortized across every batch)."""
+    import hashlib
+    import os
+    from vaex_spark.datapipe.text import (corpus_winnow_index,
+                                          winnow_overlap_against_corpus)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs[docs.doc_id % 3 != 0]
+    batch = docs[docs.doc_id % 3 == 0]
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|gram|k5w4|grouped|v1".encode()
+    ).hexdigest()[:12]
+    idx_dir = f"/tmp/vaex_spark_widx_{tag}"
+    if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+        (corpus_winnow_index(corpus, fp_type="gram", grouped=True).spark
+         .write.mode("overwrite").parquet(idx_dir))
+    idx = spark.read.parquet(idx_dir)
+    out = winnow_overlap_against_corpus(batch, min_shared=2,
+                                        fp_type="gram", max_df=256,
+                                        corpus_index=idx).spark
+    return (out.select(F.col("batch_id").cast("long").alias("batch_id"),
+                       F.col("corpus_id").cast("long").alias("corpus_id"),
+                       F.col("n_shared").cast("long").alias("n_shared"))
+            .orderBy("batch_id", "corpus_id"))
+
+
 _Q98_SQL = r"""
 WITH words AS (
   SELECT doc_id,
@@ -3240,6 +3281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_winnow_overlap": _q96_winnow_overlap,
         "q97_winnow_overlap_hash": _q97_winnow_overlap_hash,
         "q98_winnow_against_corpus": _q98_winnow_against_corpus,
+        "q99_winnow_screen_indexed": _q99_winnow_screen_indexed,
     }
 
 
@@ -3340,4 +3382,7 @@ def oracle_sql() -> dict[str, str]:
         "q95_kmeans_assign": _q95_oracle_sql(),
         "q96_winnow_overlap": _Q96_SQL,
         "q98_winnow_against_corpus": _Q98_SQL,
+        # same result relation as q98: the production path persists the
+        # grouped index but the screen's OUTPUT is contract-identical
+        "q99_winnow_screen_indexed": _Q98_SQL,
     }

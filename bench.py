@@ -70,6 +70,11 @@ EXTENDED = [
     "q96_winnow_overlap",      # MOSS winnowed-fingerprint doc overlap (gram oracle form)
     "q97_winnow_overlap_hash",  # same operator, production xxhash64 form (rows-only)
     "q98_winnow_against_corpus",  # incremental batch-vs-corpus winnow overlap
+    # production q98 shape: grouped index persisted to parquet (built on
+    # first run, reused after), per-run cost = batch screen only — the
+    # number to track for the incremental-screen cost model (the q98
+    # entry deliberately re-derives the index in-plan for oracle replay)
+    "q99_winnow_screen_indexed",
 ]
 # q93_group_delta_min stays OUT of the timed sections deliberately: it
 # exists to oracle-check the GroupBy.apply(engine='arrow') machinery,

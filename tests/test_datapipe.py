@@ -1717,6 +1717,122 @@ def test_curate_stream_winnow_cross_batch(spark, tmp_path):
     assert ids == list(range(10)) + list(range(305, 309)), ids
 
 
+def test_corpus_winnow_index_grouped_default(spark, tmp_path):
+    """Pins the r9 DECISION: corpus_winnow_index defaults to the FLAT
+    (id, fp) relation — append-safe for the streaming sink and the
+    universal on-disk interchange shape — while grouped=True stays the
+    explicit opt-in for write-once snapshots (the q99 bench path).
+    Also pins WHY the default matters: a grouped index assembled from
+    per-batch FRAGMENTS applies max_df per fragment row, so boilerplate
+    spread across batches escapes the cap that the flat index (or a
+    true single-snapshot grouped index) enforces globally."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import (corpus_winnow_index,
+                                          winnow_overlap_against_corpus)
+    docs = vs.open("/root/testdata/sf0.001/documents.parquet", spark=spark)
+    flat = corpus_winnow_index(docs).spark
+    assert set(flat.columns) == {"doc_id", "fp"}  # flat by default
+    grp = corpus_winnow_index(docs, grouped=True).spark
+    assert set(grp.columns) == {"fp", "__cids"}
+    # fragment hazard: boilerplate fp in 4 docs, split 2+2 across two
+    # "batch" fragments; max_df=3 must cap it on the flat/global index
+    # but fails to on the naive fragment union
+    # >= window + k - 1 = 8 words shared guarantees a common
+    # fingerprint; 12 words leaves frames fully inside the run
+    boiler = ("exact same boilerplate sentence repeated verbatim in "
+              "every single document every time")
+    frames = [spark.createDataFrame(
+        [(base + i, f"{boiler} unique tail {base + i} word") for i in range(2)],
+        "doc_id bigint, text string") for base in (0, 100)]
+    frag_idx = corpus_winnow_index(frames[0], grouped=True).unionByName(
+        corpus_winnow_index(frames[1], grouped=True))
+    flat_idx = corpus_winnow_index(frames[0]).unionByName(
+        corpus_winnow_index(frames[1]))
+    batch = spark.createDataFrame(
+        [(900, f"{boiler} totally novel continuation words")],
+        "doc_id bigint, text string")
+    hits_flat = winnow_overlap_against_corpus(
+        batch, min_shared=1, max_df=3, corpus_index=flat_idx).count()
+    hits_frag = winnow_overlap_against_corpus(
+        batch, min_shared=1, max_df=3, corpus_index=frag_idx).count()
+    assert hits_flat == 0          # global df=4 > 3: capped
+    assert hits_frag > 0           # per-fragment df=2 <= 3: escapes
+
+
+def test_curate_stream_degenerate_texts_all_stages(spark, tmp_path):
+    """Round-9 streaming degenerate audit: NULL and empty texts flow
+    through ALL THREE cross-batch stages (exact fingerprint state,
+    fuzzy LSH index, winnow fingerprint index) without poisoning any
+    state table or cross-matching each other.
+
+    Contracts pinned: (a) NULL docs emit ZERO rows into the LSH and
+    winnow index sinks (a null band/fingerprint row would equi-join
+    nothing, but must not exist at all); (b) a batch-2 NULL doc is an
+    exact duplicate of a batch-1 NULL doc (SQL grouping semantics —
+    all-null texts fingerprint identically) but NEVER of an empty doc,
+    and vice versa; (c) real docs still dedup across batches with the
+    degenerates present; (d) replaying batch 1 with state present
+    (fresh checkpoint) is idempotent with planted NULLs."""
+    import pandas as pd
+    from vaex_spark import streaming as st
+
+    real = ["a perfectly ordinary document with plenty of words number %d"
+            % i for i in range(6)]
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"doc_id": range(8),
+                  "text": real + [None, ""]}).to_parquet(src / "b1.parquet")
+    common = dict(out_dir=str(tmp_path / "out"),
+                  state_dir=str(tmp_path / "state"),
+                  fuzzy_lsh_dir=str(tmp_path / "lsh"),
+                  fuzzy_threshold=0.5,
+                  winnow_index_dir=str(tmp_path / "widx"),
+                  winnow_min_shared=1,
+                  min_quality=None, repetition_filter=False, dedup=None)
+
+    st.curate_stream(st.open_stream(str(src), spark=spark),
+                     checkpoint=str(tmp_path / "ckpt1"), **common)
+    out1 = spark.read.parquet(str(tmp_path / "out"))
+    assert out1.count() == 8  # degenerates pass (no quality filter on)
+    # (a) NULL docs contribute NOTHING to the fuzzy / winnow indexes
+    lsh = spark.read.parquet(str(tmp_path / "lsh"))
+    widx = spark.read.parquet(str(tmp_path / "widx"))
+    assert lsh.filter(F.col("doc_id") == 6).count() == 0
+    assert widx.filter(F.col("doc_id") == 6).count() == 0
+    assert lsh.filter(F.col("doc_id") == 7).count() > 0  # '' is real
+    # (d) replay batch 1 against existing state: idempotent
+    st.curate_stream(st.open_stream(str(src), spark=spark),
+                     checkpoint=str(tmp_path / "ckpt2"), **common)
+    out1b = spark.read.parquet(str(tmp_path / "out"))
+    assert out1b.count() == 8
+    assert sorted(r["doc_id"] for r in out1b.select("doc_id").collect()) \
+        == list(range(8))
+
+    # batch 2: one real dup, one fresh real, one NULL, one empty,
+    # one whitespace-only (normalizes to the empty fingerprint)
+    pd.DataFrame({"doc_id": [100, 101, 102, 103, 104],
+                  "text": [real[0],
+                           "genuinely new content with plenty of words",
+                           None, "", "   "]}).to_parquet(src / "b2.parquet")
+    st.curate_stream(st.open_stream(str(src), spark=spark),
+                     checkpoint=str(tmp_path / "ckpt3"), **common)
+    out2 = spark.read.parquet(str(tmp_path / "out"))
+    ids = sorted(r["doc_id"] for r in out2.select("doc_id").collect())
+    # 100 (exact dup of 0), 102 (NULL = dup of NULL 6), 103/104
+    # (empty/whitespace = dup of empty 7) all drop; 101 survives.
+    # Crucially 102 dropped because of 6, NOT because of 7 — and the
+    # fuzzy/winnow stages never matched any degenerate.
+    assert ids == list(range(8)) + [101], ids
+    # state tables stayed clean of null-doc rows across all batches
+    assert spark.read.parquet(str(tmp_path / "lsh")) \
+        .filter(F.col("doc_id").isin(6, 102)).count() == 0
+    assert spark.read.parquet(str(tmp_path / "widx")) \
+        .filter(F.col("doc_id").isin(6, 102)).count() == 0
+    # exact-state fingerprints: NULL's fp differs from empty's fp
+    state = spark.read.parquet(str(tmp_path / "state"))
+    assert state.select("__fp").distinct().count() == state.count()
+
+
 def test_banded_long_bit_identical_to_column_form(spark):
     """_banded_long (explode + codegen min-aggregates) must produce the
     EXACT (id, band, bucket) rows of the Column signature form

@@ -122,7 +122,11 @@ HEADLINE_JOB_CEILING = {
     "q96_winnow_overlap": 7,  # grouped pair-gen: scan+2 exchanges (r8)
     "q97_winnow_overlap_hash": 7,  # same shape, hash fingerprints
     # corpus-index grouping + batch fp join (AQE broadcast) + pair agg
+    # (r9 re-measured: 8 jobs — the 9 is measured + 1, not slack)
     "q98_winnow_against_corpus": 9,
+    # production shape: parquet-index scan (no index groupBy) + batch
+    # fingerprint + AQE broadcast decision + pair agg; measured 7
+    "q99_winnow_screen_indexed": 8,
     # ANN family (round-7 Arrow strategies must not add scans/jobs):
     # q33 = query collect + ranking (expr path at q×d<=256); q34 = dim
     # probe + bucket join; q44 = dim probe + persisted bucket relation

@@ -451,10 +451,20 @@ def corpus_winnow_index(corpus, text_col: str = "text",
     ``grouped=True`` stores the index PRE-GROUPED as (fp, __cids
     sorted-id array) — the exact shape the screen's join consumes, so
     query time pays NO groupBy exchange over the index at all
-    (measured 4.3 → 2.x s on a 2M-fingerprint index; the grouping cost
-    moves into the one-time build).  Use for single-snapshot indexes;
-    the streaming sink keeps the flat form because per-batch fragments
-    of one fingerprint would need regrouping at read time anyway."""
+    (measured 4.3 → 2.5 s on a 2M-fingerprint index; the grouping cost
+    moves into the one-time build).  DECIDED (r9, pinned by
+    test_corpus_winnow_index_grouped_default): the DEFAULT stays FLAT.
+    Grouped is the right call ONLY for a write-once single-snapshot
+    index — use it there (the q99 bench entry does) — but as a default
+    it would break the two properties the flat relation guarantees for
+    every other consumer: (a) APPEND-SAFETY — the streaming sink lands
+    per-batch fragments, and grouped fragments of one fingerprint
+    split a doc-id set across rows, turning the screen's ``size()
+    <= max_df`` cap into a per-batch cap (boilerplate spanning batches
+    escapes it); (b) the flat (id, fp) schema is the interchange shape
+    every existing index on disk already has.  An explicit opt-in
+    keeps the fast path available without making correctness depend on
+    how the caller's snapshots were written."""
     fps = winnow_fingerprints(corpus, text_col=text_col, id_col=id_col,
                               k=k, window=window, fp_type=fp_type,
                               strategy=strategy)
