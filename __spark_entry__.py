@@ -3120,6 +3120,49 @@ def _q99_winnow_screen_indexed(spark, sf_dir):
             .orderBy("batch_id", "corpus_id"))
 
 
+def _q100_embedding_against_corpus(spark, sf_dir):
+    """Incremental embedding near-dup screen (similarity.py:
+    near_dup_embeddings_against_corpus — the vector member of the
+    against-corpus family: exact fingerprints, MinHash-LSH, winnow,
+    now embeddings): vectors split into a standing CORPUS (vec_id % 5
+    != 0) and an incoming BATCH (vec_id % 5 == 0); every batch vector
+    with exact cosine >= 0.42 against a corpus vector surfaces with
+    the cosine.  The packed corpus index (corpus_vector_index —
+    n_tables bucket ids + the pre-normalized vector, one row per
+    vector) is derived in-plan here, same rationale as q98; blocking
+    at bits=2 / n_tables=24 gives per-pair recall 1-(1-p^2)^24 with
+    p = 1-θ/π ≈ 0.64 at the 0.42 threshold (miss ~4e-6, the q44
+    argument), so the blocked+verified result equals the exact
+    batch×corpus cosine join the DuckDB oracle computes."""
+    from vaex_spark.datapipe import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb[emb.vec_id % 5 != 0]
+    batch = emb[emb.vec_id % 5 == 0]
+    idx = similarity.corpus_vector_index(corpus, bits=2, n_tables=24)
+    out = similarity.near_dup_embeddings_against_corpus(
+        batch, corpus_index=idx, threshold=0.42, bits=2, n_tables=24,
+        round_to=6)
+    return (out.select(F.col("batch_id").cast("long").alias("batch_id"),
+                       F.col("corpus_id").cast("long").alias("corpus_id"),
+                       F.col("cos"))
+            .orderBy("batch_id", "corpus_id"))
+
+
+_Q100_SQL = """
+WITH u AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL),
+c AS (
+  SELECT b.vec_id AS batch_id, a.vec_id AS corpus_id,
+         ROUND(list_dot_product(b.v, a.v) /
+               (sqrt(list_dot_product(b.v, b.v)) *
+                sqrt(list_dot_product(a.v, a.v))), 6) AS cos
+  FROM u b JOIN u a ON b.vec_id % 5 = 0 AND a.vec_id % 5 <> 0)
+SELECT batch_id, corpus_id, cos FROM c WHERE cos >= 0.42
+ORDER BY batch_id, corpus_id
+"""
+
+
 _Q98_SQL = r"""
 WITH words AS (
   SELECT doc_id,
@@ -3282,6 +3325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_winnow_overlap_hash": _q97_winnow_overlap_hash,
         "q98_winnow_against_corpus": _q98_winnow_against_corpus,
         "q99_winnow_screen_indexed": _q99_winnow_screen_indexed,
+        "q100_embedding_against_corpus": _q100_embedding_against_corpus,
     }
 
 
@@ -3385,4 +3429,5 @@ def oracle_sql() -> dict[str, str]:
         # same result relation as q98: the production path persists the
         # grouped index but the screen's OUTPUT is contract-identical
         "q99_winnow_screen_indexed": _Q98_SQL,
+        "q100_embedding_against_corpus": _Q100_SQL,
     }

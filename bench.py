@@ -75,6 +75,9 @@ EXTENDED = [
     # number to track for the incremental-screen cost model (the q98
     # entry deliberately re-derives the index in-plan for oracle replay)
     "q99_winnow_screen_indexed",
+    # vector member of the against-corpus family (r9): packed LSH index
+    # + blocked exact-cosine verify of an incoming batch
+    "q100_embedding_against_corpus",
 ]
 # q93_group_delta_min stays OUT of the timed sections deliberately: it
 # exists to oracle-check the GroupBy.apply(engine='arrow') machinery,

@@ -1833,6 +1833,158 @@ def test_curate_stream_degenerate_texts_all_stages(spark, tmp_path):
     assert state.select("__fp").distinct().count() == state.count()
 
 
+def test_corpus_vector_index_and_screen(spark, tmp_path):
+    """The packed vector index (one row per vector: n_tables LSH
+    bucket ids + pre-normalized unit) and the incremental embedding
+    screen: (a) the screen equals the exact brute-force batch×corpus
+    cosine set at recall-1 LSH params (bits=2/n_tables=24 at a 0.95
+    threshold — same guarantee math as q44); (b) corpus= and persisted
+    corpus_index= paths agree bit-for-bit through a parquet round
+    trip; (c) Column and Arrow packed builders agree on buckets and
+    (to 8 decimals) units, including NULL units for zero vectors;
+    (d) the keep-novel wrapper returns exactly the unflagged batch
+    rows, with null-vector rows kept (not candidates by contract)."""
+    import numpy as np
+    import vaex_spark as vs
+    from vaex_spark.datapipe.similarity import (
+        _bucket_packed, corpus_vector_index,
+        embedding_dedup_against_corpus, near_dup_embeddings_against_corpus)
+    rng = np.random.RandomState(11)
+    V = rng.randn(120, 12)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(120)],
+        "vec_id bigint, embedding array<double>")
+    brows = [(1000 + j, [float(x) for x in (V[j] + rng.randn(12) * 0.005)])
+             for j in range(8)]
+    brows += [(2000 + j, [float(x) for x in rng.randn(12)])
+              for j in range(8)]
+    brows += [(3000, None), (3001, [0.0] * 12)]
+    batch = spark.createDataFrame(brows,
+                                  "vec_id bigint, embedding array<double>")
+    kw = dict(bits=2, n_tables=24, threshold=0.95)
+    idx = corpus_vector_index(corpus, bits=2, n_tables=24)
+    idx.write.mode("overwrite").parquet(str(tmp_path / "vidx"))
+    pidx = spark.read.parquet(str(tmp_path / "vidx"))
+    got = sorted((r["batch_id"], r["corpus_id"], r["cos"]) for r in
+                 near_dup_embeddings_against_corpus(
+                     batch, corpus_index=pidx, **kw).collect())
+    # (a) exact truth
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+    truth = []
+    for bid, vec in brows:
+        if vec is None or not np.linalg.norm(vec):
+            continue
+        u = np.asarray(vec) / np.linalg.norm(vec)
+        for j in range(120):
+            c = round(float(u @ U[j]), 8)
+            if c >= 0.95:
+                truth.append((bid, j, c))
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in sorted(truth)]
+    for (_, _, cg), (_, _, ct) in zip(got, sorted(truth)):
+        assert abs(cg - ct) < 1e-6
+    # (b) in-plan corpus path parity
+    got2 = sorted((r["batch_id"], r["corpus_id"], r["cos"]) for r in
+                  near_dup_embeddings_against_corpus(
+                      batch, corpus, **kw).collect())
+    assert got == got2
+    # (c) builder strategy parity (force Arrow via tiny advisory)
+    try:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "8KB")
+        arrow = _bucket_packed(batch.repartition(5), "vec_id", "embedding",
+                               12, 2, 24, 42)
+        assert "MapInPandas" in \
+            arrow._jdf.queryExecution().executedPlan().toString()
+        ra = {r["vec_id"]: r for r in arrow.collect()}
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "64MB")
+    col = _bucket_packed(batch, "vec_id", "embedding", 12, 2, 24, 42)
+    rc = {r["vec_id"]: r for r in col.collect()}
+    assert set(ra) == set(rc) and 3000 not in ra  # null vec dropped
+    # by the builder itself (one-contract-everywhere), in BOTH branches
+    for k in ra:
+        assert list(ra[k]["__buckets"]) == list(rc[k]["__buckets"]), k
+        ua, uc = ra[k]["__unit"], rc[k]["__unit"]
+        if ua is None or uc is None:
+            assert ua is None and uc is None, k  # zero vector: both null
+        else:
+            assert all(abs(x - y) < 1e-8 for x, y in zip(ua, uc)), k
+    # (d) keep-novel: flagged near-dups dropped, null/zero vecs kept
+    kept = sorted(r["vec_id"] for r in embedding_dedup_against_corpus(
+        batch, corpus_index=pidx, **kw).collect())
+    flagged = {a for a, _, _ in got}
+    assert kept == sorted(set(b for b, _ in brows) - flagged)
+    assert 3000 in kept and 3001 in kept
+    vs.cache.release_operator_caches()
+
+
+def test_curate_stream_vector_cross_batch(spark, tmp_path):
+    """vector_index_dir: batch 2 docs whose EMBEDDING is near-identical
+    (cos >= 0.95) to a batch-1 emission are dropped via the persisted
+    packed vector index — text differs, so neither exact nor fuzzy nor
+    winnow would catch them; genuinely novel embeddings survive; the
+    index is batch_id-partitioned like every other sink, and a stream
+    without the embedding column raises instead of silently skipping
+    the screen."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+    from vaex_spark import streaming as st
+
+    rng = np.random.RandomState(5)
+    E = rng.randn(10, 8)
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({
+        "doc_id": range(10),
+        "text": ["original document body number %d with plenty of words"
+                 % i for i in range(10)],
+        "embedding": [list(map(float, E[i])) for i in range(10)],
+    }).to_parquet(src / "b1.parquet")
+    common = dict(out_dir=str(tmp_path / "out"),
+                  state_dir=str(tmp_path / "state"),
+                  vector_index_dir=str(tmp_path / "vidx"),
+                  vector_threshold=0.95,
+                  vector_params=dict(bits=2, n_tables=24),
+                  min_quality=None, repetition_filter=False, dedup=None)
+    st.curate_stream(st.open_stream(str(src), spark=spark),
+                     checkpoint=str(tmp_path / "ckpt"), **common)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 10
+    vidx = spark.read.parquet(str(tmp_path / "vidx"))
+    assert vidx.count() == 10
+    assert {"doc_id", "__buckets", "__unit"} <= set(vidx.columns)
+
+    # batch 2: 4 docs = REWRITTEN text but near-identical embeddings
+    # (paraphrase dups), 3 docs with genuinely novel embeddings
+    near = [list(map(float, E[i] + rng.randn(8) * 0.005)) for i in range(4)]
+    novel = [list(map(float, rng.randn(8))) for _ in range(3)]
+    pd.DataFrame({
+        "doc_id": range(400, 407),
+        "text": ["completely rewritten paraphrase variant %d with new "
+                 "words" % i for i in range(7)],
+        "embedding": near + novel,
+    }).to_parquet(src / "b2.parquet")
+    st.curate_stream(st.open_stream(str(src), spark=spark),
+                     checkpoint=str(tmp_path / "ckpt"), **common)
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(
+        str(tmp_path / "out")).select("doc_id").collect())
+    assert ids == list(range(10)) + [404, 405, 406], ids
+    # stream without the vec col: loud failure, not a silent no-screen
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    pd.DataFrame({"doc_id": [1], "text": ["no embedding column here"]}
+                 ).to_parquet(src2 / "b1.parquet")
+    with _pytest.raises(Exception, match="vector_index_dir"):
+        st.curate_stream(
+            st.open_stream(str(src2), spark=spark),
+            checkpoint=str(tmp_path / "ckpt3"),
+            out_dir=str(tmp_path / "out2"),
+            state_dir=str(tmp_path / "state2"),
+            vector_index_dir=str(tmp_path / "vidx2"),
+            min_quality=None, repetition_filter=False, dedup=None)
+
+
 def test_banded_long_bit_identical_to_column_form(spark):
     """_banded_long (explode + codegen min-aggregates) must produce the
     EXACT (id, band, bucket) rows of the Column signature form

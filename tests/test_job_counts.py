@@ -127,6 +127,10 @@ HEADLINE_JOB_CEILING = {
     # production shape: parquet-index scan (no index groupBy) + batch
     # fingerprint + AQE broadcast decision + pair agg; measured 7
     "q99_winnow_screen_indexed": 8,
+    # packed-vector screen: 2 bounded dim probes + batch pack persist +
+    # bucket-blocking join + distinct + 2 unit verify joins + orderBy
+    # sample (r9 measured 11)
+    "q100_embedding_against_corpus": 12,
     # ANN family (round-7 Arrow strategies must not add scans/jobs):
     # q33 = query collect + ranking (expr path at q×d<=256); q34 = dim
     # probe + bucket join; q44 = dim probe + persisted bucket relation

@@ -222,7 +222,14 @@ def test_partition_sensitive_queries_invariant_under_tiny_partitions(spark):
                  "q89_vocabulary", "q91_corpus_profile",
                  # round 7: the max_df cap's fp-partitioned count
                  # window feeding a persisted self-join relation
-                 "q96_winnow_overlap"]
+                 "q96_winnow_overlap",
+                 # round 9: the against-corpus screens — grouped index
+                 # derivation feeding a batch join (q98), the same
+                 # screen over a persisted parquet index (q99), and the
+                 # packed-vector screen whose persisted batch relation
+                 # feeds blocking AND verify (q100)
+                 "q98_winnow_against_corpus", "q99_winnow_screen_indexed",
+                 "q100_embedding_against_corpus"]
     con = duckdb.connect()
     sf = "/root/testdata/sf0.001"
     for t in TABLES:

@@ -443,6 +443,191 @@ def embedding_near_dups(corpus, threshold: float = 0.95, bits: int = 6,
 
 
 # --------------------------------------------------------------------------
+# incremental: persisted vector index + batch-vs-corpus screen
+# --------------------------------------------------------------------------
+def _bucket_packed(sdf, id_col, vec_col, dim, bits, n_tables, seed):
+    """ONE row per vector: (id, __buckets array<long>[n_tables],
+    __unit array<double>) — the PACKED index shape.  Unlike the long
+    (id, table, bucket) relation, vectors are stored ONCE (plus
+    n_tables longs), which is what makes the persisted corpus index
+    storage-honest at scale; consumers posexplode __buckets for the
+    candidate join (column-pruned: the explode never reads __unit) and
+    re-join __unit by id only for the pairs that survive blocking.
+    The unit normalization happens at build time so every downstream
+    verify is a plain dot product.  Zero-norm vectors get a NULL
+    __unit in BOTH strategies — their cosines are degenerate by
+    contract (:func:`_null_if_nan`) and the verify's null dot drops
+    them.
+
+    Same stats gate as :func:`_bucket_auto`: one advisory partition
+    keeps the pure-Column form; larger frames take an Arrow BLAS pass
+    (one X @ Pᵀ matmul per batch, same planes, same sign rule; unit
+    values agree up to sum-order associativity in the norm — ~1 ulp,
+    the same FP caveat _bucket_long documents for sign flips).  NULL
+    vectors are dropped HERE (not only at entry points): the Arrow
+    branch cannot stack them and the Column branch would fabricate a
+    [0, 0, ...] bucket row for them — the one-contract-everywhere rule
+    (:func:`_drop_null_vecs`) applied at the builder."""
+    from ..operators.window import _range_partition_count
+    sdf = _drop_null_vecs(sdf, vec_col)
+    if (_range_partition_count(sdf) or 2) <= 1:
+        buckets = F.array(*[hyperplane_bucket(F.col(vec_col),
+                                              _hyperplanes(dim, bits, seed + t))
+                            for t in range(n_tables)])
+        # zero-norm -> null __unit, matching the Arrow branch (the
+        # Column division would yield [NaN, ...] instead)
+        unit = F.when(l2_norm(F.col(vec_col)) > 0,
+                      normalize(F.col(vec_col))
+                      ).otherwise(F.lit(None).cast("array<double>"))
+        return sdf.select(F.col(id_col), buckets.alias("__buckets"),
+                          unit.alias("__unit"))
+    import pandas as pd
+    P = np.vstack([_hyperplanes(dim, bits, seed + t) for t in range(n_tables)])
+    nt, nb = int(n_tables), int(bits)
+    id_dt = dict(sdf.dtypes)[id_col]
+
+    def _b(batches):
+        weights = (1 << np.arange(nb)).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            S = (X @ P.T) > 0
+            n = len(X)
+            bks = (S.reshape(n, nt, nb) * weights[None, None, :]).sum(2)
+            norms = np.sqrt((X * X).sum(1))
+            units = [None if norms[i] == 0.0 else list(X[i] / norms[i])
+                     for i in range(n)]
+            yield pd.DataFrame({"__id": pdf[id_col].to_numpy(),
+                                "__buckets": list(bks),
+                                "__unit": units})
+
+    out = sdf.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _b, schema=f"__id {id_dt}, __buckets array<bigint>, "
+                   f"__unit array<double>")
+    return out.withColumnRenamed("__id", id_col)
+
+
+def corpus_vector_index(corpus, vec_col: str = "embedding",
+                        id_col: str = "vec_id", bits: int = 6,
+                        n_tables: int = 8, dim: int | None = None,
+                        seed: int = 42):
+    """The persistable embedding index of a corpus — the vector member
+    of the incremental-dedup index family (exact:
+    dedup.corpus_fingerprints, fuzzy: dedup.corpus_lsh_index, winnow:
+    text.corpus_winnow_index).  One row per vector: (id, __buckets —
+    the n_tables hyperplane-LSH bucket ids — and __unit, the
+    pre-normalized vector).  Write it to parquet once per corpus
+    snapshot and feed it to :func:`near_dup_embeddings_against_corpus`
+    (``corpus_index=``): each incoming batch then skips re-projecting
+    the ENTIRE corpus through the hyperplanes — the screen reads
+    (id, __buckets) for blocking and fetches __unit only for verify,
+    both column-pruned from the same parquet.  Must be built with the
+    same (bits, n_tables, seed, dim) the batch side uses — the planes
+    are deterministic in (dim, bits, seed), which is what makes a
+    persisted index comparable across runs."""
+    sdf = _drop_null_vecs(_sdf(corpus), vec_col)
+    if dim is None:
+        first = sdf.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        dim = int(first[0]["d"]) if first else 0
+    return _bucket_packed(sdf, id_col, vec_col, dim, bits, n_tables, seed)
+
+
+def near_dup_embeddings_against_corpus(batch, corpus=None,
+                                       threshold: float = 0.95,
+                                       bits: int = 6, n_tables: int = 8,
+                                       dim: int | None = None,
+                                       vec_col: str = "embedding",
+                                       id_col: str = "vec_id",
+                                       seed: int = 42, round_to: int = 8,
+                                       corpus_index=None) -> SparkDataFrame:
+    """Cross-corpus embedding near-dup screen (incremental SemDeDup
+    shape): (batch_id, corpus_id, cos) for every batch vector whose
+    exact cosine with a corpus vector reaches ``threshold``, with
+    hyperplane-LSH blocking so only same-(table, bucket) pairs are
+    scored — the embedding analogue of
+    :func:`~vaex_spark.datapipe.text.winnow_overlap_against_corpus`.
+
+    Physical plan: both sides take the PACKED (id, buckets, unit)
+    shape (:func:`_bucket_packed`; the corpus side from the persisted
+    ``corpus_index`` when given — the corpus is then never
+    re-projected).  Candidate generation posexplodes ONLY the bucket
+    arrays (ids + longs through the exchange, never vectors), dedups
+    to distinct (batch_id, corpus_id), and verify re-joins each side's
+    __unit by id — linear in candidates, one plain dot product per
+    surviving pair, exactly embedding_near_dups' never-shuffle-vectors
+    discipline.  Per-pair recall at angle θ is
+    1-(1-(1-θ/π)^bits)^n_tables, same math as embedding_near_dups.
+    Returns (batch_id, corpus_id, cos) rounded to ``round_to``."""
+    from ..cache import _register_persist
+    bsdf = _drop_null_vecs(_sdf(batch), vec_col)
+    if dim is None:
+        first = bsdf.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        dim = int(first[0]["d"]) if first else 0
+    if corpus_index is not None:
+        cpk = (corpus_index._spark_df()
+               if hasattr(corpus_index, "_spark_df") else corpus_index)
+    else:
+        if corpus is None:
+            raise ValueError("pass corpus= or corpus_index=")
+        cpk = corpus_vector_index(corpus, vec_col=vec_col, id_col=id_col,
+                                  bits=bits, n_tables=n_tables, dim=dim,
+                                  seed=seed)
+    # the batch packed relation feeds blocking AND verify: persist so
+    # the Arrow projection pass runs once (deterministic either way —
+    # this is cost, not branch consistency)
+    bpk = _register_persist(_bucket_packed(bsdf, id_col, vec_col, dim,
+                                           bits, n_tables, seed))
+    def blocks(pk, label):
+        return pk.select(F.col(id_col).alias(f"{label}_id"),
+                         F.posexplode("__buckets").alias(f"{label}_table",
+                                                         f"{label}_bucket"))
+    cand = (blocks(cpk, "c")
+            .join(blocks(bpk, "b"),
+                  on=[F.col("c_table") == F.col("b_table"),
+                      F.col("c_bucket") == F.col("b_bucket")])
+            .select(F.col("b_id").alias("batch_id"),
+                    F.col("c_id").alias("corpus_id"))
+            .distinct())
+    dot = F.aggregate(F.zip_with(F.col("__bu"), F.col("__cu"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    bu = bpk.select(F.col(id_col).alias("batch_id"),
+                    F.col("__unit").alias("__bu"))
+    cu = cpk.select(F.col(id_col).alias("corpus_id"),
+                    F.col("__unit").alias("__cu"))
+    return (cand.join(bu, on="batch_id").join(cu, on="corpus_id")
+            .select("batch_id", "corpus_id",
+                    _null_if_nan(F.round(dot, round_to)).alias("cos"))
+            .filter(F.col("cos") >= float(threshold)))
+
+
+def embedding_dedup_against_corpus(batch, corpus=None,
+                                   threshold: float = 0.95,
+                                   bits: int = 6, n_tables: int = 8,
+                                   dim: int | None = None,
+                                   vec_col: str = "embedding",
+                                   id_col: str = "vec_id",
+                                   seed: int = 42, round_to: int = 8,
+                                   corpus_index=None):
+    """Keep only the batch rows with NO corpus embedding at cosine >=
+    ``threshold`` — the keep-novel form of
+    :func:`near_dup_embeddings_against_corpus` (one left-anti join on
+    the flagged batch ids; batch rows returned unchanged)."""
+    from ..dataframe import DataFrame
+    wrapped = isinstance(batch, DataFrame)
+    bsdf = batch._spark_df() if wrapped else batch
+    hits = near_dup_embeddings_against_corpus(
+        bsdf, corpus, threshold=threshold, bits=bits, n_tables=n_tables,
+        dim=dim, vec_col=vec_col, id_col=id_col, seed=seed,
+        round_to=round_to, corpus_index=corpus_index)
+    flagged = hits.select(F.col("batch_id").alias(id_col)).distinct()
+    out = bsdf.join(flagged, on=id_col, how="left_anti")
+    return DataFrame(out) if wrapped else out
+
+
+# --------------------------------------------------------------------------
 # IVF-lite
 # --------------------------------------------------------------------------
 def train_centroids(corpus, n_cells: int = 16, vec_col: str = "embedding",

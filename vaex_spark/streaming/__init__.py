@@ -267,6 +267,10 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
                   winnow_index_dir: str | None = None,
                   winnow_min_shared: int = 2,
                   winnow_params: dict | None = None,
+                  vector_index_dir: str | None = None,
+                  vector_threshold: float = 0.95,
+                  vec_col: str = "embedding",
+                  vector_params: dict | None = None,
                   **curate_kw):
     """Streaming corpus curation with CROSS-batch exact dedup.
 
@@ -316,6 +320,21 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
     (k, window, fp_type, max_df); index and batch sides always share
     it.  Composes with the exact and fuzzy stages — each screens what
     the previous stages let through.
+
+    ``vector_index_dir`` enables CROSS-batch EMBEDDING near-dup
+    screening (incremental SemDeDup): the stream must carry ``vec_col``
+    (raises at the first batch otherwise — a silent skip would look
+    like a working screen); each batch's survivors are checked against
+    the persisted packed vector index of all earlier emissions
+    (datapipe.similarity.corpus_vector_index — one row per vector:
+    n_tables LSH bucket ids + the pre-normalized vector), and batch
+    docs with exact cosine >= ``vector_threshold`` against ANY earlier
+    emission are dropped
+    (datapipe.similarity.embedding_dedup_against_corpus — bucket-
+    blocked candidates, vectors never shuffle).  Survivors' index rows
+    append under the same per-``__batch_id`` idempotent-overwrite
+    discipline.  ``vector_params`` tunes (bits, n_tables, seed, dim);
+    index and batch sides always share it.
     """
     import os
 
@@ -339,8 +358,8 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
         else:
             fresh = D.exact_dedup(VDF(csdf), text_col=text_col, id_col=id_col)
         if fuzzy_lsh_dir is not None:
-            fp = dict(shingle_k=5, num_perm=64, num_bands=32,
-                      **(fuzzy_params or {}))
+            fp = {**dict(shingle_k=5, num_perm=64, num_bands=32),
+                  **(fuzzy_params or {})}
             has_index = os.path.isdir(fuzzy_lsh_dir) and any(
                 e.startswith("__batch_id=") for e in os.listdir(fuzzy_lsh_dir))
             if has_index:
@@ -353,8 +372,8 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
                     **fp)
         if winnow_index_dir is not None:
             from ..datapipe import text as T
-            wp = dict(k=5, window=4, fp_type="hash", max_df=256,
-                      **(winnow_params or {}))
+            wp = {**dict(k=5, window=4, fp_type="hash", max_df=256),
+                  **(winnow_params or {})}
             has_widx = os.path.isdir(winnow_index_dir) and any(
                 e.startswith("__batch_id=") for e in os.listdir(winnow_index_dir))
             if has_widx:
@@ -364,6 +383,23 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
                     fresh, text_col=text_col, id_col=id_col,
                     min_shared=int(winnow_min_shared), corpus_index=widx,
                     **wp)
+        if vector_index_dir is not None:
+            from ..datapipe import similarity as SIM
+            if vec_col not in fresh._spark_df().columns:
+                raise ValueError(
+                    f"vector_index_dir= needs the stream to carry "
+                    f"{vec_col!r}; columns: {fresh._spark_df().columns}")
+            vp = {**dict(bits=6, n_tables=8, seed=42),
+                  **(vector_params or {})}
+            has_vidx = os.path.isdir(vector_index_dir) and any(
+                e.startswith("__batch_id=") for e in os.listdir(vector_index_dir))
+            if has_vidx:
+                vidx = (spark.read.parquet(vector_index_dir)
+                        .filter(F.col("__batch_id") < int(batch_id)))
+                fresh = SIM.embedding_dedup_against_corpus(
+                    fresh, vec_col=vec_col, id_col=id_col,
+                    threshold=float(vector_threshold), corpus_index=vidx,
+                    **vp)
         fsdf = fresh._spark_df().withColumn("__batch_id", F.lit(int(batch_id)))
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                                    "static")
@@ -376,8 +412,8 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
              .write.mode("overwrite").partitionBy("__batch_id")
              .parquet(state_dir))
             if fuzzy_lsh_dir is not None:
-                fp = dict(shingle_k=5, num_perm=64, num_bands=32,
-                          **(fuzzy_params or {}))
+                fp = {**dict(shingle_k=5, num_perm=64, num_bands=32),
+                      **(fuzzy_params or {})}
                 (D.corpus_lsh_index(fresh, text_col=text_col, id_col=id_col,
                                     **fp)._spark_df()
                  .withColumn("__batch_id", F.lit(int(batch_id)))
@@ -385,14 +421,23 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
                  .parquet(fuzzy_lsh_dir))
             if winnow_index_dir is not None:
                 from ..datapipe import text as T
-                wp = dict(k=5, window=4, fp_type="hash",
-                          **{k_: v for k_, v in (winnow_params or {}).items()
-                             if k_ in ("k", "window", "fp_type")})
+                wp = {**dict(k=5, window=4, fp_type="hash"),
+                      **{k_: v for k_, v in (winnow_params or {}).items()
+                         if k_ in ("k", "window", "fp_type")}}
                 (T.corpus_winnow_index(fresh, text_col=text_col,
                                        id_col=id_col, **wp)._spark_df()
                  .withColumn("__batch_id", F.lit(int(batch_id)))
                  .write.mode("overwrite").partitionBy("__batch_id")
                  .parquet(winnow_index_dir))
+            if vector_index_dir is not None:
+                from ..datapipe import similarity as SIM
+                vp = {**dict(bits=6, n_tables=8, seed=42),
+                      **(vector_params or {})}
+                (SIM.corpus_vector_index(fresh, vec_col=vec_col,
+                                         id_col=id_col, **vp)
+                 .withColumn("__batch_id", F.lit(int(batch_id)))
+                 .write.mode("overwrite").partitionBy("__batch_id")
+                 .parquet(vector_index_dir))
             if sketch_dir is not None:
                 # per-batch HLL sketch of the EMITTED documents: a
                 # few-KB mergeable state row per group, same
