@@ -156,39 +156,62 @@ def ann_recall(spark):
 
 def vector_incremental(spark):
     """Round-9 probe: the persisted packed-vector index + incremental
-    embedding screen at volume.  Corpus = the 50k replicated vectors
-    (dim 64); its packed index (n_tables bucket longs + pre-normalized
-    unit per vector) is built ONCE -> parquet.  A 5,000-vector batch
-    arrives: 2,500 are near-identical perturbations of corpus vectors
-    (relative noise 0.005 -> cos ~0.9999; per-pair miss probability at
-    bits=12/n_tables=8 is (1-p^12)^8 ~ 1e-10 with p=1-theta/pi, so the
-    blocked screen is deterministically exact here), 2,500 are fresh
-    N(0,1) draws (max cosine vs any corpus vector far below the 0.95
-    threshold in dim 64).  The screen must flag EXACTLY the planted
-    half, via the index (corpus vectors never re-projected) — timed
-    against the corpus= path that rebuilds the corpus packing every
-    batch."""
+    embedding screen at the scale where the index's claim is testable.
+    At the replicated 50k x dim-64 table the raw vectors are only 25MB
+    — re-packing the corpus per batch costs the same as reading the
+    index (measured: 4.2s vs 3.3s, inside machine bounce), so that
+    configuration cannot distinguish the designs.  This probe builds a
+    200k x dim-512 synthetic corpus (~800MB of raw vectors) where the
+    design difference is structural: blocking from the index reads
+    (id, 8 bucket longs) ~ 13MB column-pruned, while the corpus= path
+    must stream all 800MB through the hyperplane projection every
+    batch.  A 5,000-vector batch arrives: 2,500 are near-identical
+    perturbations of corpus vectors (relative noise 0.005 -> cos
+    ~0.99999; per-pair miss at bits=16/n_tables=8 is (1-p^16)^8 ~ 5e-10
+    with p=1-theta/pi, so the blocked screen is deterministically exact
+    here), 2,500 are fresh N(0,1) draws (max random cosine in dim 512
+    over 5e8 pairs ~ 0.3, far under the 0.95 threshold).  The screen
+    must flag EXACTLY the planted half.  Both paths are warmed once
+    (JIT + Arrow init) and timed on FRESH plan constructions
+    (stage-reuse undercounts otherwise)."""
     import numpy as np
+    import pandas as pd
     from vaex_spark.datapipe import similarity as S
-    emb = spark.read.parquet(f"{SCALE_DIR}/embeddings.parquet")
+    corpus_path = "/tmp/scale/vectors_512.parquet"
+    import os
+    if not os.path.isdir(corpus_path):
+        def _gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf["id"].to_numpy()
+                rng = np.random.RandomState(100 + int(ids[0]) % 997)
+                X = rng.randn(len(ids), 512)
+                yield pd.DataFrame({"vec_id": ids, "embedding": list(X)})
+        (spark.range(200_000).repartition(16)
+         .mapInPandas(_gen, schema="vec_id bigint, embedding array<double>")
+         .write.mode("overwrite").parquet(corpus_path))
+    emb = spark.read.parquet(corpus_path)
     n = emb.count()
-    kw = dict(bits=12, n_tables=8, threshold=0.95)
+    kw = dict(bits=16, n_tables=8, threshold=0.95)
     t0 = time.time()
     idx_path = "/tmp/scale/vector_idx"
-    (S.corpus_vector_index(emb, bits=12, n_tables=8)
+    (S.corpus_vector_index(emb, bits=16, n_tables=8)
      .write.mode("overwrite").parquet(idx_path))
     t_build = time.time() - t0
     idx = spark.read.parquet(idx_path)
     base = {int(r.vec_id): np.array(r.embedding, dtype=float) for r in
-            emb.filter(F.col("vec_id") % 20 == 0).limit(2500).collect()}
+            emb.filter(F.col("vec_id") % 80 == 0).limit(2500).collect()}
     rng = np.random.RandomState(9)
     rows = []
     for j, (vid, v) in enumerate(sorted(base.items())):
-        pert = v + 0.005 * np.linalg.norm(v) / 8.0 * rng.randn(64)
+        pert = v + 0.005 * np.linalg.norm(v) / np.sqrt(512) * rng.randn(512)
         rows.append((1_000_000 + j, [float(x) for x in pert]))
     for j in range(2500):
-        rows.append((2_000_000 + j, [float(x) for x in rng.randn(64)]))
+        rows.append((2_000_000 + j, [float(x) for x in rng.randn(512)]))
     batch = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    S.embedding_dedup_against_corpus(batch, corpus_index=idx, **kw).count()
+    S.embedding_dedup_against_corpus(batch, emb, **kw).count()
     t0 = time.time()
     kept = S.embedding_dedup_against_corpus(batch, corpus_index=idx,
                                             **kw).count()
@@ -200,11 +223,11 @@ def vector_incremental(spark):
     ids = {r["vec_id"] for r in S.embedding_dedup_against_corpus(
         batch, corpus_index=idx, **kw).select("vec_id").collect()}
     assert ids == {2_000_000 + j for j in range(2500)}
-    print(f"vector_incremental: packed index over {n} vectors built once "
-          f"in {t_build:.1f}s; 5k-vector batch screened in {t_idx:.1f}s via "
-          f"the index (corpus never re-projected) vs {t_rescan:.1f}s "
-          f"re-packing the corpus; all 2500 planted near-dups flagged, "
-          f"all 2500 novel kept")
+    print(f"vector_incremental: packed index over {n} x512 vectors built "
+          f"once in {t_build:.1f}s; 5k-vector batch screened in "
+          f"{t_idx:.1f}s via the index (corpus vectors never re-read) vs "
+          f"{t_rescan:.1f}s re-packing the 800MB corpus; all 2500 planted "
+          f"near-dups flagged, all 2500 novel kept")
 
 
 def wide_window(spark):
