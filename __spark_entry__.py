@@ -3163,6 +3163,56 @@ ORDER BY batch_id, corpus_id
 """
 
 
+def _q101_ivf_indexed_topk(spark, sf_dir):
+    """Repeated-query ANN over a PERSISTED IVF index
+    (similarity.py: corpus_ivf_index + ivf_topk(corpus_index=) — the
+    build-once/query-many member of the index family): the index
+    parquet holds every corpus vector tagged with its nearest-centroid
+    cell plus the n_cells centroid rows, so each query batch skips
+    both centroid training and the full-corpus assignment scan.  At
+    n_probe = n_cells every cell is probed, i.e. every corpus row is
+    scored, so the result equals exact brute-force top-k REGARDLESS of
+    which centroids the (layout-dependent) training sample produced —
+    which is exactly what makes the production index path
+    value-hashable against the DuckDB brute-force oracle at every
+    config.  Recall at n_probe < n_cells is probed at volume in
+    tools/scale_smoke.py ann_recall.  Index rebuilt only when absent
+    (same amortized cost model as q99)."""
+    import hashlib
+    import os
+    from vaex_spark.datapipe import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|ivf|c8s42|v1".encode()).hexdigest()[:12]
+    idx_dir = f"/tmp/vaex_spark_ivfidx_{tag}"
+    if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+        (similarity.corpus_ivf_index(emb, n_cells=8)
+         .write.mode("overwrite").parquet(idx_dir))
+    idx = spark.read.parquet(idx_dir)
+    queries = emb[emb.vec_id < 3]
+    out = similarity.ivf_topk(None, queries, k=10, n_probe=8,
+                              corpus_index=idx, round_to=6)
+    return out.select(F.col("query_id").cast("long").alias("query_id"),
+                      F.col("neighbor_id").cast("long").alias("neighbor_id"),
+                      F.col("cos"), F.col("rank").cast("int").alias("rank"))
+
+
+_Q101_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos
+  FROM embeddings q, embeddings c WHERE q.vec_id < 3),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 _Q98_SQL = r"""
 WITH words AS (
   SELECT doc_id,
@@ -3326,6 +3376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_winnow_against_corpus": _q98_winnow_against_corpus,
         "q99_winnow_screen_indexed": _q99_winnow_screen_indexed,
         "q100_embedding_against_corpus": _q100_embedding_against_corpus,
+        "q101_ivf_indexed_topk": _q101_ivf_indexed_topk,
     }
 
 
@@ -3430,4 +3481,5 @@ def oracle_sql() -> dict[str, str]:
         # grouped index but the screen's OUTPUT is contract-identical
         "q99_winnow_screen_indexed": _Q98_SQL,
         "q100_embedding_against_corpus": _Q100_SQL,
+        "q101_ivf_indexed_topk": _Q101_SQL,
     }

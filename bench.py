@@ -78,6 +78,9 @@ EXTENDED = [
     # vector member of the against-corpus family (r9): packed LSH index
     # + blocked exact-cosine verify of an incoming batch
     "q100_embedding_against_corpus",
+    # repeated-query ANN over a persisted IVF index (r9): per-batch
+    # cost excludes centroid training and the corpus assignment scan
+    "q101_ivf_indexed_topk",
 ]
 # q93_group_delta_min stays OUT of the timed sections deliberately: it
 # exists to oracle-check the GroupBy.apply(engine='arrow') machinery,

@@ -1919,6 +1919,132 @@ def test_corpus_vector_index_and_screen(spark, tmp_path):
     vs.cache.release_operator_caches()
 
 
+def test_suggest_lsh_params_closed_form():
+    """suggest_lsh_params must (a) meet the recall floor by the exact
+    Charikar formula, (b) return the candidate-minimal feasible pair
+    (brute-checked over the whole feasible set), (c) shrink expected
+    candidates when the table budget grows (more tables allow more
+    bits), and (d) raise when no configuration can meet the floor."""
+    import math
+    import pytest as _pytest
+    from vaex_spark.datapipe.similarity import suggest_lsh_params
+    for thr, rec, mt in [(0.95, 0.999, 32), (0.8, 0.99, 16),
+                         (0.42, 0.9, 24), (0.99, 0.9999, 8)]:
+        got = suggest_lsh_params(1_000_000, thr, recall=rec, max_tables=mt)
+        p = 1.0 - math.acos(thr) / math.pi
+        b, T = got["bits"], got["n_tables"]
+        assert 1 <= T <= mt
+        form = 1.0 - (1.0 - p ** b) ** T
+        assert abs(form - got["per_pair_recall"]) < 1e-12
+        assert form >= rec
+        assert got["expected_candidates_per_query"] == \
+            _pytest.approx(T * 1_000_000 / 2 ** b)
+        # brute optimality over every feasible (b', T')
+        for b2 in range(1, 31):
+            pb = p ** b2
+            if not (0.0 < pb < 1.0):
+                continue
+            T2 = math.ceil(math.log(1.0 - rec) / math.log(1.0 - pb))
+            if 1 <= T2 <= mt:
+                assert (T * 1e6 / 2 ** b
+                        <= T2 * 1e6 / 2 ** b2 + 1e-9), (b2, T2)
+    small = suggest_lsh_params(1_000_000, 0.95, recall=0.999, max_tables=8)
+    big = suggest_lsh_params(1_000_000, 0.95, recall=0.999, max_tables=64)
+    assert big["expected_candidates_per_query"] <= \
+        small["expected_candidates_per_query"]
+    with _pytest.raises(ValueError, match="max_tables"):
+        suggest_lsh_params(1_000_000, 0.0, recall=0.999, max_tables=4)
+    exact = suggest_lsh_params(100, 1.0)
+    assert exact["per_pair_recall"] == 1.0
+
+
+def test_corpus_ivf_index_round_trip(spark, tmp_path):
+    """The persisted IVF index: (a) ivf_topk(corpus_index=) through a
+    parquet round trip returns EXACTLY the derived path's rows (same
+    centroids by construction — persisting pins the layout-dependent
+    training sample); (b) at n_probe = n_cells the result equals exact
+    brute-force top-k (every cell probed => every corpus row scored,
+    independent of the centroids); (c) at n_probe < n_cells the index
+    and derived paths still agree with each other (same centroids =>
+    same probe set); (d) a frame without centroid rows is rejected
+    loudly."""
+    import numpy as np
+    import pytest as _pytest
+    from vaex_spark.datapipe import similarity as S
+    rng = np.random.RandomState(3)
+    V = rng.randn(300, 16)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(300)],
+        "vec_id bigint, embedding array<double>")
+    queries = [(int(i), [float(x) for x in (V[i * 7] + 0.01 * rng.randn(16))])
+               for i in range(6)]
+    idx = S.corpus_ivf_index(corpus, n_cells=8)
+    idx.write.mode("overwrite").parquet(str(tmp_path / "ivfidx"))
+    pidx = spark.read.parquet(str(tmp_path / "ivfidx"))
+    assert pidx.filter(F.col("__centroid").isNotNull()).count() == 8
+    assert pidx.filter(F.col("__centroid").isNull()).count() == 300
+    derived = sorted(map(tuple, S.ivf_topk(
+        corpus, queries, k=5, n_cells=8, n_probe=8).collect()))
+    persisted = sorted(map(tuple, S.ivf_topk(
+        None, queries, k=5, n_probe=8, corpus_index=pidx).collect()))
+    assert derived == persisted
+    brute = sorted(map(tuple, S.brute_force_topk(
+        corpus, queries, k=5).collect()))
+    assert derived == brute
+    d2 = sorted(map(tuple, S.ivf_topk(
+        corpus, queries, k=5, n_cells=8, n_probe=2).collect()))
+    p2 = sorted(map(tuple, S.ivf_topk(
+        None, queries, k=5, n_probe=2, corpus_index=pidx).collect()))
+    assert d2 == p2
+    with _pytest.raises(ValueError, match="centroid"):
+        S.ivf_topk(None, queries, k=5,
+                   corpus_index=pidx.filter(F.col("__centroid").isNull()))
+
+
+def test_vector_dim_guards_fail_loud(spark, tmp_path):
+    """Dimension hazards in the packed-vector family must FAIL LOUDLY,
+    never degrade into silently-missed duplicates: (a) a ragged
+    embedding column (one wrong-length vector) raises in BOTH builder
+    strategies with the same message — the Column form would otherwise
+    zip_with truncated planes into wrong buckets, the Arrow form would
+    die shapelessly in np.stack; (b) screening a batch against a
+    persisted index built at a different dim raises a ValueError
+    naming both dims (a wrong-embedding-model batch would otherwise
+    block on garbage buckets and return an empty screen)."""
+    import pytest as _pytest
+    from vaex_spark.datapipe.similarity import (
+        _bucket_packed, corpus_vector_index,
+        near_dup_embeddings_against_corpus)
+    ragged = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [2.0] * 8), (3, [3.0] * 5)],
+        "vec_id bigint, embedding array<double>")
+    with _pytest.raises(Exception, match="length != dim=8"):
+        _bucket_packed(ragged, "vec_id", "embedding", 8, 2, 4, 42).collect()
+    try:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "8KB")
+        arrow = _bucket_packed(ragged.repartition(3), "vec_id",
+                               "embedding", 8, 2, 4, 42)
+        assert "MapInPandas" in \
+            arrow._jdf.queryExecution().executedPlan().toString()
+        with _pytest.raises(Exception, match="length != dim=8"):
+            arrow.collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "64MB")
+    corpus12 = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(12)]) for i in range(6)],
+        "vec_id bigint, embedding array<double>")
+    idx = corpus_vector_index(corpus12, bits=2, n_tables=4)
+    idx.write.mode("overwrite").parquet(str(tmp_path / "idx12"))
+    batch8 = spark.createDataFrame(
+        [(100, [1.0] * 8)], "vec_id bigint, embedding array<double>")
+    with _pytest.raises(ValueError, match="dim=12.*dim=8"):
+        near_dup_embeddings_against_corpus(
+            batch8, corpus_index=spark.read.parquet(str(tmp_path / "idx12")),
+            bits=2, n_tables=4)
+
+
 def test_curate_stream_vector_cross_batch(spark, tmp_path):
     """vector_index_dir: batch 2 docs whose EMBEDDING is near-identical
     (cos >= 0.95) to a batch-1 emission are dropped via the persisted
@@ -1956,20 +2082,26 @@ def test_curate_stream_vector_cross_batch(spark, tmp_path):
     assert {"doc_id", "__buckets", "__unit"} <= set(vidx.columns)
 
     # batch 2: 4 docs = REWRITTEN text but near-identical embeddings
-    # (paraphrase dups), 3 docs with genuinely novel embeddings
+    # (paraphrase dups), 3 docs with genuinely novel embeddings, and 1
+    # doc with a NULL embedding (degenerate: never a candidate by the
+    # _drop_null_vecs contract -> emitted, and never indexed -> cannot
+    # poison later batches by matching other null/zero rows)
     near = [list(map(float, E[i] + rng.randn(8) * 0.005)) for i in range(4)]
     novel = [list(map(float, rng.randn(8))) for _ in range(3)]
     pd.DataFrame({
-        "doc_id": range(400, 407),
+        "doc_id": range(400, 408),
         "text": ["completely rewritten paraphrase variant %d with new "
-                 "words" % i for i in range(7)],
-        "embedding": near + novel,
+                 "words" % i for i in range(8)],
+        "embedding": near + novel + [None],
     }).to_parquet(src / "b2.parquet")
     st.curate_stream(st.open_stream(str(src), spark=spark),
                      checkpoint=str(tmp_path / "ckpt"), **common)
     ids = sorted(r["doc_id"] for r in spark.read.parquet(
         str(tmp_path / "out")).select("doc_id").collect())
-    assert ids == list(range(10)) + [404, 405, 406], ids
+    assert ids == list(range(10)) + [404, 405, 406, 407], ids
+    vidx2 = spark.read.parquet(str(tmp_path / "vidx"))
+    assert vidx2.count() == 13  # 10 + 3 novel; null-embedding 407 absent
+    assert vidx2.filter(F.col("doc_id") == 407).count() == 0
     # stream without the vec col: loud failure, not a silent no-screen
     src2 = tmp_path / "src2"
     src2.mkdir()

@@ -127,10 +127,15 @@ HEADLINE_JOB_CEILING = {
     # production shape: parquet-index scan (no index groupBy) + batch
     # fingerprint + AQE broadcast decision + pair agg; measured 7
     "q99_winnow_screen_indexed": 8,
-    # packed-vector screen: 2 bounded dim probes + batch pack persist +
-    # bucket-blocking join + distinct + 2 unit verify joins + orderBy
-    # sample (r9 measured 11)
-    "q100_embedding_against_corpus": 12,
+    # packed-vector screen: 2 bounded dim probes + the bounded
+    # index-dim mismatch probe + batch pack persist + bucket-blocking
+    # join + distinct + 2 unit verify joins + orderBy sample (r9
+    # measured 12 after the mismatch guard)
+    "q100_embedding_against_corpus": 13,
+    # persisted-IVF repeated-query path: bounded centroid collect +
+    # query dispatch probe + ranking; NO training sample job, NO
+    # assignment scan (r9 measured 6, steady state with index present)
+    "q101_ivf_indexed_topk": 7,
     # ANN family (round-7 Arrow strategies must not add scans/jobs):
     # q33 = query collect + ranking (expr path at q×d<=256); q34 = dim
     # probe + bucket join; q44 = dim probe + persisted bucket relation

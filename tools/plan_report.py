@@ -108,6 +108,22 @@ CASES = {
         "carry the narrow fp/pair relations.",
         [r"Generate explode", r"collect_list", r"!InMemoryTableScan",
          r"!Window", r"!SortMergeJoin", r"!MapInPandas"]),
+    "q99_winnow_screen_indexed": (
+        "Production winnow screen: the pre-grouped corpus index is a "
+        "parquet scan (no query-time groupBy over the index, no corpus "
+        "text scan, no window machinery); the batch side fingerprints "
+        "with the zero-exchange Column selection and equi-joins the "
+        "index's exploded id arrays.",
+        [r"vaex_spark_widx", r"Generate", r"!Window", r"!MapInPandas",
+         r"!CartesianProduct"]),
+    "q100_embedding_against_corpus": (
+        "Incremental embedding screen: blocking posexplodes ONLY the "
+        "packed bucket arrays (ids + longs through the exchange, never "
+        "vectors), the persisted batch packing feeds blocking and "
+        "verify from one pass (InMemoryTableScan), candidates join on "
+        "bucket keys — never a cartesian / nested-loop pair product.",
+        [r"Generate posexplode", r"InMemoryTableScan",
+         r"!CartesianProduct", r"!BroadcastNestedLoop"]),
     "q44_embedding_near_dups": (
         "Embedding near-dups: the narrow (id, table, bucket) hyperplane "
         "relation is persisted so both self-join sides share one "

@@ -445,6 +445,61 @@ def embedding_near_dups(corpus, threshold: float = 0.95, bits: int = 6,
 # --------------------------------------------------------------------------
 # incremental: persisted vector index + batch-vs-corpus screen
 # --------------------------------------------------------------------------
+def suggest_lsh_params(n_corpus: int, threshold: float,
+                       recall: float = 0.999,
+                       max_tables: int = 32) -> dict:
+    """Closed-form hyperplane-LSH parameter choice for a corpus of
+    ``n_corpus`` vectors and a cosine ``threshold``: the (bits,
+    n_tables) pair that meets the per-pair ``recall`` floor at the
+    threshold while minimizing EXPECTED CANDIDATES per query — the
+    number that actually controls verify cost at scale (the default
+    bits=6 that is fine at a 500-vector table produces ~15 collisions
+    per query per table at 1M vectors).
+
+    Math (Charikar, STOC'02 SimHash): one hyperplane agrees on a pair
+    at angle θ with probability p = 1 - θ/π; a b-bit table matches
+    with p^b; T tables give per-pair recall 1-(1-p^b)^T.  Under a
+    near-uniform bucket assumption a query collides with ~T·n/2^b
+    random corpus vectors.  For p > 1/2 (any positive threshold)
+    raising b strictly shrinks candidates ~ n·(1/(2p))^b·ln(1/(1-r)),
+    so the binding constraint is the table budget: the helper returns
+    the feasible (b, T) with the fewest expected candidates, i.e. the
+    largest b whose required T still fits ``max_tables``.  Pairs ABOVE
+    the threshold have higher p, so the recall floor holds a fortiori.
+
+    Returns dict(bits, n_tables, per_pair_recall,
+    expected_candidates_per_query).  Raises if no (b <= 30,
+    T <= max_tables) meets the floor (threshold too low / recall too
+    high — use exact search or raise max_tables)."""
+    import math
+    if not (0 < recall < 1):
+        raise ValueError("recall must be in (0, 1)")
+    t = min(1.0, max(-1.0, float(threshold)))
+    p = 1.0 - math.acos(t) / math.pi
+    if p >= 1.0:
+        return {"bits": 1, "n_tables": 1, "per_pair_recall": 1.0,
+                "expected_candidates_per_query": n_corpus / 2.0}
+    best = None
+    for b in range(1, 31):
+        pb = p ** b
+        if pb <= 0.0 or pb >= 1.0:
+            continue
+        T = math.ceil(math.log(1.0 - recall) / math.log(1.0 - pb))
+        if T < 1 or T > int(max_tables):
+            continue
+        cands = T * float(n_corpus) / float(2 ** b)
+        if best is None or cands < best["expected_candidates_per_query"]:
+            best = {"bits": b, "n_tables": T,
+                    "per_pair_recall": 1.0 - (1.0 - pb) ** T,
+                    "expected_candidates_per_query": cands}
+    if best is None:
+        raise ValueError(
+            f"no (bits<=30, n_tables<={max_tables}) meets recall="
+            f"{recall} at threshold={threshold} (p={p:.3f}); raise "
+            f"max_tables, lower the recall floor, or use exact search")
+    return best
+
+
 def _bucket_packed(sdf, id_col, vec_col, dim, bits, n_tables, seed):
     """ONE row per vector: (id, __buckets array<long>[n_tables],
     __unit array<double>) — the PACKED index shape.  Unlike the long
@@ -467,9 +522,24 @@ def _bucket_packed(sdf, id_col, vec_col, dim, bits, n_tables, seed):
     vectors are dropped HERE (not only at entry points): the Arrow
     branch cannot stack them and the Column branch would fabricate a
     [0, 0, ...] bucket row for them — the one-contract-everywhere rule
-    (:func:`_drop_null_vecs`) applied at the builder."""
+    (:func:`_drop_null_vecs`) applied at the builder.
+
+    Vectors whose length differs from ``dim`` FAIL LOUDLY in both
+    strategies (same discipline as the window donor guard,
+    operators/window.py): the Column form would otherwise zip_with
+    truncated planes into silently-wrong buckets and the Arrow form
+    would die in np.stack with a shapeless error — a ragged embedding
+    column or a wrong-model batch must never become silently-missed
+    duplicates."""
     from ..operators.window import _range_partition_count
     sdf = _drop_null_vecs(sdf, vec_col)
+    _msg = (f"_bucket_packed: {vec_col} length != dim={int(dim)} "
+            f"(ragged embedding column, or a batch from a different "
+            f"embedding model than the planes/index); got length ")
+    bad = F.size(F.col(vec_col)) != int(dim)
+    sdf = sdf.withColumn(vec_col, F.when(bad, F.raise_error(
+        F.concat(F.lit(_msg), F.size(F.col(vec_col)).cast("string")))
+    ).otherwise(F.col(vec_col)))
     if (_range_partition_count(sdf) or 2) <= 1:
         buckets = F.array(*[hyperplane_bucket(F.col(vec_col),
                                               _hyperplanes(dim, bits, seed + t))
@@ -521,7 +591,9 @@ def corpus_vector_index(corpus, vec_col: str = "embedding",
     pre-normalized vector).  Write it to parquet once per corpus
     snapshot and feed it to :func:`near_dup_embeddings_against_corpus`
     (``corpus_index=``): each incoming batch then skips re-projecting
-    the ENTIRE corpus through the hyperplanes — the screen reads
+    the ENTIRE corpus through the hyperplanes.  Pick (bits, n_tables)
+    with :func:`suggest_lsh_params` — the defaults suit small tables;
+    at millions of vectors low bits floods the verify with candidates — the screen reads
     (id, __buckets) for blocking and fetches __unit only for verify,
     both column-pruned from the same parquet.  Must be built with the
     same (bits, n_tables, seed, dim) the batch side uses — the planes
@@ -568,6 +640,21 @@ def near_dup_embeddings_against_corpus(batch, corpus=None,
     if corpus_index is not None:
         cpk = (corpus_index._spark_df()
                if hasattr(corpus_index, "_spark_df") else corpus_index)
+        # bounded probe (one limit(1) job, the _dispatch_queries
+        # discipline): a persisted index built from a different
+        # embedding model would otherwise block on garbage buckets and
+        # return a silently-empty/garbage screen — the worst failure
+        # mode of an incremental pipeline.  Zero-vector rows carry
+        # NULL units, so probe a non-null one; an all-null index has
+        # no determinable dim and skips the check.
+        d = (cpk.filter(F.col("__unit").isNotNull())
+             .select(F.size("__unit").alias("d")).limit(1).collect())
+        if d and int(d[0]["d"]) != int(dim):
+            raise ValueError(
+                f"corpus_index was built at dim={int(d[0]['d'])} but the "
+                f"batch vectors have dim={int(dim)}: the LSH planes "
+                f"cannot match — rebuild the index with the batch's "
+                f"embedding model (or pass the right index)")
     else:
         if corpus is None:
             raise ValueError("pass corpus= or corpus_index=")
@@ -677,11 +764,72 @@ def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
     return _let(dists, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"))
 
 
+def corpus_ivf_index(corpus, n_cells: int = 16, vec_col: str = "embedding",
+                     id_col: str = "vec_id", sample_rows: int = 2000,
+                     iters: int = 5, seed: int = 42) -> SparkDataFrame:
+    """The persistable IVF index of a corpus — the repeated-query
+    member of the index family (FAISS's build-once/query-many shape):
+    every corpus row tagged with its nearest-centroid ``__cell``, plus
+    ``n_cells`` centroid rows riding in the SAME frame (NULL id/vec,
+    ``__centroid`` carries the coordinates) so one parquet holds the
+    whole artifact.  Write it once per corpus snapshot and pass it to
+    :func:`ivf_topk` (``corpus_index=``): each query batch then skips
+    BOTH the centroid (re)training and the full-corpus assignment scan
+    — at real corpus sizes the assignment is the dominant per-call
+    cost, and it is pure re-computation.  Persisting also PINS the
+    centroids: ``train_centroids``'s sample is partition-layout-
+    dependent (Bernoulli per partition), so the derived path can pick
+    different (equally valid) centroids after a repartition, while
+    queries against a persisted index are reproducible by
+    construction.  Consumers read centroids with one bounded
+    n_cells-row collect and column-prune the corpus rows."""
+    sdf = _drop_null_vecs(_sdf(corpus), vec_col)
+    cent = train_centroids(sdf, n_cells=n_cells, vec_col=vec_col,
+                           sample_rows=sample_rows, iters=iters, seed=seed)
+    id_dt = dict(sdf.dtypes)[id_col]
+    assigned = (sdf.select(F.col(id_col), F.col(vec_col))
+                .withColumn("__cell", ivf_assign(F.col(vec_col), cent))
+                .withColumn("__centroid",
+                            F.lit(None).cast("array<double>")))
+    crows = sdf.sparkSession.createDataFrame(
+        [(None, None, int(c), [float(x) for x in cent[c]])
+         for c in range(len(cent))],
+        f"{id_col} {id_dt}, {vec_col} array<double>, __cell int, "
+        f"__centroid array<double>")
+    return assigned.unionByName(crows)
+
+
+def _ivf_index_parts(corpus_index, id_col, vec_col):
+    """Split a corpus_ivf_index frame back into (centroids ndarray,
+    assigned corpus rows).  The centroid fetch is one bounded
+    n_cells-row collect; the corpus side is column-pruned (the
+    __centroid column is never read)."""
+    ipk = (corpus_index._spark_df()
+           if hasattr(corpus_index, "_spark_df") else corpus_index)
+    crows = (ipk.filter(F.col("__centroid").isNotNull())
+             .select("__cell", "__centroid").collect())
+    if not crows:
+        raise ValueError("corpus_index has no centroid rows — was it "
+                         "built by corpus_ivf_index?")
+    cent = np.array([list(map(float, r["__centroid"]))
+                     for r in sorted(crows, key=lambda r: r["__cell"])])
+    assigned = (ipk.filter(F.col("__centroid").isNull())
+                .select(F.col(id_col), F.col(vec_col), F.col("__cell")))
+    return cent, assigned
+
+
 def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
              vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 42,
-             strategy: str = "auto") -> SparkDataFrame:
+             strategy: str = "auto", corpus_index=None,
+             round_to: int = 8) -> SparkDataFrame:
     """IVF search: corpus partitioned by nearest centroid; each query
     scores only its n_probe nearest cells.
+
+    Pass ``corpus_index=`` (a :func:`corpus_ivf_index` frame, usually
+    read back from parquet) to skip the per-call centroid training AND
+    the full-corpus assignment scan — the production shape for
+    repeated query batches against a standing corpus; ``n_cells`` and
+    ``seed`` are then taken from the index itself.
 
     Scoring strategies (same auto crossover as brute_force_topk):
 
@@ -697,12 +845,21 @@ def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
       join rows, and the ranking window sees ≤ q×k×batches rows.
     """
     import pandas as pd
-    spark = _sdf(corpus).sparkSession
-    corpus_sdf = _drop_null_vecs(_sdf(corpus), vec_col)
     if strategy not in ("auto", "expr", "arrow"):
         raise ValueError(f"strategy={strategy!r}")
-    cent = train_centroids(corpus, n_cells=n_cells, vec_col=vec_col, seed=seed)
-    assigned = corpus_sdf.withColumn("__cell", ivf_assign(F.col(vec_col), cent))
+    if corpus_index is not None:
+        cent, assigned = _ivf_index_parts(corpus_index, id_col, vec_col)
+        spark = assigned.sparkSession
+        corpus_sdf = assigned
+    else:
+        if corpus is None:
+            raise ValueError("pass corpus= or corpus_index=")
+        spark = _sdf(corpus).sparkSession
+        corpus_sdf = _drop_null_vecs(_sdf(corpus), vec_col)
+        cent = train_centroids(corpus, n_cells=n_cells, vec_col=vec_col,
+                               seed=seed)
+        assigned = corpus_sdf.withColumn("__cell",
+                                         ivf_assign(F.col(vec_col), cent))
     if isinstance(queries, (list, tuple)):
         qrows = _list_qrows(queries)
         qdf = spark.createDataFrame(qrows, f"{id_col} bigint, {vec_col} array<double>")
@@ -731,7 +888,7 @@ def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
                   .select("query_id", F.col(id_col).alias("neighbor_id"),
                           _null_if_nan(F.round(cosine(F.col("__qvec"),
                                                       F.col(vec_col)),
-                                               8)).alias("cos")))
+                                               round_to)).alias("cos")))
     else:
         Q = np.asarray([v for _, v in qrows], dtype=np.float64)
         qids = np.asarray([i for i, _ in qrows])
@@ -767,7 +924,8 @@ def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
                     Xc, xc, nc = X[m], xn[m], nb[m]
                     with np.errstate(divide="ignore", invalid="ignore"):
                         cos = _round_half_up((Xc @ Q[qs].T)
-                                             / (xc[:, None] * qn[qs][None, :]), 8)
+                                             / (xc[:, None] * qn[qs][None, :]),
+                                             round_to)
                     for j, qi in enumerate(qs):
                         acc_i.setdefault(qi, []).append(nc)
                         acc_c.setdefault(qi, []).append(cos[:, j])
