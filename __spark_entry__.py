@@ -3163,6 +3163,40 @@ ORDER BY batch_id, corpus_id
 """
 
 
+def _q102_vector_screen_indexed(spark, sf_dir):
+    """PRODUCTION shape of q100 (same oracle): the packed vector index
+    is a persisted parquet snapshot built once per corpus snapshot;
+    the per-run cost is only the incremental screen — here the DENSE
+    strategy (strategy='auto' resolves dense because q100's recall-1
+    oracle parameters bits=2/n_tables=24 make LSH blocking
+    non-selective: n_tables >= 2^bits means the blocked plan would
+    join ~6 copies of EVERY batch×corpus pair, dedup them, then pay an
+    interpreted dot each — so one BLAS pass over the index units with
+    the bounded-collected batch matrix in the closure is the strictly
+    better exact plan; the blocked strategy remains the scale path at
+    selective parameters, see suggest_lsh_params and q44)."""
+    import hashlib
+    import os
+    from vaex_spark.datapipe import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|vec|b2t24s42|v1".encode()).hexdigest()[:12]
+    idx_dir = f"/tmp/vaex_spark_vidx_{tag}"
+    if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+        corpus = emb[emb.vec_id % 5 != 0]
+        (similarity.corpus_vector_index(corpus, bits=2, n_tables=24)
+         .write.mode("overwrite").parquet(idx_dir))
+    idx = spark.read.parquet(idx_dir)
+    batch = emb[emb.vec_id % 5 == 0]
+    out = similarity.near_dup_embeddings_against_corpus(
+        batch, corpus_index=idx, threshold=0.42, bits=2, n_tables=24,
+        round_to=6)
+    return (out.select(F.col("batch_id").cast("long").alias("batch_id"),
+                       F.col("corpus_id").cast("long").alias("corpus_id"),
+                       F.col("cos"))
+            .orderBy("batch_id", "corpus_id"))
+
+
 def _q101_ivf_indexed_topk(spark, sf_dir):
     """Repeated-query ANN over a PERSISTED IVF index
     (similarity.py: corpus_ivf_index + ivf_topk(corpus_index=) — the
@@ -3377,6 +3411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_winnow_screen_indexed": _q99_winnow_screen_indexed,
         "q100_embedding_against_corpus": _q100_embedding_against_corpus,
         "q101_ivf_indexed_topk": _q101_ivf_indexed_topk,
+        "q102_vector_screen_indexed": _q102_vector_screen_indexed,
     }
 
 
@@ -3482,4 +3517,8 @@ def oracle_sql() -> dict[str, str]:
         "q99_winnow_screen_indexed": _Q98_SQL,
         "q100_embedding_against_corpus": _Q100_SQL,
         "q101_ivf_indexed_topk": _Q101_SQL,
+        # same result relation as q100: the production path persists
+        # the packed vector index but the screen's OUTPUT is
+        # contract-identical
+        "q102_vector_screen_indexed": _Q100_SQL,
     }

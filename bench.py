@@ -81,6 +81,8 @@ EXTENDED = [
     # repeated-query ANN over a persisted IVF index (r9): per-batch
     # cost excludes centroid training and the corpus assignment scan
     "q101_ivf_indexed_topk",
+    # production shape of q100 (persisted packed index; dense screen)
+    "q102_vector_screen_indexed",
 ]
 # q93_group_delta_min stays OUT of the timed sections deliberately: it
 # exists to oracle-check the GroupBy.apply(engine='arrow') machinery,

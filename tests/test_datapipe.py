@@ -1887,6 +1887,16 @@ def test_corpus_vector_index_and_screen(spark, tmp_path):
                   near_dup_embeddings_against_corpus(
                       batch, corpus, **kw).collect())
     assert got == got2
+    # (b2) screen strategy parity: at these recall-1 params auto
+    # resolves DENSE (n_tables=24 >= 2^bits=4); the forced blocked
+    # plan must emit the identical rows, and forced dense too
+    for strat in ("dense", "blocked"):
+        gs = sorted((r["batch_id"], r["corpus_id"], r["cos"]) for r in
+                    near_dup_embeddings_against_corpus(
+                        batch, corpus_index=pidx, strategy=strat,
+                        **kw).collect())
+        assert gs == got, strat
+        vs.cache.release_operator_caches()
     # (c) builder strategy parity (force Arrow via tiny advisory)
     try:
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",

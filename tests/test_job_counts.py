@@ -127,11 +127,14 @@ HEADLINE_JOB_CEILING = {
     # production shape: parquet-index scan (no index groupBy) + batch
     # fingerprint + AQE broadcast decision + pair agg; measured 7
     "q99_winnow_screen_indexed": 8,
-    # packed-vector screen: 2 bounded dim probes + the bounded
-    # index-dim mismatch probe + batch pack persist + bucket-blocking
-    # join + distinct + 2 unit verify joins + orderBy sample (r9
-    # measured 12 after the mismatch guard)
-    "q100_embedding_against_corpus": 13,
+    # packed-vector screen, dense strategy (auto at q100's recall-1
+    # params): bounded batch collect (doubles as dim probe) + bounded
+    # index-dim probe + in-plan index derivation + dense scan + orderBy
+    # sample (r9 measured 6)
+    "q100_embedding_against_corpus": 7,
+    # production twin: persisted packed index, dense screen only
+    # (measured 6)
+    "q102_vector_screen_indexed": 7,
     # persisted-IVF repeated-query path: bounded centroid collect +
     # query dispatch probe + ranking; NO training sample job, NO
     # assignment scan (r9 measured 6, steady state with index present)

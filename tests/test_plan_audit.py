@@ -229,7 +229,8 @@ def test_partition_sensitive_queries_invariant_under_tiny_partitions(spark):
                  # packed-vector screen whose persisted batch relation
                  # feeds blocking AND verify (q100)
                  "q98_winnow_against_corpus", "q99_winnow_screen_indexed",
-                 "q100_embedding_against_corpus", "q101_ivf_indexed_topk"]
+                 "q100_embedding_against_corpus", "q101_ivf_indexed_topk",
+                 "q102_vector_screen_indexed"]
     con = duckdb.connect()
     sf = "/root/testdata/sf0.001"
     for t in TABLES:

@@ -514,11 +514,21 @@ def _bucket_packed(sdf, id_col, vec_col, dim, bits, n_tables, seed):
     contract (:func:`_null_if_nan`) and the verify's null dot drops
     them.
 
-    Same stats gate as :func:`_bucket_auto`: one advisory partition
-    keeps the pure-Column form; larger frames take an Arrow BLAS pass
-    (one X @ Pᵀ matmul per batch, same planes, same sign rule; unit
-    values agree up to sum-order associativity in the norm — ~1 ulp,
-    the same FP caveat _bucket_long documents for sign flips).  NULL
+    Strategy gate: the Column form's cost is the INTERPRETED per-row
+    work — rows × n_tables × bits × dim plane-coordinates through
+    CodegenFallback lambdas (~0.8 µs each, measured) — while the Arrow
+    BLAS pass is one X @ Pᵀ matmul per batch behind a ~0.3–0.5 s fixed
+    hop.  The r9-original gate ("one advisory partition → Column")
+    mis-dispatched recall-1-style parameter sets: at 1,600 vectors ×
+    (24 tables × 2 bits) × dim 64 ≈ 4.9M plane-coords the Column form
+    measured 3.8–4.8 s vs Arrow's 0.43–0.54 s on the same input.  The
+    gate now takes Column only when the frame is BOTH one advisory
+    partition AND under ~500k estimated plane-coords (rows estimated
+    from Catalyst size stats; unknown stats read as huge and dispatch
+    to Arrow, whose floor is the bounded downside).  Arrow unit values
+    agree with Column up to sum-order associativity in the norm — ~1
+    ulp, the same FP caveat _bucket_long documents for sign flips.
+    NULL
     vectors are dropped HERE (not only at entry points): the Arrow
     branch cannot stack them and the Column branch would fabricate a
     [0, 0, ...] bucket row for them — the one-contract-everywhere rule
@@ -540,7 +550,13 @@ def _bucket_packed(sdf, id_col, vec_col, dim, bits, n_tables, seed):
     sdf = sdf.withColumn(vec_col, F.when(bad, F.raise_error(
         F.concat(F.lit(_msg), F.size(F.col(vec_col)).cast("string")))
     ).otherwise(F.col(vec_col)))
-    if (_range_partition_count(sdf) or 2) <= 1:
+    try:
+        est_rows = int(str(sdf._jdf.queryExecution().optimizedPlan()
+                           .stats().sizeInBytes())) / max(8 * int(dim), 1)
+    except Exception:  # pragma: no cover - py4j surface change
+        est_rows = float("inf")
+    est_coords = est_rows * int(n_tables) * int(bits) * int(dim)
+    if (_range_partition_count(sdf) or 2) <= 1 and est_coords <= 500_000:
         buckets = F.array(*[hyperplane_bucket(F.col(vec_col),
                                               _hyperplanes(dim, bits, seed + t))
                             for t in range(n_tables)])
@@ -613,27 +629,57 @@ def near_dup_embeddings_against_corpus(batch, corpus=None,
                                        vec_col: str = "embedding",
                                        id_col: str = "vec_id",
                                        seed: int = 42, round_to: int = 8,
-                                       corpus_index=None) -> SparkDataFrame:
+                                       corpus_index=None,
+                                       strategy: str = "auto",
+                                       max_dense_batch: int = 65536
+                                       ) -> SparkDataFrame:
     """Cross-corpus embedding near-dup screen (incremental SemDeDup
     shape): (batch_id, corpus_id, cos) for every batch vector whose
-    exact cosine with a corpus vector reaches ``threshold``, with
-    hyperplane-LSH blocking so only same-(table, bucket) pairs are
-    scored — the embedding analogue of
+    exact cosine with a corpus vector reaches ``threshold`` — the
+    embedding analogue of
     :func:`~vaex_spark.datapipe.text.winnow_overlap_against_corpus`.
 
-    Physical plan: both sides take the PACKED (id, buckets, unit)
-    shape (:func:`_bucket_packed`; the corpus side from the persisted
-    ``corpus_index`` when given — the corpus is then never
-    re-projected).  Candidate generation posexplodes ONLY the bucket
-    arrays (ids + longs through the exchange, never vectors), dedups
-    to distinct (batch_id, corpus_id), and verify re-joins each side's
-    __unit by id — linear in candidates, one plain dot product per
-    surviving pair, exactly embedding_near_dups' never-shuffle-vectors
-    discipline.  Per-pair recall at angle θ is
-    1-(1-(1-θ/π)^bits)^n_tables, same math as embedding_near_dups.
-    Returns (batch_id, corpus_id, cos) rounded to ``round_to``."""
+    Two physical strategies (``'auto'`` picks by blocking
+    selectivity, the bloom-crossover discipline):
+
+    * ``'blocked'`` — both sides take the PACKED (id, buckets, unit)
+      shape (:func:`_bucket_packed`; the corpus side from the
+      persisted ``corpus_index`` when given — the corpus is then never
+      re-projected).  Candidate generation posexplodes ONLY the bucket
+      arrays (ids + longs through the exchange, never vectors), dedups
+      to distinct (batch_id, corpus_id), and verify re-joins each
+      side's __unit by id — linear in candidates, one plain dot per
+      surviving pair.  Per-pair recall at angle θ is
+      1-(1-(1-θ/π)^bits)^n_tables.  The right plan when blocking is
+      SELECTIVE (n_tables << 2^bits — see :func:`suggest_lsh_params`).
+    * ``'dense'`` — exact by construction, NO LSH: one pass over the
+      corpus units (column-pruned from the index) computes a BLAS
+      X_corpus @ B_batchᵀ per Arrow batch with the (bounded-collected,
+      unit-normalized) batch matrix shipped in the closure, emitting
+      only pairs at/above threshold.  Requires the batch side to fit
+      the ``max_dense_batch`` bound (checked with one bounded probe).
+    * ``'auto'`` — 'dense' when recall-1-style parameters make
+      blocking non-selective (``n_tables >= 2^bits``: the blocked plan
+      would join ~n_tables/2^bits copies of EVERY pair, dedup them,
+      then pay an interpreted dot each — measured 10.8 s vs 0.3 s at
+      640k pairs, bits=2/n_tables=24) and the batch fits the dense
+      bound; 'blocked' otherwise.
+
+    Both strategies emit identical (batch_id, corpus_id, cos) rows
+    (HALF_UP rounding to ``round_to``; degenerate cosines null/absent)
+    — parity pinned by test."""
     from ..cache import _register_persist
     bsdf = _drop_null_vecs(_sdf(batch), vec_col)
+    if strategy not in ("auto", "blocked", "dense"):
+        raise ValueError(f"strategy={strategy!r}")
+    _brows = None
+    if strategy != "blocked":
+        # maybe-dense: the bounded eligibility collect runs FIRST and
+        # doubles as the dim probe (one job instead of two)
+        _brows = (bsdf.select(F.col(id_col), F.col(vec_col))
+                  .limit(int(max_dense_batch) + 1).collect())
+        if dim is None and _brows:
+            dim = len(_brows[0][1])
     if dim is None:
         first = bsdf.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
         dim = int(first[0]["d"]) if first else 0
@@ -649,6 +695,10 @@ def near_dup_embeddings_against_corpus(batch, corpus=None,
         # no determinable dim and skips the check.
         d = (cpk.filter(F.col("__unit").isNotNull())
              .select(F.size("__unit").alias("d")).limit(1).collect())
+        if d and int(dim) == 0:
+            # empty batch: no batch dim to check — adopt the index's so
+            # the (empty) plan builds instead of a spurious mismatch
+            dim = int(d[0]["d"])
         if d and int(d[0]["d"]) != int(dim):
             raise ValueError(
                 f"corpus_index was built at dim={int(d[0]['d'])} but the "
@@ -661,6 +711,64 @@ def near_dup_embeddings_against_corpus(batch, corpus=None,
         cpk = corpus_vector_index(corpus, vec_col=vec_col, id_col=id_col,
                                   bits=bits, n_tables=n_tables, dim=dim,
                                   seed=seed)
+    if strategy != "blocked":
+        # dense eligibility from the bounded collect above (the
+        # _dispatch_queries discipline): when it fits, it IS the batch
+        # matrix — no second job
+        fits = len(_brows) <= int(max_dense_batch)
+        if strategy == "dense" and not fits:
+            raise ValueError(
+                f"strategy='dense' needs the batch side to fit "
+                f"max_dense_batch={max_dense_batch} rows; use "
+                f"'blocked' (or raise the bound)")
+        if strategy == "auto":
+            strategy = ("dense" if fits and
+                        int(n_tables) >= (1 << int(bits)) else "blocked")
+    if strategy == "dense":
+        import pandas as pd
+        B, bids = [], []
+        for r in _brows:
+            v = np.asarray([float(x) for x in r[1]], dtype=np.float64)
+            if len(v) != int(dim):
+                raise ValueError(
+                    f"near_dup_embeddings_against_corpus: {vec_col} "
+                    f"length != dim={int(dim)} (ragged embedding column,"
+                    f" or a batch from a different embedding model); "
+                    f"got length {len(v)}")
+            nrm = np.sqrt((v * v).sum())
+            if nrm == 0.0:
+                continue  # zero vector: degenerate, never a candidate
+            B.append(v / nrm)
+            bids.append(r[0])
+        spark = cpk.sparkSession
+        bid_dt = dict(bsdf.dtypes)[id_col]
+        cid_dt = dict(cpk.dtypes)[id_col]
+        out_schema = f"batch_id {bid_dt}, corpus_id {cid_dt}, cos double"
+        if not B:
+            return spark.createDataFrame([], out_schema)
+        Bm, bidsa = np.stack(B), np.asarray(bids)
+        thr, rnd = float(threshold), int(round_to)
+
+        def _scan(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ok = pdf["__unit"].notna()
+                if not ok.any():
+                    continue
+                X = np.stack([np.asarray(u, dtype=np.float64)
+                              for u in pdf.loc[ok, "__unit"]])
+                cids = pdf.loc[ok, id_col].to_numpy()
+                cos = _round_half_up(X @ Bm.T, rnd)
+                # NaN >= thr is False: degenerates drop, matching the
+                # blocked path's null-cosine filter
+                ci, bi = np.nonzero(cos >= thr)
+                yield pd.DataFrame({"batch_id": bidsa[bi],
+                                    "corpus_id": cids[ci],
+                                    "cos": cos[ci, bi]})
+
+        return (cpk.select(F.col(id_col), F.col("__unit"))
+                .mapInPandas(_scan, schema=out_schema))
     # the batch packed relation feeds blocking AND verify: persist so
     # the Arrow projection pass runs once (deterministic either way —
     # this is cost, not branch consistency)
@@ -697,7 +805,9 @@ def embedding_dedup_against_corpus(batch, corpus=None,
                                    vec_col: str = "embedding",
                                    id_col: str = "vec_id",
                                    seed: int = 42, round_to: int = 8,
-                                   corpus_index=None):
+                                   corpus_index=None,
+                                   strategy: str = "auto",
+                                   max_dense_batch: int = 65536):
     """Keep only the batch rows with NO corpus embedding at cosine >=
     ``threshold`` — the keep-novel form of
     :func:`near_dup_embeddings_against_corpus` (one left-anti join on
@@ -708,7 +818,8 @@ def embedding_dedup_against_corpus(batch, corpus=None,
     hits = near_dup_embeddings_against_corpus(
         bsdf, corpus, threshold=threshold, bits=bits, n_tables=n_tables,
         dim=dim, vec_col=vec_col, id_col=id_col, seed=seed,
-        round_to=round_to, corpus_index=corpus_index)
+        round_to=round_to, corpus_index=corpus_index, strategy=strategy,
+        max_dense_batch=max_dense_batch)
     flagged = hits.select(F.col("batch_id").alias(id_col)).distinct()
     out = bsdf.join(flagged, on=id_col, how="left_anti")
     return DataFrame(out) if wrapped else out
