@@ -83,6 +83,10 @@ EXTENDED = [
     "q101_ivf_indexed_topk",
     # production shape of q100 (persisted packed index; dense screen)
     "q102_vector_screen_indexed",
+    # whole-corpus embedding near-dup pairs (r9: benched after the
+    # dense crossover fixed a 12.9-31.2s blocked wall at sf0.1 that
+    # the sf0.001 job-ceiling test could not see)
+    "q44_embedding_near_dups",
 ]
 # q93_group_delta_min stays OUT of the timed sections deliberately: it
 # exists to oracle-check the GroupBy.apply(engine='arrow') machinery,

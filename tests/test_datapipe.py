@@ -258,11 +258,19 @@ def test_bucket_long_matches_column_form(spark):
     new = sorted(map(tuple, _bucket_long(
         sdf, "vec_id", "embedding", dim, bits, nt, seed).collect()))
     assert old == new and len(new) == sdf.count() * nt
-    small = _bucket_auto(sdf, "vec_id", "embedding", dim, bits, nt, seed)
+    # dispatch: Column only when BOTH one advisory partition AND under
+    # the ~500k interpreted plane-coord bound (r9 work-aware gate) —
+    # 500 rows x 2 tables x 6 bits x 64 dims = 384k stays Column...
+    small = _bucket_auto(sdf, "vec_id", "embedding", dim, bits, 2, seed)
     assert "MapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+    # ...while the full nt=8 set (1.5M coords) goes Arrow even at one
+    # partition (Column measured 3.8-4.8s vs Arrow 0.43-0.54s at
+    # comparable work, SCALECHECK_r09)
+    coords = _bucket_auto(sdf, "vec_id", "embedding", dim, bits, nt, seed)
+    assert "MapInPandas" in coords._jdf.queryExecution().executedPlan().toString()
     try:
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
-        big = _bucket_auto(sdf, "vec_id", "embedding", dim, bits, nt, seed)
+        big = _bucket_auto(sdf, "vec_id", "embedding", dim, bits, 2, seed)
         assert "MapInPandas" in big._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
@@ -1966,6 +1974,36 @@ def test_suggest_lsh_params_closed_form():
         suggest_lsh_params(1_000_000, 0.0, recall=0.999, max_tables=4)
     exact = suggest_lsh_params(100, 1.0)
     assert exact["per_pair_recall"] == 1.0
+
+
+def test_embedding_near_dups_degenerates_and_strategies(spark):
+    """embedding_near_dups degenerate contract + strategy parity:
+    (a) a NaN-coordinate vector must pair with NOTHING in either
+    strategy — before the r9 null guard, Spark's NaN-greatest
+    comparison semantics let the blocked verify's NaN cosine PASS
+    `>= threshold` and emit garbage pairs (reproduced: (1,3,NaN),
+    (2,3,NaN)); (b) zero vectors and NULL vectors are never pairs;
+    (c) dense (auto at n_tables >= 2^bits) and forced-blocked emit
+    identical rows; (d) strategy='dense' raises loudly when the corpus
+    exceeds max_dense_corpus."""
+    import pytest as _pytest
+    import vaex_spark as vs
+    from vaex_spark.datapipe.similarity import embedding_near_dups
+    c = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 1e-9]), (3, [float("nan"), 1.0]),
+         (4, [0.0, 0.0]), (5, None), (6, [1.0, 1e-8])],
+        "vec_id bigint, embedding array<double>")
+    want = [(1, 2, 1.0), (1, 6, 1.0), (2, 6, 1.0)]
+    got = {}
+    for strat in ("auto", "dense", "blocked"):
+        got[strat] = sorted(map(tuple, embedding_near_dups(
+            c, threshold=0.95, bits=1, n_tables=8, dim=2,
+            strategy=strat).collect()))
+        vs.cache.release_operator_caches()
+    assert got["auto"] == got["dense"] == got["blocked"] == want
+    with _pytest.raises(ValueError, match="max_dense_corpus"):
+        embedding_near_dups(c, bits=1, n_tables=8, dim=2,
+                            strategy="dense", max_dense_corpus=3)
 
 
 def test_corpus_ivf_index_round_trip(spark, tmp_path):

@@ -145,7 +145,9 @@ HEADLINE_JOB_CEILING = {
     # + verify joins
     "q33_topk_ann": 4,
     "q34_lsh_topk": 5,
-    "q44_embedding_near_dups": 7,
+    # r9 dense crossover: bounded corpus collect + one scan (was 7
+    # blocked: persisted bucket relation + self-join + verify joins)
+    "q44_embedding_near_dups": 3,
 }
 
 

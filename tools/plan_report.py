@@ -138,10 +138,20 @@ CASES = {
         [r"Generate posexplode", r"InMemoryTableScan",
          r"!CartesianProduct", r"!BroadcastNestedLoop"]),
     "q44_embedding_near_dups": (
-        "Embedding near-dups: the narrow (id, table, bucket) hyperplane "
-        "relation is persisted so both self-join sides share one "
-        "projection pass; candidates join on bucket keys — never a "
-        "cartesian / nested-loop pair product.",
+        "Embedding near-dups at q44's recall-1 oracle params (bits=2/"
+        "n_tables=24): strategy='auto' resolves DENSE (blocking "
+        "non-selective) — ONE BLAS pass over the corpus with the "
+        "bounded-collected unit matrix in the closure; no self-join, "
+        "no persisted bucket relation, no pair product (the blocked "
+        "plan measured 12.9-31.2 s vs ~1.2 s at sf0.1).",
+        [r"MapInPandas", r"!InMemoryTableScan", r"!CartesianProduct",
+         r"!BroadcastNestedLoop", r"!SortMergeJoin"]),
+    "q44_blocked_form": (
+        "The same near-dup pairs FORCED onto the blocked strategy (the "
+        "scale path at selective LSH parameters): the narrow (id, "
+        "table, bucket) hyperplane relation is persisted so both "
+        "self-join sides share one projection pass; candidates join on "
+        "bucket keys — never a cartesian / nested-loop pair product.",
         [r"InMemoryTableScan", r"!CartesianProduct",
          r"!BroadcastNestedLoop"]),
 }
@@ -178,8 +188,19 @@ def _q100_blocked(spark, sf_dir):
         round_to=6, strategy="blocked")
 
 
+def _q44_blocked(spark, sf_dir):
+    """q44's pairs with strategy='blocked' forced, for the plan audit
+    of the selective-parameters scale path."""
+    from vaex_spark.datapipe import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_dups(
+        emb, threshold=0.42, bits=2, n_tables=24, round_to=6,
+        strategy="blocked")
+
+
 EXTRA_BUILDERS = {"q77_bloom_forced": _bloom_forced,
-                  "q100_blocked_form": _q100_blocked}
+                  "q100_blocked_form": _q100_blocked,
+                  "q44_blocked_form": _q44_blocked}
 
 
 def main():

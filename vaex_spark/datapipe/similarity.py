@@ -324,12 +324,21 @@ def _bucket_long(sdf, id_col, vec_col, dim, bits, n_tables, seed,
 
 def _bucket_auto(sdf, id_col, vec_col, dim, bits, n_tables, seed,
                  carry_vec=False):
-    """Stats gate (same rule as dedup._banded_auto): one advisory
-    partition keeps the zero-overhead Column form; larger frames take
-    the Arrow BLAS form.  ``carry_vec`` keeps the vector column in the
-    output (for consumers that score candidates in place, lsh_topk)."""
+    """Stats gate: one advisory partition AND under ~500k estimated
+    interpreted plane-coords (rows × n_tables × bits × dim — the
+    Column form's real cost; the same work-aware bound
+    :func:`_bucket_packed` documents, ~0.8 µs per coord measured)
+    keeps the zero-overhead Column form; otherwise the Arrow BLAS
+    form.  ``carry_vec`` keeps the vector column in the output (for
+    consumers that score candidates in place, lsh_topk)."""
     from ..operators.window import _range_partition_count
-    if (_range_partition_count(sdf) or 2) <= 1:
+    try:
+        est_rows = int(str(sdf._jdf.queryExecution().optimizedPlan()
+                           .stats().sizeInBytes())) / max(8 * int(dim), 1)
+    except Exception:  # pragma: no cover - py4j surface change
+        est_rows = float("inf")
+    est_coords = est_rows * int(n_tables) * int(bits) * int(dim)
+    if (_range_partition_count(sdf) or 2) <= 1 and est_coords <= 500_000:
         buckets = F.array(*[hyperplane_bucket(F.col(vec_col),
                                               _hyperplanes(dim, bits, seed + t))
                             for t in range(n_tables)])
@@ -392,7 +401,9 @@ def lsh_topk(corpus, queries, k: int = 10, bits: int = 8, n_tables: int = 2,
 def embedding_near_dups(corpus, threshold: float = 0.95, bits: int = 6,
                         n_tables: int = 8, dim: int | None = None,
                         vec_col: str = "embedding", id_col: str = "vec_id",
-                        seed: int = 42, round_to: int = 8) -> SparkDataFrame:
+                        seed: int = 42, round_to: int = 8,
+                        strategy: str = "auto",
+                        max_dense_corpus: int = 65536) -> SparkDataFrame:
     """Near-duplicate pairs by embedding cosine: hyperplane-LSH blocking
     + exact cosine verification (the embedding member of the dedup
     family — datapipe/dedup.py holds the text ones).
@@ -402,8 +413,76 @@ def embedding_near_dups(corpus, threshold: float = 0.95, bits: int = 6,
     — at cos >= 0.95 (θ <= 18°) the defaults give ~0.997; raise
     ``n_tables`` for tighter guarantees, raise ``bits`` to cut random
     collisions at scale.  Returns (id_a, id_b, cos) with id_a < id_b.
-    """
+
+    Like :func:`near_dup_embeddings_against_corpus`, two physical
+    strategies with an ``'auto'`` selectivity crossover: when
+    ``n_tables >= 2^bits`` the blocked self-join materializes ~every
+    pair several times over, dedups them, then pays an interpreted dot
+    each — ``'dense'`` instead ships the bounded-collected unit matrix
+    in the closure and does one BLAS X @ Uᵀ per Arrow batch over the
+    corpus (exact, no LSH; requires the corpus to fit
+    ``max_dense_corpus``; q44's recall-1 oracle parameters measured
+    12.9–31.2 s blocked vs sub-second dense at 2,000 vectors).
+    Degenerate cosines (NaN coordinates, zero norms) are NULL and
+    never pairs in BOTH strategies — without the null guard Spark's
+    NaN-greatest comparison semantics let a NaN cosine PASS
+    ``>= threshold`` and emit garbage pairs (found by this round's
+    degenerate probe; invisible to the oracle corpus)."""
     corpus_sdf = _drop_null_vecs(_sdf(corpus), vec_col)
+    if strategy not in ("auto", "blocked", "dense"):
+        raise ValueError(f"strategy={strategy!r}")
+    _crows = None
+    if strategy != "blocked":
+        _crows = (corpus_sdf.select(F.col(id_col), F.col(vec_col))
+                  .limit(int(max_dense_corpus) + 1).collect())
+        if dim is None and _crows:
+            dim = len(_crows[0][1])
+        fits = len(_crows) <= int(max_dense_corpus)
+        if strategy == "dense" and not fits:
+            raise ValueError(
+                f"strategy='dense' needs the corpus to fit "
+                f"max_dense_corpus={max_dense_corpus} rows; use "
+                f"'blocked' (or raise the bound)")
+        if strategy == "auto":
+            strategy = ("dense" if fits and
+                        int(n_tables) >= (1 << int(bits)) else "blocked")
+    if strategy == "dense":
+        import pandas as pd
+        U, uids = [], []
+        for r in _crows:
+            v = np.asarray([float(x) for x in r[1]], dtype=np.float64)
+            nrm = np.sqrt((v * v).sum())
+            if nrm == 0.0:
+                continue  # zero vector: degenerate, never a pair
+            U.append(v / nrm)  # NaN coords propagate -> NaN cos -> drop
+            uids.append(r[0])
+        spark = corpus_sdf.sparkSession
+        cid_dt = dict(corpus_sdf.dtypes)[id_col]
+        out_schema = f"id_a {cid_dt}, id_b {cid_dt}, cos double"
+        if not U:
+            return spark.createDataFrame([], out_schema)
+        Um, uidsa = np.stack(U), np.asarray(uids)
+        thr, rnd = float(threshold), int(round_to)
+
+        def _scan(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf[vec_col]])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    nx = np.sqrt((X * X).sum(1))
+                    Xu = X / nx[:, None]  # zero norm -> inf/NaN -> drop
+                rids = pdf[id_col].to_numpy()
+                cos = _round_half_up(Xu @ Um.T, rnd)
+                ri, ci = np.nonzero((cos >= thr)  # NaN >= thr is False
+                                    & (rids[:, None] < uidsa[None, :]))
+                yield pd.DataFrame({"id_a": rids[ri],
+                                    "id_b": uidsa[ci],
+                                    "cos": cos[ri, ci]})
+
+        return (corpus_sdf.select(F.col(id_col), F.col(vec_col))
+                .mapInPandas(_scan, schema=out_schema))
     if dim is None:
         first = corpus_sdf.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
         dim = int(first[0]["d"])
@@ -438,7 +517,8 @@ def embedding_near_dups(corpus, threshold: float = 0.95, bits: int = 6,
                       F.lit(0.0), lambda acc, x: acc + x)
     return (cand.join(a, cand["id_a"] == F.col(f"a.{id_col}"))
             .join(b, cand["id_b"] == F.col(f"b.{id_col}"))
-            .select("id_a", "id_b", F.round(dot, round_to).alias("cos"))
+            .select("id_a", "id_b",
+                    _null_if_nan(F.round(dot, round_to)).alias("cos"))
             .filter(F.col("cos") >= threshold))
 
 
