@@ -756,6 +756,74 @@ def stream_fuzzy(spark):
           f"near-dups vs persisted LSH index -> {n2} emitted in {t2:.1f}s")
 
 
+def stream_vector(spark):
+    """Round-9 probe: streaming EMBEDDING cross-batch dedup at volume
+    (the vector sibling of stream_fuzzy).  Batch 1 emits 50k docs with
+    unique texts + their packed vector index; batch 2 brings 25k
+    PARAPHRASE dups (entirely new text, embeddings = batch-1 vectors +
+    0.5% relative noise -> cos ~0.99999; per-pair LSH miss at
+    bits=12/n_tables=8 is ~2e-14, deterministically exact at this
+    count) and 25k genuinely novel embeddings.  Text-based stages
+    cannot catch the paraphrases — only the persisted vector index
+    can; the screen must drop EXACTLY the paraphrase half and index
+    exactly the survivors."""
+    import shutil as _sh
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    from vaex_spark import streaming as st
+    base = "/tmp/scale/stream_vector"
+    _sh.rmtree(base, ignore_errors=True)
+    import os
+    os.makedirs(f"{base}/src")
+    emb = spark.read.parquet(f"{SCALE_DIR}/embeddings.parquet")
+    (emb.select(F.col("vec_id").alias("doc_id"),
+                F.concat(F.lit("stream vector document body "),
+                         F.col("vec_id").cast("string")).alias("text"),
+                F.col("embedding").cast("array<double>").alias("embedding"))
+        .repartition(8).write.parquet(f"{base}/src/b1.parquet"))
+    common = dict(out_dir=f"{base}/out", state_dir=f"{base}/state",
+                  vector_index_dir=f"{base}/vidx", vector_threshold=0.95,
+                  vector_params=dict(bits=12, n_tables=8),
+                  min_quality=None, repetition_filter=False, dedup=None)
+    t0 = time.time()
+    st.curate_stream(st.open_stream(f"{base}/src/*", spark=spark),
+                     checkpoint=f"{base}/ckpt", **common)
+    n1 = spark.read.parquet(f"{base}/out").count()
+    t1 = time.time() - t0
+    rows = emb.filter(F.col("vec_id") % 2 == 0).limit(25_000) \
+              .select("vec_id", "embedding").collect()
+    rng = np.random.RandomState(17)
+    ids, vecs, texts = [], [], []
+    for j, r in enumerate(rows):
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        ids.append(10_000_000 + j)
+        vecs.append(list(v + 0.005 * np.linalg.norm(v) / 8.0 * rng.randn(64)))
+        texts.append(f"fully rewritten paraphrase with new wording {j}")
+    for j in range(25_000):
+        ids.append(20_000_000 + j)
+        vecs.append(list(rng.randn(64)))
+        texts.append(f"genuinely novel subject matter number {j}")
+    pd.DataFrame({"doc_id": ids, "text": texts, "embedding": vecs}) \
+        .to_parquet(f"{base}/src/b2.parquet")
+    t0 = time.time()
+    st.curate_stream(st.open_stream(f"{base}/src/*", spark=spark),
+                     checkpoint=f"{base}/ckpt", **common)
+    t2 = time.time() - t0
+    out = spark.read.parquet(f"{base}/out")
+    b2 = out.filter(F.col("doc_id") >= 10_000_000)
+    n_para = b2.filter(F.col("doc_id") < 20_000_000).count()
+    n_novel = b2.filter(F.col("doc_id") >= 20_000_000).count()
+    assert n_para == 0, f"{n_para} paraphrase dups leaked"
+    assert n_novel == 25_000, n_novel
+    nidx = spark.read.parquet(f"{base}/vidx").count()
+    assert nidx == n1 + 25_000, (nidx, n1)
+    print(f"stream_vector: batch1 {n1} emitted+indexed in {t1:.1f}s; "
+          f"batch2 25k paraphrase dups (new text, near-identical "
+          f"embeddings) ALL dropped vs the persisted packed index + "
+          f"25k novel ALL kept in {t2:.1f}s; index rows {nidx}")
+
+
 def ntile_ties(spark):
     """Round-5 probe: exact NTILE over a LOW-CARDINALITY order key (5
     distinct event_types across 6.4M rows).  Without the content-hash
@@ -1202,6 +1270,7 @@ PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "groupby_apply_cardinality": groupby_apply_cardinality,
           "global_time_window": global_time_window,
           "stream_fuzzy": stream_fuzzy,
+          "stream_vector": stream_vector,
           "ntile_ties": ntile_ties,
           "asof_global": asof_global}
 
