@@ -432,6 +432,11 @@ def embedding_near_dups(corpus, threshold: float = 0.95, bits: int = 6,
     if strategy not in ("auto", "blocked", "dense"):
         raise ValueError(f"strategy={strategy!r}")
     _crows = None
+    if strategy == "auto" and int(n_tables) < (1 << int(bits)):
+        # selective params: blocked is the answer — never pay the
+        # bounded corpus collect just to decide (at high dim the
+        # rows-bounded collect is real driver memory)
+        strategy = "blocked"
     if strategy != "blocked":
         _crows = (corpus_sdf.select(F.col(id_col), F.col(vec_col))
                   .limit(int(max_dense_corpus) + 1).collect())
@@ -753,13 +758,20 @@ def near_dup_embeddings_against_corpus(batch, corpus=None,
     if strategy not in ("auto", "blocked", "dense"):
         raise ValueError(f"strategy={strategy!r}")
     _brows = None
-    if strategy != "blocked":
+    if strategy == "dense" or (strategy == "auto"
+                               and int(n_tables) >= (1 << int(bits))):
         # maybe-dense: the bounded eligibility collect runs FIRST and
-        # doubles as the dim probe (one job instead of two)
+        # doubles as the dim probe (one job instead of two).  Gated on
+        # the non-selectivity condition so a selective-params 'auto'
+        # call never pays the collect (it would pick blocked anyway —
+        # and at high dim the rows-bounded collect is real driver
+        # memory: 65k rows × dim 4096 ≈ 2 GB)
         _brows = (bsdf.select(F.col(id_col), F.col(vec_col))
                   .limit(int(max_dense_batch) + 1).collect())
         if dim is None and _brows:
             dim = len(_brows[0][1])
+    elif strategy == "auto":
+        strategy = "blocked"
     if dim is None:
         first = bsdf.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
         dim = int(first[0]["d"]) if first else 0
