@@ -31,6 +31,27 @@ DEC = "decimal(25,6)"
 _OPEN_CACHE: dict = {}
 
 
+def _data_fp(sf_dir: str, table: str) -> str:
+    """Fingerprint of a source table's parquet bytes (file sizes +
+    mtimes) for the /tmp index-cache tags of q99/q101/q102: a tag
+    keyed only on (abspath, params) would silently reuse a STALE index
+    after the test data is regenerated at the same path — surfacing as
+    a confusing oracle value-hash failure instead of a rebuild
+    (round 10, advised)."""
+    import os
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    parts = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str):
     """Open a table, memoizing the (lazy) plan per session+path.
 
@@ -3104,7 +3125,8 @@ def _q99_winnow_screen_indexed(spark, sf_dir):
     corpus = docs[docs.doc_id % 3 != 0]
     batch = docs[docs.doc_id % 3 == 0]
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|gram|k5w4|grouped|v1".encode()
+        f"{os.path.abspath(sf_dir)}|gram|k5w4|grouped|v1|"
+        f"{_data_fp(sf_dir, 'documents')}".encode()
     ).hexdigest()[:12]
     idx_dir = f"/tmp/vaex_spark_widx_{tag}"
     if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
@@ -3129,11 +3151,16 @@ def _q100_embedding_against_corpus(spark, sf_dir):
     with exact cosine >= 0.42 against a corpus vector surfaces with
     the cosine.  The packed corpus index (corpus_vector_index —
     n_tables bucket ids + the pre-normalized vector, one row per
-    vector) is derived in-plan here, same rationale as q98; blocking
-    at bits=2 / n_tables=24 gives per-pair recall 1-(1-p^2)^24 with
-    p = 1-θ/π ≈ 0.64 at the 0.42 threshold (miss ~4e-6, the q44
-    argument), so the blocked+verified result equals the exact
-    batch×corpus cosine join the DuckDB oracle computes."""
+    vector) is derived in-plan here, same rationale as q98.  At
+    bits=2 / n_tables=24 ``strategy='auto'`` resolves DENSE
+    (n_tables >= 2^bits makes LSH blocking non-selective — the
+    blocked plan would join ~6 copies of every pair), so the screen
+    is one exact BLAS pass over the index units and equals the
+    batch×corpus cosine join the DuckDB oracle computes BY
+    CONSTRUCTION — no recall argument needed.  The blocked strategy
+    is the scale path at selective parameters (suggest_lsh_params,
+    q44); its plan shape is audited in PLANS and timed in bench.py's
+    q100_blocked variant."""
     from vaex_spark.datapipe import similarity
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb[emb.vec_id % 5 != 0]
@@ -3180,7 +3207,8 @@ def _q102_vector_screen_indexed(spark, sf_dir):
     from vaex_spark.datapipe import similarity
     emb = _t(spark, sf_dir, "embeddings")
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|vec|b2t24s42|v1".encode()).hexdigest()[:12]
+        f"{os.path.abspath(sf_dir)}|vec|b2t24s42|v1|"
+        f"{_data_fp(sf_dir, 'embeddings')}".encode()).hexdigest()[:12]
     idx_dir = f"/tmp/vaex_spark_vidx_{tag}"
     if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
         corpus = emb[emb.vec_id % 5 != 0]
@@ -3217,7 +3245,8 @@ def _q101_ivf_indexed_topk(spark, sf_dir):
     from vaex_spark.datapipe import similarity
     emb = _t(spark, sf_dir, "embeddings")
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|ivf|c8s42|v1".encode()).hexdigest()[:12]
+        f"{os.path.abspath(sf_dir)}|ivf|c8s42|v1|"
+        f"{_data_fp(sf_dir, 'embeddings')}".encode()).hexdigest()[:12]
     idx_dir = f"/tmp/vaex_spark_ivfidx_{tag}"
     if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
         (similarity.corpus_ivf_index(emb, n_cells=8)
@@ -3237,7 +3266,9 @@ WITH scored AS (
          ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
                (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
                 sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos
-  FROM embeddings q, embeddings c WHERE q.vec_id < 3),
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 3
+    AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY cos DESC, neighbor_id ASC) AS rank

@@ -41,8 +41,47 @@ def _drop_null_vecs(sdf, vec_col):
     coordinates stay in the frame but their cosines are degenerate —
     see :func:`_null_if_nan` (null, ranks last, in every strategy);
     ``pairwise_cosine`` keeps nulls transparently (null in → null cos
-    out) as the oracle-friendly exception."""
+    out) as the oracle-friendly exception.
+
+    A null ELEMENT inside an otherwise-valid array (``[1.0, null,
+    0.0]`` — what a bad upstream join or a sloppy Parquet writer
+    actually produces) is the NaN case, not the null-vector case
+    (round 10): the row STAYS and its cosines are degenerate.  The
+    expr paths already behave so (a null element nulls the HOF dot),
+    and the Arrow boundary delivers the element as NaN; the one
+    divergence was the DRIVER-collected boundaries, where float(None)
+    raised — see :func:`_vec_f64`, which pins None → NaN there too."""
     return sdf.filter(F.col(vec_col).isNotNull())
+
+
+def _vec_f64(v) -> np.ndarray:
+    """THE driver-side float64 coercion for a single collected vector —
+    every ``float(x) for x in row`` boundary in the family routes here
+    (round 10: the r9 probe found one instance of the class — a null
+    element crashing the dense/auto strategies with a TypeError while
+    'blocked' degraded gracefully — so the class gets one helper with
+    the contract baked in).  None → NaN, making a null-element vector
+    DEGENERATE under the exact contract NaN coordinates already follow
+    in every strategy (null cosine, ranks last, never pairs, never
+    wins an argmax) instead of one bad row killing a 100-TB job.
+    np.asarray maps None → NaN natively for list and object inputs;
+    the fallback covers element types numpy refuses outright."""
+    try:
+        return np.asarray(v, dtype=np.float64)
+    except (TypeError, ValueError):
+        return np.asarray([np.nan if x is None else float(x) for x in v],
+                          dtype=np.float64)
+
+
+def _stack_f64(vals) -> np.ndarray:
+    """Batch twin of :func:`_vec_f64` for the Arrow kernels and
+    driver-side matrix builds: one row-major float64 matrix.  The
+    Arrow boundary already hands the kernels NaN for null elements
+    (pyarrow list<float> → numpy), so this is the belt-and-braces form
+    that keeps every np.stack site on the same contract.  Ragged
+    inputs still FAIL LOUDLY (np.stack ValueError): a dim mismatch
+    must never become silently-wrong math."""
+    return np.stack([_vec_f64(v) for v in vals])
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -97,16 +136,17 @@ def _round_half_up(a, r: int):
 
 
 def _collect_qrows(qdf, id_col, vec_col):
-    return [(r[0], [float(x) for x in r[1]]) for r in
+    return [(r[0], _vec_f64(r[1]).tolist()) for r in
             qdf.select(id_col, vec_col).collect()]
 
 
 def _list_qrows(queries):
     """List-form (id, vector) queries under the same NULL contract as
     the DataFrame side's :func:`_drop_null_vecs`: a None vector is not
-    a query — skipped, not a float(None) crash (the two input forms
-    must agree on nulls)."""
-    return [(int(i), [float(x) for x in v])
+    a query — skipped, not a float(None) crash — and a null ELEMENT is
+    NaN (:func:`_vec_f64`), i.e. a degenerate query, exactly as a
+    DataFrame query side behaves (the two input forms must agree)."""
+    return [(int(i), _vec_f64(v).tolist())
             for i, v in queries if v is not None]
 
 
@@ -130,7 +170,7 @@ def _dispatch_queries(qdf, id_col, vec_col, qrows, strategy):
             probe = (qdf.select(id_col, vec_col)
                      .limit(_BRUTE_EXPR_MAX + 1).collect())
             if len(probe) <= _BRUTE_EXPR_MAX:
-                qrows = [(r[0], [float(x) for x in r[1]]) for r in probe]
+                qrows = [(r[0], _vec_f64(r[1]).tolist()) for r in probe]
             else:  # q > _BRUTE_EXPR_MAX -> q*d over threshold at any d
                 return "arrow", _collect_qrows(qdf, id_col, vec_col)
         d = len(qrows[0][1]) if qrows else 0
@@ -215,8 +255,7 @@ def brute_force_topk(corpus, queries, k: int = 10,
             for pdf in batches:
                 if not len(pdf):
                     continue
-                X = np.stack([np.asarray(v, dtype=np.float64)
-                              for v in pdf[vec_col]])
+                X = _stack_f64(pdf[vec_col])
                 xn = np.sqrt((X * X).sum(1))
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = _round_half_up((X @ Q.T) / (xn[:, None] * qn[None, :]), rnd)
@@ -265,14 +304,23 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
 
 def hyperplane_bucket(vec: Column, planes: np.ndarray) -> Column:
     """Sign-pattern bucket id from literal hyperplanes — pure expressions:
-    bucket = sum_b (dot(vec, plane_b) > 0) << b."""
+    bucket = sum_b (dot(vec, plane_b) > 0) << b.
+
+    The ``~isnan`` term pins REPRESENTATION parity with the Arrow BLAS
+    form on degenerate vectors (round 10): Spark's NaN-greatest
+    comparison lets a NaN dot pass ``> 0`` (bit set) where numpy's
+    ``NaN > 0`` is False (bit clear).  Degenerate rows never pair
+    anyway (NULL unit / null cosine gates the verify), so this aligns
+    stored index bytes across builder strategies, not results."""
     out = F.lit(0).cast("long")
     for b, plane in enumerate(planes):
         d = F.aggregate(
             F.zip_with(vec, F.lit([float(x) for x in plane]),
                        lambda x, p: x.cast("double") * p),
             F.lit(0.0), lambda acc, v: acc + v)
-        out = out + F.when(d > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        out = out + F.when((d > 0) & ~F.isnan(d),
+                           F.lit(1 << b).cast("long")).otherwise(
+                               F.lit(0).cast("long"))
     return out
 
 
@@ -301,8 +349,7 @@ def _bucket_long(sdf, id_col, vec_col, dim, bits, n_tables, seed,
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in pdf[vec_col]])
+            X = _stack_f64(pdf[vec_col])
             S = (X @ P.T) > 0
             n = len(X)
             cols = {
@@ -455,7 +502,7 @@ def embedding_near_dups(corpus, threshold: float = 0.95, bits: int = 6,
         import pandas as pd
         U, uids = [], []
         for r in _crows:
-            v = np.asarray([float(x) for x in r[1]], dtype=np.float64)
+            v = _vec_f64(r[1])
             nrm = np.sqrt((v * v).sum())
             if nrm == 0.0:
                 continue  # zero vector: degenerate, never a pair
@@ -473,8 +520,7 @@ def embedding_near_dups(corpus, threshold: float = 0.95, bits: int = 6,
             for pdf in batches:
                 if not len(pdf):
                     continue
-                X = np.stack([np.asarray(v, dtype=np.float64)
-                              for v in pdf[vec_col]])
+                X = _stack_f64(pdf[vec_col])
                 with np.errstate(divide="ignore", invalid="ignore"):
                     nx = np.sqrt((X * X).sum(1))
                     Xu = X / nx[:, None]  # zero norm -> inf/NaN -> drop
@@ -645,9 +691,17 @@ def _bucket_packed(sdf, id_col, vec_col, dim, bits, n_tables, seed):
         buckets = F.array(*[hyperplane_bucket(F.col(vec_col),
                                               _hyperplanes(dim, bits, seed + t))
                             for t in range(n_tables)])
-        # zero-norm -> null __unit, matching the Arrow branch (the
-        # Column division would yield [NaN, ...] instead)
-        unit = F.when(l2_norm(F.col(vec_col)) > 0,
+        # degenerate norm (zero, NaN coordinate, null element) -> NULL
+        # __unit in BOTH branches: without the isnan() term Spark's
+        # NaN-greatest comparison lets a NaN norm pass `> 0` and store
+        # a [NaN,...] unit here while the Arrow branch's null-element
+        # rows (None -> NaN through the Arrow boundary) stored NULL —
+        # representation parity across builder strategies, one
+        # stored shape for every degenerate class (round 10).  The
+        # screens already treat NULL unit and NaN cosine identically
+        # (never pairs), so this changes stored bytes, not results.
+        _n = l2_norm(F.col(vec_col))
+        unit = F.when((_n > 0) & ~F.isnan(_n),
                       normalize(F.col(vec_col))
                       ).otherwise(F.lit(None).cast("array<double>"))
         return sdf.select(F.col(id_col), buckets.alias("__buckets"),
@@ -662,13 +716,13 @@ def _bucket_packed(sdf, id_col, vec_col, dim, bits, n_tables, seed):
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in pdf[vec_col]])
+            X = _stack_f64(pdf[vec_col])
             S = (X @ P.T) > 0
             n = len(X)
             bks = (S.reshape(n, nt, nb) * weights[None, None, :]).sum(2)
             norms = np.sqrt((X * X).sum(1))
-            units = [None if norms[i] == 0.0 else list(X[i] / norms[i])
+            units = [None if (norms[i] == 0.0 or np.isnan(norms[i]))
+                     else list(X[i] / norms[i])
                      for i in range(n)]
             yield pd.DataFrame({"__id": pdf[id_col].to_numpy(),
                                 "__buckets": list(bks),
@@ -704,7 +758,20 @@ def corpus_vector_index(corpus, vec_col: str = "embedding",
     if dim is None:
         first = sdf.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
         dim = int(first[0]["d"]) if first else 0
-    return _bucket_packed(sdf, id_col, vec_col, dim, bits, n_tables, seed)
+    pk = _bucket_packed(sdf, id_col, vec_col, dim, bits, n_tables, seed)
+    # The build parameters RIDE IN THE ARTIFACT as column metadata
+    # (survives a parquet round-trip in the footer schema, costs zero
+    # rows/bytes per vector): an index built at different (bits,
+    # n_tables, seed) than a later screen call would otherwise degrade
+    # SILENTLY — a seed mismatch blocks on garbage buckets (near-empty
+    # screen), an n_tables mismatch joins only the overlapping
+    # posexplode positions (quietly cut recall).  The screen validates
+    # these alongside its dim check (round 10, advised).
+    meta = {"vaex_spark_lsh": {"bits": int(bits), "n_tables": int(n_tables),
+                               "seed": int(seed), "dim": int(dim)}}
+    return pk.select(F.col(id_col),
+                     F.col("__buckets").alias("__buckets", metadata=meta),
+                     F.col("__unit"))
 
 
 def near_dup_embeddings_against_corpus(batch, corpus=None,
@@ -778,14 +845,49 @@ def near_dup_embeddings_against_corpus(batch, corpus=None,
     if corpus_index is not None:
         cpk = (corpus_index._spark_df()
                if hasattr(corpus_index, "_spark_df") else corpus_index)
+        # Parameter check from the ARTIFACT's own metadata (round 10):
+        # corpus_vector_index stamps (bits, n_tables, seed, dim) on
+        # __buckets, so a screen called with a different seed (blocks
+        # on garbage buckets — near-empty screen) or n_tables (joins
+        # only the overlapping posexplode positions — silently cut
+        # recall) fails loudly instead of degrading.  Indexes from
+        # before the stamp carry no metadata and fall back to the
+        # dim-only probe below.
+        _fld = next((f_ for f_ in cpk.schema.fields
+                     if f_.name == "__buckets"), None)
+        _im = dict((_fld.metadata or {}).get("vaex_spark_lsh") or {}) \
+            if _fld is not None else {}
+        if _im:
+            want = {"bits": int(bits), "n_tables": int(n_tables),
+                    "seed": int(seed)}
+            got = {k_: int(_im[k_]) for k_ in want if k_ in _im}
+            if any(got.get(k_, v_) != v_ for k_, v_ in want.items()):
+                raise ValueError(
+                    f"corpus_index was built with "
+                    f"{ {k_: got.get(k_) for k_ in want} } but the screen "
+                    f"was called with {want}: the LSH planes cannot "
+                    f"match — pass the index's parameters (or rebuild "
+                    f"the index)")
+            if "dim" in _im:
+                if int(dim or 0) == 0:
+                    dim = int(_im["dim"])  # empty batch: adopt
+                elif int(_im["dim"]) != int(dim):
+                    raise ValueError(
+                        f"corpus_index was built at dim={int(_im['dim'])} "
+                        f"but the batch vectors have dim={int(dim)}: the "
+                        f"LSH planes cannot match — rebuild the index "
+                        f"with the batch's embedding model (or pass the "
+                        f"right index)")
         # bounded probe (one limit(1) job, the _dispatch_queries
         # discipline): a persisted index built from a different
         # embedding model would otherwise block on garbage buckets and
         # return a silently-empty/garbage screen — the worst failure
         # mode of an incremental pipeline.  Zero-vector rows carry
         # NULL units, so probe a non-null one; an all-null index has
-        # no determinable dim and skips the check.
-        d = (cpk.filter(F.col("__unit").isNotNull())
+        # no determinable dim and skips the check.  Skipped when the
+        # metadata stamp above already pinned the dim (one less job).
+        d = [] if "dim" in _im else \
+            (cpk.filter(F.col("__unit").isNotNull())
              .select(F.size("__unit").alias("d")).limit(1).collect())
         if d and int(dim) == 0:
             # empty batch: no batch dim to check — adopt the index's so
@@ -820,7 +922,7 @@ def near_dup_embeddings_against_corpus(batch, corpus=None,
         import pandas as pd
         B, bids = [], []
         for r in _brows:
-            v = np.asarray([float(x) for x in r[1]], dtype=np.float64)
+            v = _vec_f64(r[1])
             if len(v) != int(dim):
                 raise ValueError(
                     f"near_dup_embeddings_against_corpus: {vec_col} "
@@ -848,8 +950,7 @@ def near_dup_embeddings_against_corpus(batch, corpus=None,
                 ok = pdf["__unit"].notna()
                 if not ok.any():
                     continue
-                X = np.stack([np.asarray(u, dtype=np.float64)
-                              for u in pdf.loc[ok, "__unit"]])
+                X = _stack_f64(pdf.loc[ok, "__unit"])
                 cids = pdf.loc[ok, id_col].to_numpy()
                 cos = _round_half_up(X @ Bm.T, rnd)
                 # NaN >= thr is False: degenerates drop, matching the
@@ -935,7 +1036,12 @@ def train_centroids(corpus, n_cells: int = 16, vec_col: str = "embedding",
               .limit(sample_rows).collect()]
     if not sample:  # tiny tables: fall back to everything
         sample = [r[0] for r in sdf.select(vec_col).limit(sample_rows).collect()]
-    X = np.array([list(map(float, v)) for v in sample])
+    X = _stack_f64(sample) if sample else np.empty((0, 0))
+    # degenerate vectors (NaN coordinates — incl. null elements, which
+    # _vec_f64 maps to NaN) are never centroid seeds: one NaN sample
+    # row would otherwise poison every centroid mean it touches, the
+    # same contract ml.KMeans._valid_features enforces (round 10)
+    X = X[np.isfinite(X).all(axis=1)] if len(X) else X
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
     for _ in range(iters):
@@ -1014,8 +1120,8 @@ def _ivf_index_parts(corpus_index, id_col, vec_col):
     if not crows:
         raise ValueError("corpus_index has no centroid rows — was it "
                          "built by corpus_ivf_index?")
-    cent = np.array([list(map(float, r["__centroid"]))
-                     for r in sorted(crows, key=lambda r: r["__cell"])])
+    cent = _stack_f64([r["__centroid"]
+                       for r in sorted(crows, key=lambda r: r["__cell"])])
     assigned = (ipk.filter(F.col("__centroid").isNull())
                 .select(F.col(id_col), F.col(vec_col), F.col("__cell")))
     return cent, assigned
@@ -1113,8 +1219,7 @@ def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
             for pdf in batches:
                 if not len(pdf):
                     continue
-                X = np.stack([np.asarray(v, dtype=np.float64)
-                              for v in pdf[vec_col]])
+                X = _stack_f64(pdf[vec_col])
                 xn = np.sqrt((X * X).sum(1))
                 nb = pdf[id_col].to_numpy()
                 cells = pdf["__cell"].to_numpy()
@@ -1144,9 +1249,16 @@ def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
                 yield pd.DataFrame({"query_id": oq, "neighbor_id": on,
                                     "cos": oc})
 
-        scored = assigned.select(F.col(id_col), F.col(vec_col),
-                                 F.col("__cell")).mapInPandas(
-            _t, schema=f"query_id {qid_dt}, neighbor_id {id_dt}, cos double")
+        # NULL __cell = unassignable row (a null-element vector nulls
+        # every centroid distance, so ivf_assign's array_min/position
+        # is null).  The expr path excludes such rows naturally (the
+        # probe join never matches a null cell); the kernel must match
+        # — without this filter pandas renders the null cell as NaN
+        # and int(NaN) kills the task (round-10 null-element probe).
+        scored = (assigned.filter(F.col("__cell").isNotNull())
+                  .select(F.col(id_col), F.col(vec_col),
+                          F.col("__cell")).mapInPandas(
+            _t, schema=f"query_id {qid_dt}, neighbor_id {id_dt}, cos double"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos", "rank"))
@@ -1160,10 +1272,19 @@ def first_k_centroids(corpus, k: int, vec_col: str = "embedding",
     """The k lowest-id vectors as centroids — deterministic (and hence
     oracle-reproducible); ``train_centroids`` is the production seed.
     NULL vectors are skipped (the _drop_null_vecs contract — a null
-    among the first k would otherwise crash the float conversion)."""
+    among the first k would otherwise crash the float conversion), and
+    so are DEGENERATE vectors (a NaN or null coordinate, round 10):
+    one NaN centroid wins every NaN-is-greatest argmax — Spark's
+    array_max and np.argmax both rank NaN first — collapsing the whole
+    corpus into that cluster; degenerate vectors are never centroid
+    seeds, the train_centroids / ml.KMeans contract."""
     rows = (_drop_null_vecs(_sdf(corpus), vec_col)
+            .filter(~F.exists(F.col(vec_col),
+                              lambda x: x.isNull() | F.isnan(x))
+                    & (l2_norm(F.col(vec_col)) > 0))
             .orderBy(id_col).select(vec_col).limit(k).collect())
-    return np.array([[float(x) for x in r[0]] for r in rows])
+    return (_stack_f64([r[0] for r in rows]) if rows
+            else np.empty((0, 0)))
 
 
 def assign_cluster(vec: Column, centroids: np.ndarray, round_to: int = 6) -> Column:
@@ -1236,7 +1357,7 @@ def semantic_dedup(corpus, n_clusters: int = 8, threshold: float = 0.95,
             for pdf in batches:
                 if not len(pdf):
                     continue
-                X = np.vstack(pdf[vc0].to_numpy()).astype("float64")
+                X = _stack_f64(pdf[vc0])
                 Xn = X / np.sqrt((X ** 2).sum(axis=1, keepdims=True))
                 # centroid BLOCKS with a running (max, argmax): the full
                 # n×k cosine matrix is DRAM traffic that makes every
@@ -1299,7 +1420,7 @@ def semantic_dedup(corpus, n_clusters: int = 8, threshold: float = 0.95,
         ids = pdf[idc].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        X = np.vstack(pdf["__u"].to_numpy()[order]).astype("float64")
+        X = _stack_f64(pdf["__u"].to_numpy()[order])
         n_rows = len(ids)
         out_id, out_dup = [], []
         # bound the n_rows×B similarity block to ~1 GB regardless of

@@ -624,6 +624,16 @@ class KBinsDiscretizer(Transformer):
             aggs = [F.percentile_approx(df._to_expr(f).col.cast("double"), qs, 10000).alias(f)
                     for f in self.features]
             row = sdf.agg(*aggs).collect()[0]
+            for f in self.features:
+                # percentile_approx of an all-null column is NULL:
+                # fail with the actual problem, not a float(None)
+                # TypeError three frames down (the round-10
+                # float-coercion-boundary sweep)
+                if row[f] is None:
+                    raise ValueError(
+                        f"KBinsDiscretizer: feature {f!r} has no "
+                        f"non-null values — cannot compute quantile "
+                        f"bin edges")
             edges = {f: np.asarray([float(v) for v in row[f]]) for f in self.features}
         for f in self.features:
             mask = np.diff(edges[f], append=np.inf) > 1e-8

@@ -431,8 +431,15 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
                  .parquet(winnow_index_dir))
             if vector_index_dir is not None:
                 from ..datapipe import similarity as SIM
+                # key-filter to the BUILD signature, mirroring the
+                # winnow branch above: a screen-only key in
+                # vector_params (strategy, round_to, max_dense_batch)
+                # is legal for the screen but would TypeError the
+                # index-build write AFTER the batch's output emission
+                # — wedging the stream on an argument error
                 vp = {**dict(bits=6, n_tables=8, seed=42),
-                      **(vector_params or {})}
+                      **{k_: v for k_, v in (vector_params or {}).items()
+                         if k_ in ("bits", "n_tables", "seed", "dim")}}
                 (SIM.corpus_vector_index(fresh, vec_col=vec_col,
                                          id_col=id_col, **vp)
                  .withColumn("__batch_id", F.lit(int(batch_id)))
