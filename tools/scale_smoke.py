@@ -230,6 +230,112 @@ def vector_incremental(spark):
           f"near-dups flagged, all 2500 novel kept")
 
 
+def vector_blocked_1m(spark):
+    """Round-10 probe (r9 verdict task 4): the BLOCKED against-corpus
+    screen — the 100-TB path — at 1M corpus vectors with
+    suggest_lsh_params-chosen (bits, n_tables), recording measured
+    candidates against the closed-form expectation the helper
+    optimizes (T·n/2^bits random collisions per query under the
+    near-uniform bucket assumption — exact for isotropic Gaussian
+    data).  A 2,000-vector batch arrives: 1,000 are near-identical
+    perturbations of corpus vectors (cos ~0.99999; per-pair miss at
+    the suggested params is astronomically small, so the screen is
+    deterministically exact here) and 1,000 fresh N(0,1) draws (max
+    random cosine in dim 64 over 1e9 pairs stays far under the 0.95
+    threshold).  The same screen is then timed strategy='dense'
+    (exact, 1M x 2k BLAS) — the A/B that validates the auto
+    crossover's direction at real volume: dense pays the full n·q·d
+    work regardless of selectivity, blocked pays only candidates."""
+    import numpy as np
+    import pandas as pd
+    from vaex_spark.datapipe import similarity as S
+    import os
+    corpus_path = f"{SCALE_DIR}/vectors_1m_64.parquet"
+    if not os.path.isdir(corpus_path):
+        def _gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf["id"].to_numpy()
+                rng = np.random.RandomState(300 + int(ids[0]) % 997)
+                X = rng.randn(len(ids), 64)
+                yield pd.DataFrame({"vec_id": ids, "embedding": list(X)})
+        (spark.range(1_000_000).repartition(16)
+         .mapInPandas(_gen, schema="vec_id bigint, embedding array<double>")
+         .write.mode("overwrite").parquet(corpus_path))
+    emb = spark.read.parquet(corpus_path)
+    n = emb.count()
+    thr = 0.95
+    p = S.suggest_lsh_params(n, thr)
+    bits, nt = p["bits"], p["n_tables"]
+    exp_cand = p["expected_candidates_per_query"]
+    print(f"vector_blocked_1m: suggest_lsh_params({n}, {thr}) -> "
+          f"bits={bits} n_tables={nt} recall={p['per_pair_recall']:.6f} "
+          f"E[candidates/query]={exp_cand:.0f}")
+    t0 = time.time()
+    idx_path = f"{SCALE_DIR}/vector_idx_1m"
+    (S.corpus_vector_index(emb, bits=bits, n_tables=nt)
+     .write.mode("overwrite").parquet(idx_path))
+    t_build = time.time() - t0
+    idx = spark.read.parquet(idx_path)
+    base = {int(r.vec_id): np.array(r.embedding, dtype=float) for r in
+            emb.filter(F.col("vec_id") % 1000 == 0).limit(1000).collect()}
+    rng = np.random.RandomState(23)
+    rows = []
+    for j, (vid, v) in enumerate(sorted(base.items())):
+        pert = v + 0.005 * np.linalg.norm(v) / 8.0 * rng.randn(64)
+        rows.append((5_000_000 + j, [float(x) for x in pert]))
+    for j in range(1000):
+        rows.append((6_000_000 + j, [float(x) for x in rng.randn(64)]))
+    batch = spark.createDataFrame(rows,
+                                  "vec_id bigint, embedding array<double>")
+    kw = dict(bits=bits, n_tables=nt, threshold=thr)
+    # measured candidate volume: the screen's own blocking join,
+    # counted pre-verify (distinct batch x corpus id pairs)
+    from vaex_spark.datapipe.similarity import _bucket_packed
+    bpk = _bucket_packed(batch, "vec_id", "embedding", 64, bits, nt, 42)
+    def blocks(pk, label):
+        return pk.select(F.col("vec_id").alias(f"{label}_id"),
+                         F.posexplode("__buckets").alias(f"{label}_t",
+                                                         f"{label}_b"))
+    n_cand = (blocks(idx, "c")
+              .join(blocks(bpk, "b"),
+                    on=[F.col("c_t") == F.col("b_t"),
+                        F.col("c_b") == F.col("b_b")])
+              .select("b_id", "c_id").distinct().count())
+    # warm both strategies once (JIT + Arrow init), then time fresh
+    # plan constructions
+    import vaex_spark as vs
+    for strat in ("blocked", "dense"):
+        S.near_dup_embeddings_against_corpus(
+            batch, corpus_index=idx, strategy=strat, **kw).count()
+        vs.cache.release_operator_caches()
+    t0 = time.time()
+    hits_b = S.near_dup_embeddings_against_corpus(
+        batch, corpus_index=idx, strategy="blocked", **kw)
+    flagged_b = sorted(r["batch_id"] for r in
+                       hits_b.select("batch_id").distinct().collect())
+    t_blocked = time.time() - t0
+    vs.cache.release_operator_caches()
+    t0 = time.time()
+    hits_d = S.near_dup_embeddings_against_corpus(
+        batch, corpus_index=idx, strategy="dense", **kw)
+    flagged_d = sorted(r["batch_id"] for r in
+                       hits_d.select("batch_id").distinct().collect())
+    t_dense = time.time() - t0
+    want = [5_000_000 + j for j in range(1000)]
+    assert flagged_b == want, (len(flagged_b), flagged_b[:5])
+    assert flagged_d == want, (len(flagged_d), flagged_d[:5])
+    per_q = n_cand / 2000.0
+    print(f"vector_blocked_1m: index over {n} x64 built once in "
+          f"{t_build:.1f}s; 2k-vector batch: {n_cand} blocking "
+          f"candidates = {per_q:.0f}/query vs closed-form "
+          f"{exp_cand:.0f} (ratio {per_q / exp_cand:.2f}; planted "
+          f"dups add ~1/query); blocked screen {t_blocked:.1f}s vs "
+          f"dense (exact 1M x 2k BLAS) {t_dense:.1f}s; all 1000 "
+          f"planted dups flagged, 0 false positives, both strategies")
+
+
 def wide_window(spark):
     """Global-order rolling frames approaching and exceeding the range
     partition size.  The partition floor keeps partitions >= 8MB
@@ -757,26 +863,37 @@ def stream_fuzzy(spark):
 
 
 def stream_vector(spark):
-    """Round-9 probe: streaming EMBEDDING cross-batch dedup at volume
-    (the vector sibling of stream_fuzzy).  Batch 1 emits 50k docs with
-    unique texts + their packed vector index; batch 2 brings 25k
-    PARAPHRASE dups (entirely new text, embeddings = batch-1 vectors +
-    0.5% relative noise -> cos ~0.99999; per-pair LSH miss at
-    bits=12/n_tables=8 is ~2e-14, deterministically exact at this
-    count) and 25k genuinely novel embeddings.  Text-based stages
-    cannot catch the paraphrases — only the persisted vector index
-    can; the screen must drop EXACTLY the paraphrase half and index
-    exactly the survivors."""
+    """Round-9 probe (round 10: parameters now chosen by
+    suggest_lsh_params instead of hand-picked — the production recipe
+    the curate_stream docstring prescribes, with the candidate budget
+    verified against the helper's closed form): streaming EMBEDDING
+    cross-batch dedup at volume (the vector sibling of stream_fuzzy).
+    Batch 1 emits 50k docs with unique texts + their packed vector
+    index; batch 2 brings 25k PARAPHRASE dups (entirely new text,
+    embeddings = batch-1 vectors + 0.5% relative noise -> cos
+    ~0.99999; the per-pair LSH miss at the suggested recall floor is
+    astronomically small, deterministically exact at this count) and
+    25k genuinely novel embeddings.  Text-based stages cannot catch
+    the paraphrases — only the persisted vector index can; the screen
+    must drop EXACTLY the paraphrase half and index exactly the
+    survivors."""
     import shutil as _sh
     import numpy as np
     import pandas as pd
     import vaex_spark as vs
+    from vaex_spark.datapipe import similarity as S
     from vaex_spark import streaming as st
     base = "/tmp/scale/stream_vector"
     _sh.rmtree(base, ignore_errors=True)
     import os
     os.makedirs(f"{base}/src")
     emb = spark.read.parquet(f"{SCALE_DIR}/embeddings.parquet")
+    n1_expected = emb.count()
+    p = S.suggest_lsh_params(n1_expected, 0.95)
+    print(f"stream_vector: suggest_lsh_params({n1_expected}, 0.95) -> "
+          f"bits={p['bits']} n_tables={p['n_tables']} "
+          f"recall={p['per_pair_recall']:.6f} "
+          f"E[candidates/doc]={p['expected_candidates_per_query']:.0f}")
     (emb.select(F.col("vec_id").alias("doc_id"),
                 F.concat(F.lit("stream vector document body "),
                          F.col("vec_id").cast("string")).alias("text"),
@@ -784,7 +901,8 @@ def stream_vector(spark):
         .repartition(8).write.parquet(f"{base}/src/b1.parquet"))
     common = dict(out_dir=f"{base}/out", state_dir=f"{base}/state",
                   vector_index_dir=f"{base}/vidx", vector_threshold=0.95,
-                  vector_params=dict(bits=12, n_tables=8),
+                  vector_params=dict(bits=p["bits"],
+                                     n_tables=p["n_tables"]),
                   min_quality=None, repetition_filter=False, dedup=None)
     t0 = time.time()
     st.curate_stream(st.open_stream(f"{base}/src/*", spark=spark),
@@ -818,10 +936,31 @@ def stream_vector(spark):
     assert n_novel == 25_000, n_novel
     nidx = spark.read.parquet(f"{base}/vidx").count()
     assert nidx == n1 + 25_000, (nidx, n1)
+    # candidate budget honored: re-run the screen's blocking join for
+    # batch 2 against the batch-1 index partition and compare per-doc
+    # candidates with the closed form the helper optimized (random
+    # collisions T*n/2^bits; paraphrases add ~1 planted hit each)
+    from vaex_spark.datapipe.similarity import _bucket_packed
+    vidx1 = (spark.read.parquet(f"{base}/vidx")
+             .filter(F.col("__batch_id") == 0))
+    b2 = spark.read.parquet(f"{base}/src/b2.parquet")
+    bpk = _bucket_packed(b2.selectExpr("doc_id", "embedding"),
+                         "doc_id", "embedding", 64,
+                         p["bits"], p["n_tables"], 42)
+    n_cand = (vidx1.select(F.col("doc_id").alias("c_id"),
+                           F.posexplode("__buckets").alias("t", "b"))
+              .join(bpk.select(F.col("doc_id").alias("b_id"),
+                               F.posexplode("__buckets").alias("t", "b")),
+                    on=["t", "b"])
+              .select("b_id", "c_id").distinct().count())
+    per_doc = n_cand / 50_000.0
+    budget = p["expected_candidates_per_query"]
     print(f"stream_vector: batch1 {n1} emitted+indexed in {t1:.1f}s; "
           f"batch2 25k paraphrase dups (new text, near-identical "
           f"embeddings) ALL dropped vs the persisted packed index + "
-          f"25k novel ALL kept in {t2:.1f}s; index rows {nidx}")
+          f"25k novel ALL kept in {t2:.1f}s; index rows {nidx}; "
+          f"blocking candidates {n_cand} = {per_doc:.1f}/doc vs "
+          f"closed-form budget {budget:.1f} (+~0.5 planted)")
 
 
 def ntile_ties(spark):
@@ -1255,6 +1394,7 @@ PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "winnow_hot_fp": winnow_hot_fp,
           "winnow_incremental": winnow_incremental,
           "vector_incremental": vector_incremental,
+          "vector_blocked_1m": vector_blocked_1m,
           "kmeans_init_study": kmeans_init_study,
           "ann_topk_strategies": ann_topk_strategies,
           "binby_grid": binby_grid, "kmeans_large_k": kmeans_large_k,

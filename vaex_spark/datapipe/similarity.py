@@ -459,7 +459,11 @@ def embedding_near_dups(corpus, threshold: float = 0.95, bits: int = 6,
     are scored.  Per-pair recall for angle θ is 1-(1-(1-θ/π)^bits)^tables
     — at cos >= 0.95 (θ <= 18°) the defaults give ~0.997; raise
     ``n_tables`` for tighter guarantees, raise ``bits`` to cut random
-    collisions at scale.  Returns (id_a, id_b, cos) with id_a < id_b.
+    collisions at scale.  PICK (bits, n_tables) WITH
+    :func:`suggest_lsh_params` at your corpus size — the defaults suit
+    small tables, and a recall-1 oracle parameter set (n_tables >=
+    2^bits) makes blocking a no-op.  Returns (id_a, id_b, cos) with
+    id_a < id_b.
 
     Like :func:`near_dup_embeddings_against_corpus`, two physical
     strategies with an ``'auto'`` selectivity crossover: when

@@ -334,7 +334,21 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
     blocked candidates, vectors never shuffle).  Survivors' index rows
     append under the same per-``__batch_id`` idempotent-overwrite
     discipline.  ``vector_params`` tunes (bits, n_tables, seed, dim);
-    index and batch sides always share it.
+    index and batch sides always share it (build-only keys are
+    key-filtered at the index write; screen-only keys like
+    ``strategy`` reach only the screen).
+
+    PICK (bits, n_tables) WITH :func:`~vaex_spark.datapipe.similarity.
+    suggest_lsh_params` at your corpus size and threshold — the
+    closed-form choice that meets a per-pair recall floor while
+    minimizing candidates per batch doc.  The defaults (bits=6,
+    n_tables=8) suit small tables; at millions of indexed vectors
+    they flood the exact-cosine verify with ~n_tables·n/2^bits
+    candidates per doc (the measured failure mode: a 50k-doc batch at
+    too-low bits paid a multi-million-candidate interpreted verify).
+    Never copy a recall-1 oracle parameter set (e.g. bits=2,
+    n_tables=24) into production — n_tables >= 2^bits makes blocking
+    a no-op.
     """
     import os
 
