@@ -1976,6 +1976,32 @@ def test_suggest_lsh_params_closed_form():
     assert exact["per_pair_recall"] == 1.0
 
 
+def test_suggest_lsh_params_dim_aware_candidates():
+    """dim= integrates the exact random-pair angle distribution
+    (round 10): at moderate dims random cosines fluctuate around 0,
+    so E[p^b] exceeds the (1/2)^b concentration limit by Jensen —
+    dim-aware expected candidates must (a) exceed the dim-less
+    estimate, (b) shrink monotonically toward it as dim grows, and
+    (c) reproduce the 1M x dim-64 probe's MEASURED candidate count
+    (1,776/query, SCALECHECK_r10) within a few percent — the naive
+    form underestimated it 1.88x.  The recall floor and chosen
+    (bits, n_tables) are per-PAIR quantities, untouched by dim."""
+    from vaex_spark.datapipe.similarity import suggest_lsh_params
+    naive = suggest_lsh_params(1_000_000, 0.95)
+    d64 = suggest_lsh_params(1_000_000, 0.95, dim=64)
+    d512 = suggest_lsh_params(1_000_000, 0.95, dim=512)
+    d4096 = suggest_lsh_params(1_000_000, 0.95, dim=4096)
+    assert (d64["bits"], d64["n_tables"]) == \
+        (naive["bits"], naive["n_tables"])
+    assert d64["per_pair_recall"] == naive["per_pair_recall"]
+    n0 = naive["expected_candidates_per_query"]
+    c64, c512, c4096 = (d["expected_candidates_per_query"]
+                        for d in (d64, d512, d4096))
+    assert c64 > c512 > c4096 > n0
+    assert c4096 / n0 < 1.1  # approaches the concentration limit
+    assert abs(c64 - 1776) / 1776 < 0.05  # matches the measured probe
+
+
 def test_embedding_near_dups_degenerates_and_strategies(spark):
     """embedding_near_dups degenerate contract + strategy parity:
     (a) a NaN-coordinate vector must pair with NOTHING in either

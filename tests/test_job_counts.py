@@ -128,13 +128,14 @@ HEADLINE_JOB_CEILING = {
     # fingerprint + AQE broadcast decision + pair agg; measured 7
     "q99_winnow_screen_indexed": 8,
     # packed-vector screen, dense strategy (auto at q100's recall-1
-    # params): bounded batch collect (doubles as dim probe) + bounded
-    # index-dim probe + in-plan index derivation + dense scan + orderBy
-    # sample (r9 measured 6)
-    "q100_embedding_against_corpus": 7,
+    # params): bounded batch collect (doubles as dim probe) + in-plan
+    # index derivation + dense scan + orderBy sample (r10 measured 5:
+    # the index param stamp supplies dim, dropping the bounded
+    # index-dim probe job r9 paid)
+    "q100_embedding_against_corpus": 6,
     # production twin: persisted packed index, dense screen only
-    # (measured 6)
-    "q102_vector_screen_indexed": 7,
+    # (r10 measured 5, same one-job saving from the param stamp)
+    "q102_vector_screen_indexed": 6,
     # persisted-IVF repeated-query path: bounded centroid collect +
     # query dispatch probe + ranking; NO training sample job, NO
     # assignment scan (r9 measured 6, steady state with index present)

@@ -266,12 +266,14 @@ def vector_blocked_1m(spark):
     emb = spark.read.parquet(corpus_path)
     n = emb.count()
     thr = 0.95
-    p = S.suggest_lsh_params(n, thr)
+    p = S.suggest_lsh_params(n, thr, dim=64)
     bits, nt = p["bits"], p["n_tables"]
     exp_cand = p["expected_candidates_per_query"]
-    print(f"vector_blocked_1m: suggest_lsh_params({n}, {thr}) -> "
+    naive = nt * n / float(2 ** bits)
+    print(f"vector_blocked_1m: suggest_lsh_params({n}, {thr}, dim=64) -> "
           f"bits={bits} n_tables={nt} recall={p['per_pair_recall']:.6f} "
-          f"E[candidates/query]={exp_cand:.0f}")
+          f"E[candidates/query]={exp_cand:.0f} (concentration-limit "
+          f"{naive:.0f})")
     t0 = time.time()
     idx_path = f"{SCALE_DIR}/vector_idx_1m"
     (S.corpus_vector_index(emb, bits=bits, n_tables=nt)
@@ -889,9 +891,9 @@ def stream_vector(spark):
     os.makedirs(f"{base}/src")
     emb = spark.read.parquet(f"{SCALE_DIR}/embeddings.parquet")
     n1_expected = emb.count()
-    p = S.suggest_lsh_params(n1_expected, 0.95)
-    print(f"stream_vector: suggest_lsh_params({n1_expected}, 0.95) -> "
-          f"bits={p['bits']} n_tables={p['n_tables']} "
+    p = S.suggest_lsh_params(n1_expected, 0.95, dim=64)
+    print(f"stream_vector: suggest_lsh_params({n1_expected}, 0.95, dim=64) "
+          f"-> bits={p['bits']} n_tables={p['n_tables']} "
           f"recall={p['per_pair_recall']:.6f} "
           f"E[candidates/doc]={p['expected_candidates_per_query']:.0f}")
     (emb.select(F.col("vec_id").alias("doc_id"),

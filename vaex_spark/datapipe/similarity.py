@@ -580,9 +580,27 @@ def embedding_near_dups(corpus, threshold: float = 0.95, bits: int = 6,
 # --------------------------------------------------------------------------
 # incremental: persisted vector index + batch-vs-corpus screen
 # --------------------------------------------------------------------------
+def _expected_pb_random(dim: int, b: int) -> float:
+    """E[p(θ)^b] over RANDOM pairs of independent isotropic vectors in
+    ``dim`` dimensions, p(θ) = 1 - θ/π: cos θ has density ∝
+    (1-t²)^((dim-3)/2), so at moderate dims random angles fluctuate
+    around π/2 (std of cos θ ≈ 1/√dim) and Jensen's inequality makes
+    E[p^b] STRICTLY larger than the concentration-limit (1/2)^b — the
+    inflation the round-10 1M×dim-64 probe measured at 1.88× for b=15
+    (this integral predicted the measured candidate count within 1%).
+    Plain trapezoid on the closed-form density; no scipy."""
+    import math
+    n = 20001
+    t = np.linspace(-1.0 + 1e-12, 1.0 - 1e-12, n)
+    w = (1.0 - t * t) ** ((dim - 3) / 2.0)
+    p = 1.0 - np.arccos(t) / math.pi
+    return float(np.trapz(w * p ** b, t) / np.trapz(w, t))
+
+
 def suggest_lsh_params(n_corpus: int, threshold: float,
                        recall: float = 0.999,
-                       max_tables: int = 32) -> dict:
+                       max_tables: int = 32,
+                       dim: int | None = None) -> dict:
     """Closed-form hyperplane-LSH parameter choice for a corpus of
     ``n_corpus`` vectors and a cosine ``threshold``: the (bits,
     n_tables) pair that meets the per-pair ``recall`` floor at the
@@ -593,14 +611,18 @@ def suggest_lsh_params(n_corpus: int, threshold: float,
 
     Math (Charikar, STOC'02 SimHash): one hyperplane agrees on a pair
     at angle θ with probability p = 1 - θ/π; a b-bit table matches
-    with p^b; T tables give per-pair recall 1-(1-p^b)^T.  Under a
-    near-uniform bucket assumption a query collides with ~T·n/2^b
-    random corpus vectors.  For p > 1/2 (any positive threshold)
-    raising b strictly shrinks candidates ~ n·(1/(2p))^b·ln(1/(1-r)),
-    so the binding constraint is the table budget: the helper returns
-    the feasible (b, T) with the fewest expected candidates, i.e. the
-    largest b whose required T still fits ``max_tables``.  Pairs ABOVE
-    the threshold have higher p, so the recall floor holds a fortiori.
+    with p^b; T tables give per-pair recall 1-(1-p^b)^T.  A query
+    collides with ~T·n·E[p^b] random corpus vectors; with ``dim``
+    given the expectation integrates the exact random-angle
+    distribution at that dimension (:func:`_expected_pb_random` —
+    validated within 1% against a 1M×dim-64 measured probe), without
+    it the concentration-limit T·n/2^b is used (exact as dim → ∞;
+    at dim 64 it UNDERESTIMATES by ~1.9× at b=15, so pass ``dim``
+    when you have it).  For p > 1/2 (any positive threshold) raising
+    b strictly shrinks candidates, so the binding constraint is the
+    table budget: the helper returns the feasible (b, T) with the
+    fewest expected candidates.  Pairs ABOVE the threshold have
+    higher p, so the recall floor holds a fortiori.
 
     Returns dict(bits, n_tables, per_pair_recall,
     expected_candidates_per_query).  Raises if no (b <= 30,
@@ -622,7 +644,9 @@ def suggest_lsh_params(n_corpus: int, threshold: float,
         T = math.ceil(math.log(1.0 - recall) / math.log(1.0 - pb))
         if T < 1 or T > int(max_tables):
             continue
-        cands = T * float(n_corpus) / float(2 ** b)
+        collide = (_expected_pb_random(int(dim), b) if dim
+                   else 1.0 / float(2 ** b))
+        cands = T * float(n_corpus) * collide
         if best is None or cands < best["expected_candidates_per_query"]:
             best = {"bits": b, "n_tables": T,
                     "per_pair_recall": 1.0 - (1.0 - pb) ** T,
