@@ -482,3 +482,35 @@ def test_melt_round_trips_pivot(spark):
            docs.spark.groupBy("source", "lang")
            .agg(F.sum("n_chars").alias("chars")).collect()}
     assert got == exp
+
+
+def test_ansi_session_warns_once(spark):
+    """Wrapping a frame over a session with ANSI on (the Spark 4
+    default for foreign sessions) warns ONCE per session naming the
+    fix: the library's permissive semantics (0/0 -> null — the
+    degenerate-cosine contract; bad casts -> null) silently depend on
+    spark.sql.ansi.enabled=false, and without the warning the first
+    degenerate row raises DIVIDE_BY_ZERO deep inside an operator
+    (round-10 fuzz finding)."""
+    import warnings
+    import vaex_spark as vs
+    from vaex_spark import dataframe as dfm
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        dfm._ANSI_WARNED.clear()
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            vs.DataFrame(spark.createDataFrame([(1,)], "x int"))
+            vs.DataFrame(spark.createDataFrame([(2,)], "x int"))
+        hits = [x for x in w if "ansi" in str(x.message).lower()]
+        assert len(hits) == 1
+        assert "get_session" in str(hits[0].message)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+        dfm._ANSI_WARNED.clear()
+    # ansi off again: no warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        vs.DataFrame(spark.createDataFrame([(3,)], "x int"))
+    assert not [x for x in w if "ansi" in str(x.message).lower()]

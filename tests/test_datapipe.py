@@ -2204,6 +2204,46 @@ def test_null_element_vectors_persisted_index_paths(spark, tmp_path):
     assert ia == ib and ia
 
 
+def test_ivf_empty_and_degenerate_corpus(spark):
+    """An EMPTY (or all-null) corpus is a normal state — batch 1 of an
+    incremental pipeline: ivf_topk returns the empty result in every
+    path (expr, arrow, derived, persisted index) instead of the
+    argmin-of-empty / untyped-empty-array crashes the round-10 fuzz
+    found; an empty corpus_ivf_index frame is a legitimate artifact
+    (zero centroid rows), while a NON-empty frame without centroid
+    rows stays the documented loud error.  A corpus whose only finite
+    vector is the zero vector still ranks it (degenerate-kept, null
+    cos) identically in all paths."""
+    import numpy as np
+    import pytest as _pytest
+    from vaex_spark.datapipe import similarity as S
+    e = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    q = [(0, [1.0, 0.0, 0.0])]
+    assert S.train_centroids(e, n_cells=2).shape == (0, 0)
+    for strat in ("expr", "arrow"):
+        assert S.ivf_topk(e, q, k=3, n_cells=2,
+                          strategy=strat).collect() == []
+    eidx = S.corpus_ivf_index(e, n_cells=2)
+    assert eidx.count() == 0
+    assert S.ivf_topk(None, q, k=3, corpus_index=eidx).collect() == []
+    with _pytest.raises(ValueError, match="centroid"):
+        S.ivf_topk(None, [(0, [1.0, 0.0])], k=3,
+                   corpus_index=spark.createDataFrame(
+                       [(1, [1.0, 0.0], None, None)],
+                       "vec_id bigint, embedding array<double>, "
+                       "__cell int, __centroid array<double>"))
+    dg = spark.createDataFrame(
+        [(0, None), (2, [0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>")
+    want = [(0, 2, None, 1)]
+    for strat in ("expr", "arrow"):
+        assert sorted(map(tuple, S.ivf_topk(
+            dg, q, k=3, n_cells=2, strategy=strat).collect())) == want
+    didx = S.corpus_ivf_index(dg, n_cells=2)
+    assert sorted(map(tuple, S.ivf_topk(
+        None, q, k=3, corpus_index=didx).collect())) == want
+
+
 def test_vector_index_param_stamp(spark, tmp_path):
     """corpus_vector_index stamps (bits, n_tables, seed, dim) as
     column metadata riding the artifact through parquet; the screen

@@ -38,8 +38,42 @@ ROW_ID = "__row_id"
 FILTER_SELECTION_NAME = "__filter__"
 
 
+_ANSI_WARNED: set = set()
+
+
+def _warn_if_ansi(sdf: SparkDataFrame) -> None:
+    """The library's semantics are vaex-permissive BY CONTRACT
+    (session.py _DEFAULTS: overflow wraps, bad casts -> null, 0/0 ->
+    null — the degenerate-cosine contract in datapipe/similarity
+    depends on the last one).  get_session() sets ansi off; a frame
+    wrapped over a FOREIGN session with ANSI on (the Spark 4 default)
+    would instead raise DIVIDE_BY_ZERO/CAST errors deep inside
+    operators on the first degenerate row (found by the round-10
+    fuzz: zero-norm vectors under a raw builder session).  Warn once
+    per session, loudly and early, naming the fix."""
+    try:
+        spark = sdf.sparkSession
+        key = spark.sparkContext.applicationId
+        if key in _ANSI_WARNED:
+            return
+        _ANSI_WARNED.add(key)
+        if spark.conf.get("spark.sql.ansi.enabled", "false") == "true":
+            import warnings
+            warnings.warn(
+                "vaex_spark semantics require spark.sql.ansi.enabled="
+                "false (overflow wraps, bad casts and 0/0 -> null; the "
+                "degenerate-vector contract depends on it); this "
+                "session has ANSI ON, so degenerate rows will raise "
+                "DIVIDE_BY_ZERO/CAST errors inside operators.  Use "
+                "vaex_spark.get_session() or set the conf before "
+                "wrapping frames.", stacklevel=3)
+    except Exception:  # pragma: no cover - conf surface unavailable
+        pass
+
+
 class DataFrame:
     def __init__(self, sdf: SparkDataFrame):
+        _warn_if_ansi(sdf)
         self._base = sdf
         self.virtual_columns: "OrderedDict[str, Expression]" = OrderedDict()
         self.variables: dict[str, Any] = {}

@@ -1070,6 +1070,12 @@ def train_centroids(corpus, n_cells: int = 16, vec_col: str = "embedding",
     # row would otherwise poison every centroid mean it touches, the
     # same contract ml.KMeans._valid_features enforces (round 10)
     X = X[np.isfinite(X).all(axis=1)] if len(X) else X
+    if not len(X):
+        # empty (or all-degenerate) corpus: no trainable centroids —
+        # return the empty set so consumers degrade to empty results
+        # (ivf_topk scores nothing) instead of numpy's argmin-of-empty
+        # ValueError three frames down (round-10 fuzz finding)
+        return np.empty((0, 0))
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
     for _ in range(iters):
@@ -1124,8 +1130,14 @@ def corpus_ivf_index(corpus, n_cells: int = 16, vec_col: str = "embedding",
     cent = train_centroids(sdf, n_cells=n_cells, vec_col=vec_col,
                            sample_rows=sample_rows, iters=iters, seed=seed)
     id_dt = dict(sdf.dtypes)[id_col]
+    # empty/all-degenerate corpus: no trainable centroids — an index
+    # with zero centroid rows (consumers' _ivf_index_parts raises its
+    # documented loud error), not an ivf_assign analysis crash over a
+    # zero-length literal array (round-10 fuzz finding)
+    cell = (ivf_assign(F.col(vec_col), cent) if len(cent)
+            else F.lit(None).cast("int"))
     assigned = (sdf.select(F.col(id_col), F.col(vec_col))
-                .withColumn("__cell", ivf_assign(F.col(vec_col), cent))
+                .withColumn("__cell", cell)
                 .withColumn("__centroid",
                             F.lit(None).cast("array<double>")))
     crows = sdf.sparkSession.createDataFrame(
@@ -1146,6 +1158,15 @@ def _ivf_index_parts(corpus_index, id_col, vec_col):
     crows = (ipk.filter(F.col("__centroid").isNotNull())
              .select("__cell", "__centroid").collect())
     if not crows:
+        # an EMPTY index (snapshot of an empty/all-degenerate corpus —
+        # a normal state for batch 1 of an incremental pipeline) has
+        # zero centroid rows legitimately: empty results, not a crash.
+        # A NON-empty frame without centroid rows is a wrong artifact
+        # (e.g. the corpus rows alone) and stays a loud error.
+        if ipk.limit(1).count() == 0:
+            return np.empty((0, 0)), ipk.select(
+                F.col(id_col), F.col(vec_col),
+                F.lit(None).cast("int").alias("__cell"))
         raise ValueError("corpus_index has no centroid rows — was it "
                          "built by corpus_ivf_index?")
     cent = _stack_f64([r["__centroid"]
@@ -1195,8 +1216,13 @@ def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
         corpus_sdf = _drop_null_vecs(_sdf(corpus), vec_col)
         cent = train_centroids(corpus, n_cells=n_cells, vec_col=vec_col,
                                seed=seed)
-        assigned = corpus_sdf.withColumn("__cell",
-                                         ivf_assign(F.col(vec_col), cent))
+        # len(cent)==0 (empty/all-degenerate corpus) short-circuits to
+        # the empty result below — ivf_assign over zero centroids is
+        # an untyped-empty-array analysis error (round-10 fuzz)
+        assigned = (corpus_sdf.withColumn(
+            "__cell", ivf_assign(F.col(vec_col), cent)) if len(cent)
+            else corpus_sdf.withColumn("__cell",
+                                       F.lit(None).cast("int")))
     if isinstance(queries, (list, tuple)):
         qrows = _list_qrows(queries)
         qdf = spark.createDataFrame(qrows, f"{id_col} bigint, {vec_col} array<double>")
@@ -1206,6 +1232,13 @@ def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
         qrows = None
         qid_dt = dict(qdf.dtypes)[id_col]
     strategy, qrows = _dispatch_queries(qdf, id_col, vec_col, qrows, strategy)
+    if not len(cent):
+        # empty/all-degenerate corpus: nothing is probeable — the
+        # empty result, not an ivf_assign/argmin crash (round-10 fuzz)
+        id_dt = dict(corpus_sdf.dtypes)[id_col]
+        return spark.createDataFrame(
+            [], f"query_id {qid_dt}, neighbor_id {id_dt}, cos double, "
+                f"rank int")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
                                                F.col("neighbor_id").asc())
     if strategy == "expr":
