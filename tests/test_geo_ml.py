@@ -724,3 +724,36 @@ def test_pipeline_save_load_roundtrip(spark, tmp_path):
     out2 = pipe2.transform(df).to_pandas_df()
     assert (out["prediction_kmeans"] == out2["prediction_kmeans"]).all()
     np.testing.assert_allclose(out["PCA_0"], out2["PCA_0"], rtol=1e-12)
+
+
+def test_empty_input_guards_fail_loud_or_degrade(spark):
+    """Round-10 empty-input sweep (the _vec_f64 defect class at the
+    DRIVER-AGGREGATE boundary): an aggregate over zero non-null rows
+    is NULL, and float(None) three frames down is a TypeError that
+    names nothing.  Fitting on an all-null feature/target now raises
+    a ValueError naming the column (all three KBins strategies +
+    BayesianTargetEncoder); metrics over an empty selection return
+    NaN (the vaex-permissive analogue); build_vocab of an empty or
+    all-null corpus returns the empty vocabulary."""
+    import math
+    import pytest as _pytest
+    import vaex_spark as vs
+    from vaex_spark.datapipe import text as T
+    from vaex_spark.ml import BayesianTargetEncoder, KBinsDiscretizer
+    df = vs.from_arrays(spark=spark, x=[None, None], y=[1.0, 2.0])
+    for strat in ("uniform", "quantile", "kmeans"):
+        with _pytest.raises(ValueError, match="no.*non-null|non-null"):
+            KBinsDiscretizer(features=["x"], n_bins=2,
+                             strategy=strat).fit(df)
+    with _pytest.raises(ValueError, match="non-null"):
+        BayesianTargetEncoder(features=["y"], target="x").fit(df)
+    d2 = vs.from_arrays(spark=spark, t=[1.0], p=[1.0])
+    d2.select(d2.t > 5, name="none")
+    assert math.isnan(d2.ml.metrics.mean_absolute_error(
+        "t", "p", selection="none"))
+    assert math.isnan(d2.ml.metrics.mean_squared_error(
+        "t", "p", selection="none"))
+    e = spark.createDataFrame([], "doc_id bigint, text string")
+    nl = spark.createDataFrame([(0, None)], "doc_id bigint, text string")
+    assert T.build_vocab(e).count() == 0
+    assert T.build_vocab(nl).count() == 0

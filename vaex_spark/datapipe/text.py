@@ -945,7 +945,11 @@ def build_vocab(df, text_col: str = "text", top_n: int = 1000):
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("count"))
     from ..cache import _register_persist
     counts = _register_persist(counts)  # read twice: total + top-N
-    total = counts.agg(F.sum("count")).collect()[0][0]
+    # empty/all-null corpus: SUM over zero rows is NULL — float(None)
+    # would crash three lines down; the top-N relation is empty anyway,
+    # so any non-zero denominator yields the same (empty) result
+    # (round-10 empty-input sweep, the _vec_f64 defect class)
+    total = counts.agg(F.sum("count")).collect()[0][0] or 1
     from pyspark.sql import Window
     top = (counts.orderBy(F.col("count").desc(), F.col("token"))
            .limit(int(top_n))

@@ -479,7 +479,15 @@ class BayesianTargetEncoder(Transformer):
 
     def fit(self, df):
         tcol = df._to_expr(self.target).col.cast("double")
-        global_mean = float(df._spark_df().agg(F.avg(tcol)).collect()[0][0])
+        gm = df._spark_df().agg(F.avg(tcol)).collect()[0][0]
+        if gm is None:
+            # AVG over zero non-null targets is NULL: name the actual
+            # problem instead of a float(None) TypeError (round-10
+            # empty-input sweep)
+            raise ValueError(
+                f"TargetEncoder: target {self.target!r} has no "
+                f"non-null values — cannot fit")
+        global_mean = float(gm)
         for f in self.features:
             rows = (df._spark_df()
                     .groupBy(df._to_expr(f).col.alias("_v"))
@@ -584,6 +592,13 @@ class KBinsDiscretizer(Transformer):
                 c = df._to_expr(f).col
                 aggs += [F.min(c).alias(f"{f}__lo"), F.max(c).alias(f"{f}__hi")]
             row = sdf.agg(*aggs).collect()[0]
+            for f in self.features:
+                if row[f"{f}__lo"] is None:
+                    # MIN/MAX over zero non-null values is NULL: name
+                    # the problem, not a float(None) TypeError
+                    raise ValueError(
+                        f"KBinsDiscretizer: feature {f!r} has no "
+                        f"non-null values — cannot compute bin edges")
             # exact edges: boundary samples bin upward (digitize
             # right-open) and the max clips into the last bin, matching
             # the reference docstring (x=5 on [0,15]/3 bins -> bin 1)
@@ -608,6 +623,12 @@ class KBinsDiscretizer(Transformer):
             row = sdf.agg(*aggs).collect()[0]
             edges = {}
             for f in self.features:
+                if row[f"{f}__lo"] is None:
+                    # MIN/MAX over zero non-null values is NULL: name
+                    # the problem, not a float(None) TypeError
+                    raise ValueError(
+                        f"KBinsDiscretizer: feature {f!r} has no "
+                        f"non-null values — cannot compute bin edges")
                 lo = float(row[f"{f}__lo"])
                 hi = float(row[f"{f}__hi"]) + self.epsilon
                 ue = np.linspace(lo, hi, self.n_bins + 1)
@@ -1278,12 +1299,16 @@ class MetricsAccessor:
 
     def mean_absolute_error(self, y_true, y_pred, selection=None):
         sdf, t, p = self._reg(y_true, y_pred, selection)
-        return float(sdf.agg(F.avg(F.abs(t - p))).collect()[0][0])
+        v = sdf.agg(F.avg(F.abs(t - p))).collect()[0][0]
+        # empty selection: AVG is NULL -> NaN (sklearn raises; NaN is
+        # the vaex-permissive analogue and float(None) crashed)
+        return float("nan") if v is None else float(v)
 
     def mean_squared_error(self, y_true, y_pred, selection=None):
         sdf, t, p = self._reg(y_true, y_pred, selection)
         d = t - p
-        return float(sdf.agg(F.avg(d * d)).collect()[0][0])
+        v = sdf.agg(F.avg(d * d)).collect()[0][0]
+        return float("nan") if v is None else float(v)
 
     def r2_score(self, y_true, y_pred, selection=None):
         """metrics.py:461 — 1 - SS_res/SS_tot, one aggregate pass."""

@@ -168,7 +168,13 @@ def zorder_key(df, columns, bits: int = 16) -> "F.Column":
     row = sdf.agg(*aggs).collect()[0]
     scaled = []
     for c in cols:
-        lo, hi = float(row[f"_lo_{c}"]), float(row[f"_hi_{c}"])
+        if row[f"_lo_{c}"] is None:
+            # MIN over an empty/all-null column is NULL — an empty
+            # frame has no layout to optimize; every row (none) maps
+            # to one key, instead of a float(None) TypeError
+            lo, hi = 0.0, 0.0
+        else:
+            lo, hi = float(row[f"_lo_{c}"]), float(row[f"_hi_{c}"])
         span = (hi - lo) or 1.0
         s = F.least(F.lit((1 << bits) - 1),
                     F.floor((F.col(c).cast("double") - lo) / span * ((1 << bits) - 1))
