@@ -292,3 +292,24 @@ def test_nunique_approx(spark, lineitem):
     d = lineitem.nunique_approx("l_orderkey", rsd=0.02, delay=True)
     lineitem.execute()
     assert d.get() == approx
+
+
+def test_limits_all_null_fails_loud(spark):
+    """limits/limits_percentage/binby-auto-limits over an empty or
+    all-null expression raise a ValueError naming the column and the
+    fix (pass explicit limits) — MIN/MAX over zero non-null rows is
+    NULL and float(None) was a bare TypeError (round-10 empty-input
+    sweep).  Valid columns are unaffected."""
+    import pytest as _pytest
+    import vaex_spark as vs
+    nl = vs.from_arrays(spark=spark, k=[1], v=[None])
+    with _pytest.raises(ValueError, match="no non-null values"):
+        nl.limits("v")
+    with _pytest.raises(ValueError, match="no non-null values"):
+        nl.limits_percentage("v")
+    with _pytest.raises(ValueError, match="no non-null values"):
+        nl.count(binby="v", shape=4)
+    # explicit limits still work on the all-null column (all-NaN bin)
+    assert list(nl.count(binby="v", shape=2, limits=(0, 1))) == [0, 0]
+    ok = vs.from_arrays(spark=spark, v=[1.0, 2.0, 3.0])
+    assert ok.limits("v") == [1.0, 3.0]

@@ -34,11 +34,28 @@ def compute_limits(df, expression, value=None, selection=None, delay=False):
         return [float(value[0]), float(value[1])]
     if value is None or value == "minmax":
         mm = df.minmax(expression, selection=selection)
+        if mm[0] is None:
+            # MIN/MAX over zero non-null rows is NULL: an empty or
+            # all-null expression has no derivable bounds — name the
+            # problem (and the fix), not a float(None) TypeError
+            # (round-10 empty-input sweep)
+            raise ValueError(
+                f"limits: {expression!r} has no non-null values under "
+                f"the given selection — pass explicit limits=[lo, hi]")
         return [float(mm[0]), float(mm[1])]
     if isinstance(value, str) and value.endswith("%"):
         p = float(value[:-1])
         tail = (100.0 - p) / 2
-        lo, hi = df.percentile_approx(expression, [tail, 100.0 - tail], selection=selection)
+        qs = df.percentile_approx(expression, [tail, 100.0 - tail],
+                                  selection=selection)
+        # all-null input: percentile_approx degenerates to a None
+        # scalar (0-d) instead of a 2-vector — same contract as the
+        # minmax branch above
+        if qs is None or np.ndim(qs) == 0 or qs[0] is None or qs[1] is None:
+            raise ValueError(
+                f"limits: {expression!r} has no non-null values under "
+                f"the given selection — pass explicit limits=[lo, hi]")
+        lo, hi = qs
         return [float(lo), float(hi)]
     raise ValueError(f"cannot interpret limits {value!r}")
 
@@ -85,6 +102,10 @@ def _normalize_limits(df, binby, limits):
         df.executor.execute()
         for i, d in zip(minmax_dims, delayed):
             lo, hi = d.get()
+            if lo is None:
+                raise ValueError(
+                    f"limits: {binby[i]!r} has no non-null values — "
+                    f"pass explicit limits=[lo, hi] for that dim")
             out[i] = [float(lo), float(hi)]
     return out
 
