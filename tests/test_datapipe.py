@@ -2204,6 +2204,61 @@ def test_null_element_vectors_persisted_index_paths(spark, tmp_path):
     assert ia == ib and ia
 
 
+def test_index_param_stamp_family_wide(spark, tmp_path):
+    """The corpus_vector_index parameter-stamp contract applied to the
+    WHOLE persisted-index family (round 10): corpus_winnow_index
+    stamps (k, window, fp_type) and corpus_lsh_index stamps
+    (shingle_k, num_perm, num_bands) as column metadata riding the
+    parquet footer; the against-corpus screens validate the stamp so
+    a parameter-mismatched index FAILS LOUDLY instead of silently
+    returning a near-empty screen (different winnow params select
+    different fingerprints; different MinHash params hash
+    incomparable buckets).  Stamp-less (legacy) indexes skip the
+    check and still screen."""
+    import pytest as _pytest
+    import vaex_spark as vs
+    from vaex_spark.datapipe import dedup as D
+    from vaex_spark.datapipe import text as T
+    docs = vs.open("/root/testdata/sf0.001/documents.parquet", spark=spark)
+    corpus = docs[docs.doc_id % 3 != 0]
+    batch = docs[docs.doc_id % 3 == 0]
+    T.corpus_winnow_index(corpus, k=5, window=4, fp_type="gram").spark \
+        .write.mode("overwrite").parquet(str(tmp_path / "w"))
+    widx = spark.read.parquet(str(tmp_path / "w"))
+    n_ok = T.winnow_overlap_against_corpus(
+        batch, corpus_index=widx, k=5, window=4, fp_type="gram",
+        min_shared=2).count()
+    assert n_ok > 0
+    for kw in (dict(k=4, window=4, fp_type="gram"),
+               dict(k=5, window=5, fp_type="gram"),
+               dict(k=5, window=4, fp_type="hash")):
+        with _pytest.raises(ValueError, match="built with"):
+            T.winnow_overlap_against_corpus(batch, corpus_index=widx,
+                                            min_shared=2, **kw)
+    legacy = widx.withMetadata("fp", {})
+    assert T.winnow_overlap_against_corpus(
+        batch, corpus_index=legacy, k=5, window=4, fp_type="gram",
+        min_shared=2).count() == n_ok
+    # the grouped (fp, __cids) form carries the same stamp
+    T.corpus_winnow_index(corpus, k=5, window=4, fp_type="gram",
+                          grouped=True).spark \
+        .write.mode("overwrite").parquet(str(tmp_path / "wg"))
+    with _pytest.raises(ValueError, match="built with"):
+        T.winnow_overlap_against_corpus(
+            batch, corpus_index=spark.read.parquet(str(tmp_path / "wg")),
+            k=6, window=4, fp_type="gram")
+    D.corpus_lsh_index(corpus, shingle_k=5, num_perm=64,
+                       num_bands=32).spark \
+        .write.mode("overwrite").parquet(str(tmp_path / "m"))
+    midx = spark.read.parquet(str(tmp_path / "m"))
+    assert D.near_dup_against_corpus(
+        batch, corpus, corpus_index=midx, shingle_k=5, num_perm=64,
+        num_bands=32).count() > 0
+    with _pytest.raises(ValueError, match="built with"):
+        D.near_dup_against_corpus(batch, corpus, corpus_index=midx,
+                                  shingle_k=5, num_perm=32, num_bands=16)
+
+
 def test_ivf_empty_and_degenerate_corpus(spark):
     """An EMPTY (or all-null) corpus is a normal state — batch 1 of an
     incremental pipeline: ivf_topk returns the empty result in every

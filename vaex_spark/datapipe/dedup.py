@@ -979,9 +979,17 @@ def corpus_lsh_index(corpus, text_col: str = "text", id_col: str = "doc_id",
     mean equal buckets."""
     csdf = _sdf(corpus).select(F.col(id_col), F.col(text_col))
     # codegen fast path; values bit-identical to the Column signature
-    # form, so indexes built by either path interoperate
+    # form, so indexes built by either path interoperate.  The build
+    # parameters ride in the artifact as column metadata (parquet
+    # footer) — the corpus_vector_index stamp contract (round 10)
+    # applied family-wide: a parameter-mismatched screen would join on
+    # incomparable buckets and silently return a near-empty screen.
+    meta = {"vaex_spark_minhash": {"shingle_k": int(shingle_k),
+                                   "num_perm": int(num_perm),
+                                   "num_bands": int(num_bands)}}
     return _wrap(_banded_auto(csdf, id_col, text_col,
-                              num_perm, num_bands, shingle_k))
+                              num_perm, num_bands, shingle_k)
+                 .withMetadata("band", meta))
 
 
 def near_dup_against_corpus(batch, corpus, text_col: str = "text",
@@ -1011,8 +1019,30 @@ def near_dup_against_corpus(batch, corpus, text_col: str = "text",
                             num_perm, num_bands, shingle_k)
 
     bb = _register_persist(band_table(bsdf))
-    cb = (_sdf(corpus_index).select(F.col(id_col), "band", "bucket")
-          if corpus_index is not None else band_table(csdf))
+    if corpus_index is not None:
+        cix = _sdf(corpus_index)
+        # validate the index's parameter stamp (corpus_lsh_index
+        # column metadata): a (shingle_k, num_perm, num_bands)
+        # mismatch joins incomparable buckets and silently returns a
+        # near-empty screen.  Stamp-less indexes skip the check.
+        _fld = next((f_ for f_ in cix.schema.fields
+                     if f_.name == "band"), None)
+        _im = dict((_fld.metadata or {}).get("vaex_spark_minhash") or {}) \
+            if _fld is not None else {}
+        if _im:
+            want = {"shingle_k": int(shingle_k), "num_perm": int(num_perm),
+                    "num_bands": int(num_bands)}
+            got = {k_: int(v_) for k_, v_ in _im.items() if k_ in want}
+            if any(got.get(k_, v_) != v_ for k_, v_ in want.items()):
+                raise ValueError(
+                    f"corpus_index was built with "
+                    f"{ {k_: got.get(k_) for k_ in want} } but the "
+                    f"screen was called with {want}: the MinHash "
+                    f"buckets cannot match — pass the index's "
+                    f"parameters (or rebuild the index)")
+        cb = cix.select(F.col(id_col), "band", "bucket")
+    else:
+        cb = band_table(csdf)
     cand = _register_persist(
         bb.alias("b").join(cb.alias("c"),
                            on=[F.col("b.band") == F.col("c.band"),

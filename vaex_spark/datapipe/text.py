@@ -468,13 +468,23 @@ def corpus_winnow_index(corpus, text_col: str = "text",
     fps = winnow_fingerprints(corpus, text_col=text_col, id_col=id_col,
                               k=k, window=window, fp_type=fp_type,
                               strategy=strategy)
-    if not grouped:
-        return fps
     from ..dataframe import DataFrame
     wrapped = isinstance(fps, DataFrame)
     fsdf = fps._spark_df() if wrapped else fps
+    # The build parameters RIDE IN THE ARTIFACT as column metadata
+    # (parquet footer, zero bytes per row) — the corpus_vector_index
+    # stamp contract (round 10) applied family-wide: a screen called
+    # with a different (k, window, fp_type) than the index was built
+    # with selects DIFFERENT fingerprints and silently returns a
+    # near-empty overlap; the screen validates the stamp instead.
+    meta = {"vaex_spark_winnow": {"k": int(k), "window": int(window),
+                                  "fp_type": str(fp_type)}}
+    fsdf = fsdf.withMetadata("fp", meta)
+    if not grouped:
+        return DataFrame(fsdf) if wrapped else fsdf
     out = (fsdf.groupBy("fp")
            .agg(F.array_sort(F.collect_list(id_col)).alias("__cids")))
+    out = out.withMetadata("fp", meta)
     return DataFrame(out) if wrapped else out
 
 
@@ -517,6 +527,27 @@ def winnow_overlap_against_corpus(batch, corpus=None, text_col: str = "text",
     if corpus_index is not None:
         cfps = (corpus_index._spark_df()
                 if isinstance(corpus_index, DataFrame) else corpus_index)
+        # validate the index's parameter stamp (corpus_winnow_index
+        # column metadata): a (k, window, fp_type) mismatch selects
+        # DIFFERENT fingerprints and silently returns a near-empty
+        # screen — the worst failure mode of an incremental pipeline.
+        # Stamp-less (pre-round-10) indexes skip the check.
+        _fld = next((f_ for f_ in cfps.schema.fields
+                     if f_.name == "fp"), None)
+        _im = dict((_fld.metadata or {}).get("vaex_spark_winnow") or {}) \
+            if _fld is not None else {}
+        if _im:
+            want = {"k": int(k), "window": int(window),
+                    "fp_type": str(fp_type)}
+            got = {k_: (str(v_) if k_ == "fp_type" else int(v_))
+                   for k_, v_ in _im.items() if k_ in want}
+            if any(got.get(k_, v_) != v_ for k_, v_ in want.items()):
+                raise ValueError(
+                    f"corpus_index was built with "
+                    f"{ {k_: got.get(k_) for k_ in want} } but the "
+                    f"screen was called with {want}: the winnowed "
+                    f"fingerprints cannot match — pass the index's "
+                    f"parameters (or rebuild the index)")
         if "__cids" in cfps.columns:  # pre-grouped index: no exchange
             grp = cfps.select("fp", "__cids")
         else:
