@@ -3025,3 +3025,30 @@ def test_null_text_stats_and_strip_contracts(spark):
                 ._spark_df().collect()}
     assert stripped[1] is None and stripped[2] == ""
     vs.cache.release_operator_caches()
+
+
+def test_fingerprint_table_normalize_stamp(spark, tmp_path):
+    """corpus_fingerprints stamps normalize= on __fp (the round-10
+    index-stamp contract, exact-dedup member): screening with the
+    other normalize setting hashes different strings and would
+    silently miss every dup — it raises instead; the matched setting
+    and stamp-less legacy tables keep working."""
+    import pytest as _pytest
+    import vaex_spark as vs
+    from vaex_spark.datapipe import dedup as D
+    seen = vs.from_arrays(spark=spark, doc_id=[1, 2],
+                          text=["Hello  World", "other doc"])
+    D.corpus_fingerprints(seen, normalize=True).spark.write.mode(
+        "overwrite").parquet(str(tmp_path / "fp"))
+    tbl = spark.read.parquet(str(tmp_path / "fp"))
+    batch = vs.from_arrays(spark=spark, doc_id=[10, 11],
+                           text=["HELLO   WORLD", "fresh content"])
+    kept = D.exact_dedup_incremental(batch, tbl, normalize=True)
+    assert sorted(kept.to_pandas_df()["doc_id"]) == [11]
+    with _pytest.raises(ValueError, match="normalize"):
+        D.exact_dedup_incremental(batch, tbl, normalize=False)
+    legacy = tbl.withMetadata("__fp", {})
+    kept2 = D.exact_dedup_incremental(batch, legacy, normalize=False)
+    # legacy table with mismatched normalize silently misses the dup -
+    # exactly the hazard the stamp closes for new artifacts
+    assert sorted(kept2.to_pandas_df()["doc_id"]) == [10, 11]

@@ -787,6 +787,19 @@ def exact_dedup_incremental(new_df, seen_df, text_col: str = "text",
     nsdf, ssdf = _sdf(new_df), _sdf(seen_df)
     fp = fingerprint(F.col(text_col), normalize=normalize)
     if "__fp" in ssdf.columns:
+        # validate the fingerprint table's normalize stamp
+        # (corpus_fingerprints column metadata, round 10): a mismatch
+        # hashes different strings and silently misses every dup
+        _fld = next((f_ for f_ in ssdf.schema.fields
+                     if f_.name == "__fp"), None)
+        _im = dict((_fld.metadata or {}).get("vaex_spark_fp") or {}) \
+            if _fld is not None else {}
+        if _im and bool(_im.get("normalize", normalize)) != bool(normalize):
+            raise ValueError(
+                f"seen_df fingerprint table was built with normalize="
+                f"{bool(_im['normalize'])} but the screen was called "
+                f"with normalize={bool(normalize)}: the fingerprints "
+                f"cannot match — pass the table's setting (or rebuild)")
         seen_fp = ssdf.select("__fp").distinct()
     else:
         seen_fp = ssdf.select(fp.alias("__fp")).distinct()
@@ -810,10 +823,16 @@ def exact_dedup_incremental(new_df, seen_df, text_col: str = "text",
 
 
 def corpus_fingerprints(df, text_col: str = "text", normalize: bool = True):
-    """The persistable fingerprint table for exact_dedup_incremental."""
+    """The persistable fingerprint table for exact_dedup_incremental.
+    ``normalize`` rides in the artifact as column metadata (the
+    round-10 index-stamp contract): a normalize-mismatched screen
+    hashes DIFFERENT strings and silently misses every dup."""
     sdf = _sdf(df)
     return _wrap(sdf.select(
-        fingerprint(F.col(text_col), normalize=normalize).alias("__fp")).distinct())
+        fingerprint(F.col(text_col), normalize=normalize).alias("__fp"))
+        .distinct()
+        .withMetadata("__fp", {"vaex_spark_fp": {
+            "normalize": bool(normalize)}}))
 
 
 # --------------------------------------------------------------------------
