@@ -3052,3 +3052,33 @@ def test_fingerprint_table_normalize_stamp(spark, tmp_path):
     # legacy table with mismatched normalize silently misses the dup -
     # exactly the hazard the stamp closes for new artifacts
     assert sorted(kept2.to_pandas_df()["doc_id"]) == [10, 11]
+
+
+def test_lsh_params_must_be_positive(spark):
+    """bits=0 is not harmless (round-10 parameter probe): zero
+    hyperplanes put EVERY vector in one bucket, silently turning a
+    'blocked' screen into the all-pairs cartesian the scale design
+    exists to avoid (verify kept results correct while the candidate
+    join dies at corpus scale); bits<0 / n_tables<1 died as cryptic
+    numpy shift/concatenate errors.  Every LSH entry point now raises
+    a ValueError naming the parameters and pointing at
+    suggest_lsh_params."""
+    import pytest as _pytest
+    from vaex_spark.datapipe import similarity as S
+    c = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(4)],
+        "vec_id bigint, embedding array<double>")
+    for kw in (dict(bits=0, n_tables=2), dict(bits=-1, n_tables=2),
+               dict(bits=2, n_tables=0)):
+        with _pytest.raises(ValueError, match="positive|>= 1"):
+            S.embedding_near_dups(c, threshold=0.5, strategy="blocked",
+                                  **kw).count()
+        with _pytest.raises(ValueError, match="positive|>= 1"):
+            S.corpus_vector_index(c, **kw).count()
+        with _pytest.raises(ValueError, match="positive|>= 1"):
+            S.near_dup_embeddings_against_corpus(c, c, threshold=0.5,
+                                                 **kw).count()
+        with _pytest.raises(ValueError, match="positive|>= 1"):
+            S.lsh_topk(c, [(0, [1.0, 0.0, 0.0])], k=3, **kw).count()
+    assert S.embedding_near_dups(c, threshold=0.5, bits=2,
+                                 n_tables=4).count() >= 0

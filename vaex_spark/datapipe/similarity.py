@@ -297,7 +297,25 @@ def pairwise_cosine(corpus, subset_filter: Column, vec_col: str = "embedding",
 # --------------------------------------------------------------------------
 # LSH (random hyperplanes)
 # --------------------------------------------------------------------------
+def _check_lsh_params(bits: int, n_tables: int) -> None:
+    """Every LSH path validates here (round-10 parameter probe):
+    ``bits=0`` is not degenerate-but-harmless — zero hyperplanes put
+    EVERY vector in one bucket, so a 'blocked' screen silently becomes
+    the all-pairs cartesian the whole scale design exists to avoid
+    (verify keeps results correct while the candidate join dies at
+    corpus scale); negative/zero values otherwise surface as cryptic
+    numpy shift/concatenate errors three frames down."""
+    if int(bits) < 1 or int(n_tables) < 1:
+        raise ValueError(
+            f"LSH parameters must be positive: bits={bits}, "
+            f"n_tables={n_tables} (bits=0 would put every vector in "
+            f"one bucket — an all-pairs join at corpus scale; pick "
+            f"parameters with suggest_lsh_params)")
+
+
 def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
+    if int(bits) < 1:
+        raise ValueError(f"bits must be >= 1, got {bits}")
     rng = np.random.RandomState(seed)
     return rng.randn(bits, dim)
 
@@ -339,6 +357,7 @@ def _bucket_long(sdf, id_col, vec_col, dim, bits, n_tables, seed,
     of dim multiply-adds per row — CodegenFallback, the minhash
     banding story again)."""
     import pandas as pd
+    _check_lsh_params(bits, n_tables)
     P = np.vstack([_hyperplanes(dim, bits, seed + t) for t in range(n_tables)])
     nt, nb = int(n_tables), int(bits)
     id_dt = dict(sdf.dtypes)[id_col]
@@ -379,6 +398,7 @@ def _bucket_auto(sdf, id_col, vec_col, dim, bits, n_tables, seed,
     form.  ``carry_vec`` keeps the vector column in the output (for
     consumers that score candidates in place, lsh_topk)."""
     from ..operators.window import _range_partition_count
+    _check_lsh_params(bits, n_tables)
     try:
         est_rows = int(str(sdf._jdf.queryExecution().optimizedPlan()
                            .stats().sizeInBytes())) / max(8 * int(dim), 1)
@@ -482,6 +502,7 @@ def embedding_near_dups(corpus, threshold: float = 0.95, bits: int = 6,
     corpus_sdf = _drop_null_vecs(_sdf(corpus), vec_col)
     if strategy not in ("auto", "blocked", "dense"):
         raise ValueError(f"strategy={strategy!r}")
+    _check_lsh_params(bits, n_tables)
     _crows = None
     if strategy == "auto" and int(n_tables) < (1 << int(bits)):
         # selective params: blocked is the answer — never pay the
@@ -701,6 +722,7 @@ def _bucket_packed(sdf, id_col, vec_col, dim, bits, n_tables, seed):
     column or a wrong-model batch must never become silently-missed
     duplicates."""
     from ..operators.window import _range_partition_count
+    _check_lsh_params(bits, n_tables)
     sdf = _drop_null_vecs(sdf, vec_col)
     _msg = (f"_bucket_packed: {vec_col} length != dim={int(dim)} "
             f"(ragged embedding column, or a batch from a different "
@@ -852,6 +874,7 @@ def near_dup_embeddings_against_corpus(batch, corpus=None,
     bsdf = _drop_null_vecs(_sdf(batch), vec_col)
     if strategy not in ("auto", "blocked", "dense"):
         raise ValueError(f"strategy={strategy!r}")
+    _check_lsh_params(bits, n_tables)
     _brows = None
     if strategy == "dense" or (strategy == "auto"
                                and int(n_tables) >= (1 << int(bits))):
