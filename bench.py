@@ -161,7 +161,14 @@ def main():
         return out, per_run
 
     times, run_samples = run_set(HEADLINE)
-    ext_times, _ = run_set(EXTENDED)
+    ext_times, ext_samples = run_set(EXTENDED)
+
+    def spread(samples):
+        # per-query min/max across the n_runs (r10 verdict: extended
+        # per-query numbers carried no spread, so a +20% load bounce on
+        # one run read as a phantom regression in artifact comparison)
+        return {q: [round(min(v), 4), round(max(v), 4)]
+                for q, v in samples.items()}
 
     total = round(sum(times.values()), 4)
     out = {
@@ -179,8 +186,10 @@ def main():
         # high value here says the walls rode a loaded machine
         "loadavg_1m_at_start": _LOAD_AT_START,
     }
+    out["queries_spread"] = spread(run_samples)
     out["extended"] = {"value": round(sum(ext_times.values()), 4),
-                       "queries": ext_times}
+                       "queries": ext_times,
+                       "queries_spread": spread(ext_samples)}
     duck = _duckdb_yardstick(sf_dir, n_runs, HEADLINE)
     if duck is not None:
         out["duckdb"] = duck
@@ -208,6 +217,19 @@ def main():
         del duck["run_samples"]
     duck_ext = _duckdb_yardstick(sf_dir, n_runs, EXTENDED)
     if duck_ext is not None:
+        # same in-artifact per-run ratio band as the headline set
+        ratios = []
+        common = [q for q in ext_times if q in duck_ext["run_samples"]]
+        for i in range(n_runs):
+            s_tot = sum(ext_samples[q][i] for q in common)
+            d_tot = sum(duck_ext["run_samples"][q][i] for q in common)
+            if d_tot > 0:
+                ratios.append(round(s_tot / d_tot, 3))
+        if ratios:
+            out["extended"]["spark_over_duckdb_band"] = {
+                "per_run": ratios,
+                "median": round(statistics.median(ratios), 2),
+                "min": min(ratios), "max": max(ratios)}
         del duck_ext["run_samples"]
         out["extended"]["duckdb"] = duck_ext
     print(json.dumps(out))

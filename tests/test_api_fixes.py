@@ -487,11 +487,11 @@ def test_melt_round_trips_pivot(spark):
 def test_ansi_session_warns_once(spark):
     """Wrapping a frame over a session with ANSI on (the Spark 4
     default for foreign sessions) warns ONCE per session naming the
-    fix: the library's permissive semantics (0/0 -> null — the
-    degenerate-cosine contract; bad casts -> null) silently depend on
-    spark.sql.ansi.enabled=false, and without the warning the first
-    degenerate row raises DIVIDE_BY_ZERO deep inside an operator
-    (round-10 fuzz finding)."""
+    fix.  As of round 11 the degenerate-DIVISION contract itself is
+    ANSI-independent (try_divide/try_mod at every zero-capable site —
+    see test_ansi_on_degenerate_division_parity), but overflow-wrap
+    and bad-cast-to-null still silently depend on
+    spark.sql.ansi.enabled=false, so the warning stays."""
     import warnings
     import vaex_spark as vs
     from vaex_spark import dataframe as dfm
@@ -514,3 +514,88 @@ def test_ansi_session_warns_once(spark):
         warnings.simplefilter("always")
         vs.DataFrame(spark.createDataFrame([(3,)], "x int"))
     assert not [x for x in w if "ansi" in str(x.message).lower()]
+
+
+def test_ansi_on_degenerate_division_parity(spark):
+    """Round-11 contract: the degenerate-DIVISION semantics (zero-norm
+    vector -> null cosine, zero-divisor expression -> null, constant
+    scaler column -> null output, empty-set jaccard -> null) hold
+    IDENTICALLY under spark.sql.ansi.enabled=true — every zero-capable
+    division routes through try_divide/try_mod, which measures
+    bit-identical to the non-ANSI operators and returns null instead
+    of raising DIVIDE_BY_ZERO on ANSI-on (Spark 4 default) sessions.
+    This is the r10 verdict's top task: before it, a frame wrapped
+    over a foreign ANSI-on session crashed MID-JOB on the first
+    zero-norm vector."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe import similarity as S
+
+    def battery():
+        out = {}
+        # planted degenerates: zero-norm, null-element, NaN-coord, NULL
+        c = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0]),
+             (2, [1.0, None, 0.0]), (3, None),
+             (4, [float("nan"), 1.0, 0.0]), (5, [0.95, 0.05, 0.0])],
+            "vec_id bigint, embedding array<double>")
+        for strat in ("blocked", "dense", "auto"):
+            out[f"nd_{strat}"] = sorted(map(tuple, S.embedding_near_dups(
+                c, threshold=0.5, bits=2, n_tables=4,
+                strategy=strat).collect()))
+            vs.cache.release_operator_caches()
+        q = [(0, [1.0, 0.0, 0.0]), (9, [0.0, 0.0, 0.0])]
+        out["topk"] = sorted(map(tuple, S.brute_force_topk(
+            c, q, k=3, strategy="expr").collect()))
+        batch = spark.createDataFrame(
+            [(10, [1.0, 0.01, 0.0]), (11, [0.0, 0.0, 0.0])],
+            "vec_id bigint, embedding array<double>")
+        out["screen"] = sorted(map(tuple,
+            S.near_dup_embeddings_against_corpus(
+                batch, c, threshold=0.5, bits=2, n_tables=4).collect()))
+        vs.cache.release_operator_caches()
+        # expression surface: /, //, % with planted zero divisors
+        df = vs.from_arrays(x=[1.0, 0.0, 3.0], y=[0.0, 0.0, 2.0],
+                            i=[5, 7, 0], j=[0, 2, 0])
+        df["d"] = df.x / df.y
+        df["fd"] = df.i // df.j
+        df["md"] = df.i % df.j
+        df["sd"] = df["x / y"]  # string-expression compiler path
+        out["expr"] = [tuple(r) for r in
+                       df._spark_df().select("d", "fd", "md", "sd").collect()]
+        # constant-column scaler: std/span/absmax = 0 -> null output
+        sc = vs.from_arrays(v=[2.0, 2.0, 2.0])
+        for T, kw in ((vs.ml.StandardScaler, {}),
+                      (vs.ml.MinMaxScaler, {}),
+                      (vs.ml.MaxAbsScaler, {})):
+            t = T(features=["v"], **kw)
+            fitted = t.fit_transform(vs.from_arrays(v=[0.0, 0.0, 0.0])
+                                     if T is vs.ml.MaxAbsScaler else sc)
+            cols = [c_ for c_ in fitted.get_column_names() if c_ != "v"]
+            out[T.__name__] = [tuple(r) for r in
+                               fitted._spark_df().select(*cols).collect()]
+        return out
+
+    def denan(obj):
+        # NaN != NaN would fail the comparison; stringify floats
+        import math
+        if isinstance(obj, float):
+            return "nan" if math.isnan(obj) else obj
+        if isinstance(obj, (list, tuple)):
+            return [denan(v) for v in obj]
+        if isinstance(obj, dict):
+            return {k: denan(v) for k, v in obj.items()}
+        return obj
+
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        off = battery()
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        on = battery()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert denan(off) == denan(on)
+    # and the results are the documented contract, not vacuous: the
+    # zero-norm corpus row pairs with nothing, query 9 ranks null-cos
+    assert not any(1 in p[:2] for p in off["nd_auto"])
+    assert all(r[2] is None for r in off["topk"] if r[0] == 9)

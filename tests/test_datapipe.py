@@ -1970,8 +1970,17 @@ def test_suggest_lsh_params_closed_form():
     big = suggest_lsh_params(1_000_000, 0.95, recall=0.999, max_tables=64)
     assert big["expected_candidates_per_query"] <= \
         small["expected_candidates_per_query"]
-    with _pytest.raises(ValueError, match="max_tables"):
+    with _pytest.raises(ValueError, match="threshold"):
         suggest_lsh_params(1_000_000, 0.0, recall=0.999, max_tables=4)
+    # r10 verdict nit: nonsense inputs raise instead of returning a
+    # negative/zero candidate budget a caller could size capacity from
+    for bad_kw in (dict(n_corpus=-5), dict(n_corpus=0),
+                   dict(threshold=1.5), dict(threshold=-0.1),
+                   dict(max_tables=0), dict(dim=1)):
+        kw = dict(n_corpus=1000, threshold=0.95, recall=0.999,
+                  max_tables=8) | bad_kw
+        with _pytest.raises(ValueError):
+            suggest_lsh_params(kw.pop("n_corpus"), kw.pop("threshold"), **kw)
     exact = suggest_lsh_params(100, 1.0)
     assert exact["per_pair_recall"] == 1.0
 
@@ -3082,3 +3091,169 @@ def test_lsh_params_must_be_positive(spark):
             S.lsh_topk(c, [(0, [1.0, 0.0, 0.0])], k=3, **kw).count()
     assert S.embedding_near_dups(c, threshold=0.5, bits=2,
                                  n_tables=4).count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# state-dir compaction (r11: compact_index_dir + curate_stream hook)
+# ---------------------------------------------------------------------------
+def _dir_rows(spark, d):
+    sdf = spark.read.parquet(d)
+    cols = sorted(c for c in sdf.columns if c != "__batch_id")
+    return sorted(tuple(r) for r in sdf.select(*cols).collect())
+
+
+def _part_names(d):
+    import os
+    return sorted(e for e in os.listdir(d) if e.startswith("__batch_id="))
+
+
+def test_compact_index_dir_fold_stamp_heal(spark, tmp_path):
+    """compact_index_dir folds per-batch partitions into one negative-id
+    consolidated partition: row multiset identical, column-metadata
+    stamp survives the rewrite, file count drops, keep_latest spares
+    the in-flight batch, and the heal pass converges a simulated
+    cut-short deletion (duplicate partition) back to a clean state."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from vaex_spark.streaming import compact_index_dir
+
+    d = str(tmp_path / "idx")
+    meta = {"vaex_spark_lsh": {"bits": 3, "n_tables": 2, "seed": 7, "dim": 4}}
+    for b in range(5):
+        sdf = (spark.range(b * 10, b * 10 + 10)
+               .select(F.col("id").alias("vec_id"),
+                       F.array(F.col("id") * 2, F.col("id") * 3)
+                       .alias("__buckets", metadata=meta),
+                       F.lit(b).alias("__batch_id"))
+               .repartition(4))  # 4 small files per batch partition
+        sdf.write.mode("append").partitionBy("__batch_id").parquet(d)
+    before = _dir_rows(spark, d)
+    assert len(before) == 50
+
+    stats = compact_index_dir(spark, d, keep_latest=1)
+    assert stats["compacted"] and stats["batches_folded"] == 4
+    assert stats["files_after"] < stats["files_before"]
+    # watermark encoded in the consolidated id: high=3 -> -(3+2)
+    assert _part_names(d) == ["__batch_id=-5", "__batch_id=4"]
+    assert _dir_rows(spark, d) == before
+    # stamp survives the rewrite
+    fld = next(f_ for f_ in spark.read.parquet(d).schema.fields
+               if f_.name == "__buckets")
+    assert dict(fld.metadata)["vaex_spark_lsh"] == meta["vaex_spark_lsh"]
+    # prior-filter semantics: a batch-5 screen still sees every earlier row
+    n_prior = (spark.read.parquet(d)
+               .filter(F.col("__batch_id") < 5).count())
+    assert n_prior == 50
+
+    # heal: simulate a deletion phase cut short by re-creating an
+    # already-folded source partition (duplicate rows on disk)
+    import pathlib
+    dup = pathlib.Path(d) / "__batch_id=2"
+    shutil.copytree(pathlib.Path(d) / "__batch_id=4", dup)
+    assert len(_dir_rows(spark, d)) == 60  # duplicates visible
+    stats2 = compact_index_dir(spark, d, keep_latest=1)
+    assert _dir_rows(spark, d) == before  # healed, no refold needed
+    assert not stats2["compacted"]  # only one fresh source (id 4) left
+
+    # growth: two more batches, second compaction folds old consolidated
+    for b in (5, 6):
+        (spark.range(b * 10, b * 10 + 10)
+         .select(F.col("id").alias("vec_id"),
+                 F.array(F.col("id") * 2, F.col("id") * 3)
+                 .alias("__buckets", metadata=meta),
+                 F.lit(b).alias("__batch_id"))
+         .write.mode("append").partitionBy("__batch_id").parquet(d))
+    all_rows = _dir_rows(spark, d)
+    stats3 = compact_index_dir(spark, d, keep_latest=1)
+    assert stats3["compacted"] and stats3["batches_folded"] == 2  # 4 and 5
+    assert _part_names(d) == ["__batch_id=-7", "__batch_id=6"]
+    assert _dir_rows(spark, d) == all_rows
+
+    # stale tmp dir at entry is swept, not installed
+    (pathlib.Path(d) / "_compact_tmp").mkdir()
+    stats4 = compact_index_dir(spark, d, keep_latest=1)
+    assert not (pathlib.Path(d) / "_compact_tmp").exists()
+    assert _dir_rows(spark, d) == all_rows
+
+
+def test_curate_stream_compaction_screens_bit_identical(spark, tmp_path):
+    """The compact_every hook: a 5-batch vector-screened stream with
+    per-batch compaction produces EXACTLY the emissions of the same
+    stream without compaction (cross-batch exact + vector screens
+    included), and a genuine checkpoint-restore replay of the LAST
+    batch — the only batch Structured Streaming ever replays — stays
+    idempotent with compaction active (keep_latest spares the
+    in-flight partition)."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    from vaex_spark import streaming as st
+
+    rng = np.random.default_rng(11)
+
+    def mk(ids, vecs, texts):
+        return pd.DataFrame({"doc_id": list(ids), "text": texts,
+                             "embedding": [list(map(float, v)) for v in vecs]})
+
+    base = rng.normal(size=(12, 8))
+    texts1 = ["document body with plenty of words number %d" % i for i in range(12)]
+    batches = [mk(range(12), base, texts1)]
+    # batch 1: 4 exact text dups of batch 0, 4 near-dup vectors (same
+    # vector, new text), 4 genuinely new
+    batches.append(mk(range(100, 112),
+                      np.vstack([base[:4], base[4:8], rng.normal(size=(4, 8))]),
+                      [texts1[i] for i in range(4)]
+                      + ["reworded version of an earlier doc %d" % i for i in range(4)]
+                      + ["fresh unseen content entirely %d" % i for i in range(4)]))
+    for b in range(2, 5):
+        batches.append(mk(range(b * 100, b * 100 + 4), rng.normal(size=(4, 8)),
+                          ["batch %d original text %d" % (b, i) for i in range(4)]))
+
+    def run(root, compact_every, ckpt_snapshot_before=None):
+        src = root / "src"
+        src.mkdir(parents=True)
+        common = dict(out_dir=str(root / "out"), state_dir=str(root / "state"),
+                      vector_index_dir=str(root / "vidx"),
+                      vector_threshold=0.999,
+                      vector_params=dict(bits=3, n_tables=4, seed=7),
+                      checkpoint=str(root / "ckpt"),
+                      min_quality=None, repetition_filter=False, dedup=None,
+                      compact_every=compact_every)
+        for i, b in enumerate(batches):
+            if ckpt_snapshot_before == i:
+                shutil.copytree(common["checkpoint"], str(root / "ckpt_snap"))
+            b.to_parquet(src / f"b{i}.parquet")
+            st.curate_stream(st.open_stream(str(src), spark=spark), **common)
+        return common
+
+    def emitted(common):
+        out = spark.read.parquet(common["out_dir"])
+        return sorted(r["doc_id"] for r in out.select("doc_id").collect())
+
+    plain = run(tmp_path / "plain", None)
+    comp = run(tmp_path / "comp", 1, ckpt_snapshot_before=4)
+
+    assert emitted(plain) == emitted(comp)
+    ids = emitted(comp)
+    # the screens dropped the planted dups in BOTH runs
+    assert [i for i in ids if i < 100] == list(range(12))
+    assert [i for i in ids if 100 <= i < 200] == list(range(108, 112))
+    # compaction actually happened: a negative consolidated partition
+    # in every state dir, and the per-batch partitions it folded are gone
+    for d in ("state", "vidx", "out"):
+        parts = _part_names(str(tmp_path / "comp" / d))
+        assert any(p.startswith("__batch_id=-") for p in parts), (d, parts)
+        assert len(parts) <= 3, (d, parts)
+
+    # genuine crash-replay: restore the checkpoint snapshot taken before
+    # the last batch — Structured Streaming re-runs EXACTLY batch 4
+    # (same id, same file) against state dirs that already hold batch
+    # 4's artifacts AND compacted earlier batches
+    shutil.rmtree(str(tmp_path / "comp" / "ckpt"))
+    shutil.copytree(str(tmp_path / "comp" / "ckpt_snap"),
+                    str(tmp_path / "comp" / "ckpt"))
+    st.curate_stream(st.open_stream(str(tmp_path / "comp" / "src"),
+                                    spark=spark), **comp)
+    assert emitted(comp) == ids

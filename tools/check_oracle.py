@@ -56,6 +56,16 @@ def main():
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
         spark.conf.set("spark.sql.shuffle.partitions", "13")
         print("# adversarial conf: advisory=8KB shuffle.partitions=13")
+    # VS_ANSI=1: run the whole battery on an ANSI-ON session (the Spark 4
+    # foreign-session default) — r11 made every zero-capable division
+    # route through try_divide/try_mod, so the degenerate contract (and
+    # therefore every oracle result) must be conf-independent.  Note the
+    # oracle data contains no overflow/bad-cast plants, so remaining
+    # ANSI divergence (overflow wraps, bad casts) is out of this sweep's
+    # scope by design — see _warn_if_ansi.
+    if os.environ.get("VS_ANSI"):
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        print("# ansi conf: spark.sql.ansi.enabled=true")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

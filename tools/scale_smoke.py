@@ -1392,9 +1392,115 @@ def winnow_hot_fp(spark):
           f"{n_pairs:,} pairs incl. all {want:,} replica pairs in {t:.1f}s")
 
 
+def winnow_1m(spark):
+    """Round-11 probe (r10 verdict task 4): the winnow against-corpus
+    screen at 1M documents — the text twin of vector_blocked_1m.
+    Corpus = 1M synthetic 60-word docs (64k-word vocabulary, seeded per
+    partition; cross-doc 5-gram collisions are ~0 at 64k^5 tuples, so
+    every shared fingerprint is a PLANTED one).  The winnow index is
+    built once, flat AND grouped, recording build wall, index rows and
+    parquet bytes, and MEASURED fingerprint density against the
+    Schleimer et al. (SIGMOD'03) expectation of ~2/(window+1) of the
+    k-gram hashes per document.  A 10k-doc batch arrives: 5,000 lift a
+    k+window-1 = 8-word run verbatim from a corpus doc (the winnow
+    GUARANTEE: any shared run of >= window+k-1 words yields a shared
+    fingerprint), 5,000 are fully novel — the screen must flag exactly
+    the lifting half through BOTH index shapes, and the flat-vs-grouped
+    walls re-measure the r8 crossover decision at 10x its volume."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import (corpus_winnow_index,
+                                          winnow_dedup_against_corpus)
+    K, W = 5, 4
+    words_per_doc = 60
+    corpus_path = f"{SCALE_DIR}/docs_1m.parquet"
+    if not os.path.isdir(corpus_path):
+        vocab = np.array([f"w{i:05d}" for i in range(65536)])
+
+        def _gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf["id"].to_numpy()
+                rng = np.random.RandomState(700 + int(ids[0]) % 997)
+                draws = rng.randint(0, len(vocab),
+                                    size=(len(ids), words_per_doc))
+                texts = [" ".join(vocab[row]) for row in draws]
+                yield pd.DataFrame({"doc_id": ids, "text": texts})
+        (spark.range(1_000_000).repartition(16)
+         .mapInPandas(_gen, schema="doc_id bigint, text string")
+         .write.mode("overwrite").parquet(corpus_path))
+    docs = spark.read.parquet(corpus_path)
+    n = docs.count()
+    grams_per_doc = words_per_doc - K + 1
+    density_pred = 2.0 / (W + 1)
+
+    def _dir_bytes(d):
+        return sum(os.path.getsize(os.path.join(r, f_))
+                   for r, _dd, ff in os.walk(d) for f_ in ff)
+
+    t0 = time.time()
+    flat_path = f"{SCALE_DIR}/winnow_idx_1m_flat"
+    (corpus_winnow_index(docs, k=K, window=W).spark
+     if hasattr(corpus_winnow_index(docs, k=K, window=W), "spark")
+     else corpus_winnow_index(docs, k=K, window=W)) \
+        .write.mode("overwrite").parquet(flat_path)
+    t_flat_build = time.time() - t0
+    flat = spark.read.parquet(flat_path)
+    n_fp = flat.count()
+    density = n_fp / float(n * grams_per_doc)
+    t0 = time.time()
+    grouped_path = f"{SCALE_DIR}/winnow_idx_1m_grouped"
+    gidx = corpus_winnow_index(docs, k=K, window=W, grouped=True)
+    (gidx.spark if hasattr(gidx, "spark") else gidx) \
+        .write.mode("overwrite").parquet(grouped_path)
+    t_grp_build = time.time() - t0
+    grouped = spark.read.parquet(grouped_path)
+    print(f"winnow_1m: index over {n} docs ({n * grams_per_doc / 1e6:.0f}M "
+          f"grams): flat {n_fp:,} fps built {t_flat_build:.1f}s "
+          f"({_dir_bytes(flat_path) / 1e6:.0f} MB) = {density:.4f} "
+          f"fps/gram vs 2/(window+1) = {density_pred:.4f} "
+          f"(ratio {density / density_pred:.3f}); grouped built "
+          f"{t_grp_build:.1f}s ({_dir_bytes(grouped_path) / 1e6:.0f} MB)")
+    # batch: 5k docs lift the first k+window-1 = 8 words of a corpus doc
+    first8 = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+    runs = [r["run"] for r in docs.filter(F.col("doc_id") % 199 == 0)
+            .select(first8.alias("run")).limit(5000).collect()]
+    assert len(runs) == 5000
+    rng = np.random.RandomState(41)
+    vocab2 = [f"x{i:04d}" for i in range(10000)]
+    rows = []
+    for j, run in enumerate(runs):
+        pad = " ".join(vocab2[v] for v in rng.randint(0, 10000, 20))
+        rows.append((3_000_000 + j, f"{pad} {run} {pad}"))
+    for j in range(5000):
+        body = " ".join(vocab2[v] for v in rng.randint(0, 10000, 48))
+        rows.append((4_000_000 + j, body))
+    batch = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {}
+    for label, idx in (("flat", flat), ("grouped", grouped)):
+        t0 = time.time()
+        kept = winnow_dedup_against_corpus(batch, min_shared=1, k=K,
+                                           window=W, corpus_index=idx)
+        ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+        out[label] = (time.time() - t0, ids)
+        vs.cache.release_operator_caches()
+    want = [4_000_000 + j for j in range(5000)]
+    assert out["flat"][1] == want, (len(out["flat"][1]), out["flat"][1][:5])
+    assert out["grouped"][1] == want
+    print(f"winnow_1m: 10k-doc batch screened in {out['flat'][0]:.1f}s "
+          f"(flat) / {out['grouped'][0]:.1f}s (grouped index, zero "
+          f"index-side groupBy); all 5000 lifted-run docs flagged, all "
+          f"5000 novel docs kept, both index shapes bit-identical")
+
+
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "winnow_hot_fp": winnow_hot_fp,
           "winnow_incremental": winnow_incremental,
+          "winnow_1m": winnow_1m,
           "vector_incremental": vector_incremental,
           "vector_blocked_1m": vector_blocked_1m,
           "kmeans_init_study": kmeans_init_study,

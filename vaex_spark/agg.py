@@ -86,7 +86,10 @@ class _BinaryAgg(AggDescriptor):
 
     def to_column(self, df):
         ca, cb = self.a.to_column(df), self.b.to_column(df)
-        return {"+": ca + cb, "-": ca - cb, "*": ca * cb, "/": ca / cb}[self.short_name]
+        # "/" via try_divide: agg algebra like sum(x)/count() keeps the
+        # null-on-zero contract on ANSI-on sessions (identical ANSI off)
+        return {"+": ca + cb, "-": ca - cb, "*": ca * cb,
+                "/": F.try_divide(ca, cb)}[self.short_name]
 
 
 class _SimpleAgg(AggDescriptor):

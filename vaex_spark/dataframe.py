@@ -43,30 +43,35 @@ _ANSI_WARNED: set = set()
 
 def _warn_if_ansi(sdf: SparkDataFrame) -> None:
     """The library's semantics are vaex-permissive BY CONTRACT
-    (session.py _DEFAULTS: overflow wraps, bad casts -> null, 0/0 ->
-    null — the degenerate-cosine contract in datapipe/similarity
-    depends on the last one).  get_session() sets ansi off; a frame
-    wrapped over a FOREIGN session with ANSI on (the Spark 4 default)
-    would instead raise DIVIDE_BY_ZERO/CAST errors deep inside
-    operators on the first degenerate row (found by the round-10
-    fuzz: zero-norm vectors under a raw builder session).  Warn once
-    per session, loudly and early, naming the fix."""
+    (session.py _DEFAULTS: overflow wraps, bad casts -> null).
+    get_session() sets ansi off; a frame wrapped over a FOREIGN
+    session with ANSI on (the Spark 4 default) keeps the degenerate-
+    DIVISION contract (every zero-capable division routes through
+    try_divide/try_mod as of round 11, so zero-norm vectors, constant
+    scaler columns, and empty-set jaccards stay null instead of
+    raising), but overflow-wrap and bad-cast-to-null still differ —
+    warn once per session, naming the fix.
+
+    Memoized on id(session) (r10 ADVICE: the applicationId lookup is
+    a py4j round-trip on EVERY frame wrap in this heavily-wrapping
+    codebase, and raises on Spark Connect where there is no
+    sparkContext — the conf read below works on both)."""
     try:
         spark = sdf.sparkSession
-        key = spark.sparkContext.applicationId
+        key = id(spark)
         if key in _ANSI_WARNED:
             return
         _ANSI_WARNED.add(key)
         if spark.conf.get("spark.sql.ansi.enabled", "false") == "true":
             import warnings
             warnings.warn(
-                "vaex_spark semantics require spark.sql.ansi.enabled="
-                "false (overflow wraps, bad casts and 0/0 -> null; the "
-                "degenerate-vector contract depends on it); this "
-                "session has ANSI ON, so degenerate rows will raise "
-                "DIVIDE_BY_ZERO/CAST errors inside operators.  Use "
-                "vaex_spark.get_session() or set the conf before "
-                "wrapping frames.", stacklevel=3)
+                "vaex_spark semantics assume spark.sql.ansi.enabled="
+                "false (overflow wraps, bad casts -> null); this "
+                "session has ANSI ON.  Division-by-zero degenerates "
+                "(zero-norm vectors etc.) are ANSI-safe, but overflow "
+                "and invalid casts will raise instead of wrapping/"
+                "nulling.  Use vaex_spark.get_session() or set the "
+                "conf before wrapping frames.", stacklevel=3)
     except Exception:  # pragma: no cover - conf surface unavailable
         pass
 
@@ -1126,12 +1131,12 @@ class DataFrame:
                 keyed = (sdf.crossJoin(F.broadcast(draws))
                          .withColumn("__wkey",
                                      F.pow(F.rand(random_state),
-                                           F.lit(1.0) / w)))
+                                           F.try_divide(F.lit(1.0), w))))
                 agg = keyed.groupBy("__draw").agg(
                     F.max_by(F.struct(*cols), F.col("__wkey")).alias("__r"))
                 out = agg.select(*[F.col("__r." + c).alias(c) for c in cols])
             else:
-                key = F.pow(F.rand(random_state), F.lit(1.0) / w)
+                key = F.pow(F.rand(random_state), F.try_divide(F.lit(1.0), w))
                 out = (sdf.withColumn("__wkey", key)
                        .orderBy(F.col("__wkey").desc()).limit(int(n)).drop("__wkey"))
         elif frac is None:

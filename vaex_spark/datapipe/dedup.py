@@ -360,8 +360,10 @@ def ngram_jaccard(df, pairs: SparkDataFrame | None = None, text_col: str = "text
            .join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
            .join(b, pairs["id_b"] == F.col(f"b.{id_col}"))
            .select("id_a", "id_b",
-                   (F.size(F.array_intersect("a.__set", "b.__set")).cast("double") /
-                    F.size(F.array_union("a.__set", "b.__set"))).alias("jaccard")))
+                   # try_divide: empty-set pairs (union size 0) stay null-
+                   # jaccard under ANSI-on sessions instead of raising
+                   F.try_divide(F.size(F.array_intersect("a.__set", "b.__set")).cast("double"),
+                                F.size(F.array_union("a.__set", "b.__set"))).alias("jaccard")))
     if threshold is not None:
         out = out.filter(F.col("jaccard") >= threshold)
     return out
@@ -436,8 +438,8 @@ def near_dup_pairs(df, text_col: str = "text", id_col: str = "doc_id",
            .join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
            .join(b, pairs["id_b"] == F.col(f"b.{id_col}"))
            .select("id_a", "id_b",
-                   F.round(F.size(F.array_intersect("a.__set", "b.__set")).cast("double") /
-                           F.size(F.array_union("a.__set", "b.__set")), 6).alias("jaccard"))
+                   F.round(F.try_divide(F.size(F.array_intersect("a.__set", "b.__set")).cast("double"),
+                                         F.size(F.array_union("a.__set", "b.__set"))), 6).alias("jaccard"))
            .filter(F.col("jaccard") >= threshold))
     return out
 
@@ -643,8 +645,8 @@ def simhash_verified_pairs(df, text_col: str = "text", id_col: str = "doc_id",
             .join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
             .join(b, pairs["id_b"] == F.col(f"b.{id_col}"))
             .select("id_a", "id_b",
-                    F.round(F.size(F.array_intersect("a.__set", "b.__set")).cast("double") /
-                            F.size(F.array_union("a.__set", "b.__set")), 6).alias("jaccard"))
+                    F.round(F.try_divide(F.size(F.array_intersect("a.__set", "b.__set")).cast("double"),
+                                          F.size(F.array_union("a.__set", "b.__set"))), 6).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
 
 
@@ -1076,8 +1078,8 @@ def near_dup_against_corpus(batch, corpus, text_col: str = "text",
                            on=id_col, how="left_semi"), "__bid")
     csets = sets(csdf.join(cand.select(F.col("__cid").alias(id_col)).distinct(),
                            on=id_col, how="left_semi"), "__cid")
-    jac = (F.size(F.array_intersect("__s___bid", "__s___cid")).cast("double") /
-           F.size(F.array_union("__s___bid", "__s___cid")))
+    jac = F.try_divide(F.size(F.array_intersect("__s___bid", "__s___cid")).cast("double"),
+                       F.size(F.array_union("__s___bid", "__s___cid")))
     dupes = (cand.join(bsets, on="__bid").join(csets, on="__cid")
              .filter(F.round(jac, 6) >= threshold)
              .select(F.col("__bid").alias(id_col)).distinct())

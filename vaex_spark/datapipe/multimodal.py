@@ -134,7 +134,7 @@ def frame_sample_stub(df, video_col: str = "video", every_ms: int = 1000) -> Spa
     via a generator expression on duration metadata; the decode of each
     frame is the stubbed step."""
     sdf = df._spark_df() if hasattr(df, "_spark_df") else df
-    n_frames = F.greatest((F.col(f"{video_col}.duration_ms") / every_ms).cast("int"), F.lit(1))
+    n_frames = F.greatest(F.try_divide(F.col(f"{video_col}.duration_ms"), F.lit(every_ms)).cast("int"), F.lit(1))
     return (sdf.withColumn("frame_index", F.explode(F.sequence(F.lit(0), n_frames - 1)))
             .withColumn("frame_ts_ms", F.col("frame_index") * every_ms))
 

@@ -96,15 +96,19 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide, not `/`: the degenerate contract (zero-norm vector ->
+    # null cosine) must hold on ANSI-on sessions too, where a plain 0/0
+    # raises DIVIDE_BY_ZERO mid-job (bit-identical under ANSI off)
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def normalize(a: Column) -> Column:
     # let-bind the norm: inlined into the per-element lambda it would be
-    # recomputed dim times per row (no CSE across lambda boundaries)
+    # recomputed dim times per row (no CSE across lambda boundaries).
+    # try_divide: zero-norm rows keep yielding null elements under ANSI.
     from .text import _let
     return _let(l2_norm(a),
-                lambda n: F.transform(a, lambda v: v.cast("double") / n))
+                lambda n: F.transform(a, lambda v: F.try_divide(v.cast("double"), n)))
 
 
 # --------------------------------------------------------------------------
@@ -586,7 +590,7 @@ def embedding_near_dups(corpus, threshold: float = 0.95, bits: int = 6,
                               lambda acc, x: acc + x.cast("double") * x.cast("double")))
     unit = corpus_sdf.select(F.col(id_col),
                              F.transform(F.col(vec_col),
-                                         lambda x: x.cast("double") / norm).alias("__u"))
+                                         lambda x: F.try_divide(x.cast("double"), norm)).alias("__u"))
     a, b = unit.alias("a"), unit.alias("b")
     dot = F.aggregate(F.zip_with(F.col("a.__u"), F.col("b.__u"),
                                  lambda x, y: x * y),
@@ -615,7 +619,9 @@ def _expected_pb_random(dim: int, b: int) -> float:
     t = np.linspace(-1.0 + 1e-12, 1.0 - 1e-12, n)
     w = (1.0 - t * t) ** ((dim - 3) / 2.0)
     p = 1.0 - np.arccos(t) / math.pi
-    return float(np.trapz(w * p ** b, t) / np.trapz(w, t))
+    # np.trapz was removed in NumPy 2.0 (renamed trapezoid); support both
+    _trapz = getattr(np, 'trapezoid', getattr(np, 'trapz', None))
+    return float(_trapz(w * p ** b, t) / _trapz(w, t))
 
 
 def suggest_lsh_params(n_corpus: int, threshold: float,
@@ -650,8 +656,17 @@ def suggest_lsh_params(n_corpus: int, threshold: float,
     T <= max_tables) meets the floor (threshold too low / recall too
     high — use exact search or raise max_tables)."""
     import math
+    if int(n_corpus) < 1:
+        raise ValueError(f"n_corpus must be >= 1, got {n_corpus} — the "
+                         "candidate budget is meaningless for an empty corpus")
+    if not (0 < float(threshold) <= 1):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if not (0 < recall < 1):
         raise ValueError("recall must be in (0, 1)")
+    if int(max_tables) < 1:
+        raise ValueError(f"max_tables must be >= 1, got {max_tables}")
+    if dim is not None and int(dim) < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
     t = min(1.0, max(-1.0, float(threshold)))
     p = 1.0 - math.acos(t) / math.pi
     if p >= 1.0:

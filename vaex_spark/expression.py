@@ -23,6 +23,8 @@ from typing import Any
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .expresso import try_div as _try_div, try_mod as _try_mod
+
 
 def _col(other: Any) -> Column | Any:
     """Unwrap an Expression into its Column; pass literals through."""
@@ -89,17 +91,20 @@ class Expression:
     def __rsub__(self, o): return self._wrap2(_col(o) - self.col, "-", o, reflected=True)
     def __mul__(self, o): return self._wrap2(self.col * _col(o), "*", o)
     def __rmul__(self, o): return self._wrap2(_col(o) * self.col, "*", o, reflected=True)
-    def __truediv__(self, o): return self._wrap2(self.col / _col(o), "/", o)
-    def __rtruediv__(self, o): return self._wrap2(_col(o) / self.col, "/", o, reflected=True)
+    # division/mod route through try_div/try_mod (expresso.py): identical
+    # to the plain operators under the contract session (ANSI off) and
+    # null-on-zero-divisor instead of DIVIDE_BY_ZERO on ANSI-on sessions
+    def __truediv__(self, o): return self._wrap2(_try_div(self.col, _col(o)), "/", o)
+    def __rtruediv__(self, o): return self._wrap2(_try_div(_col(o), self.col), "/", o, reflected=True)
 
     def __floordiv__(self, o):
-        return self._wrap(F.floor(self.col / _col(o)))
+        return self._wrap(F.floor(_try_div(self.col, _col(o))))
 
     def __rfloordiv__(self, o):
-        return self._wrap(F.floor(_col(o) / self.col))
+        return self._wrap(F.floor(_try_div(_col(o), self.col)))
 
-    def __mod__(self, o): return self._wrap(self.col % _col(o))
-    def __rmod__(self, o): return self._wrap(_col(o) % self.col)
+    def __mod__(self, o): return self._wrap(_try_mod(self.col, _col(o)))
+    def __rmod__(self, o): return self._wrap(_try_mod(_col(o), self.col))
 
     def __pow__(self, o):
         return self._wrap2(F.pow(self.col, _col(o)), "**", o)

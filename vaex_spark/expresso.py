@@ -26,13 +26,36 @@ class ExpressionSyntaxError(ValueError):
     pass
 
 
+def try_div(a, b) -> Column:
+    """ANSI-independent division implementing the library's permissive
+    contract (zero divisor -> null).  ``F.try_divide`` is bit-identical
+    to the non-ANSI ``/`` on every numeric type (measured: int/int and
+    double/double, zero and non-zero divisors) and keeps returning null
+    under ``spark.sql.ansi.enabled=true`` — where a plain ``/`` raises
+    DIVIDE_BY_ZERO mid-job the first time a degenerate row (zero-norm
+    vector, constant scaler column, empty doc) hits it on a foreign
+    ANSI-on session (Spark 4 default)."""
+    a = a if isinstance(a, Column) else F.lit(a)
+    b = b if isinstance(b, Column) else F.lit(b)
+    return F.try_divide(a, b)
+
+
+def try_mod(a, b) -> Column:
+    """ANSI-independent ``%`` — same contract as :func:`try_div`
+    (``F.try_mod`` is bit-identical to the non-ANSI ``%``, null on zero
+    divisor under both conf values)."""
+    a = a if isinstance(a, Column) else F.lit(a)
+    b = b if isinstance(b, Column) else F.lit(b)
+    return F.try_mod(a, b)
+
+
 _BINOPS = {
     ast.Add: lambda a, b: a + b,
     ast.Sub: lambda a, b: a - b,
     ast.Mult: lambda a, b: a * b,
-    ast.Div: lambda a, b: a / b,
-    ast.FloorDiv: lambda a, b: F.floor(a / b),
-    ast.Mod: lambda a, b: a % b,
+    ast.Div: try_div,
+    ast.FloorDiv: lambda a, b: F.floor(try_div(a, b)),
+    ast.Mod: try_mod,
     ast.Pow: lambda a, b: F.pow(a, b),
     ast.BitAnd: lambda a, b: a & b,
     ast.BitOr: lambda a, b: a | b,

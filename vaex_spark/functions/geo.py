@@ -67,7 +67,9 @@ class DataFrameAccessorGeo:
         dist = F.sqrt(cx * cx + cy * cy + cz * cz)
         df[distance] = dist
         df[alpha] = F.atan2(cy, cx) * k
-        df[delta] = (-F.acos(cz / dist) + PI / 2) * k
+        # try_divide throughout geo: origin/pole/antipode degenerates
+        # (dist/r/rxy/sinc/denom = 0) stay null under ANSI-on sessions
+        df[delta] = (-F.acos(F.try_divide(cz, dist)) + PI / 2) * k
         return df
 
     def cartesian_to_polar(self, x="x", y="y", radius_out="r_polar",
@@ -102,8 +104,8 @@ class DataFrameAccessorGeo:
         df = self._d(inplace)
         cx, cy, cvx, cvy = self._c(x), self._c(y), self._c(vx), self._c(vy)
         r = F.sqrt(cx * cx + cy * cy) if radius_polar is None else self._c(radius_polar)
-        df[vr_out] = (cx * cvx + cy * cvy) / r
-        df[vazimuth_out] = (cx * cvy - cy * cvx) / r
+        df[vr_out] = F.try_divide(cx * cvx + cy * cvy, r)
+        df[vazimuth_out] = F.try_divide(cx * cvy - cy * cvx, r)
         return df
 
     def velocity_cartesian2spherical(self, x="x", y="y", z="z", vx="vx", vy="vy",
@@ -116,9 +118,9 @@ class DataFrameAccessorGeo:
         dist = (F.sqrt(cx * cx + cy * cy + cz * cz) if distance is None
                 else self._c(distance))
         rxy = F.sqrt(cx * cx + cy * cy)
-        df[vr] = (cx * cvx + cy * cvy + cz * cvz) / dist
-        df[vlong] = -(cvx * cy - cx * cvy) / rxy
-        df[vlat] = -(cz * (cx * cvx + cy * cvy) - (cx * cx + cy * cy) * cvz) / (dist * rxy)
+        df[vr] = F.try_divide(cx * cvx + cy * cvy + cz * cvz, dist)
+        df[vlong] = -F.try_divide(cvx * cy - cx * cvy, rxy)
+        df[vlat] = -F.try_divide(cz * (cx * cvx + cy * cvy) - (cx * cx + cy * cy) * cvz, dist * rxy)
         return df
 
     # -- projections ----------------------------------------------------
@@ -130,8 +132,8 @@ class DataFrameAccessorGeo:
             a, d = a * PI / 180, d * PI / 180
         aa = F.acos(F.cos(d) * F.cos(a / 2))
         s = _sinc(aa / PI)
-        df[x] = 2 * F.cos(d) * F.sin(a / 2) / s / PI
-        df[y] = F.sin(d) / s / PI
+        df[x] = F.try_divide(2 * F.cos(d) * F.sin(a / 2), s) / PI
+        df[y] = F.try_divide(F.sin(d), s) / PI
         return df
 
     def project_gnomic(self, alpha, delta, alpha0=0.0, delta0=0.0, x="x", y="y",
@@ -144,8 +146,8 @@ class DataFrameAccessorGeo:
             alpha0, delta0 = alpha0 * PI / 180, delta0 * PI / 180
         k = 1.0 if radians else 180.0 / PI
         denom = math.sin(delta0) * F.tan(d) + math.cos(delta0) * F.cos(a - alpha0)
-        df[x] = F.sin(a - alpha0) / denom * k
-        df[y] = (math.cos(delta0) * F.tan(d) - math.sin(delta0) * F.cos(a - alpha0)) / denom * k
+        df[x] = F.try_divide(F.sin(a - alpha0), denom) * k
+        df[y] = F.try_divide(math.cos(delta0) * F.tan(d) - math.sin(delta0) * F.cos(a - alpha0), denom) * k
         return df
 
     def rotation_2d(self, x, y, xnew, ynew, angle_degrees, inplace=False):

@@ -163,7 +163,8 @@ class Binner:
     def key_column(self, df, name):
         c = df._to_expr(self.expression).col.cast("double")
         width = (self.hi - self.lo) / self.bins
-        idx = F.floor((c - self.lo) / width)
+        # try_divide: degenerate grouper limits (hi == lo) null out under ANSI
+        idx = F.floor(F.try_divide(c - self.lo, F.lit(width)))
         idx = F.when(c == self.hi, self.bins - 1).otherwise(idx)
         center = F.lit(self.lo) + (idx + 0.5) * F.lit(width)
         return center.alias(name)

@@ -105,7 +105,8 @@ class StandardScaler(Transformer):
             if self.with_mean:
                 c = c - self.mean_[f]
             if self.with_std:
-                c = c / self.std_[f]
+                # try_divide: constant-column fit (std 0) stays null under ANSI
+                c = F.try_divide(c, F.lit(self.std_[f]))
             out[self.prefix + f] = c
         return out
 
@@ -137,7 +138,7 @@ class MinMaxScaler(Transformer):
         for f in self.features:
             c = df._to_expr(f).col.cast("double")
             span = self.max_[f] - self.min_[f]
-            out[self.prefix + f] = F.lit(lo) + (hi - lo) * (c - self.min_[f]) / span
+            out[self.prefix + f] = F.lit(lo) + (hi - lo) * F.try_divide(c - self.min_[f], F.lit(span))
         return out
 
 
@@ -159,7 +160,7 @@ class MaxAbsScaler(Transformer):
     def transform(self, df):
         out = df._copy()
         for f in self.features:
-            out[self.prefix + f] = df._to_expr(f).col.cast("double") / self.absmax_[f]
+            out[self.prefix + f] = F.try_divide(df._to_expr(f).col.cast("double"), F.lit(self.absmax_[f]))
         return out
 
 
@@ -198,7 +199,7 @@ class RobustScaler(Transformer):
             if self.with_centering:
                 c = c - self.center_[f]
             if self.with_scaling:
-                c = c / self.scale_[f]
+                c = F.try_divide(c, F.lit(self.scale_[f]))
             out[self.prefix + f] = c
         return out
 

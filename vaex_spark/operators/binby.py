@@ -113,7 +113,9 @@ def _normalize_limits(df, binby, limits):
 def bin_index_col(col, lo, hi, shape, edges: bool):
     """Compute the bin index column.  With edges, vaex convention:
     0=NaN, 1=underflow, 2..shape+1=data, shape+2=overflow."""
-    scaled = F.floor((col.cast("double") - F.lit(lo)) / F.lit(hi - lo) * F.lit(shape)).cast("long")
+    # try_divide: degenerate limits (hi == lo) keep mapping every row to
+    # the null bin under ANSI-on sessions instead of DIVIDE_BY_ZERO
+    scaled = F.floor(F.try_divide(col.cast("double") - F.lit(lo), F.lit(hi - lo)) * F.lit(shape)).cast("long")
     # top edge inclusive (vaex clips x==hi into the last bin)
     data_bin = F.when(col.cast("double") == F.lit(float(hi)), F.lit(shape - 1)).otherwise(scaled)
     if edges:

@@ -162,16 +162,23 @@ def zorder_key(df, columns, bits: int = 16) -> "F.Column":
     """
     sdf = _sdf(df)
     cols = list(columns)
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
     row = sdf.agg(*aggs).collect()[0]
     scaled = []
     for c in cols:
         if row[f"_lo_{c}"] is None:
-            # MIN over an empty/all-null column is NULL — an empty
-            # frame has no layout to optimize; every row (none) maps
-            # to one key, instead of a float(None) TypeError
+            # MIN is NULL for an empty frame (no layout to optimize —
+            # every row of none maps to one key) AND for an all-null
+            # column in a non-empty frame; the latter would silently
+            # skew the layout (nulls land on the max key component via
+            # the null-skipping least()), so fail loud like binby limits
+            if row["_n"] > 0:
+                raise ValueError(
+                    f"zorder_key: {c!r} has no non-null values — a "
+                    "z-order over it is meaningless; drop the column "
+                    "from the key or filter the frame first")
             lo, hi = 0.0, 0.0
         else:
             lo, hi = float(row[f"_lo_{c}"]), float(row[f"_hi_{c}"])

@@ -442,7 +442,8 @@ class Rolling:
                 elif kind == "sum":
                     val = fsum(F.col(c))
                 elif kind == "mean":
-                    val = fsum(F.col(c)) / n
+                    # try_divide: all-null frames (n = 0) stay null under ANSI
+                    val = F.try_divide(fsum(F.col(c)), n)
                 else:  # var / std from moment sums (population, ddof=0)
                     x = F.col(c).cast("double")
                     # Center on the partition's first non-null value:
@@ -461,7 +462,7 @@ class Rolling:
                     m1, m2 = fsum(xc), fsum(xc * xc)
                     # clamp: float cancellation can still leave a tiny
                     # negative residue, which sqrt would turn into NaN
-                    v = F.greatest((m2 - m1 * m1 / n) / n, F.lit(0.0))
+                    v = F.greatest(F.try_divide(m2 - F.try_divide(m1 * m1, n), n), F.lit(0.0))
                     val = F.sqrt(v) if kind == "std" else v
             else:
                 frame = w.rowsBetween(-before, after)
@@ -620,7 +621,7 @@ def rolling_range(df, window_seconds, on, column=None, agg="mean",
             else:
                 ssum = (F.sum(F.col(c)).over(grow)
                         - F.coalesce(F.sum(F.col(c)).over(prev), F.lit(0)))
-                val = ssum if agg == "sum" else ssum / n
+                val = ssum if agg == "sum" else F.try_divide(ssum, n)
             out = out.withColumn(f"{c}_rolling_{agg}", val)
     else:  # min/max have no inverse; keep the sliding frame
         frame = w.rangeBetween(-(win - 1), 0)

@@ -271,6 +271,7 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
                   vector_threshold: float = 0.95,
                   vec_col: str = "embedding",
                   vector_params: dict | None = None,
+                  compact_every: int | None = None,
                   **curate_kw):
     """Streaming corpus curation with CROSS-batch exact dedup.
 
@@ -349,6 +350,16 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
     Never copy a recall-1 oracle parameter set (e.g. bits=2,
     n_tables=24) into production — n_tables >= 2^bits makes blocking
     a no-op.
+
+    ``compact_every=K`` runs :func:`compact_index_dir` over every
+    state dir (fingerprints, LSH, winnow, vector, sketch — and
+    ``out_dir``) at the top of every K-th batch, BEFORE that batch's
+    screens read the dirs — the small-file valve: without it a
+    long-running stream accumulates one parquet partition per batch
+    per index and every screen pays the per-file open cost for all of
+    them.  Compaction never folds the newest batch partition
+    (``keep_latest=1``), so checkpoint replays of the in-flight batch
+    stay idempotent.
     """
     import os
 
@@ -357,6 +368,12 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
 
     def do_batch(bdf, batch_id):
         from ..datapipe.curate import curate
+        if compact_every and int(batch_id) > 0 \
+                and int(batch_id) % int(compact_every) == 0:
+            for d in (out_dir, state_dir, fuzzy_lsh_dir, winnow_index_dir,
+                      vector_index_dir, sketch_dir):
+                if d is not None and os.path.isdir(d):
+                    compact_index_dir(bdf.sparkSession, d)
         curated = curate(VDF(bdf), text_col=text_col, id_col=id_col, **curate_kw)
         csdf = curated._spark_df()
         spark = csdf.sparkSession
@@ -486,3 +503,184 @@ def stream_cardinality(spark, sketch_dir: str, sketch_group: str = "source"):
     sk = spark.read.parquet(sketch_dir).drop("__batch_id")
     merged = merge_sketch_tables(sk, group_col=sketch_group)
     return estimate_distinct(merged, group_col=sketch_group)
+
+
+# ---------------------------------------------------------------------------
+# state-dir compaction (the small-file valve for per-batch index partitions)
+# ---------------------------------------------------------------------------
+_TMP_DIR = "_compact_tmp"
+
+
+class _Fs:
+    """Minimal filesystem ops for compaction, via the Hadoop FileSystem
+    API when the session exposes a JVM (works for file://, hdfs://,
+    s3a:// alike — the 100-TB path), falling back to os/shutil for
+    local paths on JVM-less sessions (Spark Connect)."""
+
+    def __init__(self, spark, base: str):
+        self.local = None
+        try:
+            jvm = spark._jvm
+            self._Path = jvm.org.apache.hadoop.fs.Path
+            self.base = self._Path(base)
+            self.fs = self.base.getFileSystem(spark._jsc.hadoopConfiguration())
+        except Exception:
+            import os
+            self.local = os
+            self.base = base.removeprefix("file:")
+
+    def _p(self, name):
+        if self.local:
+            return self.local.path.join(self.base, name)
+        return self._Path(self.base, name)
+
+    def listdir(self) -> list[str]:
+        if self.local:
+            return (self.local.listdir(self.base)
+                    if self.local.path.isdir(self.base) else [])
+        if not self.fs.exists(self.base):
+            return []
+        return [st.getPath().getName() for st in self.fs.listStatus(self.base)]
+
+    def exists(self, name) -> bool:
+        if self.local:
+            return self.local.path.exists(self._p(name))
+        return self.fs.exists(self._p(name))
+
+    def delete(self, name) -> None:
+        if self.local:
+            import shutil
+            p = self._p(name)
+            if self.local.path.isdir(p):
+                shutil.rmtree(p)
+            elif self.local.path.exists(p):
+                self.local.remove(p)
+        else:
+            self.fs.delete(self._p(name), True)
+
+    def rename(self, src, dst) -> None:
+        if self.local:
+            self.local.rename(self._p(src), self._p(dst))
+        else:
+            if not self.fs.rename(self._p(src), self._p(dst)):
+                raise IOError(f"rename {src} -> {dst} failed under {self.base}")
+
+    def size_of(self, name) -> int:
+        if self.local:
+            total = 0
+            for root, _dirs, files in self.local.walk(self._p(name)):
+                for f_ in files:
+                    total += self.local.path.getsize(self.local.path.join(root, f_))
+            return total
+        return int(self.fs.getContentSummary(self._p(name)).getLength())
+
+    def count_files(self, name) -> int:
+        if self.local:
+            n = 0
+            for _root, _dirs, files in self.local.walk(self._p(name)):
+                n += sum(1 for f_ in files if not f_.startswith(("_", ".")))
+            return n
+        return int(self.fs.getContentSummary(self._p(name)).getFileCount())
+
+
+def _part_id(name: str):
+    if name.startswith("__batch_id="):
+        try:
+            return int(name.split("=", 1)[1])
+        except ValueError:
+            return None
+    return None
+
+
+def compact_index_dir(spark, index_dir: str, keep_latest: int = 1,
+                      target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Fold per-batch ``__batch_id=N`` parquet partitions of a
+    curate_stream state dir (fingerprints, LSH, winnow, vector, sketch
+    — or ``out_dir`` itself) into ONE consolidated partition, sized at
+    ~``target_file_bytes`` per file.
+
+    At production batch cadence every index dir grows a partition per
+    micro-batch — thousands of small files whose open/footer cost
+    dominates every cross-batch screen (the classic small-file wall;
+    each screen reads the WHOLE dir).  Compaction preserves screen
+    semantics exactly:
+
+    * the consolidated partition id is NEGATIVE (``-(high+2)`` where
+      ``high`` is the largest batch id folded in — the id encodes its
+      own watermark), so the screens' ``__batch_id < current``
+      prior-filter keeps matching the consolidated rows;
+    * the top ``keep_latest`` batch partitions are NEVER folded, so a
+      checkpoint replay of the in-flight batch (the only batch
+      Structured Streaming ever replays) still sees its own rows under
+      its own id and keeps excluding them via ``< current`` — the
+      replay-idempotency contract of curate_stream is untouched.
+      ``keep_latest=0`` is for offline compaction of a STOPPED, fully
+      committed stream only;
+    * parameter stamps ride in column metadata inside the parquet
+      footers and survive the rewrite (pinned by test).
+
+    Crash-safe without a manifest: the consolidated copy is fully
+    written to an underscore-prefixed temp dir (invisible to Spark
+    readers), installed with ONE rename, and only then are the folded
+    sources (and the previous consolidated partition, whose rows were
+    re-read into the new one) deleted.  Every call starts by HEALING:
+    a stale temp dir is dropped (its content, if any, was never
+    installed — sources are still intact), and any partition at or
+    below the newest consolidated partition's watermark is deleted
+    (finishing a deletion phase a crash cut short, and sweeping stale
+    replays of already-folded batch ids).  Run it where nothing reads
+    the dir concurrently — e.g. curate_stream's ``compact_every=``
+    hook, which calls it at the top of ``do_batch``.
+
+    Returns stats: {compacted, batches_folded, files_before,
+    files_after, watermark}.
+    """
+    fs = _Fs(spark, index_dir)
+    if _TMP_DIR in fs.listdir():
+        # a temp dir at entry was never installed (install is the very
+        # next step after the write) — sources are intact, drop it
+        fs.delete(_TMP_DIR)
+
+    # -- heal: finish any interrupted deletion phase -----------------------
+    entries = fs.listdir()
+    neg = sorted(pid for pid in (_part_id(e) for e in entries)
+                 if pid is not None and pid < 0)
+    if neg:
+        newest, watermark = neg[0], -neg[0] - 2
+        for e in entries:
+            pid = _part_id(e)
+            if pid is not None and pid != newest and pid <= watermark:
+                fs.delete(e)
+        entries = fs.listdir()
+    consolidated = [e for e in entries if (_part_id(e) or 0) < 0]
+
+    # -- pick sources -------------------------------------------------------
+    ids = sorted(pid for pid in (_part_id(e) for e in entries)
+                 if pid is not None and pid >= 0)
+    sources = ids[:-int(keep_latest)] if keep_latest > 0 else ids
+    stats = {"compacted": False, "batches_folded": 0,
+             "files_before": None, "files_after": None,
+             "watermark": (-neg[0] - 2) if neg else None}
+    if not sources or (len(sources) < 2 and not consolidated):
+        return stats  # nothing worth rewriting
+    high = sources[-1]
+    new_part = f"__batch_id={-(high + 2)}"
+
+    # -- rewrite --------------------------------------------------------------
+    src_parts = [f"__batch_id={i}" for i in sources] + consolidated
+    total_bytes = sum(fs.size_of(p) for p in src_parts)
+    stats["files_before"] = sum(fs.count_files(p) for p in src_parts)
+    n_out = max(1, -(-total_bytes // max(int(target_file_bytes), 1)))
+    rows = (spark.read.parquet(index_dir)
+            .filter(F.col("__batch_id") <= int(high))  # sources + old neg
+            .drop("__batch_id"))
+    tmp_path = index_dir.rstrip("/") + "/" + _TMP_DIR
+    rows.repartition(int(n_out)).write.mode("overwrite").parquet(tmp_path)
+
+    # -- install (one rename), then delete what it superseded ----------------
+    fs.rename(_TMP_DIR, new_part)
+    for p in src_parts:
+        fs.delete(p)
+    stats.update(compacted=True, batches_folded=len(sources),
+                 files_after=fs.count_files(new_part), watermark=high)
+    return stats
