@@ -3257,3 +3257,44 @@ def test_curate_stream_compaction_screens_bit_identical(spark, tmp_path):
     st.curate_stream(st.open_stream(str(tmp_path / "comp" / "src"),
                                     spark=spark), **comp)
     assert emitted(comp) == ids
+
+
+def test_compact_index_dir_edge_cases(spark, tmp_path):
+    """Edge fuzz for compact_index_dir: missing dir, all partitions
+    inside keep_latest, keep_latest=0 (offline full fold), and a tiny
+    target_file_bytes (multi-file consolidated output) — never a crash,
+    rows always preserved."""
+    from pyspark.sql import functions as F
+    from vaex_spark.streaming import compact_index_dir
+
+    # nonexistent dir -> clean no-op
+    st = compact_index_dir(spark, str(tmp_path / "nope"))
+    assert st["compacted"] is False and st["batches_folded"] == 0
+
+    d = str(tmp_path / "idx")
+    for b in range(3):
+        (spark.range(b * 5, b * 5 + 5)
+         .select(F.col("id").alias("k"), F.lit(b).alias("__batch_id"))
+         .write.mode("append").partitionBy("__batch_id").parquet(d))
+    rows = _dir_rows(spark, d)
+
+    # keep_latest covers every partition -> no-op
+    assert compact_index_dir(spark, d, keep_latest=5)["compacted"] is False
+    assert _dir_rows(spark, d) == rows
+
+    # keep_latest=0: offline full fold, every batch partition gone
+    st = compact_index_dir(spark, d, keep_latest=0)
+    assert st["compacted"] and st["batches_folded"] == 3
+    assert _part_names(d) == ["__batch_id=-4"]  # high=2 -> -(2+2)
+    assert _dir_rows(spark, d) == rows
+
+    # tiny target bytes: consolidated output splits into several files,
+    # rows still identical (fold the consolidated part with new batches)
+    for b in (3, 4):
+        (spark.range(b * 5, b * 5 + 5)
+         .select(F.col("id").alias("k"), F.lit(b).alias("__batch_id"))
+         .write.mode("append").partitionBy("__batch_id").parquet(d))
+    rows = _dir_rows(spark, d)
+    st = compact_index_dir(spark, d, keep_latest=0, target_file_bytes=256)
+    assert st["compacted"] and st["files_after"] > 1
+    assert _dir_rows(spark, d) == rows

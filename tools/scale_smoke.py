@@ -1497,10 +1497,95 @@ def winnow_1m(spark):
           f"5000 novel docs kept, both index shapes bit-identical")
 
 
+def compaction_volume(spark):
+    """Round-11 probe: the small-file wall compact_index_dir exists
+    for, measured.  A winnow fingerprint index lands as 120 per-batch
+    partitions of 8 files each (~960 parquet files — a day of
+    12-minute micro-batches), the shape a long-running curate_stream
+    produces.  A 2k-doc batch is screened against the fragmented dir,
+    the dir is compacted (keep_latest=1), and the same screen re-runs:
+    results must be bit-identical, the file count must collapse to
+    ~target-sized files, and the screen wall should drop (at 100 TB the
+    per-file open/footer cost is the dominant term; even at this local
+    size the direction must be visible)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import winnow_dedup_against_corpus
+    from vaex_spark.streaming import compact_index_dir
+    K, W = 5, 4
+    d = f"{SCALE_DIR}/winnow_state_frag"
+    shutil.rmtree(d, ignore_errors=True)
+    vocab = np.array([f"w{i:05d}" for i in range(65536)])
+
+    def _gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy()
+            rng = np.random.RandomState(900 + int(ids[0]) % 997)
+            draws = rng.randint(0, len(vocab), size=(len(ids), 60))
+            yield pd.DataFrame({"doc_id": ids,
+                                "text": [" ".join(vocab[r]) for r in draws]})
+    n_batches, per_batch = 120, 2000
+    docs = (spark.range(n_batches * per_batch).repartition(8)
+            .mapInPandas(_gen, schema="doc_id bigint, text string"))
+    from vaex_spark.datapipe.text import corpus_winnow_index
+    idx_all = corpus_winnow_index(docs, k=K, window=W)
+    idx_all = idx_all.spark if hasattr(idx_all, "spark") else idx_all
+    (idx_all.withColumn("__batch_id",
+                        (F.col("doc_id") / per_batch).cast("int"))
+     .repartition(n_batches * 8, "__batch_id", F.col("fp") % 8)
+     .write.mode("overwrite").partitionBy("__batch_id").parquet(d))
+
+    def n_files():
+        return sum(1 for r, _dd, ff in os.walk(d)
+                   for f_ in ff if f_.endswith(".parquet"))
+    files_before = n_files()
+    # batch: 1k docs lift an 8-word run from the corpus, 1k novel
+    first8 = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+    runs = [r["run"] for r in docs.filter(F.col("doc_id") % 211 == 0)
+            .select(first8.alias("run")).limit(1000).collect()]
+    rng = np.random.RandomState(5)
+    rows = [(7_000_000 + j, f"lead {j} {run} trail {j * 3} closing")
+            for j, run in enumerate(runs)]
+    rows += [(8_000_000 + j,
+              " ".join(f"z{v:04d}" for v in rng.randint(0, 9999, 40)))
+             for j in range(1000)]
+    batch = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def screen():
+        idx = spark.read.parquet(d).filter(F.col("__batch_id") < 10_000)
+        t0 = time.time()
+        kept = winnow_dedup_against_corpus(batch, min_shared=1, k=K,
+                                           window=W, corpus_index=idx)
+        ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+        w = time.time() - t0
+        vs.cache.release_operator_caches()
+        return w, ids
+    screen()  # warm (JIT) — the comparison is fragmented vs compacted
+    t_frag, ids_frag = screen()
+    t0 = time.time()
+    st = compact_index_dir(spark, d, keep_latest=1)
+    t_compact = time.time() - t0
+    files_after = n_files()
+    t_comp, ids_comp = screen()
+    assert ids_frag == ids_comp == [8_000_000 + j for j in range(1000)]
+    assert st["compacted"] and files_after < files_before / 10
+    print(f"compaction_volume: {n_batches} batch partitions, "
+          f"{files_before} files -> {files_after} after compaction "
+          f"({st['batches_folded']} folded in {t_compact:.1f}s); 2k-doc "
+          f"screen {t_frag:.1f}s fragmented vs {t_comp:.1f}s compacted; "
+          f"results bit-identical (1000 lifted flagged, 1000 novel kept)")
+
+
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,
           "winnow_hot_fp": winnow_hot_fp,
           "winnow_incremental": winnow_incremental,
           "winnow_1m": winnow_1m,
+          "compaction_volume": compaction_volume,
           "vector_incremental": vector_incremental,
           "vector_blocked_1m": vector_blocked_1m,
           "kmeans_init_study": kmeans_init_study,
