@@ -670,7 +670,21 @@ def compact_index_dir(spark, index_dir: str, keep_latest: int = 1,
     src_parts = [f"__batch_id={i}" for i in sources] + consolidated
     total_bytes = sum(fs.size_of(p) for p in src_parts)
     stats["files_before"] = sum(fs.count_files(p) for p in src_parts)
-    n_out = max(1, -(-total_bytes // max(int(target_file_bytes), 1)))
+    # file count: total/target at scale, but never BELOW the core count
+    # while files stay >= ~1MB — a consolidated file is one row group,
+    # and a 2-file index turns the next screen's scan into a 2-task
+    # straggler on a 32-core executor (measured: 4.3s -> 9.7s screen
+    # after a 57MB index compacted to 2 files; parquet row groups are
+    # the real split unit, the byte-range splits of a 1-row-group file
+    # are empty).  At 100 TB total/target dominates and the floor is
+    # inert.
+    n_by_target = max(1, -(-total_bytes // max(int(target_file_bytes), 1)))
+    try:
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext
+        cores = 32
+    floor = min(int(cores), max(1, total_bytes // (1 << 20)))
+    n_out = max(n_by_target, floor)
     rows = (spark.read.parquet(index_dir)
             .filter(F.col("__batch_id") <= int(high))  # sources + old neg
             .drop("__batch_id"))
