@@ -3195,6 +3195,7 @@ def test_curate_stream_compaction_screens_bit_identical(spark, tmp_path):
 
     def mk(ids, vecs, texts):
         return pd.DataFrame({"doc_id": list(ids), "text": texts,
+                             "source": ["web"] * len(texts),
                              "embedding": [list(map(float, v)) for v in vecs]})
 
     base = rng.normal(size=(12, 8))
@@ -3218,6 +3219,7 @@ def test_curate_stream_compaction_screens_bit_identical(spark, tmp_path):
                       vector_index_dir=str(root / "vidx"),
                       vector_threshold=0.999,
                       vector_params=dict(bits=3, n_tables=4, seed=7),
+                      sketch_dir=str(root / "sketch"),
                       checkpoint=str(root / "ckpt"),
                       min_quality=None, repetition_filter=False, dedup=None,
                       compact_every=compact_every)
@@ -3242,10 +3244,17 @@ def test_curate_stream_compaction_screens_bit_identical(spark, tmp_path):
     assert [i for i in ids if 100 <= i < 200] == list(range(108, 112))
     # compaction actually happened: a negative consolidated partition
     # in every state dir, and the per-batch partitions it folded are gone
-    for d in ("state", "vidx", "out"):
+    for d in ("state", "vidx", "out", "sketch"):
         parts = _part_names(str(tmp_path / "comp" / d))
         assert any(p.startswith("__batch_id=-") for p in parts), (d, parts)
         assert len(parts) <= 3, (d, parts)
+    # running cardinality still reads a compacted sketch dir (binary
+    # HLL state rows survive the fold and stay mergeable)
+    from vaex_spark.streaming import stream_cardinality
+    card = {r["source"]: r["n_distinct"] for r in
+            stream_cardinality(spark, str(tmp_path / "comp" / "sketch"))
+            .spark.collect()}
+    assert abs(card["web"] - len(ids)) <= max(3, 0.05 * len(ids))
 
     # genuine crash-replay: restore the checkpoint snapshot taken before
     # the last batch — Structured Streaming re-runs EXACTLY batch 4
