@@ -562,6 +562,12 @@ def test_ansi_on_degenerate_division_parity(spark):
         df["sd"] = df["x / y"]  # string-expression compiler path
         out["expr"] = [tuple(r) for r in
                        df._spark_df().select("d", "fd", "md", "sd").collect()]
+        # array subscript out of bounds: null (try_element_at), not
+        # INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI
+        av = vs.from_arrays(a=[[1.0, 2.0], [3.0]])
+        out["getitem"] = [
+            [r[0] for r in av._spark_df().select(av.a[1].col).collect()],
+            [r[0] for r in av._spark_df().select(av["a[1]"].col).collect()]]
         # constant-column scaler: std/span/absmax = 0 -> null output
         sc = vs.from_arrays(v=[2.0, 2.0, 2.0])
         for T, kw in ((vs.ml.StandardScaler, {}),

@@ -168,7 +168,9 @@ class Expression:
             return self._wrap(F.slice(self.col, start + 1, length))
         if isinstance(item, int):
             # vaex/numpy 0-based; Spark element_at is 1-based
-            return self._wrap(F.element_at(self.col, item + 1 if item >= 0 else item))
+            # try_element_at: out-of-bounds stays null under ANSI too
+            return self._wrap(F.try_element_at(
+                self.col, F.lit(item + 1 if item >= 0 else item)))
         return self._wrap(self.col.getField(item))
 
     # -- null / NaN family (functions.py:147-268) ------------------------

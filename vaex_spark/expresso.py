@@ -176,7 +176,7 @@ class _Compiler:
             return F.col(sl)
         sl = self.visit(node.slice)
         if isinstance(sl, int):
-            return F.element_at(value, sl + 1 if sl >= 0 else sl)
+            return F.try_element_at(value, F.lit(sl + 1 if sl >= 0 else sl))
         return value.getField(sl)
 
     def visit_Attribute(self, node):

@@ -181,7 +181,7 @@ registry.register("fillna", lambda x, v: F.when(_c(x).isNull() | (F.isnan(_c(x).
 # --- list/array (functions.py:110-142, 2716-2735) ----------------------
 registry.register("list_sum", lambda x: F.aggregate(_c(x), F.lit(0.0), lambda a, v: a + v.cast("double")))
 registry.register("array_sum", lambda x: F.aggregate(_c(x), F.lit(0.0), lambda a, v: a + v.cast("double")))
-registry.register("getitem", lambda x, i: F.element_at(_c(x), int(i) + 1 if int(i) >= 0 else int(i)))
+registry.register("getitem", lambda x, i: F.try_element_at(_c(x), F.lit(int(i) + 1 if int(i) >= 0 else int(i))))
 registry.register("stack", lambda *xs: F.array(*[_c(x) for x in xs]))
 registry.register("astype", lambda x, t: _c(x).cast({"float64": "double", "float32": "float", "int64": "bigint", "int32": "int", "str": "string", "bool": "boolean"}.get(str(t), str(t))))
 registry.register("to_string", lambda x: _c(x).cast("string"))
