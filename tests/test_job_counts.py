@@ -174,3 +174,22 @@ def test_headline_query_job_counts_do_not_regress(spark):
         if n[0] > HEADLINE_JOB_CEILING[name]:
             over[name] = (n[0], HEADLINE_JOB_CEILING[name])
     assert not over, f"job-count regressions (got, ceiling): {over}"
+
+
+def test_compact_index_dir_job_ceiling(spark, tmp_path):
+    """compact_index_dir is ONE read->repartition->write job plus
+    driver-side filesystem metadata — no per-partition jobs, no
+    count()s of the sources (sizing comes from filesystem stats).
+    Ceiling 3 = measured (1 write job; AQE can add a stage job) + 1."""
+    d = str(tmp_path / "idx")
+    for b in range(6):
+        (spark.range(b * 100, b * 100 + 100)
+         .select(F.col("id").alias("k"), F.lit(b).alias("__batch_id"))
+         .repartition(2)
+         .write.mode("append").partitionBy("__batch_id").parquet(d))
+    from vaex_spark.streaming import compact_index_dir
+    n = []
+    with count_jobs(spark, n):
+        stats = compact_index_dir(spark, d, keep_latest=1)
+    assert stats["compacted"] and stats["batches_folded"] == 5
+    assert n[0] <= 3, n[0]
