@@ -3280,6 +3280,11 @@ def test_compact_index_dir_edge_cases(spark, tmp_path):
     st = compact_index_dir(spark, str(tmp_path / "nope"))
     assert st["compacted"] is False and st["batches_folded"] == 0
 
+    # negative keep_latest would silently fold the in-flight batch
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="keep_latest"):
+        compact_index_dir(spark, str(tmp_path / "nope"), keep_latest=-1)
+
     d = str(tmp_path / "idx")
     for b in range(3):
         (spark.range(b * 5, b * 5 + 5)

@@ -635,6 +635,11 @@ def compact_index_dir(spark, index_dir: str, keep_latest: int = 1,
     Returns stats: {compacted, batches_folded, files_before,
     files_after, watermark}.
     """
+    if int(keep_latest) < 0:
+        raise ValueError(
+            f"keep_latest must be >= 0, got {keep_latest} — a negative "
+            "value would silently fold the replayable in-flight batch "
+            "(0 is the explicit offline-compaction opt-in)")
     fs = _Fs(spark, index_dir)
     if _TMP_DIR in fs.listdir():
         # a temp dir at entry was never installed (install is the very
