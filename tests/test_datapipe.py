@@ -3312,3 +3312,34 @@ def test_compact_index_dir_edge_cases(spark, tmp_path):
     st = compact_index_dir(spark, d, keep_latest=0, target_file_bytes=256)
     assert st["compacted"] and st["files_after"] > 1
     assert _dir_rows(spark, d) == rows
+
+
+def test_suggest_winnow_params_closed_form():
+    """suggest_winnow_params: (k, window) from the MOSS thresholds —
+    k = noise floor, window = t - k + 1 (largest window whose guarantee
+    still covers t) — and sizing predictions that reproduce the 1M-doc
+    probe's measured density within its documented boundary factor."""
+    import pytest as _pytest
+
+    from vaex_spark.datapipe.text import suggest_winnow_params
+    p = suggest_winnow_params(8, noise_words=5)
+    assert (p["k"], p["window"], p["guarantee_words"]) == (5, 4, 8)
+    # probe-calibrated density: 0.4 * 1.022
+    assert abs(p["expected_fps_per_gram"] - 0.4088) < 1e-3
+    # sizing twin of the winnow_1m probe: 1M docs x 60 words, k=5, w=4
+    q = suggest_winnow_params(8, 5, n_docs=1_000_000, words_per_doc=60)
+    measured = 22_883_870  # SCALECHECK_r11 winnow_1m flat index rows
+    assert abs(q["expected_index_rows"] - measured) / measured < 0.01
+    # tighter guarantee -> smaller window -> denser index
+    dense = suggest_winnow_params(6, 5)
+    assert dense["window"] == 2
+    assert dense["expected_fps_per_gram"] > p["expected_fps_per_gram"]
+    # t == k: every gram fingerprinted (window 1, density ~1)
+    assert suggest_winnow_params(5, 5)["window"] == 1
+    for bad in (dict(min_match_words=4, noise_words=5),
+                dict(min_match_words=8, noise_words=0),
+                dict(min_match_words=8, noise_words=5, words_per_doc=0),
+                dict(min_match_words=8, noise_words=5, words_per_doc=60,
+                     n_docs=0)):
+        with _pytest.raises(ValueError):
+            suggest_winnow_params(**bad)

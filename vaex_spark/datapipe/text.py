@@ -431,6 +431,62 @@ def winnow_overlap_pairs(df, text_col: str = "text", id_col: str = "doc_id",
 # --------------------------------------------------------------------------
 # DataFrame-level helpers
 # --------------------------------------------------------------------------
+def suggest_winnow_params(min_match_words: int, noise_words: int = 5,
+                          n_docs: int | None = None,
+                          words_per_doc: int | None = None) -> dict:
+    """Closed-form winnow parameter choice (the MOSS twin of
+    :func:`~vaex_spark.datapipe.similarity.suggest_lsh_params`): given
+    the detection contract — every shared run of at least
+    ``min_match_words`` words MUST surface (the winnow guarantee
+    threshold t), while shared runs shorter than ``noise_words`` are
+    noise and may be ignored (the noise threshold k) — return the
+    (k, window) that meets it with the SMALLEST index, plus the sizing
+    predictions a capacity plan needs.
+
+    Math (Schleimer, Wilkerson & Aiken, SIGMOD'03): k-gram hashing
+    detects nothing shorter than k, so k = ``noise_words``; the winnow
+    guarantee says any run of >= window + k - 1 words shares a
+    fingerprint, so window = t - k + 1 — the largest window (smallest
+    index) satisfying the guarantee at t = ``min_match_words``.
+    Expected density is 2/(window+1) fingerprints per gram — measured
+    at 1.022x on a 1M-doc corpus (+2.2% window-start boundary term,
+    SCALECHECK_r11 winnow_1m), so predictions carry that factor.
+
+    With ``n_docs`` and ``words_per_doc`` given, also predicts
+    fingerprints per document, total index rows, and flat-index bytes
+    (16 B per (int64 id, int64 fp) row before parquet encoding) — the
+    numbers to size an index build or a
+    :func:`~vaex_spark.streaming.compact_index_dir` cadence against.
+
+    Raises when the contract is infeasible: min_match_words <
+    noise_words (a guarantee below the noise floor means window < 1)
+    or non-positive inputs."""
+    t, k = int(min_match_words), int(noise_words)
+    if k < 1:
+        raise ValueError(f"noise_words must be >= 1, got {noise_words}")
+    if t < k:
+        raise ValueError(
+            f"min_match_words ({t}) must be >= noise_words ({k}): the "
+            "guarantee threshold cannot sit below the noise floor")
+    window = t - k + 1
+    boundary = 1.022  # measured window-start excess, winnow_1m probe
+    density = 2.0 / (window + 1) * boundary
+    out = {"k": k, "window": window, "guarantee_words": window + k - 1,
+           "expected_fps_per_gram": round(density, 4)}
+    if words_per_doc is not None:
+        if int(words_per_doc) < 1:
+            raise ValueError(f"words_per_doc must be >= 1, got {words_per_doc}")
+        grams = max(1, int(words_per_doc) - k + 1)
+        out["expected_fps_per_doc"] = round(density * grams, 2)
+        if n_docs is not None:
+            if int(n_docs) < 1:
+                raise ValueError(f"n_docs must be >= 1, got {n_docs}")
+            rows = density * grams * int(n_docs)
+            out["expected_index_rows"] = int(rows)
+            out["expected_index_bytes"] = int(rows * 16)
+    return out
+
+
 def corpus_winnow_index(corpus, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 5, window: int = 4,
                         fp_type: str = "hash", strategy: str = "auto",

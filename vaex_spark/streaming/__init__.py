@@ -319,7 +319,11 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
     append to the index under the same per-``__batch_id``
     idempotent-overwrite discipline.  ``winnow_params`` tunes
     (k, window, fp_type, max_df); index and batch sides always share
-    it.  Composes with the exact and fuzzy stages — each screens what
+    it.  PICK (k, window) with :func:`~vaex_spark.datapipe.text.
+    suggest_winnow_params` from the detection contract (minimum run
+    length that must surface, noise floor) — it also predicts index
+    rows/bytes for capacity planning, probe-calibrated at 1M docs.
+    Composes with the exact and fuzzy stages — each screens what
     the previous stages let through.
 
     ``vector_index_dir`` enables CROSS-batch EMBEDDING near-dup
