@@ -3302,6 +3302,26 @@ def test_compact_index_dir_edge_cases(spark, tmp_path):
     assert _part_names(d) == ["__batch_id=-4"]  # high=2 -> -(2+2)
     assert _dir_rows(spark, d) == rows
 
+    # partial consolidated partition (object-store rename cut short —
+    # no install-complete marker): heal must delete the PARTIAL COPY
+    # and must NOT honor its watermark, which would delete sources the
+    # incomplete copy cannot replace
+    import shutil
+    d2 = str(tmp_path / "idx2")
+    for b in range(3):
+        (spark.range(b * 5, b * 5 + 5)
+         .select(F.col("id").alias("k"), F.lit(b).alias("__batch_id"))
+         .write.mode("append").partitionBy("__batch_id").parquet(d2))
+    rows2 = _dir_rows(spark, d2)
+    import pathlib
+    shutil.copytree(pathlib.Path(d2) / "__batch_id=0",
+                    pathlib.Path(d2) / "__batch_id=-9")  # claims watermark 7
+    st = compact_index_dir(spark, d2, keep_latest=1)
+    assert st["compacted"] and st["batches_folded"] == 2
+    assert _part_names(d2) == ["__batch_id=-3", "__batch_id=2"]
+    assert _dir_rows(spark, d2) == rows2  # nothing lost to the fake watermark
+    assert (pathlib.Path(d2) / "__batch_id=-3" / "_VS_COMPLETE").exists()
+
     # tiny target bytes: consolidated output splits into several files,
     # rows still identical (fold the consolidated part with new batches)
     for b in (3, 4):

@@ -513,6 +513,7 @@ def stream_cardinality(spark, sketch_dir: str, sketch_group: str = "source"):
 # state-dir compaction (the small-file valve for per-batch index partitions)
 # ---------------------------------------------------------------------------
 _TMP_DIR = "_compact_tmp"
+_DONE_MARK = "_VS_COMPLETE"
 
 
 class _Fs:
@@ -568,6 +569,12 @@ class _Fs:
         else:
             if not self.fs.rename(self._p(src), self._p(dst)):
                 raise IOError(f"rename {src} -> {dst} failed under {self.base}")
+
+    def mkdir(self, name) -> None:
+        if self.local:
+            self.local.makedirs(self._p(name), exist_ok=True)
+        else:
+            self.fs.mkdirs(self._p(name))
 
     def size_of(self, name) -> int:
         if self.local:
@@ -627,7 +634,13 @@ def compact_index_dir(spark, index_dir: str, keep_latest: int = 1,
     written to an underscore-prefixed temp dir (invisible to Spark
     readers), installed with ONE rename, and only then are the folded
     sources (and the previous consolidated partition, whose rows were
-    re-read into the new one) deleted.  Every call starts by HEALING:
+    re-read into the new one) deleted.  The single-rename install is
+    atomic on HDFS-like filesystems and the local FS; on object stores
+    (s3a://) "rename" is a per-file copy+delete, so the install is not
+    atomic there — the heal pass still converges a cut-short install
+    (tmp is complete before any rename starts, and sources are deleted
+    last), but prefer an HDFS-like store or run compaction only from
+    the serialized ``compact_every=`` hook on object stores.  Every call starts by HEALING:
     a stale temp dir is dropped (its content, if any, was never
     installed — sources are still intact), and any partition at or
     below the newest consolidated partition's watermark is deleted
@@ -654,6 +667,22 @@ def compact_index_dir(spark, index_dir: str, keep_latest: int = 1,
     entries = fs.listdir()
     neg = sorted(pid for pid in (_part_id(e) for e in entries)
                  if pid is not None and pid < 0)
+    # a consolidated partition without the install-complete marker is a
+    # PARTIAL install (only possible where "rename" is per-file
+    # copy+delete, i.e. object stores): its sources were never deleted
+    # (deletion happens after the marker), so the partial copy is the
+    # disposable side — drop it and, crucially, do NOT honor its
+    # watermark, which would delete sources an incomplete copy can't
+    # replace
+    swept_partial = False
+    for pid in list(neg):
+        part = f"__batch_id={pid}"
+        if not fs.exists(f"{part}/{_DONE_MARK}"):
+            fs.delete(part)
+            neg.remove(pid)
+            swept_partial = True
+    if swept_partial:
+        entries = fs.listdir()
     if neg:
         newest, watermark = neg[0], -neg[0] - 2
         for e in entries:
@@ -702,6 +731,10 @@ def compact_index_dir(spark, index_dir: str, keep_latest: int = 1,
 
     # -- install (one rename), then delete what it superseded ----------------
     fs.rename(_TMP_DIR, new_part)
+    # install-complete marker (an underscore dir — invisible to Spark
+    # readers): written only after the rename finished, checked by the
+    # heal pass, deleted-sources only after it exists
+    fs.mkdir(f"{new_part}/{_DONE_MARK}")
     for p in src_parts:
         fs.delete(p)
     stats.update(compacted=True, batches_folded=len(sources),
