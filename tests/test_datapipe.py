@@ -3211,6 +3211,15 @@ def test_curate_stream_compaction_screens_bit_identical(spark, tmp_path):
     for b in range(2, 5):
         batches.append(mk(range(b * 100, b * 100 + 4), rng.normal(size=(4, 8)),
                           ["batch %d original text %d" % (b, i) for i in range(4)]))
+    # plant cross-batch FUZZY and WINNOW dups into batch 2: id 250 lifts
+    # batch 0's full 8-word text (winnow guarantee k+window-1 = 8) inside
+    # novel padding (low shingle-jaccard, winnow-only hit); id 251 is
+    # batch 0's text plus one word (shingle-jaccard 0.8, fuzzy hit)
+    batches[2] = pd.concat([batches[2], mk(
+        [250, 251], rng.normal(size=(2, 8)),
+        ["unrelated preface alpha beta gamma delta " + texts1[0]
+         + " epsilon zeta eta theta closing words here",
+         texts1[1] + " appended"])], ignore_index=True)
 
     def run(root, compact_every, ckpt_snapshot_before=None):
         src = root / "src"
@@ -3219,6 +3228,9 @@ def test_curate_stream_compaction_screens_bit_identical(spark, tmp_path):
                       vector_index_dir=str(root / "vidx"),
                       vector_threshold=0.999,
                       vector_params=dict(bits=3, n_tables=4, seed=7),
+                      fuzzy_lsh_dir=str(root / "lsh"), fuzzy_threshold=0.4,
+                      winnow_index_dir=str(root / "widx"),
+                      winnow_min_shared=1,
                       sketch_dir=str(root / "sketch"),
                       checkpoint=str(root / "ckpt"),
                       min_quality=None, repetition_filter=False, dedup=None,
@@ -3242,9 +3254,12 @@ def test_curate_stream_compaction_screens_bit_identical(spark, tmp_path):
     # the screens dropped the planted dups in BOTH runs
     assert [i for i in ids if i < 100] == list(range(12))
     assert [i for i in ids if 100 <= i < 200] == list(range(108, 112))
+    # the planted cross-batch fuzzy (251) and winnow (250) dups dropped
+    # in both runs; batch 2's originals kept
+    assert [i for i in ids if 200 <= i < 300] == list(range(200, 204))
     # compaction actually happened: a negative consolidated partition
     # in every state dir, and the per-batch partitions it folded are gone
-    for d in ("state", "vidx", "out", "sketch"):
+    for d in ("state", "vidx", "out", "sketch", "lsh", "widx"):
         parts = _part_names(str(tmp_path / "comp" / d))
         assert any(p.startswith("__batch_id=-") for p in parts), (d, parts)
         assert len(parts) <= 3, (d, parts)
