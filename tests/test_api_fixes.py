@@ -605,3 +605,32 @@ def test_ansi_on_degenerate_division_parity(spark):
     # zero-norm corpus row pairs with nothing, query 9 ranks null-cos
     assert not any(1 in p[:2] for p in off["nd_auto"])
     assert all(r[2] is None for r in off["topk"] if r[0] == 9)
+
+
+def test_non_utc_session_warns_once(spark):
+    """A foreign session with a non-UTC timezone SILENTLY shifts every
+    datetime accessor/truncation/window — same foreign-session class as
+    the ANSI warning, but with no error to catch, so the once-per-
+    session warning is the only net."""
+    import warnings
+
+    import vaex_spark as vs
+    from vaex_spark import dataframe as dfm
+    prev = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        dfm._ANSI_WARNED.clear()
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            vs.DataFrame(spark.createDataFrame([(1,)], "x int"))
+            vs.DataFrame(spark.createDataFrame([(2,)], "x int"))
+        hits = [x for x in w if "timeZone" in str(x.message)]
+        assert len(hits) == 1
+        assert "America/New_York" in str(hits[0].message)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+        dfm._ANSI_WARNED.clear()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        vs.DataFrame(spark.createDataFrame([(3,)], "x int"))
+    assert not [x for x in w if "timeZone" in str(x.message)]

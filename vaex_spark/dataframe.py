@@ -72,6 +72,20 @@ def _warn_if_ansi(sdf: SparkDataFrame) -> None:
                 "and invalid casts will raise instead of wrapping/"
                 "nulling.  Use vaex_spark.get_session() or set the "
                 "conf before wrapping frames.", stacklevel=3)
+        tz = spark.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            # same foreign-session class as ANSI, but SILENT: datetime
+            # accessors (hour/day/truncation/windows) read timestamps
+            # in the session zone, so a non-UTC session shifts every
+            # derived value without any error to catch
+            import warnings
+            warnings.warn(
+                f"vaex_spark datetime semantics assume spark.sql."
+                f"session.timeZone=UTC; this session uses {tz!r}, so "
+                f"hour/day accessors, date truncation, and time "
+                f"windows will be computed in that zone.  Use "
+                f"vaex_spark.get_session() or set the conf before "
+                f"wrapping frames.", stacklevel=3)
     except Exception:  # pragma: no cover - conf surface unavailable
         pass
 
