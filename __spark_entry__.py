@@ -3339,6 +3339,62 @@ ORDER BY id_a, id_b
 # ===========================================================================
 # registry
 # ===========================================================================
+def _q103_first_last(spark, sf_dir):
+    """first/last aggregates with an explicit order expression (SURVEY
+    §2.5, previously pytest-only): vaex agg.first/last(order_expression=)
+    compile to min_by/max_by — the deterministic form (F.first is
+    partition-order-dependent; reference agg.py first/last).  The order
+    key o_orderkey is unique, so the result is engine-independent."""
+    from vaex_spark import agg as vagg
+    df = _t(spark, sf_dir, "orders")
+    return df.groupby("o_orderpriority", agg={
+        "first_price": vagg.first("o_totalprice", "o_orderkey"),
+        "last_price": vagg.last("o_totalprice", "o_orderkey"),
+        "n": vagg.count()}, sort=True).spark
+
+
+_Q103_SQL = """
+SELECT o_orderpriority,
+       arg_min(o_totalprice, o_orderkey) AS first_price,
+       arg_max(o_totalprice, o_orderkey) AS last_price,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def _q104_error_propagation(spark, sf_dir):
+    """propagate_uncertainties (SURVEY §2.3, previously pytest-only):
+    the symbolic-Jacobian engine (reference dataframe.py:3650 +
+    expression derivatives) on disc_price = l_extendedprice *
+    (1 - l_discount) with the reference's e_<col> uncertainty naming;
+    the oracle replays the HAND-DERIVED closed form
+    sqrt(((1-d)*sx)^2 + (x*sd)^2) — certifying the derivative engine
+    against hand math on 60k real rows, not just the unit fixture."""
+    df = _t(spark, sf_dir, "lineitem")
+    df["e_l_extendedprice"] = df.l_extendedprice * 0.01
+    df["e_l_discount"] = df.l_discount * 0.0 + 0.005
+    df["disc_price"] = df.l_extendedprice * (1 - df.l_discount)
+    df.propagate_uncertainties([df["disc_price"]])
+    sub = df[["l_orderkey", "l_linenumber", "disc_price",
+              "disc_price_uncertainty"]]
+    return sub.spark.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("disc_price"), 6).alias("disc_price"),
+        F.round(F.col("disc_price_uncertainty"), 6)
+        .alias("disc_price_uncertainty"))
+
+
+_Q104_SQL = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount), 6) AS disc_price,
+       ROUND(SQRT(POW((1 - l_discount) * (l_extendedprice * 0.01), 2)
+                  + POW(l_extendedprice * 0.005, 2)), 6)
+           AS disc_price_uncertainty
+FROM lineitem
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3443,6 +3499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_embedding_against_corpus": _q100_embedding_against_corpus,
         "q101_ivf_indexed_topk": _q101_ivf_indexed_topk,
         "q102_vector_screen_indexed": _q102_vector_screen_indexed,
+        "q103_first_last": _q103_first_last,
+        "q104_error_propagation": _q104_error_propagation,
     }
 
 
@@ -3552,4 +3610,6 @@ def oracle_sql() -> dict[str, str]:
         # the packed vector index but the screen's OUTPUT is
         # contract-identical
         "q102_vector_screen_indexed": _Q100_SQL,
+        "q103_first_last": _Q103_SQL,
+        "q104_error_propagation": _Q104_SQL,
     }
