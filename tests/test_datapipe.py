@@ -3369,8 +3369,11 @@ def test_suggest_winnow_params_closed_form():
     dense = suggest_winnow_params(6, 5)
     assert dense["window"] == 2
     assert dense["expected_fps_per_gram"] > p["expected_fps_per_gram"]
-    # t == k: every gram fingerprinted (window 1, density ~1)
-    assert suggest_winnow_params(5, 5)["window"] == 1
+    # t == k: every gram fingerprinted (window 1, density EXACTLY 1 —
+    # the boundary excess never pushes a density above 1 fp/gram)
+    exact = suggest_winnow_params(5, 5)
+    assert exact["window"] == 1
+    assert exact["expected_fps_per_gram"] == 1.0
     for bad in (dict(min_match_words=4, noise_words=5),
                 dict(min_match_words=8, noise_words=0),
                 dict(min_match_words=8, noise_words=5, words_per_doc=0),

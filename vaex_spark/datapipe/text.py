@@ -470,7 +470,10 @@ def suggest_winnow_params(min_match_words: int, noise_words: int = 5,
             "guarantee threshold cannot sit below the noise floor")
     window = t - k + 1
     boundary = 1.022  # measured window-start excess, winnow_1m probe
-    density = 2.0 / (window + 1) * boundary
+    # cap at 1.0: at window=1 every gram is its own window minimum, so
+    # density is exactly 1 fp/gram — the boundary excess only applies
+    # where winnowing actually thins (window >= 2)
+    density = min(1.0, 2.0 / (window + 1) * boundary)
     out = {"k": k, "window": window, "guarantee_words": window + k - 1,
            "expected_fps_per_gram": round(density, 4)}
     if words_per_doc is not None:
