@@ -3374,6 +3374,9 @@ def test_suggest_winnow_params_closed_form():
     exact = suggest_winnow_params(5, 5)
     assert exact["window"] == 1
     assert exact["expected_fps_per_gram"] == 1.0
+    # docs shorter than k words carry no grams -> zero predicted rows
+    tiny = suggest_winnow_params(8, 5, n_docs=100, words_per_doc=3)
+    assert tiny["expected_fps_per_doc"] == 0 == tiny["expected_index_rows"]
     for bad in (dict(min_match_words=4, noise_words=5),
                 dict(min_match_words=8, noise_words=0),
                 dict(min_match_words=8, noise_words=5, words_per_doc=0),

@@ -479,7 +479,8 @@ def suggest_winnow_params(min_match_words: int, noise_words: int = 5,
     if words_per_doc is not None:
         if int(words_per_doc) < 1:
             raise ValueError(f"words_per_doc must be >= 1, got {words_per_doc}")
-        grams = max(1, int(words_per_doc) - k + 1)
+        # a doc shorter than k words has NO k-grams and no fingerprints
+        grams = max(0, int(words_per_doc) - k + 1)
         out["expected_fps_per_doc"] = round(density * grams, 2)
         if n_docs is not None:
             if int(n_docs) < 1:
