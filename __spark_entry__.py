@@ -3395,6 +3395,39 @@ FROM lineitem
 """
 
 
+def _q105_where_clip_digitize(spark, sf_dir):
+    """where / clip / digitize / searchsorted (SURVEY §2.8, previously
+    pytest-only): the numpy-semantics scalar family as codegen Column
+    chains — digitize is a literal-edge CASE accumulation (no UDF),
+    clip a greatest/least pair, where a when/otherwise — grouped so the
+    oracle certifies every bucket boundary exactly."""
+    df = _t(spark, sf_dir, "lineitem")
+    df["q_bucket"] = df["digitize(l_quantity, [10.0, 25.0, 40.0])"]
+    df["q_bucket_r"] = df["searchsorted([10.0, 25.0, 40.0], l_quantity, side='right')"]
+    df["d_clip"] = df.l_discount.clip(0.02, 0.08)
+    df["tax_flag"] = df["where(l_tax > 0.04, 'high', 'low')"]
+    return df.groupby(["q_bucket", "q_bucket_r", "tax_flag"], agg={
+        "n": F.count(F.lit(1)),
+        "sum_clip": F.round(F.sum(F.col("d_clip").cast("decimal(25,6)"))
+                            .cast("double"), 6)}, sort=True).spark
+
+
+_Q105_SQL = """
+SELECT (CASE WHEN l_quantity >= 10.0 THEN 1 ELSE 0 END
+      + CASE WHEN l_quantity >= 25.0 THEN 1 ELSE 0 END
+      + CASE WHEN l_quantity >= 40.0 THEN 1 ELSE 0 END) AS q_bucket,
+       (CASE WHEN l_quantity > 10.0 THEN 1 ELSE 0 END
+      + CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END
+      + CASE WHEN l_quantity > 40.0 THEN 1 ELSE 0 END) AS q_bucket_r,
+       CASE WHEN l_tax > 0.04 THEN 'high' ELSE 'low' END AS tax_flag,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(l_discount, 0.02), 0.08)
+                           AS DECIMAL(25,6))) AS DOUBLE), 6) AS sum_clip
+FROM lineitem
+GROUP BY 1, 2, 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3501,6 +3534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_vector_screen_indexed": _q102_vector_screen_indexed,
         "q103_first_last": _q103_first_last,
         "q104_error_propagation": _q104_error_propagation,
+        "q105_where_clip_digitize": _q105_where_clip_digitize,
     }
 
 
@@ -3612,4 +3646,5 @@ def oracle_sql() -> dict[str, str]:
         "q102_vector_screen_indexed": _Q100_SQL,
         "q103_first_last": _Q103_SQL,
         "q104_error_propagation": _Q104_SQL,
+        "q105_where_clip_digitize": _Q105_SQL,
     }
