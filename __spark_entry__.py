@@ -3428,6 +3428,38 @@ GROUP BY 1, 2, 3
 """
 
 
+def _q106_map_astype_algebra(spark, sf_dir):
+    """map / astype / aggregate-descriptor algebra (SURVEY §2.8 + §2.5,
+    previously pytest-only): the dict mapper compiles to a chained CASE,
+    astype(double -> int) keeps numpy TRUNCATION semantics (DuckDB's
+    CAST rounds, so the oracle spells TRUNC explicitly), and the
+    descriptor quotient sum/count exercises the agg-algebra division —
+    the r11 try_divide path — against plain SQL.  Division of exact
+    integer sums is bit-identical across engines."""
+    from vaex_spark import agg as vagg
+    df = _t(spark, sf_dir, "lineitem")
+    df["flag_name"] = df["l_returnflag"].map(
+        {"A": "acked", "N": "new", "R": "returned"}, default_value="other")
+    df["price_k"] = (df.l_extendedprice / 1000.0).astype("int")
+    df["q_long"] = df.l_quantity.astype("long")
+    out = df.groupby(["flag_name", "price_k"], agg={
+        "n": vagg.count(),
+        "mean_qty": vagg.sum("q_long") / vagg.count()}, sort=True)
+    return out.spark.withColumn("mean_qty", F.round(F.col("mean_qty"), 9))
+
+
+_Q106_SQL = """
+SELECT CASE l_returnflag WHEN 'A' THEN 'acked' WHEN 'N' THEN 'new'
+            WHEN 'R' THEN 'returned' ELSE 'other' END AS flag_name,
+       CAST(TRUNC(l_extendedprice / 1000.0) AS INTEGER) AS price_k,
+       COUNT(*) AS n,
+       ROUND(SUM(CAST(TRUNC(l_quantity) AS BIGINT)) / COUNT(*), 9)
+           AS mean_qty
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3535,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_first_last": _q103_first_last,
         "q104_error_propagation": _q104_error_propagation,
         "q105_where_clip_digitize": _q105_where_clip_digitize,
+        "q106_map_astype_algebra": _q106_map_astype_algebra,
     }
 
 
@@ -3647,4 +3680,5 @@ def oracle_sql() -> dict[str, str]:
         "q103_first_last": _Q103_SQL,
         "q104_error_propagation": _Q104_SQL,
         "q105_where_clip_digitize": _Q105_SQL,
+        "q106_map_astype_algebra": _Q106_SQL,
     }
