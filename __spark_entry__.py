@@ -3460,6 +3460,34 @@ GROUP BY 1, 2
 """
 
 
+def _q107_error_propagation_corr(spark, sf_dir):
+    """propagate_uncertainties, CORRELATED branch (reference
+    dataframe.py:3598 naming conventions): a <x>_<y>_correlation column
+    adds the 2·rho·(df/dx·sx)·(df/dy·sy) cross term; the oracle replays
+    the hand-derived closed form, certifying the covariance-guess +
+    cross-term algebra on real rows (the unit fixture is 1 row)."""
+    df = _t(spark, sf_dir, "lineitem")
+    df["e_l_extendedprice"] = df.l_extendedprice * 0.01
+    df["e_l_discount"] = df.l_discount * 0.0 + 0.005
+    df["l_extendedprice_l_discount_correlation"] = df.l_discount * 0.0 + 0.3
+    df["disc_price"] = df.l_extendedprice * (1 - df.l_discount)
+    df.propagate_uncertainties([df["disc_price"]])
+    sub = df[["l_orderkey", "l_linenumber", "disc_price_uncertainty"]]
+    return sub.spark.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("disc_price_uncertainty"), 6).alias("u_corr"))
+
+
+_Q107_SQL = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(SQRT(POW((1 - l_discount) * (l_extendedprice * 0.01), 2)
+                  + POW(l_extendedprice * 0.005, 2)
+                  + 2 * 0.3 * ((1 - l_discount) * (l_extendedprice * 0.01))
+                        * ((-l_extendedprice) * 0.005)), 6) AS u_corr
+FROM lineitem
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3568,6 +3596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_error_propagation": _q104_error_propagation,
         "q105_where_clip_digitize": _q105_where_clip_digitize,
         "q106_map_astype_algebra": _q106_map_astype_algebra,
+        "q107_error_propagation_corr": _q107_error_propagation_corr,
     }
 
 
@@ -3681,4 +3710,5 @@ def oracle_sql() -> dict[str, str]:
         "q104_error_propagation": _Q104_SQL,
         "q105_where_clip_digitize": _Q105_SQL,
         "q106_map_astype_algebra": _Q106_SQL,
+        "q107_error_propagation_corr": _Q107_SQL,
     }
