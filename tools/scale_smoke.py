@@ -34,8 +34,18 @@ SF_DIR = "/root/testdata/sf0.1"
 
 
 def _spark():
+    import os
+
     import vaex_spark as vs
-    return vs.get_session(app_name="scale_smoke")
+    spark = vs.get_session(app_name="scale_smoke")
+    if os.environ.get("VS_ANSI"):
+        # drive the probes on an ANSI-ON session (the Spark 4 foreign-
+        # session default): the r11 contract says every probe invariant
+        # must hold identically — a degenerate row must never become a
+        # mid-job DIVIDE_BY_ZERO at volume
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        print("# ansi conf: spark.sql.ansi.enabled=true")
+    return spark
 
 
 def build(spark):
@@ -1609,9 +1619,9 @@ PROBES = {"build": build, "skewed_groupby": skewed_groupby,
 
 
 def main():
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    args = sys.argv[1:] or ["all"]
     spark = _spark()
-    names = list(PROBES) if which == "all" else [which]
+    names = list(PROBES) if args == ["all"] else args
     for name in names:
         print(f"== {name}")
         PROBES[name](spark)
