@@ -3400,10 +3400,14 @@ def _q105_where_clip_digitize(spark, sf_dir):
     pytest-only): the numpy-semantics scalar family as codegen Column
     chains — digitize is a literal-edge CASE accumulation (no UDF),
     clip a greatest/least pair, where a when/otherwise — grouped so the
-    oracle certifies every bucket boundary exactly."""
+    oracle certifies every bucket boundary exactly.  q_bucket counts
+    edges <= x (digitize right=False / searchsorted side='right');
+    q_bucket_r counts edges < x (searchsorted side='left', strict '>'
+    in the oracle) — genuinely distinct at x==edge rows (r11 ADVICE:
+    an earlier inverted registry mapping made side='right' strict)."""
     df = _t(spark, sf_dir, "lineitem")
     df["q_bucket"] = df["digitize(l_quantity, [10.0, 25.0, 40.0])"]
-    df["q_bucket_r"] = df["searchsorted([10.0, 25.0, 40.0], l_quantity, side='right')"]
+    df["q_bucket_r"] = df["searchsorted([10.0, 25.0, 40.0], l_quantity, side='left')"]
     df["d_clip"] = df.l_discount.clip(0.02, 0.08)
     df["tax_flag"] = df["where(l_tax > 0.04, 'high', 'low')"]
     return df.groupby(["q_bucket", "q_bucket_r", "tax_flag"], agg={

@@ -145,6 +145,29 @@ def test_searchsorted_numpy_parity(spark):
         assert got == want, (side, got, want)
 
 
+def test_searchsorted_string_path_numpy_parity(spark):
+    """The registry/string-expression path must agree with numpy AND
+    with Expression.searchsorted (r11 ADVICE: the registry had both
+    sides swapped; the x==edge rows are the discriminating inputs)."""
+    import numpy as np
+    import vaex_spark as vs
+    bins = [10.0, 25.0, 40.0]
+    vals = [5.0, 10.0, 25.0, 40.0, 41.0]
+    df = vs.from_arrays(x=vals, spark=spark)
+    for side in ("left", "right"):
+        df[f"s_{side}"] = df[f"searchsorted([10.0, 25.0, 40.0], x, side='{side}')"]
+        df[f"m_{side}"] = df.x.searchsorted(bins, side=side)
+        rows = df.spark.select(f"s_{side}", f"m_{side}").collect()
+        got_str = [r[f"s_{side}"] for r in rows]
+        got_meth = [r[f"m_{side}"] for r in rows]
+        want = np.searchsorted(bins, vals, side=side).tolist()
+        assert got_str == want, (side, got_str, want)
+        assert got_meth == want, (side, got_meth, want)
+    import pytest
+    with pytest.raises(ValueError):
+        df["bad"] = df["searchsorted([1.0], x, side='middle')"]
+
+
 def test_expression_conversion_parity(spark):
     import numpy as np
     import vaex_spark as vs

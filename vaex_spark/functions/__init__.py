@@ -153,7 +153,13 @@ def digitize(x, bins, right=False):
 
 @register_function()
 def searchsorted(a_edges, v, side="left"):
-    return digitize(v, list(a_edges), right=(side == "right"))
+    """numpy.searchsorted: insertion index = count of edges < v
+    ('left') or <= v ('right').  digitize(right=True) counts strict <,
+    digitize(right=False) counts <=, so side='left' maps to right=True
+    (r11 ADVICE: the mapping was inverted)."""
+    if side not in ("left", "right"):
+        raise ValueError(f"side={side!r} (expected 'left' or 'right')")
+    return digitize(v, list(a_edges), right=(side == "left"))
 
 
 @register_function()

@@ -376,7 +376,11 @@ def curate_stream(stream_df, out_dir: str, state_dir: str, checkpoint: str,
                 and int(batch_id) % int(compact_every) == 0:
             for d in (out_dir, state_dir, fuzzy_lsh_dir, winnow_index_dir,
                       vector_index_dir, sketch_dir):
-                if d is not None and os.path.isdir(d):
+                # existence probed through _Fs, not os.path.isdir —
+                # hdfs://s3a state dirs are real paths the local check
+                # can never see (r11 ADVICE); an empty listing means
+                # never-written, and compaction would be a no-op anyway
+                if d is not None and _Fs(bdf.sparkSession, d).listdir():
                     compact_index_dir(bdf.sparkSession, d)
         curated = curate(VDF(bdf), text_col=text_col, id_col=id_col, **curate_kw)
         csdf = curated._spark_df()
