@@ -12,7 +12,7 @@ similarity search, text analysis, multimodal plumbing).
 
 from . import agg  # noqa: F401
 from . import ml  # noqa: F401
-from .dataframe import DataFrame  # noqa: F401
+from .dataframe import DataFrame, set_ansi_policy  # noqa: F401
 from .expression import Expression  # noqa: F401
 from . import cache  # noqa: F401
 from . import memory  # noqa: F401
