@@ -304,6 +304,50 @@ def test_isin_all_none_large_list(spark):
     assert flt.count() == 0
 
 
+def test_isin_large_lazy_scale_paths(spark):
+    """r12: a large isin builds NO array literal eagerly (F.lit on a
+    1M-element list is minutes of per-element py4j — caught by the 1e7
+    scale probe).  The three scale paths compile to broadcast joins:
+    filter (semi-join), .sum() (semi-join count), virtual column
+    (flag join with the array_contains null contract); only genuine
+    column algebra materializes the literal, with a warning, via one
+    JSON transfer."""
+    import warnings
+
+    import vaex_spark as vs
+    vals = list(range(0, 40_000, 2))
+    df = vs.from_arrays(k=list(range(2000)) + [None], spark=spark)
+
+    # .sum(): semi-join count, no literal
+    e = df.k.isin(vals)
+    assert e._col is None
+    assert e.sum() == 1000
+    assert e._col is None  # still never materialized
+
+    # virtual column: flag join; nulls follow array_contains semantics
+    df["flag"] = df.k.isin(vals)
+    rows = {r["k"]: r["flag"] for r in df.spark.select("k", "flag").collect()}
+    assert rows[0] is True and rows[2] is True
+    assert rows[1] is False and rows[1999] is False
+    assert rows[None] is None
+    assert df.spark.filter(F.col("flag")).count() == 1000
+    plan = df.spark._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    # value set containing None: non-member -> null, member -> true
+    df["flag2"] = df.k.isin(vals + [None])
+    rows2 = {r["k"]: r["flag2"] for r in df.spark.select("k", "flag2").collect()}
+    assert rows2[0] is True and rows2[1] is None and rows2[None] is None
+
+    # column algebra: materializes (warned) and agrees with the joins
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        comp = df[df.k.isin(vals) & (df.k >= 0)]
+        n = comp.count()
+    assert n == 1000
+    assert any("COLUMN" in str(x.message) for x in w)
+
+
 def test_isin_rewrite_preserves_projection_and_renames(spark):
     """The large-set semi-join rewrite must keep _Projected narrowing and
     rename state."""

@@ -1591,7 +1591,125 @@ def compaction_volume(spark):
           f"results bit-identical (1000 lifted flagged, 1000 novel kept)")
 
 
+def stream_soak(spark):
+    """Round-12 probe (r11 verdict task 3): a 110-batch curate_stream
+    soak with compact_every=10 (~11 folds per state dir), planted dups
+    STRADDLING fold boundaries — each batch b >= 16 carries an exact
+    dup of a doc from batch b-15 (long since folded into the
+    consolidated partition) and from batch b-2 (still a fresh per-batch
+    partition), a fuzzy near-dup and a vector dup of b-15 docs — plus a
+    genuine checkpoint kill/restart ACROSS a fold boundary (snapshot
+    before batch 100, replay after the soak).  Invariants: emissions
+    equal the closed form (every novel id, zero planted ids), state
+    dirs stay at O(compact_every) partitions instead of O(batches),
+    and the replay is idempotent."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from vaex_spark import streaming as st
+
+    root = f"{SCALE_DIR}/stream_soak"
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/src"
+    os.makedirs(src)
+    rng = np.random.RandomState(12)
+    n_batches, novel_per_batch, dim = 110, 60, 8
+
+    def novel_text(b, i):
+        # every token is unique to (b, i): no accidental shared k-grams
+        return " ".join(f"b{b:03d}i{i:03d}w{j:02d}" for j in range(30))
+
+    texts = {}     # (b, i) -> text
+    vecs = {}      # (b, i) -> embedding
+    expected = []  # novel doc ids that must all be emitted
+
+    def make_batch(b):
+        ids, txts, embs = [], [], []
+        for i in range(novel_per_batch):
+            doc_id = b * 1000 + i
+            texts[(b, i)] = novel_text(b, i)
+            vecs[(b, i)] = rng.normal(size=dim).tolist()
+            ids.append(doc_id)
+            txts.append(texts[(b, i)])
+            embs.append(vecs[(b, i)])
+            expected.append(doc_id)
+        if b >= 16:
+            far, near = b - 15, b - 2     # straddle the fold boundary
+            plants = [
+                (b * 1000 + 900, texts[(far, 0)], rng.normal(size=dim)),
+                (b * 1000 + 901, texts[(near, 1)], rng.normal(size=dim)),
+                (b * 1000 + 902, texts[(far, 2)] + " extrawordplant",
+                 rng.normal(size=dim)),                      # fuzzy
+                (b * 1000 + 903,
+                 " ".join(f"v{b:03d}n{j:02d}" for j in range(30)),
+                 vecs[(far, 3)]),                            # vector
+            ]
+            for pid, ptxt, pvec in plants:
+                ids.append(pid)
+                txts.append(ptxt)
+                embs.append(list(map(float, pvec)))
+        return pd.DataFrame({"doc_id": ids, "text": txts,
+                             "source": ["web"] * len(ids),
+                             "embedding": embs})
+
+    common = dict(out_dir=f"{root}/out", state_dir=f"{root}/state",
+                  vector_index_dir=f"{root}/vidx", vector_threshold=0.999,
+                  vector_params=dict(bits=3, n_tables=4, seed=7),
+                  fuzzy_lsh_dir=f"{root}/lsh", fuzzy_threshold=0.4,
+                  winnow_index_dir=f"{root}/widx", winnow_min_shared=1,
+                  sketch_dir=f"{root}/sketch", checkpoint=f"{root}/ckpt",
+                  min_quality=None, repetition_filter=False, dedup=None,
+                  compact_every=10)
+    def emitted():
+        return sorted(r["doc_id"] for r in
+                      spark.read.parquet(common["out_dir"])
+                      .select("doc_id").collect())
+
+    t0 = time.time()
+    for b in range(n_batches):
+        if b == 100:   # snapshot BEFORE the fold-boundary batch
+            shutil.copytree(common["checkpoint"], f"{root}/ckpt_snap")
+        make_batch(b).to_parquet(f"{src}/b{b:04d}.parquet")
+        st.curate_stream(st.open_stream(src, spark=spark), **common)
+        if b == 100:
+            # genuine crash at the fold boundary: batch 100 (whose top-
+            # of-batch compaction just folded ~10 partitions) is the
+            # IN-FLIGHT batch — restore the checkpoint and replay it
+            # against state dirs that already hold its artifacts and
+            # the fresh fold; keep_latest spares its partitions, so the
+            # replay must be idempotent
+            before_replay = emitted()
+            shutil.rmtree(common["checkpoint"])
+            shutil.copytree(f"{root}/ckpt_snap", common["checkpoint"])
+            st.curate_stream(st.open_stream(src, spark=spark), **common)
+            assert emitted() == before_replay, \
+                "in-flight replay at fold boundary not idempotent"
+    wall = time.time() - t0
+
+    got = emitted()
+    assert got == sorted(expected), (
+        f"emissions diverge: {len(got)} vs {len(expected)} expected; "
+        f"extra={sorted(set(got) - set(expected))[:10]} "
+        f"missing={sorted(set(expected) - set(got))[:10]}")
+    # state dirs: O(compact_every) partitions, not O(n_batches)
+    part_counts = {}
+    for dkey in ("out", "state", "vidx", "lsh", "widx", "sketch"):
+        parts = [e for e in os.listdir(f"{root}/{dkey}")
+                 if e.startswith("__batch_id=")]
+        part_counts[dkey] = len(parts)
+        assert any(p.startswith("__batch_id=-") for p in parts), (dkey, parts)
+        assert len(parts) <= 15, (dkey, len(parts))
+    n_dropped = sum(4 for b in range(16, n_batches))
+    print(f"stream_soak: {n_batches} batches x ~{novel_per_batch} docs in "
+          f"{wall:.0f}s ({wall / n_batches:.1f}s/batch), ~11 folds/dir, "
+          f"{len(got)} emitted, {n_dropped} planted dups straddling fold "
+          f"boundaries all dropped, partitions at end {part_counts}, "
+          f"in-flight replay at the batch-100 fold boundary idempotent")
+
+
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,
+          "stream_soak": stream_soak,
           "winnow_hot_fp": winnow_hot_fp,
           "winnow_incremental": winnow_incremental,
           "winnow_1m": winnow_1m,

@@ -172,10 +172,16 @@ class DataFrame:
     # ------------------------------------------------------------------
     def _spark_df(self, filtered: bool = True) -> SparkDataFrame:
         """Compile wrapper state into a Spark plan: base -> virtual
-        columns (in dependency order) -> filter."""
+        columns (in dependency order) -> filter.  A virtual column that
+        is a pure large-isin flag compiles to a broadcast flag-join
+        instead of an array-literal scan (r12 scale path)."""
         sdf = self._base
         for name, expr in self.virtual_columns.items():
-            sdf = sdf.withColumn(name, expr.col)
+            spec = getattr(expr, "_isin_spec", None)
+            if spec is not None and expr._col is None:
+                sdf = _isin_flag_join(self.session, sdf, name, spec)
+            else:
+                sdf = sdf.withColumn(name, expr.col)
         if filtered and self._filter is not None:
             sdf = sdf.filter(self._filter.col)
         return sdf
@@ -841,14 +847,12 @@ class DataFrame:
         # other algebraic use)
         spec = getattr(expression, "_isin_spec", None)
         if spec is not None and mode in ("and", "replace"):
-            target, vals = spec
+            target, vals = spec["target"], spec["vals"]
             non_null = [v for v in vals if v is not None]
             if non_null:
-                vtype = _infer_spark_type(non_null[0])
-                vdf = self.session.createDataFrame([(v,) for v in non_null],
-                                                   f"__isin_v {vtype}")
+                vdf = _isin_values_df(self.session, spec)
                 folded = self._spark_df(filtered=False)
-                joined = folded.join(F.broadcast(vdf.distinct()),
+                joined = folded.join(F.broadcast(vdf),
                                      on=target.col == F.col("__isin_v"), how="left_semi")
                 # _copy keeps _Projected narrowing, renames, units, and the
                 # existing filter; virtual columns are folded into the new
@@ -2622,6 +2626,43 @@ def _dropnan(c: Column | None) -> Column | None:
     if c is None:
         return c
     return F.when(_safe_isnan(c), F.lit(None)).otherwise(c)
+
+
+def _isin_values_df(session, spec) -> SparkDataFrame:
+    """Distinct one-column DataFrame of a large-isin value set, built
+    via Arrow (one batch transfer) and CACHED on the spec — repeated
+    _spark_df compilations must not rebuild a 1M-row frame."""
+    vdf = spec.get("vdf")
+    if vdf is None:
+        non_null = [v for v in spec["vals"] if v is not None]
+        try:
+            import pandas as pd
+            vdf = session.createDataFrame(
+                pd.DataFrame({"__isin_v": non_null})).distinct()
+        except Exception:  # exotic value types Arrow can't infer
+            vtype = _infer_spark_type(non_null[0])
+            vdf = session.createDataFrame(
+                [(v,) for v in non_null], f"__isin_v {vtype}").distinct()
+        spec["vdf"] = vdf
+    return vdf
+
+
+def _isin_flag_join(session, sdf: SparkDataFrame, name: str, spec) -> SparkDataFrame:
+    """Compile ``df[name] = col.isin(<large set>)`` as a broadcast LEFT
+    join + flag instead of a per-row array-literal scan, preserving the
+    array_contains null contract: member -> true, null input -> null,
+    non-member -> null if the value set contains None else false."""
+    target, vals = spec["target"], spec["vals"]
+    has_null = any(v is None for v in vals)
+    vdf = _isin_values_df(session, spec)
+    tcol = target.col
+    joined = sdf.join(F.broadcast(vdf), on=tcol == F.col("__isin_v"),
+                      how="left")
+    miss = F.lit(None).cast("boolean") if has_null else F.lit(False)
+    flag = (F.when(tcol.isNull(), F.lit(None).cast("boolean"))
+            .when(F.col("__isin_v").isNotNull(), F.lit(True))
+            .otherwise(miss))
+    return joined.withColumn(name, flag).drop("__isin_v")
 
 
 def _infer_spark_type(value) -> str:

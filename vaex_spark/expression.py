@@ -33,6 +33,42 @@ def _col(other: Any) -> Column | Any:
     return other
 
 
+def _materialize_isin_col(spec) -> Column:
+    """Column form of a large isin: array_contains over a literal built
+    from ONE JSON string transfer (from_json of a literal constant-folds
+    at optimization time), never per-element py4j.  Execution is a
+    per-row scan of the array — correct but not the scale path, hence
+    the warning; filter/virtual-column/sum uses never come here."""
+    import json
+    import warnings
+
+    target, vals = spec["target"], spec["vals"]
+    warnings.warn(
+        f"isin over {len(vals):,} values is being used as a raw COLUMN "
+        "expression (per-row array scan).  Use it as a filter, a "
+        "virtual column, or .sum() — those compile to a broadcast "
+        "semi-join.", stacklevel=4)
+    non_null = [v for v in vals if v is not None]
+    sample = non_null[0]
+    if isinstance(sample, bool):
+        t = "boolean"
+    elif isinstance(sample, int):
+        t = "bigint"
+    elif isinstance(sample, float):
+        t = "double"
+    elif isinstance(sample, str):
+        t = "string"
+    else:
+        t = None
+    if t is not None:
+        try:
+            arr = F.from_json(F.lit(json.dumps(vals)), f"array<{t}>")
+            return F.array_contains(arr, target.col)
+        except (TypeError, ValueError):  # non-JSON-serializable values
+            pass
+    return F.array_contains(F.lit(vals), target.col)
+
+
 class Expression:
     """A lazy column expression bound to a vaex_spark DataFrame.
 
@@ -40,21 +76,40 @@ class Expression:
     metaclass at :53-186) but builds Catalyst trees instead of strings.
     """
 
-    __slots__ = ("df", "col", "_sql", "_isin_spec")
+    __slots__ = ("df", "_col", "_sql", "_isin_spec")
 
-    def __init__(self, df, col: Column | str, sql: str | None = None):
+    def __init__(self, df, col: Column | str | None, sql: str | None = None):
         self.df = df
         self._isin_spec = None
         if isinstance(col, str):
             from . import expresso
             self._sql = col
-            self.col = expresso.compile_expression(col, df)
+            self._col = expresso.compile_expression(col, df)
         else:
-            self.col = col
+            self._col = col
             self._sql = sql
+
+    @property
+    def col(self) -> Column:
+        """The Catalyst column.  A large-isin expression is LAZY here:
+        the membership literal is only materialized when the expression
+        is genuinely used as a column — the filter/virtual-column/sum
+        paths rewrite to a broadcast semi-join instead and never pay
+        for it (r12: F.lit on a 1M-element list is minutes of py4j
+        element-wise transfer; the 1e7-row scale probe caught the
+        eager construction)."""
+        if self._col is None and self._isin_spec is not None:
+            self._col = _materialize_isin_col(self._isin_spec)
+        return self._col
+
+    @col.setter
+    def col(self, value: Column) -> None:
+        self._col = value
 
     # -- representation -------------------------------------------------
     def __repr__(self):
+        if self._col is None and self._isin_spec is not None:
+            return f"Expression(isin<{len(self._isin_spec['vals'])} values>)"
         return f"Expression({self.col!r})"
 
     def _wrap(self, col: Column) -> "Expression":
@@ -196,10 +251,15 @@ class Expression:
 
     def isin(self, values):
         """Membership test (expression.py:1194).  Small lists stay as a
-        literal IN (Catalyst hash set).  Large lists compile to a single
-        array-literal ``array_contains`` (compact plan node, not N
-        comparisons) AND carry a spec that ``DataFrame.filter`` rewrites
-        into a broadcast left-semi join — the SURVEY §2.4 scale mapping."""
+        literal IN (Catalyst hash set).  Large lists build NO column at
+        all here — they carry a spec that the scale paths consume:
+        ``DataFrame.filter`` and the virtual-column compiler rewrite to
+        a broadcast left-semi/flag join, ``Expression.sum`` to a
+        semi-join count (the SURVEY §2.4 mapping).  Only a genuinely
+        algebraic use (e.g. composing the flag with ``&``) materializes
+        the array-literal column, via ONE JSON string transfer instead
+        of per-element py4j (r12: the eager ``F.lit`` took minutes at
+        1M values — caught by the 1e7 scale probe)."""
         vals = list(values)
         if len(vals) <= self._ISIN_LITERAL_MAX:
             return self._wrap(self.col.isin(vals))
@@ -208,8 +268,8 @@ class Expression:
             # path); an all-None array literal would be untyped, so fold
             # straight to false
             return self._wrap(F.lit(False))
-        out = self._wrap(F.array_contains(F.lit(vals), self.col))
-        out._isin_spec = (self, vals)
+        out = Expression(self.df, None)
+        out._isin_spec = {"target": self, "vals": vals, "vdf": None}
         return out
 
     def fillna(self, value):
@@ -320,7 +380,13 @@ class Expression:
         return getattr(self.df, name)(self, **kwargs)
 
     def count(self, **kw): return self.df.count(self, **kw)
-    def sum(self, **kw): return self.df.sum(self, **kw)
+    def sum(self, **kw):
+        if self._isin_spec is not None and self._col is None and not kw:
+            # sum of membership flags == count of members: the broadcast
+            # semi-join count, never the array-literal column (the
+            # reference's own isin benchmark shape, isin.py:20-28)
+            return self.df.filter(self).count()
+        return self.df.sum(self, **kw)
     def mean(self, **kw): return self.df.mean(self, **kw)
     def std(self, **kw): return self.df.std(self, **kw)
     def var(self, **kw): return self.df.var(self, **kw)
