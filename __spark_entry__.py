@@ -3492,6 +3492,75 @@ FROM lineitem
 """
 
 
+def _q108_mutual_information(spark, sf_dir):
+    """mutual_information (SURVEY §2.5, previously pytest-only — r11
+    verdict task 5): MI of (l_quantity, l_discount) from the dense 8x8
+    count grid with FIXED literal limits, so the bin indices are the
+    same double arithmetic in both engines (floor(((x-lo)/(hi-lo))*8),
+    top edge inclusive, out-of-range dropped — mirroring
+    operators/binby.py bin_index_col exactly).  The driver-side numpy
+    KLD (grid -> pxy log(pxy/(px py))) is replayed by the oracle as a
+    binned CTE; engine-difference is summation order over <=64 cells,
+    absorbed by ROUND(9)."""
+    df = _t(spark, sf_dir, "lineitem")
+    mi = df.mutual_information("l_quantity", "l_discount", mi_shape=8,
+                               limits=[[1.0, 50.0], [0.0, 0.1]])
+    return (spark.createDataFrame([(float(mi),)], "mi double")
+            .select(F.round(F.col("mi"), 9).alias("mi")))
+
+
+_Q108_SQL = """
+WITH g AS (
+  SELECT CASE WHEN l_quantity = 50.0 THEN 7
+              ELSE CAST(FLOOR(((l_quantity - 1.0) / 49.0) * 8) AS BIGINT)
+         END AS bx,
+         CASE WHEN l_discount = 0.1 THEN 7
+              ELSE CAST(FLOOR(((l_discount - 0.0) / 0.1) * 8) AS BIGINT)
+         END AS by,
+         COUNT(*) AS c
+  FROM lineitem
+  GROUP BY 1, 2
+), f AS (
+  SELECT bx, by, CAST(c AS DOUBLE) AS c FROM g
+  WHERE bx BETWEEN 0 AND 7 AND by BETWEEN 0 AND 7
+), tot AS (SELECT SUM(c) AS t FROM f),
+px AS (SELECT bx, SUM(c) AS cx FROM f GROUP BY bx),
+py AS (SELECT by, SUM(c) AS cy FROM f GROUP BY by)
+SELECT ROUND(SUM((c / t) * LN((c / t) / ((cx / t) * (cy / t)))), 9) AS mi
+FROM f JOIN px USING (bx) JOIN py USING (by), tot
+"""
+
+
+def _q109_percentile_exact_mode(spark, sf_dir):
+    """percentile_exact / median / mode (SURVEY §2.5, previously
+    pytest-only — r11 verdict task 5): Spark's exact percentile and
+    DuckDB's quantile_cont share the lower+(upper-lower)*frac linear
+    interpolation on the sorted multiset; mode(l_linenumber) is
+    tie-free in TPC-H (count strictly decreases with line number).
+    ROUND(6) absorbs interpolation ulp."""
+    df = _t(spark, sf_dir, "lineitem")
+    vals = [float(df.percentile_exact("l_extendedprice", p))
+            for p in (25.0, 50.0, 75.0, 90.0)]
+    md = int(df.mode("l_linenumber"))
+    row = [(vals[0], vals[1], vals[2], vals[3], md)]
+    return (spark.createDataFrame(
+                row, "p25 double, p50 double, p75 double, p90 double, "
+                     "mode_ln int")
+            .select(*[F.round(F.col(c), 6).alias(c)
+                      for c in ("p25", "p50", "p75", "p90")],
+                    F.col("mode_ln")))
+
+
+_Q109_SQL = """
+SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.90), 6) AS p90,
+       CAST(mode(l_linenumber) AS INTEGER) AS mode_ln
+FROM lineitem
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3601,6 +3670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_where_clip_digitize": _q105_where_clip_digitize,
         "q106_map_astype_algebra": _q106_map_astype_algebra,
         "q107_error_propagation_corr": _q107_error_propagation_corr,
+        "q108_mutual_information": _q108_mutual_information,
+        "q109_percentile_exact_mode": _q109_percentile_exact_mode,
     }
 
 
@@ -3715,4 +3786,6 @@ def oracle_sql() -> dict[str, str]:
         "q105_where_clip_digitize": _Q105_SQL,
         "q106_map_astype_algebra": _Q106_SQL,
         "q107_error_propagation_corr": _Q107_SQL,
+        "q108_mutual_information": _Q108_SQL,
+        "q109_percentile_exact_mode": _Q109_SQL,
     }
