@@ -154,6 +154,14 @@ CASES = {
         "bucket keys — never a cartesian / nested-loop pair product.",
         [r"InMemoryTableScan", r"!CartesianProduct",
          r"!BroadcastNestedLoop"]),
+    "isin_large_flag": (
+        "r12: a >1024-value isin used as a virtual COLUMN compiles to "
+        "a broadcast flag join (never a per-row array-literal scan, "
+        "never the minutes-long per-element py4j literal transfer the "
+        "1e7 probe caught): BroadcastHashJoin LeftOuter on the Arrow-"
+        "built values frame.",
+        [r"BroadcastHashJoin .*LeftOuter", r"!CartesianProduct",
+         r"!array_contains"]),
 }
 
 
@@ -198,9 +206,20 @@ def _q44_blocked(spark, sf_dir):
         strategy="blocked")
 
 
+def _isin_large_flag(spark, sf_dir):
+    """A 2000-value isin assigned as a virtual column — the r12 lazy
+    flag-join path (plan must show a broadcast outer join, no
+    array_contains literal scan)."""
+    import vaex_spark as vs
+    df = vs.open(f"{sf_dir}/orders.parquet", spark=spark)
+    df["is_hot"] = df.o_custkey.isin(list(range(1, 4001, 2)))
+    return df.spark.select("o_orderkey", "is_hot")
+
+
 EXTRA_BUILDERS = {"q77_bloom_forced": _bloom_forced,
                   "q100_blocked_form": _q100_blocked,
-                  "q44_blocked_form": _q44_blocked}
+                  "q44_blocked_form": _q44_blocked,
+                  "isin_large_flag": _isin_large_flag}
 
 
 def main():
