@@ -698,3 +698,70 @@ def test_asof_auto_hot_key_detection(spark):
     # small frame at default advisory: no probe, per-key plan, same answer
     assert "__abkt" not in plan_of(hot_left)
     assert run(hot_left) == run(hot_left, split_hot_keys=False)
+
+
+def test_positional_pre_ranged_skips_range_exchange(spark):
+    """r12: positional (order_key=None) shift/diff ride the with_row_id
+    layout — partition p already holds the contiguous id range in local
+    order — so the plan must carry NO rangepartitioning exchange (one
+    data exchange instead of two), and values must equal pandas over
+    the construction order."""
+    import pandas as pd
+
+    import vaex_spark as vs
+    vals = [float((i * 7) % 101) for i in range(4096)]
+    df = vs.from_arrays(x=vals, spark=spark)
+    prev = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                          "64MB")
+    try:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "8KB")
+        out = df.diff(column="x").spark
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" not in plan.lower(), plan[:2000]
+        got = [r["x"] for r in out.collect()]
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       prev)
+    want = pd.Series(vals).diff().tolist()
+    import math
+    assert all((g is None and math.isnan(w)) or g == w
+               for g, w in zip(got, want))
+
+
+def test_positional_thin_interior_partition_falls_back(spark, tmp_path):
+    """r12: when the scan layout has an INTERIOR partition thinner than
+    the frame depth (small middle files — the case the range exchange
+    used to rebalance), the pre_ranged path must detect it from the
+    counts probe and FALL BACK to the classic exchange: no raise, exact
+    row/null invariants."""
+    import pandas as pd
+
+    import vaex_spark as vs
+    # file sizes 100/100/5/5: Spark orders splits by size desc, so the
+    # 5-row files land AFTER the 100-row ones — the first 5-row file is
+    # an interior partition thinner than the rolling depth below
+    for name, n in [("a", 100), ("b", 100), ("c", 5), ("d", 5)]:
+        pd.DataFrame({"x": [float(i) for i in range(n)]}).to_parquet(
+            tmp_path / f"{name}.parquet")
+    confs = {"spark.sql.files.maxPartitionBytes": "1KB",
+             "spark.sql.files.openCostInBytes": "0",
+             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB"}
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = vs.open(str(tmp_path), spark=spark)
+        sdf = df._spark_df()
+        assert sdf.rdd.getNumPartitions() >= 4  # one split per file
+        out = df.rolling(20, column="x").mean().spark
+        rows = out.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum(F.col("x").isNull().cast("long")).alias("k"),
+                       ).collect()[0]
+        assert rows["n"] == 210 and rows["k"] == 19, dict(rows.asDict())
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

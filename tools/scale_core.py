@@ -339,6 +339,15 @@ def shift_rolling(spark, ns):
                      _noop(df.diff(column="i8", order_key="i8").spark))
         s = d.agg(F.sum("i8").alias("s")).collect()[0]["s"]
         assert s == n - 1, s
+        # positional (order_key=None) twin: rides the with_row_id
+        # layout, r12 pre_ranged fast path — one data exchange, no
+        # repartitionByRange
+        shp, _ = _wall("shift_1_positional", lambda:
+                       _noop(df.shift(1, column="x").spark))
+        np_ = shp.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").isNull().cast("long")).alias("k")).collect()[0]
+        assert np_["n"] == n and np_["k"] == 1, dict(np_.asDict())
         w = 64
         r, _ = _wall(f"rolling_mean_w{w}", lambda:
                      _noop(df.rolling(w, column="i8",

@@ -123,7 +123,8 @@ def _partitioned_window(df, order_key, partition_by):
     return sdf, w
 
 
-def _exchange_window(sdf, order_cols, before: int, after: int):
+def _exchange_window(sdf, order_cols, before: int, after: int,
+                     pre_ranged: bool = False):
     """Global-order window without a single-task sort.
 
     1. ``repartitionByRange`` on the order key — a parallel total order
@@ -176,10 +177,26 @@ def _exchange_window(sdf, order_cols, before: int, after: int):
         aug = (sdf.withColumn(_PID, F.lit(0))
                .withColumn(_BORROWED, F.lit(False)))
         return aug, bounded_window(*order_cols)
-    ranged = (sdf.repartitionByRange(n, *order_cols) if n
-              else sdf.repartitionByRange(*order_cols))
-    part = (ranged
-            .sortWithinPartitions(*order_cols)
+    if pre_ranged:
+        # caller-guaranteed invariant (the with_row_id contract,
+        # rowid.py: partition p holds the contiguous id range
+        # [offset_p, offset_p+cnt_p) in local scan order): the scan
+        # partitioning already IS a range partitioning of the order
+        # column and rows are locally ordered — skip the full-width
+        # range exchange AND the local sort.  r12: a positional
+        # (order_key=None) shift/diff/rolling at 1e8 x 22 cols paid a
+        # ~20 GB repartitionByRange for nothing; one data exchange
+        # (the per-__pid window) remains instead of two.  Whether the
+        # layout is SAFE (no interior partition thinner than the frame
+        # depth — small middle files lose the rebalance the range
+        # exchange provided) is decided below from the counts probe,
+        # falling back to the classic exchange over the persisted frame.
+        ranged_sorted = sdf
+    else:
+        ranged = (sdf.repartitionByRange(n, *order_cols) if n
+                  else sdf.repartitionByRange(*order_cols))
+        ranged_sorted = ranged.sortWithinPartitions(*order_cols)
+    part = (ranged_sorted
             .withColumn("__mid", F.monotonically_increasing_id())
             .withColumn("__rpid", F.shiftright("__mid", 33))
             .withColumn("__lrn", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
@@ -194,10 +211,22 @@ def _exchange_window(sdf, order_cols, before: int, after: int):
     # chain.  Large counts keep the fully-lazy broadcast-join form (a
     # thousands-branch CASE would blow Janino's method limit).
     rows = None
-    if n is not None and n <= 64:
+    if pre_ranged or (n is not None and n <= 64):
         rows = sorted((r["__rpid"], r["cnt"]) for r in
                       part.groupBy("__rpid").agg(
                           F.count(F.lit(1)).alias("cnt")).collect())
+    if pre_ranged:
+        depth = max(before, after)
+        interior = [c for _, c in rows[1:-1]]
+        if interior and min(interior) < depth:
+            # unsafe scan layout (a middle partition thinner than the
+            # frame): classic range exchange, fed from the persisted
+            # frame so the scan isn't re-read
+            return _exchange_window(part.drop("__rpid", "__lrn"),
+                                    order_cols, before, after,
+                                    pre_ranged=False)
+        if len(rows) > 64:
+            rows = None  # lazy pidmap below (eager CASE would blow Janino)
     if rows:
         pid_expr = cnt_expr = None
         for i, (rp, c) in enumerate(rows):
@@ -261,7 +290,10 @@ def _apply_windowed(df, order_key, partition_by, before, after, columns, make_co
             out = out.withColumn(c, make_col(c, w))
     else:
         sdf, order_cols = _resolve_order(df, order_key)
-        aug, w = _exchange_window(sdf, order_cols, before, after)
+        # positional ops (order_key=None) ride the with_row_id layout:
+        # already range-partitioned and locally ordered by ROW_ID
+        aug, w = _exchange_window(sdf, order_cols, before, after,
+                                  pre_ranged=order_key is None)
         out = aug
         for c in cols:
             out = out.withColumn(c, make_col(c, w))
