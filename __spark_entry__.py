@@ -3539,8 +3539,9 @@ def _q109_percentile_exact_mode(spark, sf_dir):
     tie-free in TPC-H (count strictly decreases with line number).
     ROUND(6) absorbs interpolation ulp."""
     df = _t(spark, sf_dir, "lineitem")
-    vals = [float(df.percentile_exact("l_extendedprice", p))
-            for p in (25.0, 50.0, 75.0, 90.0)]
+    # list form: ONE aggregation job for all four percentiles (r12)
+    vals = [float(v) for v in df.percentile_exact(
+        "l_extendedprice", [25.0, 50.0, 75.0, 90.0])]
     md = int(df.mode("l_linenumber"))
     row = [(vals[0], vals[1], vals[2], vals[3], md)]
     return (spark.createDataFrame(

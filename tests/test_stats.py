@@ -135,6 +135,9 @@ def test_percentile_and_median(base_df):
     np.testing.assert_allclose(med, np.percentile(X, 50))
     approx = base_df.median_approx("x")
     assert abs(approx - np.median(X)) <= 1.0
+    # list form: one job, numpy linear-interpolation parity per entry
+    got = base_df.percentile_exact("x", [25.0, 50.0, 90.0])
+    np.testing.assert_allclose(got, np.percentile(X, [25, 50, 90]))
 
 
 def test_correlation_covar(base_df):

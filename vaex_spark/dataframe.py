@@ -1693,8 +1693,15 @@ class DataFrame:
         return self._agg_scalar(col)
 
     def percentile_exact(self, expression, percentage=50.0, selection=None):
-        return self._agg_scalar(F.percentile(
-            self._agg_expr_col(expression, selection), float(percentage) / 100.0))
+        """Exact percentile (linear interpolation on the sorted
+        multiset).  A LIST of percentages computes in ONE job —
+        F.percentile takes an array of fractions (r12; the loop form
+        paid one full aggregation job per requested percentile)."""
+        col = self._agg_expr_col(expression, selection)
+        if isinstance(percentage, (list, tuple, np.ndarray)):
+            fracs = F.array(*[F.lit(float(p) / 100.0) for p in percentage])
+            return np.array(self._agg_scalar(F.percentile(col, fracs)))
+        return self._agg_scalar(F.percentile(col, float(percentage) / 100.0))
 
     def median_approx(self, expression, selection=None, delay=False, **kw):
         return self.percentile_approx(expression, 50.0, selection=selection, delay=delay)
