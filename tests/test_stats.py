@@ -140,6 +140,23 @@ def test_percentile_and_median(base_df):
     np.testing.assert_allclose(got, np.percentile(X, [25, 50, 90]))
 
 
+def test_boolean_moment_aggs_numpy_parity(spark):
+    """numpy parity (r12): sum/mean/var/std/skew/kurtosis of a boolean
+    column treat True as 1 (np.sum(bool_arr)); Spark's sum(boolean) is
+    a DATATYPE_MISMATCH error without the cast.  Nulls stay excluded."""
+    import vaex_spark as vs
+    df = vs.from_arrays(b=[True, False, True, None], spark=spark)
+    a = np.array([True, False, True])
+    assert df.sum("b") == a.sum() == 2
+    np.testing.assert_allclose(df.mean("b"), a.mean())
+    np.testing.assert_allclose(df.var("b"), a.var())
+    np.testing.assert_allclose(df.std("b"), a.std())
+    # and the large-isin flag column aggregates end-to-end
+    d2 = vs.from_arrays(k=list(range(2000)), spark=spark)
+    d2["flag"] = d2.k.isin(list(range(0, 4000, 2)))
+    assert d2.sum("flag") == 1000 and d2.mean("flag") == 0.5
+
+
 def test_correlation_covar(base_df):
     c = base_df.correlation("x", "y")
     expected = np.corrcoef(X, X ** 2)[0, 1]

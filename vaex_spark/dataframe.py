@@ -1559,12 +1559,26 @@ class DataFrame:
             return F.count(F.lit(1)) if c is None else F.count(F.when(~(c.isNull() | _safe_isnan(c)), 1))
         return self._compute_agg(make, expression, binby, shape, limits, selection, delay, edges, progress=progress)
 
+    def _bool_as_int(self, expression):
+        """numpy parity for moment aggregations: sum/mean/var of a
+        boolean counts Trues as 1 (np.sum(bool_arr), and vaex sums
+        bool columns the same way); Spark's sum(boolean) is a type
+        error (r12 — caught via the large-isin flag column)."""
+        if expression is None:
+            return None
+        try:
+            if self.data_type(expression) == "boolean":
+                return Expression(self, self._to_expr(expression).col.cast("int"))
+        except Exception:
+            pass
+        return expression
+
     def sum(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False, progress=None):
         return self._compute_agg(lambda c: F.coalesce(F.sum(_dropnan(c)), F.lit(0)),
-                                 expression, binby, shape, limits, selection, delay, edges, progress=progress)
+                                 self._bool_as_int(expression), binby, shape, limits, selection, delay, edges, progress=progress)
 
     def mean(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False, progress=None):
-        return self._compute_agg(lambda c: F.avg(_dropnan(c)), expression, binby, shape, limits, selection, delay, edges, progress=progress)
+        return self._compute_agg(lambda c: F.avg(_dropnan(c)), self._bool_as_int(expression), binby, shape, limits, selection, delay, edges, progress=progress)
 
     def min(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False, progress=None):
         return self._compute_agg(lambda c: F.min(_dropnan(c)), expression, binby, shape, limits, selection, delay, edges, progress=progress)
@@ -1588,18 +1602,18 @@ class DataFrame:
         """Population variance by default (agg.py:421-455 — vaex accepts
         ddof but applies population formula; we honor ddof properly)."""
         fn = F.var_pop if ddof == 0 else F.var_samp
-        return self._compute_agg(lambda c: fn(_dropnan(c)), expression, binby, shape, limits, selection, delay, progress=progress)
+        return self._compute_agg(lambda c: fn(_dropnan(c)), self._bool_as_int(expression), binby, shape, limits, selection, delay, progress=progress)
 
     def std(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, ddof=0, progress=None):
         fn = F.stddev_pop if ddof == 0 else F.stddev_samp
-        return self._compute_agg(lambda c: fn(_dropnan(c)), expression, binby, shape, limits, selection, delay, progress=progress)
+        return self._compute_agg(lambda c: fn(_dropnan(c)), self._bool_as_int(expression), binby, shape, limits, selection, delay, progress=progress)
 
     def skew(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, progress=None):
-        return self._compute_agg(lambda c: F.skewness(_dropnan(c)), expression, binby, shape, limits, selection, delay, progress=progress)
+        return self._compute_agg(lambda c: F.skewness(_dropnan(c)), self._bool_as_int(expression), binby, shape, limits, selection, delay, progress=progress)
 
     def kurtosis(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, progress=None):
         """vaex population excess kurtosis (agg.py:458-518) == Spark F.kurtosis."""
-        return self._compute_agg(lambda c: F.kurtosis(_dropnan(c)), expression, binby, shape, limits, selection, delay, progress=progress)
+        return self._compute_agg(lambda c: F.kurtosis(_dropnan(c)), self._bool_as_int(expression), binby, shape, limits, selection, delay, progress=progress)
 
     def nunique(self, expression, dropna: bool = False, selection=None, delay=False, **kw):
         raw = self._to_expr(expression).col
