@@ -186,9 +186,13 @@ def groupby_cat(spark, ns):
     for n in ns:
         df = _open(spark, n)
         print(f"-- groupby_cat N={_tag(n)}")
+        # i4_1M_POT mirrors benchmarks/groupby.py:19 — keys spread by a
+        # power of two (classic hash-distribution stressor; Murmur3
+        # must not degenerate on low-entropy bits)
+        df["i4_1M_POT"] = df.i4_1M * 256
         for col, card in [("i1_10", 10), ("i8_10", 10), ("i2_1K", 1_000),
                           ("i8_1K", 1_000), ("i4_1M", 1_000_000),
-                          ("i8_1M", 1_000_000)]:
+                          ("i8_1M", 1_000_000), ("i4_1M_POT", 1_000_000)]:
             # groupby is lazy — the wall must include execution (noop sink)
             out, _ = _wall(f"groupby_{col}", lambda col=col:
                            _noop(df.groupby(col, agg="count").spark))
@@ -401,7 +405,40 @@ def stringops(spark, ns):
     assert c9 == c9_expect
 
 
+def export_bench(spark, ns):
+    """benchmarks/export.py: export N x M float columns — plain, and
+    'correlated' (each output column a SUM of all M inputs, i.e. the
+    virtual-column evaluation cost rides the export).  The reference
+    exports hdf5; the native store here is parquet.  N = 16M (the
+    reference's large point), M in {1, 4, 16}."""
+    import shutil
+
+    import vaex_spark as vs
+    n = 2**20 * 16
+    for m in (1, 4, 16):
+        df = vs.DataFrame(spark.range(0, n, 1, 32).select(
+            *[(F.col("id") * F.lit(1.0) + F.lit(i)).alias(f"c{i}")
+              for i in range(m)]))
+        out = f"{BASE}/export_plain_{m}"
+        shutil.rmtree(out, ignore_errors=True)
+        _wall(f"export_plain N=16M M={m}",
+              lambda df=df, out=out: df.export_parquet(out))
+        assert spark.read.parquet(out).count() == n
+        for i in range(m):
+            df[f"t{i}"] = sum(df[f"c{j}"] for j in range(m)) + i
+        dfc = df[[f"t{i}" for i in range(m)]]
+        outc = f"{BASE}/export_corr_{m}"
+        shutil.rmtree(outc, ignore_errors=True)
+        _wall(f"export_correlated N=16M M={m}",
+              lambda dfc=dfc, outc=outc: dfc.export_parquet(outc))
+        back = spark.read.parquet(outc)
+        assert back.count() == n and len(back.columns) == m
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(outc, ignore_errors=True)
+
+
 PROBES = {"stats": stats, "binby_cat": binby_cat, "binby_grid": binby_grid,
+          "export_bench": export_bench,
           "groupby_cat": groupby_cat, "h2o": h2o, "sortby": sortby,
           "isin_keys": isin_keys, "filterops": filterops,
           "value_counts": value_counts, "shift_rolling": shift_rolling,
