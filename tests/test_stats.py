@@ -155,6 +155,15 @@ def test_boolean_moment_aggs_numpy_parity(spark):
     d2 = vs.from_arrays(k=list(range(2000)), spark=spark)
     d2["flag"] = d2.k.isin(list(range(0, 4000, 2)))
     assert d2.sum("flag") == 1000 and d2.mean("flag") == 0.5
+    # bivariate stats over booleans: same numpy 0/1 contract
+    d3 = vs.from_arrays(b=[True, False, True, False],
+                        x=[1.0, 2.0, 3.0, 4.0], spark=spark)
+    ab = np.array([1, 0, 1, 0])
+    ax = np.array([1.0, 2.0, 3.0, 4.0])
+    np.testing.assert_allclose(d3.covar("b", "x"), np.cov(ab, ax, ddof=0)[0, 1])
+    np.testing.assert_allclose(d3.correlation("b", "x"), np.corrcoef(ab, ax)[0, 1])
+    m = d3.correlation(["b", "x"])
+    np.testing.assert_allclose(m, np.corrcoef(np.vstack([ab, ax])))
 
 
 def test_correlation_covar(base_df):

@@ -1641,6 +1641,7 @@ class DataFrame:
             expression, selection=selection, delay=delay, **kw)
 
     def covar(self, x, y, selection=None, delay=False):
+        x, y = self._bool_as_int(x), self._bool_as_int(y)
         cx, cy = self._to_expr(x).col, self._to_expr(y).col
         sel = self._selection_col(selection)
         if sel is not None:
@@ -1657,7 +1658,7 @@ class DataFrame:
             aggs = []
             for i, a in enumerate(names):
                 for j, b in enumerate(names):
-                    aggs.append(F.corr(self._to_expr(a).col, self._to_expr(b).col).alias(f"_c_{i}_{j}"))
+                    aggs.append(F.corr(self._to_expr(self._bool_as_int(a)).col, self._to_expr(self._bool_as_int(b)).col).alias(f"_c_{i}_{j}"))
             if delay:
                 n = len(names)
                 return self.executor.schedule(
@@ -1667,6 +1668,7 @@ class DataFrame:
                 for j in range(len(names)):
                     out[i, j] = row[f"_c_{i}_{j}"]
             return out
+        x, y = self._bool_as_int(x), self._bool_as_int(y)
         cx, cy = self._to_expr(x).col, self._to_expr(y).col
         sel = self._selection_col(selection)
         if sel is not None:
@@ -1682,7 +1684,7 @@ class DataFrame:
         aggs = []
         for i, a in enumerate(names):
             for j, b in enumerate(names):
-                aggs.append(F.covar_pop(self._to_expr(a).col, self._to_expr(b).col).alias(f"_c_{i}_{j}"))
+                aggs.append(F.covar_pop(self._to_expr(self._bool_as_int(a)).col, self._to_expr(self._bool_as_int(b)).col).alias(f"_c_{i}_{j}"))
         row = self._spark_df().agg(*aggs).collect()[0]
         out = np.zeros((len(names), len(names)))
         for i in range(len(names)):
