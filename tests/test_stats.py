@@ -164,6 +164,10 @@ def test_boolean_moment_aggs_numpy_parity(spark):
     np.testing.assert_allclose(d3.correlation("b", "x"), np.corrcoef(ab, ax)[0, 1])
     m = d3.correlation(["b", "x"])
     np.testing.assert_allclose(m, np.corrcoef(np.vstack([ab, ax])))
+    # percentiles too (exact matches numpy; approx just must not error)
+    np.testing.assert_allclose(d3.percentile_exact("b", 50.0),
+                               np.percentile(ab, 50))
+    assert d3.median_approx("b") in (0, 1)
 
 
 def test_correlation_covar(base_df):

@@ -1696,6 +1696,7 @@ class DataFrame:
         """dataframe.py:1632 — vaex interpolates a cumulative histogram
         (approximate); we use Spark's approx (different approximation,
         documented tolerance) — `percentile_exact` gives the exact one."""
+        expression = self._bool_as_int(expression)
         if isinstance(percentage, (list, tuple, np.ndarray)):
             pct = [float(p) / 100.0 for p in percentage]
             col = F.percentile_approx(self._agg_expr_col(expression, selection), pct, 10000)
@@ -1713,7 +1714,7 @@ class DataFrame:
         multiset).  A LIST of percentages computes in ONE job —
         F.percentile takes an array of fractions (r12; the loop form
         paid one full aggregation job per requested percentile)."""
-        col = self._agg_expr_col(expression, selection)
+        col = self._agg_expr_col(self._bool_as_int(expression), selection)
         if isinstance(percentage, (list, tuple, np.ndarray)):
             fracs = F.array(*[F.lit(float(p) / 100.0) for p in percentage])
             return np.array(self._agg_scalar(F.percentile(col, fracs)))
