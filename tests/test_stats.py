@@ -168,6 +168,16 @@ def test_boolean_moment_aggs_numpy_parity(spark):
     np.testing.assert_allclose(d3.percentile_exact("b", 50.0),
                                np.percentile(ab, 50))
     assert d3.median_approx("b") in (0, 1)
+    # ...and the groupby agg-descriptor path (agg.py numeric flag)
+    import vaex_spark.agg as vagg
+    d4 = vs.from_arrays(k=["a", "a", "b", "b"],
+                        b=[True, False, True, True], spark=spark)
+    out = d4.groupby("k", agg={"s": vagg.sum("b"), "m": vagg.mean("b"),
+                               "rate": vagg.sum("b") / vagg.count()},
+                     sort=True).to_pandas_df()
+    assert out["s"].tolist() == [1, 2]
+    assert out["m"].tolist() == [0.5, 1.0]
+    assert out["rate"].tolist() == [0.5, 1.0]
 
 
 def test_correlation_covar(base_df):

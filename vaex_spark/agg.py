@@ -93,10 +93,16 @@ class _BinaryAgg(AggDescriptor):
 
 
 class _SimpleAgg(AggDescriptor):
-    def __init__(self, short_name, fn, expression, star_ok=False, **kw):
+    def __init__(self, short_name, fn, expression, star_ok=False,
+                 numeric=False, **kw):
         super().__init__(short_name, expression, **kw)
         self.fn = fn
         self.star_ok = star_ok
+        # numeric aggregators follow numpy 0/1 semantics on booleans
+        # (np.sum(bool_arr) counts Trues; Spark's sum(boolean) is a
+        # DATATYPE_MISMATCH error) — r12, same class as the
+        # DataFrame-level moment fix
+        self.numeric = numeric
 
     def to_column(self, df):
         c = self._input(df)
@@ -104,6 +110,12 @@ class _SimpleAgg(AggDescriptor):
             if not self.star_ok:
                 raise ValueError(f"agg.{self.short_name} needs an expression")
             return F.count(F.lit(1))
+        if self.numeric:
+            try:
+                if df.data_type(self.expression) == "boolean":
+                    c = c.cast("int")
+            except Exception:
+                pass
         return self.fn(c)
 
 
@@ -115,11 +127,11 @@ def count(expression=None, selection=None, **kw):
 
 
 def sum(expression, selection=None, **kw):  # noqa: A001 — vaex name
-    return _SimpleAgg("sum", F.sum, expression, selection=selection, **kw)
+    return _SimpleAgg("sum", F.sum, expression, selection=selection, numeric=True, **kw)
 
 
 def mean(expression, selection=None, **kw):
-    return _SimpleAgg("mean", F.avg, expression, selection=selection, **kw)
+    return _SimpleAgg("mean", F.avg, expression, selection=selection, numeric=True, **kw)
 
 
 def min(expression, selection=None, **kw):  # noqa: A001
@@ -132,26 +144,26 @@ def max(expression, selection=None, **kw):  # noqa: A001
 
 def std(expression, ddof=0, selection=None, **kw):
     return _SimpleAgg("std", F.stddev_pop if ddof == 0 else F.stddev_samp,
-                      expression, selection=selection, **kw)
+                      expression, selection=selection, numeric=True, **kw)
 
 
 def var(expression, ddof=0, selection=None, **kw):
     return _SimpleAgg("var", F.var_pop if ddof == 0 else F.var_samp,
-                      expression, selection=selection, **kw)
+                      expression, selection=selection, numeric=True, **kw)
 
 
 def skew(expression, selection=None, **kw):
-    return _SimpleAgg("skew", F.skewness, expression, selection=selection, **kw)
+    return _SimpleAgg("skew", F.skewness, expression, selection=selection, numeric=True, **kw)
 
 
 def kurtosis(expression, selection=None, **kw):
-    return _SimpleAgg("kurtosis", F.kurtosis, expression, selection=selection, **kw)
+    return _SimpleAgg("kurtosis", F.kurtosis, expression, selection=selection, numeric=True, **kw)
 
 
 def sum_moment(expression, moment, selection=None, **kw):
     """agg.py:546 _sum_moment — Σ x^k building block."""
     return _SimpleAgg("sum_moment", lambda c: F.sum(F.pow(c, moment)),
-                      expression, selection=selection, **kw)
+                      expression, selection=selection, numeric=True, **kw)
 
 
 class _NUniqueAgg(AggDescriptor):
