@@ -178,6 +178,13 @@ def test_boolean_moment_aggs_numpy_parity(spark):
     assert out["s"].tolist() == [1, 2]
     assert out["m"].tolist() == [0.5, 1.0]
     assert out["rate"].tolist() == [0.5, 1.0]
+    # describe: booleans are primitives in the reference (kind 'b') —
+    # mean/std over 0/1, min/max as bool
+    desc = df.describe()
+    np.testing.assert_allclose(desc["b"]["mean"], a.mean())
+    np.testing.assert_allclose(desc["b"]["std"], a.std())
+    assert desc["b"]["min"] is False and desc["b"]["max"] is True
+    assert desc["b"]["count"] == 3 and desc["b"]["na"] == 1
 
 
 def test_correlation_covar(base_df):

@@ -1826,7 +1826,14 @@ class DataFrame:
             na = col.isNull() if non_float else (col.isNull() | _safe_isnan(col))
             aggs += [F.count(col).alias(f"{c}__count"),
                      F.count(F.when(na, 1)).alias(f"{c}__na")]
-            if not self.data_type(c).startswith(("string", "timestamp", "array", "struct", "boolean")):
+            if self.data_type(c) == "boolean":
+                # booleans are primitives in the reference's describe
+                # (datatype kind 'b'): mean/std over 0/1, min/max as bool
+                b = col.cast("int")
+                aggs += [F.avg(b).alias(f"{c}__mean"),
+                         F.stddev_pop(b).alias(f"{c}__std"),
+                         F.min(col).alias(f"{c}__min"), F.max(col).alias(f"{c}__max")]
+            elif not self.data_type(c).startswith(("string", "timestamp", "array", "struct")):
                 aggs += [F.avg(col).alias(f"{c}__mean"), F.stddev_pop(col).alias(f"{c}__std"),
                          F.min(col).alias(f"{c}__min"), F.max(col).alias(f"{c}__max")]
         row = self._spark_df().agg(*aggs).collect()[0].asDict()
