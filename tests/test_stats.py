@@ -187,6 +187,32 @@ def test_boolean_moment_aggs_numpy_parity(spark):
     assert desc["b"]["count"] == 3 and desc["b"]["na"] == 1
 
 
+def test_datetime_mean_std_describe(spark):
+    """Temporal parity (reference describe's is_temporal branch):
+    mean of a datetime column is a DATETIME, std is a TIMEDELTA
+    (Spark's stddev(timestamp) is a type error; avg(timestamp)
+    returned raw epoch seconds).  Pinned against the epoch closed
+    form; delayed path included."""
+    import datetime as dt
+
+    import pandas as pd
+    import vaex_spark as vs
+    ts = [dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 3),
+          dt.datetime(2020, 1, 5)]
+    df = vs.from_arrays(t=ts, spark=spark)
+    assert df.mean("t") == np.datetime64("2020-01-03T00:00:00", "us")
+    epoch_us = pd.Series(pd.to_datetime(ts)).astype("int64").to_numpy() // 1000
+    want_std = np.timedelta64(int(np.std(epoch_us)), "us")
+    assert df.std("t") == want_std
+    d = df.mean("t", delay=True)
+    df.execute()
+    assert d.get() == np.datetime64("2020-01-03T00:00:00", "us")
+    desc = df.describe()
+    assert desc["t"]["mean"] == pd.Timestamp("2020-01-03")
+    assert desc["t"]["std"] == pd.Timedelta(want_std)
+    assert desc["t"]["min"] == pd.Timestamp("2020-01-01")
+
+
 def test_correlation_covar(base_df):
     c = base_df.correlation("x", "y")
     expected = np.corrcoef(X, X ** 2)[0, 1]

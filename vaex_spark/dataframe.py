@@ -1577,7 +1577,24 @@ class DataFrame:
         return self._compute_agg(lambda c: F.coalesce(F.sum(_dropnan(c)), F.lit(0)),
                                  self._bool_as_int(expression), binby, shape, limits, selection, delay, edges, progress=progress)
 
+    def _is_timestamp(self, expression) -> bool:
+        try:
+            return self.data_type(expression).startswith("timestamp")
+        except Exception:
+            return False
+
     def mean(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False, progress=None):
+        if (binby is None and self._is_timestamp(expression)
+                and not isinstance(selection, (list, tuple))):
+            # temporal parity (reference describe's is_temporal branch:
+            # datetime columns have a datetime mean, not epoch seconds)
+            col = F.avg(F.unix_micros(self._agg_expr_col(expression, selection)))
+
+            def conv(v):
+                return None if v is None else np.datetime64(int(v), "us")
+            if delay:
+                return self.executor.schedule([col], post=conv)
+            return conv(self._agg_scalar(col))
         return self._compute_agg(lambda c: F.avg(_dropnan(c)), self._bool_as_int(expression), binby, shape, limits, selection, delay, edges, progress=progress)
 
     def min(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False, progress=None):
@@ -1606,6 +1623,18 @@ class DataFrame:
 
     def std(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, ddof=0, progress=None):
         fn = F.stddev_pop if ddof == 0 else F.stddev_samp
+        if (binby is None and self._is_timestamp(expression)
+                and not isinstance(selection, (list, tuple))):
+            # spread of a datetime column is a TIMEDELTA (reference
+            # is_temporal branch); Spark's stddev(timestamp) is a type
+            # error, so compute over epoch micros
+            col = fn(F.unix_micros(self._agg_expr_col(expression, selection)))
+
+            def conv(v):
+                return None if v is None else np.timedelta64(int(v), "us")
+            if delay:
+                return self.executor.schedule([col], post=conv)
+            return conv(self._agg_scalar(col))
         return self._compute_agg(lambda c: fn(_dropnan(c)), self._bool_as_int(expression), binby, shape, limits, selection, delay, progress=progress)
 
     def skew(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, progress=None):
@@ -1833,14 +1862,27 @@ class DataFrame:
                 aggs += [F.avg(b).alias(f"{c}__mean"),
                          F.stddev_pop(b).alias(f"{c}__std"),
                          F.min(col).alias(f"{c}__min"), F.max(col).alias(f"{c}__max")]
-            elif not self.data_type(c).startswith(("string", "timestamp", "array", "struct")):
+            elif self.data_type(c).startswith("timestamp"):
+                # is_temporal branch (reference dataframe.py:4042):
+                # datetime mean + timedelta std, native min/max
+                e = F.unix_micros(col)
+                aggs += [F.avg(e).alias(f"{c}__mean_us"),
+                         F.stddev_pop(e).alias(f"{c}__std_us"),
+                         F.min(col).alias(f"{c}__min"), F.max(col).alias(f"{c}__max")]
+            elif not self.data_type(c).startswith(
+                    ("string", "array", "struct", "date", "binary")):
                 aggs += [F.avg(col).alias(f"{c}__mean"), F.stddev_pop(col).alias(f"{c}__std"),
                          F.min(col).alias(f"{c}__min"), F.max(col).alias(f"{c}__max")]
         row = self._spark_df().agg(*aggs).collect()[0].asDict()
         import pandas as pd
         out = {}
         for c in cols:
-            out[c] = {k.split("__")[1]: v for k, v in row.items() if k.startswith(f"{c}__")}
+            d = {k.split("__")[1]: v for k, v in row.items() if k.startswith(f"{c}__")}
+            if "mean_us" in d:
+                mu, su = d.pop("mean_us"), d.pop("std_us")
+                d["mean"] = None if mu is None else pd.Timestamp(int(mu), unit="us")
+                d["std"] = None if su is None else pd.Timedelta(int(su), unit="us")
+            out[c] = d
         return pd.DataFrame(out)
 
     # ------------------------------------------------------------------
