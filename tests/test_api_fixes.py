@@ -685,11 +685,15 @@ def test_overflow_badcast_contract_ansi_off(spark):
         assert [r["mul"] for r in got] == wm.tolist()
         assert [r["sub"] for r in got] == ws.tolist()
         # narrowing astype: numpy TRUNCATION + wrap semantics
-        dfn = vs.from_arrays(x=[3.9e9, -1.5, 130.0], spark=spark)
+        dfn = vs.from_arrays(x=[3.9e9, -1.5, 130.0, -3.9e9], spark=spark)
         dfn["i4"] = dfn.x.astype("int32")
         got32 = [r["i4"] for r in dfn._spark_df().select("i4").collect()]
-        # Spark non-ANSI double->int saturates at the boundary for the
-        # out-of-range value; in-range values truncate like numpy
+        # SATURATE exception (SURVEY §1.2, round 13): Spark non-ANSI
+        # out-of-range double->int clamps to int32 min/max (Java cast
+        # semantics) where numpy astype would wrap — pinned explicitly
+        # at BOTH boundaries; in-range values truncate like numpy
+        assert got32[0] == np.iinfo(np.int32).max  # 3.9e9 saturates high
+        assert got32[3] == np.iinfo(np.int32).min  # -3.9e9 saturates low
         assert got32[1] == -1 and got32[2] == 130
         # bad string cast -> NULL (never an error)
         dfs = vs.from_arrays(s=["12", "abc", None], spark=spark)

