@@ -137,8 +137,10 @@ def test_donor_pass_is_filter_not_window(events):
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
     data_windows = [ln for ln in plan.splitlines()
                     if ln.strip().startswith(("Window", "+- Window", ":- Window"))
-                    or ("Window [" in ln and "__pid" in ln)]
-    pid_windows = [ln for ln in data_windows if "__pid" in ln]
+                    or ("Window [" in ln and ("__pid" in ln or "__ptag" in ln))]
+    # r13: the data window partitions by __ptag (the monotonic-tag
+    # bijection of __pid that keeps output partitions pid-ordered)
+    pid_windows = [ln for ln in data_windows if "__pid" in ln or "__ptag" in ln]
     assert len(pid_windows) == 1, plan
 
 
@@ -729,12 +731,14 @@ def test_positional_pre_ranged_skips_range_exchange(spark):
                for g, w in zip(got, want))
 
 
-def test_positional_thin_interior_partition_falls_back(spark, tmp_path):
-    """r12: when the scan layout has an INTERIOR partition thinner than
-    the frame depth (small middle files — the case the range exchange
-    used to rebalance), the pre_ranged path must detect it from the
-    counts probe and FALL BACK to the classic exchange: no raise, exact
-    row/null invariants."""
+def test_positional_thin_interior_partition_exact(spark, tmp_path):
+    """Thin INTERIOR scan partitions (small middle files) must not
+    break positional windows.  r12 detected them from a counts probe
+    and fell back to the classic range exchange; r13's _block_window
+    makes the hazard structurally impossible — pid = ROW_ID div B is
+    independent of physical partitioning, every block but the last
+    holds exactly B >= depth rows.  Invariants stay exact either way:
+    no raise, exact row/null counts."""
     import pandas as pd
 
     import vaex_spark as vs
@@ -765,3 +769,67 @@ def test_positional_thin_interior_partition_falls_back(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_murmur3_tag_matches_spark_hash(spark):
+    """The monotonic-exchange tags rely on a python reimplementation of
+    Spark's Murmur3Hash.hashInt (seed 42) — pin it bit-exactly against
+    F.hash over negatives, extremes, and the tag search range."""
+    from vaex_spark.operators.window import _mmh3_int, _monotonic_tags
+    probe = [0, 1, 2, 41, 42, 1337, -1, -42, 2**31 - 1, -(2**31)] + list(range(100, 140))
+    rows = (spark.range(1)
+            .select(*[F.hash(F.lit(int(v)).cast("int")).alias(f"h{i}")
+                      for i, v in enumerate(probe)]).collect()[0])
+    for i, v in enumerate(probe):
+        assert rows[f"h{i}"] == _mmh3_int(v), (v, rows[f"h{i}"], _mmh3_int(v))
+    # tag property: pmod(hash(t_i), m) == i
+    for m in (2, 7, 32, 256):
+        tags = _monotonic_tags(m)
+        for i, t in enumerate(tags):
+            h = _mmh3_int(t) % m
+            assert (h + m if h < 0 else h) == i
+
+
+def test_positional_output_row_order_multi_partition(spark):
+    """Positional shift/diff output must come back in ROW ORDER even
+    when the window runs across many explicit partitions (r13: a plain
+    hashpartitioning(pid) exchange scrambles pid order across output
+    partitions; the monotonic-tag exchange restores it).  r12 passed
+    order checks only because AQE coalesced small frames to ONE
+    partition — this pins the multi-partition shape explicitly."""
+    import pandas as pd
+    import vaex_spark as vs
+    vals = [float((i * 13) % 257) for i in range(20000)]
+    df = vs.from_arrays(x=vals, spark=spark)
+    prev = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    try:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        out = df.diff(column="x").spark
+        # the pinned exchange must produce MANY output partitions
+        assert out.rdd.getNumPartitions() > 4
+        got = [r["x"] for r in out.collect()]
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prev)
+    want = pd.Series(vals).diff().tolist()
+    import math
+    assert all((g is None and math.isnan(w)) or g == w
+               for g, w in zip(got, want))
+    # classic (order_key) path: output comes back in ORDER-KEY order
+    import numpy as np
+    rng = np.random.RandomState(3)
+    keys = rng.permutation(20000).astype("int64")
+    df2 = vs.from_arrays(k=keys, x=np.asarray(vals), spark=spark)
+    try:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        out2 = df2.shift(1, column="x", order_key="k").spark
+        rows2 = out2.collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prev)
+    got_k = [r["k"] for r in rows2]
+    assert got_k == sorted(got_k), "classic path must read back key-ordered"
+    by_key = {r["k"]: r["x"] for r in rows2}
+    order = np.argsort(keys, kind="stable")
+    xs = np.asarray(vals)[order]
+    for j, k in enumerate(keys[order]):
+        want_x = None if j == 0 else xs[j - 1]
+        assert by_key[int(k)] == want_x, (k, by_key[int(k)], want_x)

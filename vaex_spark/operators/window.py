@@ -12,13 +12,20 @@ Spark mapping: ``F.lag/lead`` over a window.  Two plan shapes:
 * without ``partition_by`` — the naive ``Window.orderBy(...)`` funnels
   ALL rows through one task (Exchange SinglePartition), which is
   catastrophic at scale.  Instead we run a **partition-boundary
-  exchange**: range-partition on the order key (parallel total order),
-  then donate each partition's k edge rows to its neighbor so a frame
-  of ``[-before, +after]`` rows is exact *within* every partition; the
-  window runs per-partition and borrowed rows are dropped afterwards.
-  Cost: one range shuffle + one hash shuffle of (data + tiny borrowed
-  fraction) — both fully parallel; the borrowed volume is
-  O(k × partitions), independent of table size.
+  exchange**: partition on the order key, then donate each partition's
+  k edge rows to its neighbor so a frame of ``[-before, +after]`` rows
+  is exact *within* every partition; the window runs per-partition and
+  borrowed rows are dropped afterwards.  Two sub-forms:
+
+  - explicit ``order_key``: range-partition on the key (sampled
+    bounds → the frame must be PERSISTED so main/donor branches read
+    one materialization), one range shuffle + one hash shuffle;
+  - positional (``order_key=None``): ``pid = ROW_ID div B`` is a pure
+    function of the contiguous row id (``_block_window``) — no
+    persist, no probe, ONE hash shuffle total (r13).
+
+  Either way the borrowed volume is O(k × partitions), independent of
+  table size.
 
 For oracle-checked queries we always pass an explicit order_key so
 results are deterministic on any cluster.
@@ -32,7 +39,66 @@ from pyspark.sql import functions as F
 from .rowid import ROW_ID, bounded_window, with_row_id
 
 _PID = "__pid"
+_PTAG = "__ptag"
 _BORROWED = "__borrowed"
+
+
+def _mmh3_int(k: int, seed: int = 42) -> int:
+    """Murmur3 x86_32 of one 32-bit int — bit-identical to Spark's
+    ``Murmur3Hash.hashInt`` (the function behind ``F.hash`` and
+    HashPartitioning, seed 42).  Public algorithm (Austin Appleby,
+    public domain); pinned against ``F.hash`` by pytest."""
+    c1, c2 = 0xcc9e2d51, 0x1b873593
+    k1 = (k * c1) & 0xffffffff
+    k1 = ((k1 << 15) | (k1 >> 17)) & 0xffffffff
+    k1 = (k1 * c2) & 0xffffffff
+    h1 = (seed ^ k1) & 0xffffffff
+    h1 = ((h1 << 13) | (h1 >> 19)) & 0xffffffff
+    h1 = (h1 * 5 + 0xe6546b64) & 0xffffffff
+    h1 ^= 4  # fmix: length in bytes
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85ebca6b) & 0xffffffff
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xc2b2ae35) & 0xffffffff
+    h1 ^= h1 >> 16
+    # reinterpret as signed int32 (Spark hash returns int)
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _monotonic_tags(m: int) -> list[int]:
+    """Tags t_0..t_{m-1} with ``pmod(murmur3(t_i), m) == i``, so
+    ``repartition(m, tag_of(pid))`` places pid i in PHYSICAL partition
+    i.  This makes the window exchange ORDER-PRESERVING: reading output
+    partitions in index order yields pid-ascending rows, and the window
+    sort orders within pid — so positional ops return rows in ROW ORDER
+    without a rangepartitioning (whose sampler would execute the whole
+    child subtree a second time).  Coupon-collector search, ~m·ln m
+    murmur evaluations driver-side."""
+    tags: list[int | None] = [None] * m
+    found, t = 0, 0
+    while found < m:
+        i = _mmh3_int(t) % m
+        i = i + m if i < 0 else i
+        if tags[i] is None:
+            tags[i] = t
+            found += 1
+        t += 1
+    return tags  # type: ignore[return-value]
+
+
+def _pin_monotonic_exchange(aug, m: int):
+    """Attach the tag column and repartition so the window's exchange is
+    explicit (AQE-proof grain) AND physical-partition-monotonic in pid.
+    Returns (aug, window_partition_column)."""
+    tags = _monotonic_tags(m)
+    try:
+        # one true ARRAY LITERAL: F.array(*lits) compiles to CreateArray,
+        # which allocates the m-element array PER ROW in the hot path
+        tag_arr = F.lit(tags)
+    except Exception:  # pragma: no cover - older pyspark without lit(list)
+        tag_arr = F.array(*[F.lit(t) for t in tags])
+    aug = aug.withColumn(_PTAG, F.element_at(tag_arr, F.col(_PID) + 1))
+    return aug.repartition(m, F.col(_PTAG)), F.col(_PTAG)
 
 
 def _parse_bytes(raw, default: int) -> int:
@@ -123,8 +189,88 @@ def _partitioned_window(df, order_key, partition_by):
     return sdf, w
 
 
+def _block_window(sdf, before: int, after: int, n, donor_cols=None):
+    """Positional (order_key=None) global window: pid is a PURE FUNCTION
+    of the contiguous row id — ``pid = ROW_ID div B`` with one uniform
+    block size ``B >= frame depth`` — so NO persist, NO per-partition
+    counts probe, and NO thin-partition fallback are needed.  (r13: the
+    r12 form derived pids from physical partition placement and had to
+    persist the FULL-WIDTH frame to keep the main/donor/pidmap branches
+    on one materialization — ~20 GB at 1e8×22 cols, the engine's single
+    biggest measured wall, SCALECHECK_r12.)
+
+    Exactness: row ids are globally contiguous 0..n-1 (the with_row_id
+    contract, rowid.py), every block except the last holds exactly B
+    rows, and B >= before (resp. after), so single-neighbor donation
+    hands every frame of [-before, +after] rows its exact global
+    neighborhood.  The last block may be thinner than the frame but only
+    DONATES (all its rows, to its predecessor): frames that reach past
+    it reach past the table end, where null is the correct value.  The
+    donor branches are column-pruned to (row id + windowed columns) via
+    ``donor_cols`` + unionByName(allowMissingColumns) — the non-windowed
+    width rides the main branch once; borrowed rows' null padding is
+    dropped with them after the window.
+
+    Determinism across the main/donor re-reads rests on ROW_ID *values*,
+    which with_row_id already pins (persisting underneath iff the source
+    plan is nondeterministic) — not on physical placement, making this
+    strictly more robust than the r12 physical-pid form as well as
+    cheaper.  Cost: one count job (row-group metadata at parquet
+    sources) + ONE full-data exchange (the per-pid window hash shuffle);
+    no range exchange, no materialization.  The prefix-frame rolling
+    rewrite's invariant holds: every interior block receives exactly
+    ``before`` donor rows, so truncated-at-partition-start prefixes
+    equal true frame prefixes.
+    """
+    total = sdf.count()
+    conf = sdf.sparkSession.conf
+    try:
+        shuffle_n = int(conf.get("spark.sql.shuffle.partitions", "200"))
+    except Exception:  # pragma: no cover
+        shuffle_n = 200
+    par = sdf.sparkSession.sparkContext.defaultParallelism
+    if not n:
+        n = max(par, shuffle_n)
+    # finer blocks than the stats-advisory estimate: the window stage
+    # SORTS each block, and sort cost drops superlinearly with block
+    # size (cache residency, no spill) — measured at 1e8×22: 30 AQE-
+    # coalesced fat partitions 24.8 s, 138 explicit 15.6 s, 512
+    # explicit 10.6 s.  Extra blocks cost only O(k) donor rows each.
+    n = min(max(n, 8 * par), 16 * max(par, shuffle_n))
+    depth = max(before, after, 1)
+    B = max(-(-total // max(n, 1)), depth) if total else depth
+    max_pid = (total - 1) // B if total else 0
+    rid = F.col(ROW_ID)
+    # integer DIV (not float /): exact at any scale, no 2^53 ceiling
+    pid = F.expr(f"CAST(`{ROW_ID}` DIV {B} AS INT)")
+    lrn = rid % F.lit(B)
+    aug = sdf.withColumn(_PID, pid).withColumn(_BORROWED, F.lit(False))
+    base = sdf.select(*donor_cols) if donor_cols else sdf
+    if before > 0 and max_pid > 0:
+        don = (base.filter((lrn >= B - before) & (pid < max_pid))
+               .withColumn(_PID, (pid + 1).cast("int"))
+               .withColumn(_BORROWED, F.lit(True)))
+        aug = aug.unionByName(don, allowMissingColumns=True)
+    if after > 0 and max_pid > 0:
+        don = (base.filter((lrn < after) & (pid >= 1))
+               .withColumn(_PID, (pid - 1).cast("int"))
+               .withColumn(_BORROWED, F.lit(True)))
+        aug = aug.unionByName(don, allowMissingColumns=True)
+    # pin the window exchange at one-task-per-block granularity AND
+    # physical-partition-monotonic in pid: an EXPLICIT repartition
+    # satisfies the window's clustered-distribution requirement, AQE
+    # never coalesces user-specified repartitions (the implicit exchange
+    # gets merged to ~64MB of COMPRESSED shuffle bytes per task — ~700MB
+    # rows at 1e8×22, turning the per-task sort into the stage wall),
+    # and the monotonic tags restore ROW ORDER on read (a plain
+    # hashpartitioning(pid) scrambles pid order across output
+    # partitions — positional ops must return rows in row order)
+    aug, wpart = _pin_monotonic_exchange(aug, max_pid + 1)
+    return aug, Window.partitionBy(wpart).orderBy(rid)
+
+
 def _exchange_window(sdf, order_cols, before: int, after: int,
-                     pre_ranged: bool = False):
+                     pre_ranged: bool = False, donor_cols=None):
     """Global-order window without a single-task sort.
 
     1. ``repartitionByRange`` on the order key — a parallel total order
@@ -178,24 +324,13 @@ def _exchange_window(sdf, order_cols, before: int, after: int,
                .withColumn(_BORROWED, F.lit(False)))
         return aug, bounded_window(*order_cols)
     if pre_ranged:
-        # caller-guaranteed invariant (the with_row_id contract,
-        # rowid.py: partition p holds the contiguous id range
-        # [offset_p, offset_p+cnt_p) in local scan order): the scan
-        # partitioning already IS a range partitioning of the order
-        # column and rows are locally ordered — skip the full-width
-        # range exchange AND the local sort.  r12: a positional
-        # (order_key=None) shift/diff/rolling at 1e8 x 22 cols paid a
-        # ~20 GB repartitionByRange for nothing; one data exchange
-        # (the per-__pid window) remains instead of two.  Whether the
-        # layout is SAFE (no interior partition thinner than the frame
-        # depth — small middle files lose the rebalance the range
-        # exchange provided) is decided below from the counts probe,
-        # falling back to the classic exchange over the persisted frame.
-        ranged_sorted = sdf
-    else:
-        ranged = (sdf.repartitionByRange(n, *order_cols) if n
-                  else sdf.repartitionByRange(*order_cols))
-        ranged_sorted = ranged.sortWithinPartitions(*order_cols)
+        # positional path (order_key=None): pid = ROW_ID div B is a pure
+        # function of the contiguous row id — no persist, no counts
+        # probe, no thin-partition hazard (r13, see _block_window)
+        return _block_window(sdf, before, after, n, donor_cols)
+    ranged = (sdf.repartitionByRange(n, *order_cols) if n
+              else sdf.repartitionByRange(*order_cols))
+    ranged_sorted = ranged.sortWithinPartitions(*order_cols)
     part = (ranged_sorted
             .withColumn("__mid", F.monotonically_increasing_id())
             .withColumn("__rpid", F.shiftright("__mid", 33))
@@ -211,22 +346,10 @@ def _exchange_window(sdf, order_cols, before: int, after: int,
     # chain.  Large counts keep the fully-lazy broadcast-join form (a
     # thousands-branch CASE would blow Janino's method limit).
     rows = None
-    if pre_ranged or (n is not None and n <= 64):
+    if n is not None and n <= 64:
         rows = sorted((r["__rpid"], r["cnt"]) for r in
                       part.groupBy("__rpid").agg(
                           F.count(F.lit(1)).alias("cnt")).collect())
-    if pre_ranged:
-        depth = max(before, after)
-        interior = [c for _, c in rows[1:-1]]
-        if interior and min(interior) < depth:
-            # unsafe scan layout (a middle partition thinner than the
-            # frame): classic range exchange, fed from the persisted
-            # frame so the scan isn't re-read
-            return _exchange_window(part.drop("__rpid", "__lrn"),
-                                    order_cols, before, after,
-                                    pre_ranged=False)
-        if len(rows) > 64:
-            rows = None  # lazy pidmap below (eager CASE would blow Janino)
     if rows:
         pid_expr = cnt_expr = None
         for i, (rp, c) in enumerate(rows):
@@ -274,6 +397,14 @@ def _exchange_window(sdf, order_cols, before: int, after: int,
                            .otherwise(F.lit(True))))
         aug = aug.unionByName(don)
     aug = aug.drop(*helpers)
+    if n:
+        # pin the window exchange at one-task-per-range-partition
+        # granularity and monotonic in pid (see _block_window): output
+        # rows then read back in ORDER-KEY order instead of
+        # hash-of-pid-scrambled, and AQE cannot coalesce the exchange
+        # into few fat partitions whose per-task sorts dominate
+        aug, wpart = _pin_monotonic_exchange(aug, n)
+        return aug, Window.partitionBy(wpart).orderBy(*order_cols)
     w = Window.partitionBy(_PID).orderBy(*order_cols)
     return aug, w
 
@@ -290,14 +421,21 @@ def _apply_windowed(df, order_key, partition_by, before, after, columns, make_co
             out = out.withColumn(c, make_col(c, w))
     else:
         sdf, order_cols = _resolve_order(df, order_key)
-        # positional ops (order_key=None) ride the with_row_id layout:
-        # already range-partitioned and locally ordered by ROW_ID
+        # positional ops (order_key=None) ride the with_row_id contract:
+        # pid is computed from the contiguous ROW_ID (_block_window) —
+        # donor branches carry only the windowed columns
+        donor_cols = None
+        if order_key is None:
+            donor_cols = [ROW_ID] + [c for c in cols if c != ROW_ID]
         aug, w = _exchange_window(sdf, order_cols, before, after,
-                                  pre_ranged=order_key is None)
+                                  pre_ranged=order_key is None,
+                                  donor_cols=donor_cols)
         out = aug
         for c in cols:
             out = out.withColumn(c, make_col(c, w))
-        out = out.filter(~F.col(_BORROWED)).drop(_PID, _BORROWED)
+        # _PTAG only exists when the exchange was pinned; drop-by-name
+        # is a no-op for absent columns
+        out = out.filter(~F.col(_BORROWED)).drop(_PID, _PTAG, _BORROWED)
     if order_key is None:
         out = out.drop(ROW_ID)
     o = DataFrame(out)
