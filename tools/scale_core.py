@@ -437,11 +437,58 @@ def export_bench(spark, ns):
         shutil.rmtree(outc, ignore_errors=True)
 
 
+def partitioned_window(spark, ns):
+    """§2.6 partition_by= shift/diff/rolling at the reference N under
+    SKEW: derived key where group 0 holds 10% of ALL rows (1e7 at 1e8)
+    and 90,000 cold groups hold 1,000 rows each — the r12 verdict's
+    task 5 (the probes so far drove only the GLOBAL order path; the
+    keyed per-group form is what a 100-TB user should reach for, and
+    its skew behavior had no large-N datapoint).
+
+    Invariants are exact closed forms of the construction:
+    * shift(1):   nulls == number of non-empty groups (first row each)
+    * diff sum:   Σ_groups (max(i8) − min(i8)) — telescoping per group
+    * rolling64:  nulls == 63 × number of groups (every group ≥ 64 rows)
+    """
+    for n in ns:
+        df = _open(spark, n)
+        print(f"-- partitioned_window N={_tag(n)}")
+        # group 0 ← every 10th row (10% hot); else i8 % 100000
+        df["skew"] = "where(i8 % 10 == 0, 0, i8 % 100000)"
+        n_groups = 1 + sum(1 for k in range(1, 100_000)
+                           if k % 10 != 0 and k < n)
+        sh, _ = _wall("p_shift_1_skew", lambda:
+                      _noop(df.shift(1, column="x", order_key="i8",
+                                     partition_by="skew").spark))
+        nn = sh.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("x").isNull().cast("long")).alias("k")).collect()[0]
+        assert nn["n"] == n and nn["k"] == n_groups, (dict(nn.asDict()), n_groups)
+        d, _ = _wall("p_diff_skew", lambda:
+                     _noop(df.diff(column="i8", order_key="i8",
+                                   partition_by="skew").spark))
+        s = d.agg(F.sum("i8").alias("s")).collect()[0]["s"]
+        # group 0: multiples of 10 in [0, n) -> span n - 10
+        want = (n - 10)
+        for k in range(1, 100_000):
+            if k % 10 == 0 or k >= n:
+                continue
+            cnt = (n - 1 - k) // 100_000 + 1
+            want += (cnt - 1) * 100_000
+        assert s == want, (s, want)
+        w = 64
+        r, _ = _wall(f"p_rolling_mean_w{w}_skew", lambda:
+                     _noop(df.rolling(w, column="i8", order_key="i8",
+                                      partition_by="skew").mean().spark))
+        kk = r.agg(F.sum(F.col("i8").isNull().cast("long")).alias("k")).collect()[0]["k"]
+        assert kk == (w - 1) * n_groups, (kk, (w - 1) * n_groups)
+
+
 PROBES = {"stats": stats, "binby_cat": binby_cat, "binby_grid": binby_grid,
           "export_bench": export_bench,
           "groupby_cat": groupby_cat, "h2o": h2o, "sortby": sortby,
           "isin_keys": isin_keys, "filterops": filterops,
           "value_counts": value_counts, "shift_rolling": shift_rolling,
+          "partitioned_window": partitioned_window,
           "stringops": stringops}
 
 
