@@ -97,7 +97,13 @@ def _pin_monotonic_exchange(aug, m: int):
         tag_arr = F.lit(tags)
     except Exception:  # pragma: no cover - older pyspark without lit(list)
         tag_arr = F.array(*[F.lit(t) for t in tags])
-    aug = aug.withColumn(_PTAG, F.element_at(tag_arr, F.col(_PID) + 1))
+    # try_element_at: the classic path's LAST range partition donates
+    # rows to pid n (one past the tag range) — they are borrowed rows
+    # destined to be dropped, but plain element_at would RAISE under
+    # ANSI-on sessions instead of nulling (r13, caught by the combined
+    # ANSI+adversarial battery).  A null tag forms its own all-borrowed
+    # window group; real groups are untouched.
+    aug = aug.withColumn(_PTAG, F.try_element_at(tag_arr, F.col(_PID) + 1))
     return aug.repartition(m, F.col(_PTAG)), F.col(_PTAG)
 
 
