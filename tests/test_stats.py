@@ -447,3 +447,65 @@ def test_limits_all_null_fails_loud(spark):
     assert list(nl.count(binby="v", shape=2, limits=(0, 1))) == [0, 0]
     ok = vs.from_arrays(spark=spark, v=[1.0, 2.0, 3.0])
     assert ok.limits("v") == [1.0, 3.0]
+
+
+def test_temporal_var_skew_limits_binby(spark):
+    """r13 fuzz closures: var(t) is population variance over epoch
+    MICROS (float µs² — var**0.5 == std in µs; no squared-duration
+    numpy type exists), skew/kurtosis over micros (affine-invariant, so
+    the epoch basis is immaterial), limits/binby over a timestamp dim
+    auto-derive float bounds on Spark's timestamp→double (epoch
+    seconds) scale instead of float(datetime) TypeError."""
+    import vaex_spark as vs
+    ts = np.array(["2024-01-01", "2024-01-03", "2024-01-05", "2024-01-07"],
+                  dtype="datetime64[us]")
+    df = vs.from_arrays(t=ts, x=np.array([1.0, 2.0, 3.0, 4.0]), spark=spark)
+    v = df.var("t")
+    s = df.std("t")
+    # std post-converts to integer-µs timedelta: allow 1 µs truncation
+    np.testing.assert_allclose(v ** 0.5, s / np.timedelta64(1, "us"), atol=1.0)
+    epochs = ts.astype("int64").astype("float64")
+    np.testing.assert_allclose(v, np.var(epochs), rtol=1e-12)
+    # dimensionless moments match numpy over any affine basis
+    mu, sd = epochs.mean(), epochs.std()
+    np.testing.assert_allclose(df.skew("t"), ((epochs - mu) ** 3).mean() / sd ** 3,
+                               atol=1e-9)
+    np.testing.assert_allclose(df.kurtosis("t"),
+                               ((epochs - mu) ** 4).mean() / sd ** 4 - 3, rtol=1e-9)
+    lo, hi = df.limits("t")
+    assert lo == ts[0].astype("int64") / 1e6 and hi == ts[-1].astype("int64") / 1e6
+    grid = df.count(binby="t", shape=4)
+    assert grid.tolist() == [1.0, 1.0, 1.0, 1.0]
+    gm = df.mean("x", binby="t", shape=2)
+    assert gm.tolist() == [1.5, 3.5]
+
+
+def test_non_identifier_column_names(spark):
+    """r13 fuzz closure: the reference KEEPS original column names and
+    spells access df['a b'] (utils.py:415 valid_expression); every core
+    op must work with spaces, dots, backticks, unicode, and python
+    keywords as column names (dots were read as struct paths, keywords
+    hit the AST parser)."""
+    import pytest
+
+    import vaex_spark as vs
+    df = vs.from_arrays(**{"a b": np.array([1.0, 2.0, 2.0]),
+                           "c.d": np.array([3.0, 4.0, 5.0]),
+                           "class": np.array([7.0, 8.0, 9.0]),
+                           "héllo": np.array([1.0, 1.0, 2.0])}, spark=spark)
+    assert df.mean("a b") == pytest.approx(5 / 3)
+    assert df.mean("class") == 8.0
+    assert df.mean("héllo") == pytest.approx(4 / 3)
+    assert df["c.d"].tolist() == [3.0, 4.0, 5.0]
+    assert df.value_counts("a b").tolist() == [2, 1]
+    assert df.sort("c.d")[["a b", "c.d"]].to_pandas_df().shape == (3, 2)
+    assert df.groupby("a b", agg={"n": vs.agg.count()}).to_pandas_df().shape == (2, 2)
+    d = df.describe()
+    assert d["c.d"]["mean"] == 4.0 and d["class"]["max"] == 9.0
+    assert df.shift(1, column="c.d")["c.d"].tolist()[1:] == [3.0, 4.0]
+    assert df.rolling(2, column="a b").mean()["a b"].tolist()[1:] == [1.5, 2.0]
+    assert df.count(binby="a b", shape=2).tolist() == [1.0, 2.0]
+    assert (df["a b"] + 1).tolist() == [2.0, 3.0, 3.0]
+    assert df[df["a b"] > 1.5].count() == 2
+    bt = vs.from_arrays(**{"a`b": np.array([1.0])}, spark=spark)
+    assert bt["a`b"].tolist() == [1.0]

@@ -677,7 +677,12 @@ class DataFrame:
     def __getitem__(self, item):
         if isinstance(item, str):
             if item.isidentifier() or item in self.get_column_names(hidden=True):
-                return Expression(self, F.col(item), sql=item)
+                # backtick-quote non-identifier names so Spark does not
+                # read '.' as a struct path (reference keeps original
+                # names and spells access df['a b'], utils.py:415)
+                safe = (item if item.isidentifier()
+                        else "`" + item.replace("`", "``") + "`")
+                return Expression(self, F.col(safe), sql=item)
             # expression string: df["x + y"] (reference dataframe.py:5402
             # routes any string through the expression parser)
             return Expression(self, item)
@@ -1635,9 +1640,16 @@ class DataFrame:
 
     def var(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, ddof=0, progress=None):
         """Population variance by default (agg.py:421-455 — vaex accepts
-        ddof but applies population formula; we honor ddof properly)."""
+        ddof but applies population formula; we honor ddof properly).
+
+        Timestamps: variance over epoch MICROSECONDS as a float (µs²),
+        so ``var(t) ** 0.5`` equals ``std(t)`` expressed in µs — there
+        is no squared-duration numpy type (the reference computes over
+        the raw int64 representation too)."""
         fn = F.var_pop if ddof == 0 else F.var_samp
-        return self._compute_agg(lambda c: fn(_dropnan(c)), self._bool_as_int(expression), binby, shape, limits, selection, delay, progress=progress)
+        expr = (self._micros_expr(expression) if self._is_timestamp(expression)
+                else self._bool_as_int(expression))
+        return self._compute_agg(lambda c: fn(_dropnan(c)), expr, binby, shape, limits, selection, delay, progress=progress)
 
     def std(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, ddof=0, progress=None):
         fn = F.stddev_pop if ddof == 0 else F.stddev_samp
@@ -1651,12 +1663,20 @@ class DataFrame:
                                      progress=progress, post=_micros_post("m"), fill=np.nan)
         return self._compute_agg(lambda c: fn(_dropnan(c)), self._bool_as_int(expression), binby, shape, limits, selection, delay, progress=progress)
 
+    def _moment_expr(self, expression):
+        """Input column for dimensionless moment stats: booleans as 0/1;
+        timestamps as epoch micros (skew/kurtosis are affine-invariant,
+        so the epoch basis does not change the value)."""
+        if self._is_timestamp(expression):
+            return self._micros_expr(expression)
+        return self._bool_as_int(expression)
+
     def skew(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, progress=None):
-        return self._compute_agg(lambda c: F.skewness(_dropnan(c)), self._bool_as_int(expression), binby, shape, limits, selection, delay, progress=progress)
+        return self._compute_agg(lambda c: F.skewness(_dropnan(c)), self._moment_expr(expression), binby, shape, limits, selection, delay, progress=progress)
 
     def kurtosis(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, progress=None):
         """vaex population excess kurtosis (agg.py:458-518) == Spark F.kurtosis."""
-        return self._compute_agg(lambda c: F.kurtosis(_dropnan(c)), self._bool_as_int(expression), binby, shape, limits, selection, delay, progress=progress)
+        return self._compute_agg(lambda c: F.kurtosis(_dropnan(c)), self._moment_expr(expression), binby, shape, limits, selection, delay, progress=progress)
 
     def nunique(self, expression, dropna: bool = False, selection=None, delay=False, **kw):
         raw = self._to_expr(expression).col
@@ -2617,7 +2637,10 @@ class _Projected(DataFrame):
         self._columns = columns
 
     def _spark_df(self, filtered: bool = True):
-        return super()._spark_df(filtered).select(*self._columns)
+        cols = [c if c.isidentifier()
+                else F.col("`" + c.replace("`", "``") + "`")
+                for c in self._columns]
+        return super()._spark_df(filtered).select(*cols)
 
     def get_column_names(self, virtual=True, hidden=False):
         cols = builtins.list(self._columns)

@@ -82,12 +82,30 @@ class Expression:
         self.df = df
         self._isin_spec = None
         if isinstance(col, str):
-            from . import expresso
             self._sql = col
+            import keyword as _kw
+            if ((not col.isidentifier() or _kw.iskeyword(col))
+                    and self._is_column_name(df, col)):
+                # non-identifier column names ('a b', 'c.d', unicode…):
+                # the reference keeps the ORIGINAL name and spells
+                # expressions as df['a b'] (utils.py:415
+                # valid_expression); our equivalent is bypassing the
+                # python-AST parser when the string IS a column, with
+                # backticks so Spark doesn't read '.' as a struct path
+                self._col = F.col("`" + col.replace("`", "``") + "`")
+                return
+            from . import expresso
             self._col = expresso.compile_expression(col, df)
         else:
             self._col = col
             self._sql = sql
+
+    @staticmethod
+    def _is_column_name(df, name: str) -> bool:
+        try:
+            return name in df.get_column_names(hidden=True)
+        except Exception:
+            return False
 
     @property
     def col(self) -> Column:

@@ -22,6 +22,20 @@ import numpy as np
 from pyspark.sql import functions as F
 
 
+def _limit_float(v) -> float:
+    """Bin-limit value as a float on the SAME scale ``bin_index_col``'s
+    ``cast('double')`` produces: numbers pass through; datetimes become
+    epoch SECONDS (Spark's timestamp→double cast), so binby over a
+    timestamp dimension auto-derives limits instead of a
+    float(datetime) TypeError (r13 fuzz)."""
+    import datetime as _dt
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=v.tzinfo or _dt.timezone.utc).timestamp()
+    if isinstance(v, np.datetime64):
+        return float(v.astype("datetime64[us]").astype("int64")) / 1e6
+    return float(v)
+
+
 def compute_limits(df, expression, value=None, selection=None, delay=False):
     """dataframe.py:1844 limits / :1795 limits_percentage.
 
@@ -42,7 +56,7 @@ def compute_limits(df, expression, value=None, selection=None, delay=False):
             raise ValueError(
                 f"limits: {expression!r} has no non-null values under "
                 f"the given selection — pass explicit limits=[lo, hi]")
-        return [float(mm[0]), float(mm[1])]
+        return [_limit_float(mm[0]), _limit_float(mm[1])]
     if isinstance(value, str) and value.endswith("%"):
         p = float(value[:-1])
         tail = (100.0 - p) / 2
@@ -56,7 +70,7 @@ def compute_limits(df, expression, value=None, selection=None, delay=False):
                 f"limits: {expression!r} has no non-null values under "
                 f"the given selection — pass explicit limits=[lo, hi]")
         lo, hi = qs
-        return [float(lo), float(hi)]
+        return [_limit_float(lo), _limit_float(hi)]
     raise ValueError(f"cannot interpret limits {value!r}")
 
 
@@ -80,7 +94,7 @@ def _normalize_limits(df, binby, limits):
         if is_per_dim and not (ndim == 2 and all(isinstance(li, (int, float)) for li in limits)):
             specs = limits
         else:
-            lo, hi = float(limits[0]), float(limits[1])
+            lo, hi = _limit_float(limits[0]), _limit_float(limits[1])
             return [[lo, hi] for _ in binby]
     out: list = [None] * ndim
     minmax_dims = []
@@ -89,7 +103,7 @@ def _normalize_limits(df, binby, limits):
             minmax_dims.append(i)
         elif (isinstance(spec, (list, tuple, np.ndarray)) and len(spec) == 2
               and not isinstance(spec[0], str)):
-            out[i] = [float(spec[0]), float(spec[1])]
+            out[i] = [_limit_float(spec[0]), _limit_float(spec[1])]
         else:
             out[i] = compute_limits(df, b, spec)
     if minmax_dims:
@@ -106,7 +120,7 @@ def _normalize_limits(df, binby, limits):
                 raise ValueError(
                     f"limits: {binby[i]!r} has no non-null values — "
                     f"pass explicit limits=[lo, hi] for that dim")
-            out[i] = [float(lo), float(hi)]
+            out[i] = [_limit_float(lo), _limit_float(hi)]
     return out
 
 

@@ -38,6 +38,14 @@ from pyspark.sql import functions as F
 
 from .rowid import ROW_ID, bounded_window, with_row_id
 
+def _fcol(name):
+    """F.col with backtick quoting for non-identifier column names
+    ('a b', 'c.d') so Spark does not read '.' as a struct path."""
+    if name.isidentifier():
+        return F.col(name)
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 _PID = "__pid"
 _PTAG = "__ptag"
 _BORROWED = "__borrowed"
@@ -466,7 +474,7 @@ def shift(df, periods, column=None, fill_value=None, trim=False,
     marker = "__shift_ok"
 
     def make(c, w):
-        val = F.lag(F.col(c), periods, fill_value).over(w)
+        val = F.lag(_fcol(c), periods, fill_value).over(w)
         if not trim:
             return val
         ok = F.count(F.lit(1)).over(w.rowsBetween(-periods, -periods)) == 1
@@ -485,11 +493,11 @@ def _unpack_trim(df, out, column, marker):
     sdf = out._spark_df()
     keep = None
     for c in cols:
-        cond = F.col(c).getField(marker)
+        cond = _fcol(c).getField(marker)
         keep = cond if keep is None else (keep & cond)
     sdf = sdf.filter(keep)
     for c in cols:
-        sdf = sdf.withColumn(c, F.col(c).getField("v"))
+        sdf = sdf.withColumn(c, _fcol(c).getField("v"))
     o = DataFrame(sdf)
     o.variables = dict(df.variables)
     return o
@@ -508,7 +516,7 @@ def shift_range(df, periods, column=None, fill_value=None, trim=False,
     marker = "__shift_ok"
 
     def make(c, w):
-        elems = [F.lead(F.col(c), j, fill_value).over(w) for j in range(start, end)]
+        elems = [F.lead(_fcol(c), j, fill_value).over(w) for j in range(start, end)]
         val = F.array(*elems)
         if not trim:
             return val
@@ -544,7 +552,7 @@ def diff(df, periods=1, column=None, order_key=None, partition_by=None):
     after = max(-periods, 0)
 
     def make(c, w):
-        return F.col(c) - F.lag(F.col(c), periods).over(w)
+        return _fcol(c) - F.lag(_fcol(c), periods).over(w)
 
     return _apply_windowed(df, order_key, partition_by, before, after, column, make)
 
@@ -611,17 +619,17 @@ class Rolling:
                     return (F.sum(e).over(grow)
                             - F.coalesce(F.sum(e).over(prev), F.lit(0)))
 
-                n = (F.count(F.col(c)).over(grow)
-                     - F.count(F.col(c)).over(prev))
+                n = (F.count(_fcol(c)).over(grow)
+                     - F.count(_fcol(c)).over(prev))
                 if kind == "count":
                     val = n
                 elif kind == "sum":
-                    val = fsum(F.col(c))
+                    val = fsum(_fcol(c))
                 elif kind == "mean":
                     # try_divide: all-null frames (n = 0) stay null under ANSI
-                    val = F.try_divide(fsum(F.col(c)), n)
+                    val = F.try_divide(fsum(_fcol(c)), n)
                 else:  # var / std from moment sums (population, ddof=0)
-                    x = F.col(c).cast("double")
+                    x = _fcol(c).cast("double")
                     # Center on the partition's first non-null value:
                     # variance is shift-invariant, and the raw moment
                     # form m2 - m1^2/n cancels catastrophically when
@@ -642,8 +650,8 @@ class Rolling:
                     val = F.sqrt(v) if kind == "std" else v
             else:
                 frame = w.rowsBetween(-before, after)
-                val = fn(F.col(c)).over(frame)
-                n = F.count(F.col(c)).over(frame)
+                val = fn(_fcol(c)).over(frame)
+                n = F.count(_fcol(c)).over(frame)
             # null (or later drop) incomplete windows; stash the count
             return F.struct(F.when(n >= self.window, val).alias("v"),
                             n.alias(need_n))
@@ -661,7 +669,7 @@ class Rolling:
                 keep = keep & cnd
             sdf = sdf.filter(keep)
         for c in cols:
-            sdf = sdf.withColumn(c, F.col(c).getField("v"))
+            sdf = sdf.withColumn(c, _fcol(c).getField("v"))
         from ..dataframe import DataFrame
         o = DataFrame(sdf)
         o.variables = dict(self.df.variables)
@@ -790,8 +798,8 @@ def rolling_range(df, window_seconds, on, column=None, agg="mean",
         grow = w.rangeBetween(Window.unboundedPreceding, 0)
         prev = w.rangeBetween(Window.unboundedPreceding, -win)
         for c in cols:
-            n = (F.count(F.col(c)).over(grow)
-                 - F.count(F.col(c)).over(prev))
+            n = (F.count(_fcol(c)).over(grow)
+                 - F.count(_fcol(c)).over(prev))
             if agg == "count":
                 val = n
             else:
