@@ -509,3 +509,40 @@ def test_non_identifier_column_names(spark):
     assert df[df["a b"] > 1.5].count() == 2
     bt = vs.from_arrays(**{"a`b": np.array([1.0])}, spark=spark)
     assert bt["a`b"].tolist() == [1.0]
+
+
+def test_temporal_groupby_rolling_percentile(spark):
+    """r13: temporal parity extends to the GROUPBY agg-descriptor path,
+    rolling moments, and percentile_exact — mean returns datetime, std
+    returns timedelta, var float µs², skew dimensionless; rolling mean
+    previously yielded raw epoch SECONDS (Spark avg(timestamp)) and
+    std/percentile raised DATATYPE_MISMATCH."""
+    import pandas as pd
+
+    import vaex_spark as vs
+    import vaex_spark.agg as vagg
+    ts = np.array(["2024-01-01", "2024-01-03", "2024-01-05", "2024-01-07"],
+                  dtype="datetime64[us]")
+    df = vs.from_arrays(t=ts, g=np.array([0, 0, 1, 1]), spark=spark)
+    out = df.groupby("g", agg={"m": vagg.mean("t"), "s": vagg.std("t"),
+                               "v": vagg.var("t")}, sort=True).to_pandas_df()
+    assert out["m"].tolist() == [pd.Timestamp("2024-01-02"), pd.Timestamp("2024-01-06")]
+    assert out["s"].tolist() == [pd.Timedelta(days=1)] * 2
+    day_us = 86400e6
+    np.testing.assert_allclose(out["v"].tolist(), [day_us ** 2] * 2)
+    # rolling over timestamps
+    rm = df.rolling(2, column="t").mean()["t"].tolist()
+    assert rm[1] == np.datetime64("2024-01-02", "ns")
+    rs = df.rolling(2, column="t").std()["t"].tolist()
+    assert rs[1] == np.timedelta64(1, "D")
+    # prefix-frame path (w >= 64) stays exact on the micros basis
+    big = vs.from_arrays(t=np.arange("2024-01-01", "2024-07-19",
+                                     dtype="datetime64[D]").astype("datetime64[us]")[:200],
+                         spark=spark)
+    got = big.rolling(64, column="t").mean()["t"].tolist()[63]
+    assert got == np.datetime64("2024-02-01T12:00:00", "ns")
+    # percentile_exact interpolates over micros, hands back datetimes
+    assert df.percentile_exact("t", 50.0) == np.datetime64("2024-01-04", "us")
+    got2 = df.percentile_exact("t", [25.0, 75.0])
+    assert list(got2) == [np.datetime64("2024-01-02T12:00:00", "us"),
+                          np.datetime64("2024-01-05T12:00:00", "us")]

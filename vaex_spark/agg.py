@@ -112,10 +112,25 @@ class _SimpleAgg(AggDescriptor):
             return F.count(F.lit(1))
         if self.numeric:
             try:
-                if df.data_type(self.expression) == "boolean":
-                    c = c.cast("int")
+                dt = df.data_type(self.expression)
             except Exception:
-                pass
+                dt = None
+            if dt == "boolean":
+                c = c.cast("int")
+            elif dt is not None and dt.startswith("timestamp") and \
+                    self.short_name in ("mean", "std", "var", "skew", "kurtosis"):
+                # temporal parity on the GROUPBY path too (r13; the r12
+                # fix covered only DataFrame-level stats): compute over
+                # epoch micros JVM-side, convert mean back to timestamp
+                # and std to a day-time interval (-> timedelta64 in
+                # pandas); var stays float µs², skew/kurt dimensionless
+                out = self.fn(F.unix_micros(c))
+                if self.short_name == "mean":
+                    return F.timestamp_micros(F.round(out).cast("long"))
+                if self.short_name == "std":
+                    return F.make_dt_interval(
+                        F.lit(0), F.lit(0), F.lit(0), out / F.lit(1e6))
+                return out
         return self.fn(c)
 
 

@@ -1777,11 +1777,21 @@ class DataFrame:
         multiset).  A LIST of percentages computes in ONE job —
         F.percentile takes an array of fractions (r12; the loop form
         paid one full aggregation job per requested percentile)."""
-        col = self._agg_expr_col(self._bool_as_int(expression), selection)
+        conv = None
+        if self._is_timestamp(expression):
+            # F.percentile needs numerics: interpolate over epoch micros
+            # and hand back datetimes (median_approx already supports
+            # timestamps via approx_percentile natively)
+            expr, conv = self._micros_expr(expression), _micros_post("M")
+        else:
+            expr = self._bool_as_int(expression)
+        col = self._agg_expr_col(expr, selection)
         if isinstance(percentage, (list, tuple, np.ndarray)):
             fracs = F.array(*[F.lit(float(p) / 100.0) for p in percentage])
-            return np.array(self._agg_scalar(F.percentile(col, fracs)))
-        return self._agg_scalar(F.percentile(col, float(percentage) / 100.0))
+            out = np.array(self._agg_scalar(F.percentile(col, fracs)))
+            return conv(out) if conv is not None else out
+        out = self._agg_scalar(F.percentile(col, float(percentage) / 100.0))
+        return conv(out) if conv is not None else out
 
     def median_approx(self, expression, selection=None, delay=False, **kw):
         return self.percentile_approx(expression, 50.0, selection=selection, delay=delay)

@@ -611,6 +611,34 @@ class Rolling:
                       and self.window >= _PREFIX_FRAME_MIN_WINDOW)
 
         def make(c, w):
+            is_ts = False
+            try:
+                is_ts = self.df.data_type(c).startswith("timestamp")
+            except Exception:
+                pass
+            if is_ts and kind in ("mean", "std", "var", "sum"):
+                # temporal parity (r13): rolling moments over a
+                # timestamp column compute on epoch micros (Spark's
+                # avg(timestamp) silently yields epoch SECONDS as a
+                # double; sum/stddev are type errors) — mean converts
+                # back to timestamp, std to a day-time interval
+                # (timedelta64 in pandas); var/sum stay float µs.
+                src = F.unix_micros(_fcol(c))
+                frame = w.rowsBetween(-before, after)
+                n = F.count(src).over(frame)
+                if kind == "mean":
+                    val = F.timestamp_micros(
+                        F.round(F.avg(src).over(frame)).cast("long"))
+                elif kind == "std":
+                    val = F.make_dt_interval(
+                        F.lit(0), F.lit(0), F.lit(0),
+                        F.stddev_pop(src).over(frame) / F.lit(1e6))
+                elif kind == "var":
+                    val = F.var_pop(src).over(frame)
+                else:
+                    val = F.sum(src).over(frame)
+                return F.struct(F.when(n >= self.window, val).alias("v"),
+                                n.alias(need_n))
             if use_prefix:
                 grow = w.rowsBetween(Window.unboundedPreceding, after)
                 prev = w.rowsBetween(Window.unboundedPreceding, -(before + 1))
