@@ -3562,6 +3562,37 @@ FROM lineitem
 """
 
 
+def _q110_positional_window(spark, sf_dir):
+    """POSITIONAL (order_key=None) shift/diff — the reference's native
+    row-order semantics (shift.py:204 operates on physical row order),
+    previously pytest-only: the r13 uniform-block rewrite
+    (operators/window.py:_block_window — pid = ROW_ID div B, no
+    persist, ONE exchange, monotonic-tag order-preserving read-back)
+    made the path oracle-checkable.  events.parquet is physically
+    sorted by event_id, so scan order == event_id order and the DuckDB
+    twin can spell the same window over ORDER BY event_id.  The query
+    exercises the full donor machinery in BOTH directions (lag via
+    diff, lead via shift(-2)) and the row-order read-back contract:
+    event_id rides along UNWINDOWED, so any order scramble between the
+    windowed value and its row would hash-mismatch."""
+    df = _t(spark, sf_dir, "events")
+    d = df.diff(column="value")                      # positional lag(1)
+    d2 = df.shift(-2, column="value")                # positional lead(2)
+    a = d.spark.select("event_id", F.round(F.col("value"), 6).alias("pos_diff"))
+    b = d2.spark.select(F.col("event_id").alias("event_id_b"),
+                        F.round(F.col("value"), 6).alias("pos_lead2"))
+    return (a.join(b, a.event_id == b.event_id_b, "inner")
+            .select("event_id", "pos_diff", "pos_lead2"))
+
+
+_Q110_SQL = """
+SELECT event_id,
+       ROUND(value - LAG(value) OVER (ORDER BY event_id), 6) AS pos_diff,
+       ROUND(LEAD(value, 2) OVER (ORDER BY event_id), 6) AS pos_lead2
+FROM events
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3673,6 +3704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_error_propagation_corr": _q107_error_propagation_corr,
         "q108_mutual_information": _q108_mutual_information,
         "q109_percentile_exact_mode": _q109_percentile_exact_mode,
+        "q110_positional_window": _q110_positional_window,
     }
 
 
@@ -3789,4 +3821,5 @@ def oracle_sql() -> dict[str, str]:
         "q107_error_propagation_corr": _Q107_SQL,
         "q108_mutual_information": _Q108_SQL,
         "q109_percentile_exact_mode": _Q109_SQL,
+        "q110_positional_window": _Q110_SQL,
     }

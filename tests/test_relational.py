@@ -147,6 +147,11 @@ def test_take(spark):
     df = vs.from_arrays(spark=spark, x=list(range(100)))
     t = df.take([0, 5, 7])
     assert sorted(t.to_pandas_df()["x"]) == [0, 5, 7]
+    # numpy fancy-indexing semantics: rows come back in the ORDER GIVEN
+    # (reference ColumnIndexed column.py:295), duplicates repeat (r13;
+    # the bare semi-join returned row-id-sorted order)
+    t2 = df.take([7, 0, 5, 7])
+    assert t2.to_pandas_df()["x"].tolist() == [7, 0, 5, 7]
 
 
 def test_sample_split_shuffle(lineitem):

@@ -1174,8 +1174,17 @@ class DataFrame:
         collect of data columns)."""
         from .operators.rowid import with_row_id
         sdf = with_row_id(self._spark_df())
-        idx = self.session.createDataFrame([(int(i),) for i in indices], f"{ROW_ID} long")
-        out = sdf.join(F.broadcast(idx), on=ROW_ID, how="inner").drop(ROW_ID)
+        # carry the position within `indices`: take() follows numpy
+        # fancy-indexing semantics — rows come back in the ORDER GIVEN
+        # (reference ColumnIndexed column.py:295), not row-id order
+        # (r13 fuzz: the bare join returned sorted order)
+        idx = self.session.createDataFrame(
+            [(int(i), p) for p, i in enumerate(indices)],
+            f"{ROW_ID} long, __take_pos long")
+        out = (sdf.join(F.broadcast(idx), on=ROW_ID, how="inner")
+               .repartitionByRange(F.col("__take_pos"))
+               .sortWithinPartitions("__take_pos")
+               .drop(ROW_ID, "__take_pos"))
         o = DataFrame(out)
         o.variables = dict(self.variables)
         return o
