@@ -31,6 +31,18 @@ CASES = {
         "plan; the only allowed single partition is the explicit "
         "stats-derived REPARTITION_BY_NUM).",
         [r"Window"]),
+    "q110_positional_window": (
+        "Positional window (r13 block scheme): pid is computed from the "
+        "contiguous row id — NO rangepartitioning anywhere, NO "
+        "InMemoryTableScan (persist-free).  At sf0.01 the stats say the "
+        "frame fits one advisory partition, so the intended plan is the "
+        "bounded-window fast path (constant _w1 spec); above that the "
+        "monotonic-tag __ptag REPARTITION_BY_NUM exchange appears "
+        "(pinned at multi-partition scale by "
+        "test_positional_output_row_order_multi_partition + "
+        "SCALECHECK_r13).",
+        [r"Window", r"!rangepartitioning", r"!InMemoryTableScan",
+         r"__ptag|windowspecdefinition\(_w1"]),
     "q26_dedup_exact": (
         "Exact dedup: map-side combined aggregation over fingerprints; "
         "the surviving-row selection never moves text through an extra "
