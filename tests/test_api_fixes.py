@@ -784,3 +784,39 @@ def test_non_utc_session_warns_once(spark):
         warnings.simplefilter("always")
         vs.DataFrame(spark.createDataFrame([(3,)], "x int"))
     assert not [x for x in w if "timeZone" in str(x.message)]
+
+
+def test_state_roundtrip_odd_column_names(spark):
+    """r13: virtual columns, selections, and filters built over
+    NON-IDENTIFIER column names must survive state_get/state_set — the
+    expression TEXT uses the reference's parseable df['a b'] spelling
+    (utils.py:415 valid_expression), and expresso's df[...] subscript
+    backtick-quotes dots so Spark does not read struct paths."""
+    import numpy as np
+
+    import vaex_spark as vs
+
+    def fresh():
+        return vs.from_arrays(**{"a b": np.array([1.0, 2.0, 3.0]),
+                                 "c.d": np.array([4.0, 5.0, 6.0])},
+                              spark=spark)
+
+    odd = fresh()
+    odd["dbl"] = odd["a b"] * 2
+    odd["mix"] = odd["a b"] + odd["c.d"]
+    odd.select("df['a b'] > 1.5")
+    st = odd.state_get()
+    assert st["virtual_columns"]["mix"] == "(df['a b'] + df['c.d'])"
+    f2 = fresh()
+    f2.state_set(st)
+    assert f2["dbl"].tolist() == [2.0, 4.0, 6.0]
+    assert f2["mix"].tolist() == [5.0, 7.0, 9.0]
+    assert f2.count(selection=True) == 2
+    # filter state too
+    flt = fresh()
+    flt = flt[flt["c.d"] >= 5.0]
+    f3 = fresh()
+    f3.state_set(flt.state_get())
+    assert f3.count() == 2
+    # string-expression subscript spelling works directly
+    assert fresh()["df['a b'] * 3"].tolist() == [3.0, 6.0, 9.0]

@@ -682,7 +682,11 @@ class DataFrame:
                 # names and spells access df['a b'], utils.py:415)
                 safe = (item if item.isidentifier()
                         else "`" + item.replace("`", "``") + "`")
-                return Expression(self, F.col(safe), sql=item)
+                # expression TEXT of an odd name uses the reference's
+                # parseable df['a b'] spelling (utils.py:415) so
+                # operator algebra composes state-portable strings
+                sql = item if item.isidentifier() else f"df[{item!r}]"
+                return Expression(self, F.col(safe), sql=sql)
             # expression string: df["x + y"] (reference dataframe.py:5402
             # routes any string through the expression parser)
             return Expression(self, item)

@@ -86,6 +86,11 @@ class Expression:
             import keyword as _kw
             if ((not col.isidentifier() or _kw.iskeyword(col))
                     and self._is_column_name(df, col)):
+                # expression TEXT uses the reference's parseable
+                # spelling (utils.py:415 valid_expression): operator
+                # algebra over this expression then composes strings
+                # like "(df['a b'] * 2)" that state_set can re-parse
+                self._sql = f"df[{col!r}]"
                 # non-identifier column names ('a b', 'c.d', unicode…):
                 # the reference keeps the ORIGINAL name and spells
                 # expressions as df['a b'] (utils.py:415

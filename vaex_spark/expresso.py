@@ -173,6 +173,11 @@ class _Compiler:
         value = self.visit(node.value)
         if isinstance(value, _Namespace):  # df['col']
             sl = self.visit(node.slice)
+            # backtick-quote non-identifier names (df['a b'], df['c.d'])
+            # so Spark does not read '.' as a struct path — this is the
+            # reference's spelling for odd column names (utils.py:415)
+            if isinstance(sl, str) and not sl.isidentifier():
+                return F.col("`" + sl.replace("`", "``") + "`")
             return F.col(sl)
         sl = self.visit(node.slice)
         if isinstance(sl, int):
