@@ -1,0 +1,280 @@
+"""Permanent stat-surface × {bool, timestamp} parity matrix (r14).
+
+VERDICT r13 task 3: the boolean-0/1 and temporal contracts had been
+closed surface-by-surface across rounds (r12 scalar/binby/groupby,
+r13 binby-grid/multi-selection/groupby-descriptor/rolling/
+percentile_exact/describe, r14 rolling-bool + rolling_range + sum) —
+each round's fuzz found the surface the previous round missed.  This
+matrix enumerates EVERY stat surface against both dtypes so the next
+surface added cannot skip the branch.
+
+Contract (SURVEY §1.2):
+- boolean: moment statistics (sum/mean/std/var/skew/kurtosis) compute
+  over 0/1 — numpy parity (np.sum(bool_arr) counts Trues; Spark's
+  sum(boolean) is a DATATYPE_MISMATCH).  min/max/count keep the bool.
+- timestamp: mean → datetime, std → timedelta, var → µs² float,
+  skew/kurtosis → dimensionless, sum → epoch-µs sum (numpy RAISES on
+  datetime64 sum; there is no datetime sum type — the µs sum is this
+  engine's uniform choice, established by the r13 rolling path).
+  min/max stay timestamps.
+
+When you add a NEW statistic surface, add a runner here.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import vaex_spark as vs
+import vaex_spark.agg as vagg
+
+N = 8
+BOOLS = np.array([True, False, True, True, False, True, False, True])
+TS = pd.date_range("2024-01-01", periods=N, freq="h").to_numpy()
+GROUPS = np.array([0] * 4 + [1] * 4)
+B01 = BOOLS.astype("float64")
+MU = TS.astype("datetime64[us]").astype("int64").astype("float64")  # µs
+
+
+@pytest.fixture(scope="module")
+def pdf(spark):
+    return vs.from_arrays(spark=spark, i=np.arange(N), b=BOOLS, t=TS,
+                          g=GROUPS)
+
+
+def _as_us_datetime(v) -> float:
+    """Any datetime spelling (np.datetime64, pd.Timestamp, datetime)
+    to epoch µs, failing loudly on non-datetime values."""
+    tv = np.datetime64(pd.Timestamp(v).to_pydatetime().replace(tzinfo=None), "us")
+    return float(tv.astype("int64"))
+
+
+def _as_us_timedelta(v) -> float:
+    return float(pd.Timedelta(v).to_numpy().astype("timedelta64[us]").astype("int64"))
+
+
+def _pop_std(a):
+    return float(np.std(a))
+
+
+def _pop_var(a):
+    return float(np.var(a))
+
+
+BOOL_ORACLE = {
+    "sum": float(B01.sum()), "mean": float(B01.mean()),
+    "std": _pop_std(B01), "var": _pop_var(B01),
+    "min": False, "max": True, "count": float(N),
+}
+TS_ORACLE = {  # in µs where dimensional
+    "sum": float(MU.sum()), "mean": float(MU.mean()),
+    "std": _pop_std(MU), "var": _pop_var(MU),
+    "min": float(MU[0]), "max": float(MU[-1]), "count": float(N),
+}
+
+MOMENTS = ["sum", "mean", "std", "var"]
+
+
+def _check_ts(stat, got, want_us, tol=1.0):
+    """Temporal result in whatever container the surface uses → µs,
+    asserting the TYPE follows the contract."""
+    if stat == "mean" or stat in ("min", "max"):
+        got_us = _as_us_datetime(got)
+    elif stat == "std":
+        got_us = _as_us_timedelta(got)
+    else:  # sum / var / count: plain numbers (µs, µs², n)
+        assert not isinstance(got, (np.datetime64, np.timedelta64,
+                                    pd.Timestamp, pd.Timedelta)), got
+        got_us = float(got)
+    # mean is rounded to whole µs engine-side; var is µs²-scale huge
+    rel = abs(got_us - want_us) / max(1.0, abs(want_us))
+    assert rel < 1e-9 or abs(got_us - want_us) <= tol, (stat, got, want_us)
+
+
+# ---------------------------------------------------------------- scalar
+@pytest.mark.parametrize("stat", MOMENTS + ["min", "max", "count"])
+def test_scalar_bool(pdf, stat):
+    got = getattr(pdf, stat)("b")
+    want = BOOL_ORACLE[stat]
+    if stat in ("min", "max"):
+        assert bool(got) == want
+    else:
+        assert abs(float(got) - want) < 1e-12, (stat, got, want)
+
+
+@pytest.mark.parametrize("stat", MOMENTS + ["min", "max"])
+def test_scalar_timestamp(pdf, stat):
+    _check_ts(stat, getattr(pdf, stat)("t"), TS_ORACLE[stat])
+
+
+# scipy-free population skew/kurtosis oracles
+def _skew(a):
+    c = a - a.mean()
+    return float((c ** 3).mean() / (c ** 2).mean() ** 1.5)
+
+
+def _kurt(a):
+    c = a - a.mean()
+    return float((c ** 4).mean() / (c ** 2).mean() ** 2 - 3.0)
+
+
+@pytest.mark.parametrize("col,arr", [("b", B01), ("t", MU)])
+def test_scalar_skew_kurtosis(pdf, col, arr):
+    assert abs(pdf.skew(col) - _skew(arr)) < 1e-9
+    assert abs(pdf.kurtosis(col) - _kurt(arr)) < 1e-9
+
+
+# ------------------------------------------------- multi-selection lists
+@pytest.mark.parametrize("stat", MOMENTS)
+def test_selection_list_bool(pdf, stat):
+    got = getattr(pdf, stat)("b", selection=[None, "i >= 4"])
+    fn = {"sum": np.sum, "mean": np.mean, "std": np.std, "var": np.var}[stat]
+    want = [float(fn(B01)), float(fn(B01[4:]))]
+    assert np.allclose(np.asarray(got, dtype="float64"), want), (got, want)
+
+
+@pytest.mark.parametrize("stat", MOMENTS)
+def test_selection_list_timestamp(pdf, stat):
+    got = getattr(pdf, stat)("t", selection=[None, "i >= 4"])
+    fn = {"sum": np.sum, "mean": np.mean, "std": np.std, "var": np.var}[stat]
+    for g, w in zip(np.asarray(got).tolist(), [fn(MU), fn(MU[4:])]):
+        _check_ts(stat, g, float(w))
+
+
+# ----------------------------------------------------------- binby grid
+@pytest.mark.parametrize("stat", MOMENTS)
+def test_binby_bool(pdf, stat):
+    got = getattr(pdf, stat)("b", binby="i", shape=2, limits=[0, 8])
+    fn = {"sum": np.sum, "mean": np.mean, "std": np.std, "var": np.var}[stat]
+    want = [float(fn(B01[:4])), float(fn(B01[4:]))]
+    assert np.allclose(np.asarray(got, dtype="float64"), want), (got, want)
+
+
+@pytest.mark.parametrize("stat", MOMENTS)
+def test_binby_timestamp(pdf, stat):
+    got = getattr(pdf, stat)("t", binby="i", shape=2, limits=[0, 8])
+    fn = {"sum": np.sum, "mean": np.mean, "std": np.std, "var": np.var}[stat]
+    for g, w in zip(np.asarray(got).tolist(), [fn(MU[:4]), fn(MU[4:])]):
+        _check_ts(stat, g, float(w))
+
+
+@pytest.mark.parametrize("stat", ["var", "skew", "kurtosis"])
+def test_binby_timestamp_empty_bin_is_nan(pdf, stat):
+    # r13 ADVICE: temporal var/skew/kurt over an EMPTY bin must read
+    # NaN (sibling mean/std read NaT), never a fake 0.0 µs²
+    got = getattr(pdf, stat)("t", binby="i", shape=4, limits=[0, 32])
+    arr = np.asarray(got, dtype="float64")
+    assert np.isnan(arr[1:]).all(), got
+    assert np.isfinite(arr[0]), got
+
+
+# ------------------------------------------------- groupby descriptors
+@pytest.mark.parametrize("stat", MOMENTS + ["min", "max"])
+def test_groupby_bool(pdf, stat):
+    desc = getattr(vagg, stat)("b")
+    out = pdf.groupby("g", agg={"o": desc}).to_pandas_df().sort_values("g")
+    fn = {"sum": np.sum, "mean": np.mean, "std": np.std, "var": np.var,
+          "min": np.min, "max": np.max}[stat]
+    src = BOOLS if stat in ("min", "max") else B01
+    want = [fn(src[:4]), fn(src[4:])]
+    if stat in ("min", "max"):
+        assert [bool(v) for v in out.o] == [bool(w) for w in want]
+    else:
+        assert np.allclose(out.o.to_numpy(dtype="float64"), want)
+
+
+@pytest.mark.parametrize("stat", MOMENTS + ["min", "max"])
+def test_groupby_timestamp(pdf, stat):
+    desc = getattr(vagg, stat)("t")
+    out = pdf.groupby("g", agg={"o": desc}).to_pandas_df().sort_values("g")
+    fn = {"sum": np.sum, "mean": np.mean, "std": np.std, "var": np.var,
+          "min": np.min, "max": np.max}[stat]
+    for g, w in zip(out.o.tolist(), [fn(MU[:4]), fn(MU[4:])]):
+        _check_ts(stat, g, float(w))
+
+
+# --------------------------------------------------------------- rolling
+@pytest.mark.parametrize("stat", ["sum", "mean", "std", "var", "count"])
+def test_rolling_bool(pdf, stat):
+    out = getattr(pdf.rolling(3, column="b", order_key="i"), stat)()
+    got = out.to_pandas_df().sort_values("i").b.to_numpy(dtype="float64")
+    r = pd.Series(B01).rolling(3)
+    nan2 = np.full(2, np.nan)
+    want = {"sum": r.sum().to_numpy(), "mean": r.mean().to_numpy(),
+            "std": r.std(ddof=0).to_numpy(), "var": r.var(ddof=0).to_numpy(),
+            "count": np.concatenate([nan2, np.full(N - 2, 3.0)])}[stat]
+    assert np.allclose(got, np.asarray(want, dtype="float64"),
+                       equal_nan=True), (got, want)
+
+
+@pytest.mark.parametrize("stat", MOMENTS)
+def test_rolling_timestamp(pdf, stat):
+    out = getattr(pdf.rolling(3, column="t", order_key="i"), stat)()
+    got = out.to_pandas_df().sort_values("i").t
+    r = pd.Series(MU).rolling(3)
+    want = {"sum": r.sum(), "mean": r.mean(), "std": r.std(ddof=0),
+            "var": r.var(ddof=0)}[stat]
+    for g, w in zip(got.tolist(), want.tolist()):
+        if isinstance(g, float) and np.isnan(g) or g is None or g is pd.NaT:
+            assert np.isnan(w)
+            continue
+        _check_ts(stat, g, float(w))
+
+
+# ---------------------------------------------------------- rolling_range
+@pytest.mark.parametrize("agg", ["sum", "mean", "count", "min", "max"])
+def test_rolling_range_bool(pdf, agg):
+    out = pdf.rolling_range(7200, on="t", column="b", agg=agg).to_pandas_df()
+    got = out.sort_values("t")[f"b_rolling_{agg}"]
+    src = BOOLS if agg in ("min", "max") else B01
+    r = pd.Series(src, index=pd.DatetimeIndex(TS)).rolling("2h")
+    want = getattr(r, agg)()
+    if agg in ("min", "max"):
+        assert [bool(v) for v in got] == [bool(v) for v in want]
+    else:
+        assert np.allclose(got.to_numpy(dtype="float64"),
+                           want.to_numpy(dtype="float64"))
+
+
+@pytest.mark.parametrize("agg", ["sum", "mean", "min", "max"])
+def test_rolling_range_timestamp_value(pdf, agg):
+    # r14: mean over a timestamp VALUE column returned epoch-seconds
+    # doubles before this net existed — type contract now uniform
+    out = pdf.rolling_range(7200, on="t", column="t", agg=agg).to_pandas_df()
+    got = out.sort_values("t")[f"t_rolling_{agg}"]
+    r = pd.Series(MU, index=pd.DatetimeIndex(TS)).rolling("2h")
+    want = {"sum": r.sum(), "mean": r.mean(), "min": r.min(), "max": r.max()}[agg]
+    stat = {"sum": "sum", "mean": "mean", "min": "min", "max": "max"}[agg]
+    for g, w in zip(got.tolist(), want.tolist()):
+        _check_ts(stat, g, float(w))
+
+
+# ------------------------------------------------------------ percentile
+def test_percentile_bool(pdf):
+    assert float(pdf.percentile_exact("b", 50)) == float(np.percentile(B01, 50))
+    assert float(pdf.median_approx("b")) in (0.0, 1.0)
+
+
+def test_percentile_timestamp(pdf):
+    got = pdf.percentile_exact("t", 50)
+    _check_ts("mean", got, float(np.percentile(MU, 50)))
+
+
+# -------------------------------------------------------------- describe
+def test_describe_types(pdf):
+    d = pdf.describe()
+    # bool column: numeric mean/std over 0/1
+    assert abs(float(d["b"]["mean"]) - B01.mean()) < 1e-12
+    assert abs(float(d["b"]["std"]) - float(np.std(B01, ddof=1))) < 1e-9 or \
+        abs(float(d["b"]["std"]) - _pop_std(B01)) < 1e-9
+    # timestamp column: datetime mean, timedelta std
+    _check_ts("mean", d["t"]["mean"], MU.mean())
+    assert isinstance(d["t"]["std"], (pd.Timedelta, np.timedelta64))
+
+
+# -------------------------------------------------- shift fill contract
+def test_shift_bool_fill(pdf):
+    out = pdf.shift(1, column="b", order_key="i", fill_value=False)
+    got = out.to_pandas_df().sort_values("i").b.tolist()
+    want = [False] + BOOLS[:-1].tolist()
+    assert [bool(v) for v in got] == want

@@ -152,6 +152,17 @@ def test_take(spark):
     # the bare semi-join returned row-id-sorted order)
     t2 = df.take([7, 0, 5, 7])
     assert t2.to_pandas_df()["x"].tolist() == [7, 0, 5, 7]
+    # numpy negative-index wrap (r14; the reference's ColumnIndexed is
+    # plain column[indices], column.py:295 — r13 fuzz found -1 silently
+    # DROPPED by the broadcast join)
+    t3 = df.take([0, -1, -100])
+    assert t3.to_pandas_df()["x"].tolist() == [0, 99, 0]
+    # out-of-bounds raises like numpy, both directions
+    import pytest
+    with pytest.raises(IndexError):
+        df.take([100])
+    with pytest.raises(IndexError):
+        df.take([-101])
 
 
 def test_sample_split_shuffle(lineitem):

@@ -788,6 +788,15 @@ def test_murmur3_tag_matches_spark_hash(spark):
         for i, t in enumerate(tags):
             h = _mmh3_int(t) % m
             assert (h + m if h < 0 else h) == i
+    # PRODUCTION dtype pin (r14, from r13 ADVICE): _mmh3_int mirrors
+    # hashInt only, so the __ptag column the exchange hashes must be a
+    # 32-bit int — a literal-array inference change to bigint would
+    # route through hashLong and silently scramble read-back order.
+    from vaex_spark.operators.window import _PID, _PTAG, _pin_monotonic_exchange
+    for pid_t in ("int", "bigint"):  # production is int; bigint defended
+        aug = spark.range(64).withColumn(_PID, (F.col("id") / 8).cast(pid_t))
+        pinned, _ = _pin_monotonic_exchange(aug, 8)
+        assert dict(pinned.dtypes)[_PTAG] == "int", dict(pinned.dtypes)
 
 
 def test_positional_output_row_order_multi_partition(spark):

@@ -365,6 +365,51 @@ def shift_rolling(spark, ns):
         assert abs(chk["s"] - expect) / expect < 1e-12, (chk["s"], expect)
 
 
+def wide_rolling_tail(spark, ns):
+    """r13 verdict task 5: the donor-edge tail of the r13 block scheme
+    (`_block_window`): blocks are ``B = max(ceil(N/n_blocks), depth)``,
+    so at frame depth approaching B every block donates ~ALL its rows
+    to its successor — shuffle volume tends to 2× (never more:
+    single-neighbor donation requires B >= depth, so a row is donated
+    at most once) and parallelism tends to N/depth blocks.  Pinned
+    here: (a) EXACTNESS at 1e7 w=100k via a full-output numpy-cumsum
+    oracle — at this N the clamp B = depth is active, i.e. exactly the
+    depth == B regime the verdict asked about; (b) count == N and
+    nulls == w-1 at every N/width — the donation-depth invariant (a
+    short-donated block head would null its first w-1 rows PER BLOCK);
+    (c) walls for w=100k, w ≈ B (the full-duplication point at 1e8),
+    and the documented parallelism-loss regime w=1M at 1e7 (11
+    blocks of 2M sorted rows each)."""
+    import numpy as np
+    for n in ns:
+        df = _open(spark, n)
+        print(f"-- wide_rolling_tail N={_tag(n)}")
+        widths = [100_000]
+        if n >= 5 * 10**7:
+            widths.append(-(-n // 512))  # w ≈ B: full-duplication point
+        if n == 10**7:
+            widths.append(1_000_000)
+        for w in widths:
+            r, _ = _wall(f"rolling_sum_w{w}_positional", lambda:
+                         _noop(df.rolling(w, column="x").sum().spark))
+            chk = r.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("x").isNull().cast("long")).alias("nulls")
+            ).collect()[0]
+            assert chk["n"] == n and chk["nulls"] == w - 1, dict(chk.asDict())
+        if n == 10**7:
+            w = 100_000
+            got = (df.rolling(w, column="x").sum().spark
+                   .select("x").toPandas()["x"].to_numpy(dtype="float64"))
+            base = df.spark.select("x").toPandas()["x"].to_numpy(dtype="float64")
+            cs = np.concatenate([[0.0], np.cumsum(base)])
+            want = cs[w:] - cs[:-w]
+            assert np.isnan(got[: w - 1]).all()
+            assert np.allclose(got[w - 1:], want, rtol=1e-9, atol=1e-5), \
+                float(np.abs(got[w - 1:] - want).max())
+            print(f"  exactness: {n - w + 1} windows == numpy cumsum oracle")
+
+
 def stringops(spark, ns):
     """strings.py at 1e7: the reference's string-op sweep, each
     materialized with a noop write (its .nop())."""
@@ -489,6 +534,7 @@ PROBES = {"stats": stats, "binby_cat": binby_cat, "binby_grid": binby_grid,
           "isin_keys": isin_keys, "filterops": filterops,
           "value_counts": value_counts, "shift_rolling": shift_rolling,
           "partitioned_window": partitioned_window,
+          "wide_rolling_tail": wide_rolling_tail,
           "stringops": stringops}
 
 

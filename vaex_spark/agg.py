@@ -118,12 +118,17 @@ class _SimpleAgg(AggDescriptor):
             if dt == "boolean":
                 c = c.cast("int")
             elif dt is not None and dt.startswith("timestamp") and \
-                    self.short_name in ("mean", "std", "var", "skew", "kurtosis"):
+                    self.short_name in ("mean", "std", "var", "skew",
+                                        "kurtosis", "sum", "sum_moment"):
                 # temporal parity on the GROUPBY path too (r13; the r12
                 # fix covered only DataFrame-level stats): compute over
                 # epoch micros JVM-side, convert mean back to timestamp
                 # and std to a day-time interval (-> timedelta64 in
-                # pandas); var stays float µs², skew/kurt dimensionless
+                # pandas); var stays float µs², skew/kurt dimensionless;
+                # sum/sum_moment stay epoch-µs sums — the r13 rolling
+                # contract, now uniform (r13 ADVICE: vagg.sum over a
+                # timestamp was a DATATYPE_MISMATCH while rolling
+                # computed it)
                 out = self.fn(F.unix_micros(c))
                 if self.short_name == "mean":
                     return F.timestamp_micros(F.round(out).cast("long"))

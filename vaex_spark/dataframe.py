@@ -32,6 +32,7 @@ from pyspark.sql import Column, SparkSession
 from pyspark.sql import DataFrame as SparkDataFrame
 from pyspark.sql import functions as F
 
+from .colname import qcol as _qcol
 from .expression import Expression, _safe_isnan
 
 ROW_ID = "__row_id"
@@ -680,13 +681,11 @@ class DataFrame:
                 # backtick-quote non-identifier names so Spark does not
                 # read '.' as a struct path (reference keeps original
                 # names and spells access df['a b'], utils.py:415)
-                safe = (item if item.isidentifier()
-                        else "`" + item.replace("`", "``") + "`")
                 # expression TEXT of an odd name uses the reference's
                 # parseable df['a b'] spelling (utils.py:415) so
                 # operator algebra composes state-portable strings
                 sql = item if item.isidentifier() else f"df[{item!r}]"
-                return Expression(self, F.col(safe), sql=sql)
+                return Expression(self, _qcol(item), sql=sql)
             # expression string: df["x + y"] (reference dataframe.py:5402
             # routes any string through the expression parser)
             return Expression(self, item)
@@ -1175,15 +1174,30 @@ class DataFrame:
     def take(self, indices) -> "DataFrame":
         """dataframe.py:4444 — positional row selection.  Distributed
         via a broadcast semi-join on the materialized row id (no
-        collect of data columns)."""
+        collect of data columns).
+
+        numpy fancy-indexing parity (reference ColumnIndexed is plain
+        ``column[indices]``, column.py:295): negative indices WRAP to
+        ``n + i`` and out-of-bounds indices raise IndexError — both were
+        silently dropped rows before r14 (the broadcast join matched
+        nothing).  The bounds check costs one count job, memoized on the
+        plan fingerprint via ``len(self)``."""
         from .operators.rowid import with_row_id
+        idx_list = [int(i) for i in indices]
+        n = len(self)  # memoized count (plan-fingerprint cache)
+        for i in idx_list:
+            if i < -n or i >= n:
+                raise IndexError(
+                    f"take: index {i} is out of bounds for dataframe "
+                    f"with {n} rows (numpy semantics)")
+        idx_list = [i if i >= 0 else n + i for i in idx_list]
         sdf = with_row_id(self._spark_df())
         # carry the position within `indices`: take() follows numpy
         # fancy-indexing semantics — rows come back in the ORDER GIVEN
         # (reference ColumnIndexed column.py:295), not row-id order
         # (r13 fuzz: the bare join returned sorted order)
         idx = self.session.createDataFrame(
-            [(int(i), p) for p, i in enumerate(indices)],
+            [(i, p) for p, i in enumerate(idx_list)],
             f"{ROW_ID} long, __take_pos long")
         out = (sdf.join(F.broadcast(idx), on=ROW_ID, how="inner")
                .repartitionByRange(F.col("__take_pos"))
@@ -1597,8 +1611,15 @@ class DataFrame:
         return expression
 
     def sum(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False, progress=None):
+        """Timestamps: there is no datetime sum type (numpy raises on
+        datetime64 sum), so sum over a timestamp column returns the
+        EPOCH-MICROSECOND sum — the same contract the rolling path
+        established in r13, now uniform across scalar / binby / groupby
+        (r13 ADVICE: the surfaces disagreed)."""
+        expr = (self._micros_expr(expression) if self._is_timestamp(expression)
+                else self._bool_as_int(expression))
         return self._compute_agg(lambda c: F.coalesce(F.sum(_dropnan(c)), F.lit(0)),
-                                 self._bool_as_int(expression), binby, shape, limits, selection, delay, edges, progress=progress)
+                                 expr, binby, shape, limits, selection, delay, edges, progress=progress)
 
     def _is_timestamp(self, expression) -> bool:
         try:
@@ -1660,9 +1681,14 @@ class DataFrame:
         is no squared-duration numpy type (the reference computes over
         the raw int64 representation too)."""
         fn = F.var_pop if ddof == 0 else F.var_samp
-        expr = (self._micros_expr(expression) if self._is_timestamp(expression)
-                else self._bool_as_int(expression))
-        return self._compute_agg(lambda c: fn(_dropnan(c)), expr, binby, shape, limits, selection, delay, progress=progress)
+        if self._is_timestamp(expression):
+            # fill=NaN: an EMPTY bin must read NaN, not 0.0 µs² — 0
+            # is indistinguishable from a real constant-valued bin,
+            # while the sibling temporal stats return NaT (r13 ADVICE)
+            return self._compute_agg(lambda c: fn(c), self._micros_expr(expression),
+                                     binby, shape, limits, selection, delay,
+                                     progress=progress, fill=np.nan)
+        return self._compute_agg(lambda c: fn(_dropnan(c)), self._bool_as_int(expression), binby, shape, limits, selection, delay, progress=progress)
 
     def std(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, ddof=0, progress=None):
         fn = F.stddev_pop if ddof == 0 else F.stddev_samp
@@ -1685,11 +1711,13 @@ class DataFrame:
         return self._bool_as_int(expression)
 
     def skew(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, progress=None):
-        return self._compute_agg(lambda c: F.skewness(_dropnan(c)), self._moment_expr(expression), binby, shape, limits, selection, delay, progress=progress)
+        kw = dict(fill=np.nan) if self._is_timestamp(expression) else {}
+        return self._compute_agg(lambda c: F.skewness(_dropnan(c)), self._moment_expr(expression), binby, shape, limits, selection, delay, progress=progress, **kw)
 
     def kurtosis(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, progress=None):
         """vaex population excess kurtosis (agg.py:458-518) == Spark F.kurtosis."""
-        return self._compute_agg(lambda c: F.kurtosis(_dropnan(c)), self._moment_expr(expression), binby, shape, limits, selection, delay, progress=progress)
+        kw = dict(fill=np.nan) if self._is_timestamp(expression) else {}
+        return self._compute_agg(lambda c: F.kurtosis(_dropnan(c)), self._moment_expr(expression), binby, shape, limits, selection, delay, progress=progress, **kw)
 
     def nunique(self, expression, dropna: bool = False, selection=None, delay=False, **kw):
         raw = self._to_expr(expression).col
@@ -2660,9 +2688,7 @@ class _Projected(DataFrame):
         self._columns = columns
 
     def _spark_df(self, filtered: bool = True):
-        cols = [c if c.isidentifier()
-                else F.col("`" + c.replace("`", "``") + "`")
-                for c in self._columns]
+        cols = [c if c.isidentifier() else _qcol(c) for c in self._columns]
         return super()._spark_df(filtered).select(*cols)
 
     def get_column_names(self, virtual=True, hidden=False):

@@ -97,7 +97,10 @@ class Expression:
                 # valid_expression); our equivalent is bypassing the
                 # python-AST parser when the string IS a column, with
                 # backticks so Spark doesn't read '.' as a struct path
-                self._col = F.col("`" + col.replace("`", "``") + "`")
+                # (python keywords ARE identifiers — F.col takes them
+                # unquoted, Spark has no notion of python keywords)
+                from .colname import qcol
+                self._col = qcol(col)
                 return
             from . import expresso
             self._col = expresso.compile_expression(col, df)

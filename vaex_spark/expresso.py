@@ -176,8 +176,9 @@ class _Compiler:
             # backtick-quote non-identifier names (df['a b'], df['c.d'])
             # so Spark does not read '.' as a struct path — this is the
             # reference's spelling for odd column names (utils.py:415)
-            if isinstance(sl, str) and not sl.isidentifier():
-                return F.col("`" + sl.replace("`", "``") + "`")
+            if isinstance(sl, str):
+                from .colname import qcol
+                return qcol(sl)
             return F.col(sl)
         sl = self.visit(node.slice)
         if isinstance(sl, int):

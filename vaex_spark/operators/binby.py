@@ -31,9 +31,31 @@ def _limit_float(v) -> float:
     import datetime as _dt
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=v.tzinfo or _dt.timezone.utc).timestamp()
+    if isinstance(v, _dt.date):
+        # plain date (datetime checked first — it subclasses date):
+        # epoch seconds at midnight UTC, the value _bin_col's
+        # date→timestamp→double chain produces (r13 ADVICE: the same
+        # fuzz gap just fixed for timestamps)
+        return _dt.datetime(v.year, v.month, v.day,
+                            tzinfo=_dt.timezone.utc).timestamp()
     if isinstance(v, np.datetime64):
         return float(v.astype("datetime64[us]").astype("int64")) / 1e6
     return float(v)
+
+
+def _bin_col(df, b):
+    """Binnable column for dimension ``b``: DATE columns pre-cast to
+    timestamp, because Spark's date→double cast is NULL (not an error —
+    probed live on 4.1.2), which would silently send every row to the
+    null bin; timestamp→double is epoch seconds and matches
+    ``_limit_float``'s scale."""
+    c = df._to_expr(b).col
+    try:
+        if df.data_type(b) == "date":
+            return c.cast("timestamp")
+    except Exception:
+        pass
+    return c
 
 
 def compute_limits(df, expression, value=None, selection=None, delay=False):
@@ -110,7 +132,7 @@ def _normalize_limits(df, binby, limits):
         from ..dataframe import _dropnan
         delayed = []
         for i in minmax_dims:
-            c = df._to_expr(binby[i]).col
+            c = _bin_col(df, binby[i])
             delayed.append(df.executor.schedule(
                 [F.min(_dropnan(c)), F.max(_dropnan(c))], unwrap=False))
         df.executor.execute()
@@ -155,8 +177,8 @@ def grid_agg(df, make_agg, expression, binby, shape, limits, selections,
     sdf = df._spark_df()
     bin_cols = []
     for i, (b, (lo, hi), sh) in enumerate(zip(binby, lims, shapes)):
-        c = df._to_expr(b).col
-        bin_cols.append(bin_index_col(c, lo, hi, sh, edges).alias(f"_b{i}"))
+        bin_cols.append(
+            bin_index_col(_bin_col(df, b), lo, hi, sh, edges).alias(f"_b{i}"))
 
     import inspect
     two_arg = len(inspect.signature(make_agg).parameters) >= 2
@@ -211,7 +233,7 @@ def binby(df, by, agg=None, shape=128, limits=None):
     memory.pre_alloc(cells * 8 * max(1, len(aggs)),
                      f"binby grid shape={tuple(shapes)} × {len(aggs)} agg(s)")
     sdf = df._spark_df()
-    bin_cols = [bin_index_col(df._to_expr(b).col, lo, hi, sh, False).alias(f"_b{i}")
+    bin_cols = [bin_index_col(_bin_col(df, b), lo, hi, sh, False).alias(f"_b{i}")
                 for i, (b, (lo, hi), sh) in enumerate(zip(by, lims, shapes))]
     agg_cols = [a.to_column(df).alias(f"_a{i}") for i, a in enumerate(aggs)]
     rows = sdf.groupBy(*bin_cols).agg(*agg_cols).collect()
