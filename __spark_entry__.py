@@ -3593,6 +3593,36 @@ FROM events
 """
 
 
+def _q111_take_fancy(spark, sf_dir):
+    """take() with numpy fancy-indexing semantics (reference
+    dataframe.py:4444 → ColumnIndexed column.py:295 = plain
+    ``column[indices]``): duplicates repeat, negative indices wrap to
+    n+i (r14 — they were silently dropped before; the r13 fuzz defect,
+    now oracle-certified, not just pytested).  events.parquet is
+    physically sorted by contiguous 0-based event_id, so position i ==
+    event_id i and the DuckDB twin can spell the same selection as a
+    positions-list join with COUNT(*)-relative values for the negative
+    indices.  The driver compare is order-insensitive but multiplicty-
+    preserving, so the duplicate position 7 certifies repeat semantics;
+    given-order and the out-of-bounds IndexError are pytest-pinned
+    (tests/test_relational.py::test_take)."""
+    df = _t(spark, sf_dir, "events")
+    taken = df.take([7, 0, -1, 7, 3, -2])
+    return taken.spark.select(
+        "event_id", "event_type", F.round(F.col("value"), 6).alias("val"))
+
+
+_Q111_SQL = """
+WITH pos(p) AS (
+  SELECT 7 UNION ALL SELECT 0
+  UNION ALL SELECT (SELECT COUNT(*) - 1 FROM events)
+  UNION ALL SELECT 7 UNION ALL SELECT 3
+  UNION ALL SELECT (SELECT COUNT(*) - 2 FROM events))
+SELECT e.event_id, e.event_type, ROUND(e.value, 6) AS val
+FROM pos JOIN events e ON e.event_id = pos.p
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -3705,6 +3735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_mutual_information": _q108_mutual_information,
         "q109_percentile_exact_mode": _q109_percentile_exact_mode,
         "q110_positional_window": _q110_positional_window,
+        "q111_take_fancy": _q111_take_fancy,
     }
 
 
@@ -3822,4 +3853,5 @@ def oracle_sql() -> dict[str, str]:
         "q108_mutual_information": _Q108_SQL,
         "q109_percentile_exact_mode": _Q109_SQL,
         "q110_positional_window": _Q110_SQL,
+        "q111_take_fancy": _Q111_SQL,
     }

@@ -240,6 +240,13 @@ def main():
                 "min": min(ratios), "max": max(ratios)}
         del duck_ext["run_samples"]
         out["extended"]["duckdb"] = duck_ext
+    # load at END as well (r13 verdict: the driver's committed Spark
+    # walls doubled on untouched code while its own DuckDB control
+    # matched quiet runs — a start/end loadavg pair plus the in-artifact
+    # DuckDB yardstick lets any reader make that call from the JSON
+    # alone, without a second artifact)
+    out["loadavg_1m_at_end"] = (round(os.getloadavg()[0], 2)
+                                if hasattr(os, "getloadavg") else None)
     print(json.dumps(out))
 
 

@@ -66,6 +66,25 @@ def test_explicit_limits_is_one_query(spark, lineitem, agg_job_cost):
     assert n[0] <= agg_job_cost
 
 
+def test_take_job_ceiling(spark, lineitem, agg_job_cost):
+    """take()'s r14 bounds check costs ONE count job, memoized on the
+    plan fingerprint — repeated takes on the same frame must not
+    re-count, and the whole op (bounds + broadcast index join +
+    collect) stays within a small multiple of one aggregate query."""
+    lineitem.take([0, 1]).to_pandas_df()  # warm: populates _len_cache
+    n = []
+    with count_jobs(spark, n):
+        out = lineitem.take([0, -1, 5, 5]).to_pandas_df()
+    assert len(out) == 4
+    # memoized len -> no count job.  The collect itself costs the
+    # with_row_id offset probe + broadcasts + the position-order range
+    # exchange, which AQE materializes as ~7 jobs on this config
+    # (measured; the offset probe scans ReadSchema struct<> metadata
+    # only).  The pin is the CEILING: a per-index job, a second
+    # full-width scan, or a fresh count would push past it.
+    assert n[0] <= 8, n[0]
+
+
 def test_stat_module_tree_is_one_pass(spark, lineitem, agg_job_cost):
     """A whole vs.stat arithmetic tree resolves in ONE batched query:
     the leaves schedule on the delayed executor, calculate() runs a

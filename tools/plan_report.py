@@ -43,6 +43,15 @@ CASES = {
         "SCALECHECK_r13).",
         [r"Window", r"!rangepartitioning", r"!InMemoryTableScan",
          r"__ptag|windowspecdefinition\(_w1"]),
+    "q111_take_fancy": (
+        "take() fancy indexing (r14): the positions list rides a "
+        "BroadcastHashJoin against the row-id frame (no shuffle of the "
+        "data side for the membership test), the with_row_id offset "
+        "probe scans metadata only (ReadSchema struct<>), and the "
+        "given-order restore is a single rangepartitioning exchange on "
+        "the position — no cartesian, no per-index plan nodes.",
+        [r"BroadcastHashJoin", r"ReadSchema: struct<>",
+         r"rangepartitioning\(__take_pos", r"!CartesianProduct"]),
     "q26_dedup_exact": (
         "Exact dedup: map-side combined aggregation over fingerprints; "
         "the surviving-row selection never moves text through an extra "
