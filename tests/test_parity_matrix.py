@@ -31,15 +31,19 @@ import vaex_spark.agg as vagg
 N = 8
 BOOLS = np.array([True, False, True, True, False, True, False, True])
 TS = pd.date_range("2024-01-01", periods=N, freq="h").to_numpy()
+DATES = pd.date_range("2024-03-01", periods=N, freq="3D")
 GROUPS = np.array([0] * 4 + [1] * 4)
 B01 = BOOLS.astype("float64")
 MU = TS.astype("datetime64[us]").astype("int64").astype("float64")  # µs
+# date column as epoch µs at midnight UTC — the value the engine's
+# date→timestamp cast produces in the UTC session
+DMU = DATES.to_numpy().astype("datetime64[us]").astype("int64").astype("float64")
 
 
 @pytest.fixture(scope="module")
 def pdf(spark):
     return vs.from_arrays(spark=spark, i=np.arange(N), b=BOOLS, t=TS,
-                          g=GROUPS)
+                          d=np.array(DATES.date), g=GROUPS)
 
 
 def _as_us_datetime(v) -> float:
@@ -122,6 +126,58 @@ def _kurt(a):
 def test_scalar_skew_kurtosis(pdf, col, arr):
     assert abs(pdf.skew(col) - _skew(arr)) < 1e-9
     assert abs(pdf.kurtosis(col) - _kurt(arr)) < 1e-9
+
+
+# ----------------------------------------------------- DATE columns (r14)
+# The reference stores dates as datetime64 arrays, so every moment just
+# works there; Spark's avg/stddev over DATE are type errors.  r14 routed
+# DATE through the same unix_micros chokepoint as timestamps (midnight
+# UTC) on every surface — these pin the class the way r12-r13 pinned
+# bool and timestamp.
+@pytest.mark.parametrize("stat", MOMENTS)
+def test_scalar_date(pdf, stat):
+    _check_ts(stat, getattr(pdf, stat)("d"),
+              {"sum": DMU.sum(), "mean": DMU.mean(),
+               "std": _pop_std(DMU), "var": _pop_var(DMU)}[stat])
+
+
+@pytest.mark.parametrize("stat", ["mean", "std", "sum"])
+def test_groupby_date(pdf, stat):
+    desc = getattr(vagg, stat)("d")
+    out = pdf.groupby("g", agg={"o": desc}).to_pandas_df().sort_values("g")
+    fn = {"sum": np.sum, "mean": np.mean, "std": np.std}[stat]
+    for g, w in zip(out.o.tolist(), [fn(DMU[:4]), fn(DMU[4:])]):
+        _check_ts(stat, g, float(w))
+
+
+def test_binby_date_value(pdf):
+    got = pdf.mean("d", binby="i", shape=2, limits=[0, 8])
+    for g, w in zip(np.asarray(got).tolist(),
+                    [DMU[:4].mean(), DMU[4:].mean()]):
+        _check_ts("mean", g, float(w))
+
+
+def test_rolling_date(pdf):
+    out = pdf.rolling(3, column="d", order_key="i").mean()
+    got = out.to_pandas_df().sort_values("i").d
+    want = pd.Series(DMU).rolling(3).mean()
+    for g, w in zip(got.tolist(), want.tolist()):
+        if g is None or g is pd.NaT:
+            assert np.isnan(w)
+            continue
+        _check_ts("mean", g, float(w))
+
+
+def test_percentile_date(pdf):
+    _check_ts("mean", pdf.percentile_exact("d", 50),
+              float(np.percentile(DMU, 50)))
+
+
+def test_describe_date(pdf):
+    d = pdf.describe()
+    _check_ts("mean", d["d"]["mean"], DMU.mean())
+    assert isinstance(d["d"]["std"], (pd.Timedelta, np.timedelta64))
+    assert str(d["d"]["min"]) == str(DATES.date[0])
 
 
 # ------------------------------------------------- multi-selection lists

@@ -117,7 +117,8 @@ class _SimpleAgg(AggDescriptor):
                 dt = None
             if dt == "boolean":
                 c = c.cast("int")
-            elif dt is not None and dt.startswith("timestamp") and \
+            elif dt is not None and \
+                    (dt.startswith("timestamp") or dt == "date") and \
                     self.short_name in ("mean", "std", "var", "skew",
                                         "kurtosis", "sum", "sum_moment"):
                 # temporal parity on the GROUPBY path too (r13; the r12
@@ -128,8 +129,9 @@ class _SimpleAgg(AggDescriptor):
                 # sum/sum_moment stay epoch-µs sums — the r13 rolling
                 # contract, now uniform (r13 ADVICE: vagg.sum over a
                 # timestamp was a DATATYPE_MISMATCH while rolling
-                # computed it)
-                out = self.fn(F.unix_micros(c))
+                # computed it).  DATE columns join via the timestamp
+                # cast (no-op on timestamps), r14.
+                out = self.fn(F.unix_micros(c.cast("timestamp")))
                 if self.short_name == "mean":
                     return F.timestamp_micros(F.round(out).cast("long"))
                 if self.short_name == "std":

