@@ -3593,6 +3593,42 @@ FROM events
 """
 
 
+def _q112_date_stats(spark, sf_dir):
+    """DATE-typed moment statistics (r14): the reference stores dates
+    as datetime64 arrays so mean/sum just work (its is_temporal branch,
+    dataframe.py:4042); Spark's avg/sum over DATE are type errors, so
+    the engine routes DATE through the unix_micros chokepoint via a
+    timestamp cast (midnight UTC) — this certifies the groupby
+    descriptors (agg.py temporal branch) against DuckDB.  sum is the
+    EXACT epoch-µs sum computed in decimal(38,0) (an int64 sum wraps
+    silently at ~5,400 rows — found live building THIS query at sf0.1),
+    reported in whole days (exact integer division: midnight epochs are
+    day multiples); mean is reported at day granularity (the µs value is
+    a double average — both engines land the same day; sub-µs rounding
+    ties are pytest-pinned instead)."""
+    df = _t(spark, sf_dir, "orders")
+    df["od"] = df.o_orderdate.astype("date")
+    g = df.groupby("o_orderpriority",
+                   agg={"sum_us": vagg.sum("od"), "mean_ts": vagg.mean("od"),
+                        "n": vagg.count()}, sort=True)
+    return g.spark.select(
+        "o_orderpriority",
+        F.expr("CAST(sum_us DIV 86400000000 AS BIGINT)").alias("sum_days"),
+        F.col("mean_ts").cast("date").cast("string").alias("mean_day"),
+        F.col("n").cast("long").alias("n"))
+
+
+_Q112_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(epoch_us(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)))
+            // 86400000000 AS BIGINT) AS sum_days,
+       CAST(CAST(make_timestamp(CAST(AVG(epoch_us(CAST(CAST(o_orderdate AS DATE)
+            AS TIMESTAMP))) AS BIGINT)) AS DATE) AS VARCHAR) AS mean_day,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def _q111_take_fancy(spark, sf_dir):
     """take() with numpy fancy-indexing semantics (reference
     dataframe.py:4444 → ColumnIndexed column.py:295 = plain
@@ -3736,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_percentile_exact_mode": _q109_percentile_exact_mode,
         "q110_positional_window": _q110_positional_window,
         "q111_take_fancy": _q111_take_fancy,
+        "q112_date_stats": _q112_date_stats,
     }
 
 
@@ -3854,4 +3891,5 @@ def oracle_sql() -> dict[str, str]:
         "q109_percentile_exact_mode": _Q109_SQL,
         "q110_positional_window": _Q110_SQL,
         "q111_take_fancy": _Q111_SQL,
+        "q112_date_stats": _Q112_SQL,
     }

@@ -328,6 +328,35 @@ def test_describe_types(pdf):
     assert isinstance(d["t"]["std"], (pd.Timedelta, np.timedelta64))
 
 
+# ------------------------------------------- temporal sum is int-exact
+# One epoch is ~1.7e15 µs, so an int64 epoch-µs sum WRAPS silently at
+# ~5,400 rows (non-ANSI) or raises (ANSI-on).  r14 routes every
+# temporal sum surface through decimal(38,0) — exact to 1e38 and
+# identical under both ANSI modes; these pin the class past the int64
+# wrap point (found live by the q112 oracle at sf0.1, where the
+# groupby date sum returned wrapped garbage).
+def test_temporal_sum_exact_past_int64(spark):
+    import vaex_spark as vs2
+    n = 6000
+    ts = pd.date_range("2020-01-01", periods=n, freq="s").to_numpy()
+    mu = ts.astype("datetime64[us]").astype("int64")
+    big = vs2.from_arrays(spark=spark, i=np.arange(n), t=ts,
+                          g=np.arange(n) % 2)
+    want = sum(int(v) for v in mu)
+    assert want > np.iinfo("int64").max  # the probe is actually past 2^63
+    got = big.sum("t")
+    assert got == want and isinstance(got, int), got
+    gb = big.groupby("g", agg={"s": vagg.sum("t")}).to_pandas_df()
+    want_g = {k: sum(int(v) for v in mu[k::2]) for k in (0, 1)}
+    for _, r in gb.iterrows():
+        assert int(r["s"]) == want_g[int(r["g"])]
+    # rolling frame wider than the wrap point
+    roll = (big.rolling(5500, column="t", order_key="i").sum()
+            .to_pandas_df().sort_values("i").t)
+    want_tail = sum(int(v) for v in mu[n - 5500:])
+    assert int(roll.iloc[-1]) == want_tail
+
+
 # -------------------------------------------------- shift fill contract
 def test_shift_bool_fill(pdf):
     out = pdf.shift(1, column="b", order_key="i", fill_value=False)

@@ -131,7 +131,16 @@ class _SimpleAgg(AggDescriptor):
                 # timestamp was a DATATYPE_MISMATCH while rolling
                 # computed it).  DATE columns join via the timestamp
                 # cast (no-op on timestamps), r14.
-                out = self.fn(F.unix_micros(c.cast("timestamp")))
+                src = F.unix_micros(c.cast("timestamp"))
+                if self.short_name == "sum":
+                    # exact epoch-µs sum in decimal(38,0): int64 wraps
+                    # silently at ~5,400 rows (one epoch ~1.7e15 µs)
+                    # and ANSI-on raises — decimal is exact to 1e38 and
+                    # ANSI-independent (r14, found by the q112 oracle
+                    # at sf0.1).  sum_moment keeps double: F.pow is
+                    # double-typed regardless of input.
+                    src = src.cast("decimal(38,0)")
+                out = self.fn(src)
                 if self.short_name == "mean":
                     return F.timestamp_micros(F.round(out).cast("long"))
                 if self.short_name == "std":

@@ -1615,11 +1615,21 @@ class DataFrame:
         datetime64 sum), so sum over a timestamp column returns the
         EPOCH-MICROSECOND sum — the same contract the rolling path
         established in r13, now uniform across scalar / binby / groupby
-        (r13 ADVICE: the surfaces disagreed)."""
-        expr = (self._micros_expr(expression) if self._is_timestamp(expression)
-                else self._bool_as_int(expression))
+        (r13 ADVICE: the surfaces disagreed).  Computed in
+        decimal(38,0): one epoch is ~1.7e15 µs, so an int64 sum WRAPS
+        silently at ~5,400 rows non-ANSI and raises ANSI-on (r14,
+        found live building the q112 oracle at sf0.1) — decimal is
+        exact to 1e38 and identical under both ANSI modes.  Scalars
+        come back as exact Python ints; binby grids are float64."""
+        if self._is_timestamp(expression):
+            expr = Expression(self, self._micros_expr(expression).col
+                              .cast("decimal(38,0)"))
+            return self._compute_agg(
+                lambda c: F.coalesce(F.sum(c), F.lit(0)), expr, binby,
+                shape, limits, selection, delay, edges, progress=progress,
+                post=_decimal_sum_post)
         return self._compute_agg(lambda c: F.coalesce(F.sum(_dropnan(c)), F.lit(0)),
-                                 expr, binby, shape, limits, selection, delay, edges, progress=progress)
+                                 self._bool_as_int(expression), binby, shape, limits, selection, delay, edges, progress=progress)
 
     def _is_timestamp(self, expression) -> bool:
         """True for TEMPORAL expressions — timestamp AND date (r14:
@@ -2800,6 +2810,23 @@ def _dropnan(c: Column | None) -> Column | None:
     if c is None:
         return c
     return F.when(_safe_isnan(c), F.lit(None)).otherwise(c)
+
+
+def _decimal_sum_post(v):
+    """decimal(38,0) epoch-µs sums back to numpy-friendly values:
+    scalar → exact Python int, multi-selection vector → float64 (binby
+    grids are already float64 — the dense grid is plotting-oriented and
+    np.full(float64) coerces Decimals on assignment)."""
+    import decimal
+    if v is None:
+        return 0
+    if isinstance(v, decimal.Decimal):
+        return int(v)
+    arr = np.asarray(v)
+    if arr.dtype == object:
+        flat = [float(x) if x is not None else np.nan for x in arr.ravel()]
+        return np.array(flat, dtype="float64").reshape(arr.shape)
+    return v
 
 
 def _micros_post(kind: str):

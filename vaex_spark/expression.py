@@ -318,6 +318,7 @@ class Expression:
         "uint64": "bigint", "uint32": "bigint", "uint16": "int", "uint8": "smallint",
         "bool": "boolean", "str": "string", "datetime64": "timestamp",
         "datetime64[ns]": "timestamp", "datetime64[us]": "timestamp",
+        "datetime64[D]": "date",
     }
 
     def astype(self, dtype: str):

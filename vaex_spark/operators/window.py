@@ -649,7 +649,12 @@ class Rolling:
                 elif kind == "var":
                     val = F.var_pop(src).over(frame)
                 else:
-                    val = F.sum(src).over(frame)
+                    # exact epoch-µs frame sum in decimal(38,0): an
+                    # int64 window sum wraps silently once the frame
+                    # holds ~5,400 timestamps (one epoch ~1.7e15 µs)
+                    # and ANSI-on raises — decimal is exact to 1e38
+                    # and ANSI-independent (r14)
+                    val = F.sum(src.cast("decimal(38,0)")).over(frame)
                 return F.struct(F.when(n >= self.window, val).alias("v"),
                                 n.alias(need_n))
             if use_prefix:
@@ -800,7 +805,10 @@ def rolling_range(df, window_seconds, on, column=None, agg="mean",
             if dtypes0.get(c) == "boolean":
                 return _fcol(c).cast("int")
             if _is_ts(c):
-                return F.unix_micros(_fcol(c).cast("timestamp"))
+                src = F.unix_micros(_fcol(c).cast("timestamp"))
+                # sum: exact in decimal(38,0) — int64 wraps at ~5,400
+                # timestamps per frame, ANSI-on raises (r14)
+                return src.cast("decimal(38,0)") if agg == "sum" else src
         return _fcol(c)
 
     def _post(c, val):
