@@ -282,3 +282,48 @@ def test_json_accessor(spark):
     assert list(parsed.evaluate().tolist()[0]["b"]) == [1, 2, 3]
     keys = df.j.js.keys().evaluate().tolist()[0]
     assert sorted(keys) == ["a", "b"]
+
+
+def test_astype_datetime64_numpy_unit_semantics(spark):
+    """numpy reads a numeric→datetime64[unit] astype as UNITS SINCE
+    EPOCH (the reference is plain arr.astype(dtype)); Spark's
+    cast(bigint AS TIMESTAMP) reads SECONDS — r14 made both astype
+    spellings unit-aware (year-294247 timestamps before, caught by the
+    temporal_rolling probe fixture)."""
+    import pandas as pd
+
+    import vaex_spark as vs
+    mu = np.array([0, 1_577_836_800_000_000, 86_400_000_000])
+    df = vs.from_arrays(spark=spark, i=np.arange(3), us=mu,
+                        s=mu // 1_000_000, ns=mu * 1000,
+                        d=(mu // 86_400_000_000).astype("int64"),
+                        txt=np.array(["2020-01-01", "2021-06-02 03:04:05",
+                                      "1970-01-01"]))
+
+    def us_of(col):
+        return list(pd.to_datetime(df.to_pandas_df([col])[col])
+                    .astype("int64") // 1000)
+
+    # method path, three units
+    for src, unit in [("us", "us"), ("s", "s"), ("ns", "ns")]:
+        df["o"] = df[src].astype(f"datetime64[{unit}]")
+        assert us_of("o") == list(mu), (src, unit)
+    # expression-string path, both spellings
+    df["o2"] = "astype(us, 'datetime64[us]')"
+    df["o3"] = "us.astype('datetime64[us]')"
+    assert us_of("o2") == list(mu) and us_of("o3") == list(mu)
+    # [D] from int day counts -> DATE
+    df["o4"] = df.d.astype("datetime64[D]")
+    assert [str(v) for v in df.to_pandas_df(["o4"])["o4"]] == \
+        ["1970-01-01", "2020-01-01", "1970-01-02"]
+    # non-numeric sources keep Spark cast: string parse, ts->date trunc
+    df["o5"] = df.txt.astype("datetime64[us]")
+    assert str(pd.to_datetime(df.to_pandas_df(["o5"])["o5"]).iloc[1]) == \
+        "2021-06-02 03:04:05"
+    ts = pd.date_range("2024-05-01 13:00", periods=3, freq="h").to_numpy()
+    dft = vs.from_arrays(spark=spark, t=ts)
+    dft["od"] = dft.t.astype("datetime64[D]")
+    assert str(dft.to_pandas_df(["od"])["od"].iloc[0]) == "2024-05-01"
+    # arithmetic input through the string compiler (the probe spelling)
+    df["o6"] = "astype(d * 86400000000, 'datetime64[us]')"
+    assert us_of("o6") == [0, 1_577_836_800_000_000, 86_400_000_000]

@@ -357,6 +357,31 @@ def test_temporal_sum_exact_past_int64(spark):
     assert int(roll.iloc[-1]) == want_tail
 
 
+@pytest.mark.parametrize("stat", ["sum", "mean", "std", "var"])
+def test_temporal_rolling_prefix_frame(spark, stat):
+    # r14: temporal rolling at width >= 64 takes the O(n) growing-frame
+    # rewrite (it previously always slid — O(n·w), hours at 1e8 rows ×
+    # w=100k).  Pin every moment on the prefix path against pandas.
+    import vaex_spark as vs2
+    n, w = 500, 100
+    ts = (pd.Timestamp("2021-06-01").to_datetime64()
+          + (np.arange(n) ** 2 * 1_000_003).astype("timedelta64[us]"))
+    mu = ts.astype("datetime64[us]").astype("int64")
+    df2 = vs2.from_arrays(spark=spark, i=np.arange(n), t=ts)
+    out = (getattr(df2.rolling(w, column="t", order_key="i"), stat)()
+           .to_pandas_df().sort_values("i").t)
+    s = pd.Series(mu.astype("float64"))
+    want = {"sum": s.rolling(w).sum(), "mean": s.rolling(w).mean(),
+            "std": s.rolling(w).std(ddof=0),
+            "var": s.rolling(w).var(ddof=0)}[stat]
+    for g, want_v in zip(out.tolist(), want.tolist()):
+        if g is None or g is pd.NaT or (isinstance(g, float) and np.isnan(g)):
+            assert np.isnan(want_v)
+            continue
+        _check_ts(stat, g, float(want_v),
+                  tol=2.0 if stat in ("std", "var") else 1.0)
+
+
 # -------------------------------------------------- shift fill contract
 def test_shift_bool_fill(pdf):
     out = pdf.shift(1, column="b", order_key="i", fill_value=False)

@@ -410,6 +410,41 @@ def wide_rolling_tail(spark, ns):
             print(f"  exactness: {n - w + 1} windows == numpy cumsum oracle")
 
 
+def temporal_rolling(spark, ns):
+    """r14: wide rolling over a TIMESTAMP column — the temporal branch
+    previously always used a sliding frame (O(n·w): the 1e7 × w=100k
+    point alone would be 1e12 window updates), now routed through the
+    same O(n) growing-frame rewrite as numeric columns at width >= 64,
+    with sum/mean numerators exact in decimal(38,0).  t = i8 seconds
+    since epoch 2020, so closed forms are exact: mean of the window
+    ending at row k is (k - (w-1)/2) seconds; the frame sum telescopes
+    to w*k - w(w-1)/2 seconds (in µs, exact — this is also the int64
+    overflow regime: w=100k epoch-µs values sum to ~1.6e26)."""
+    base_us = 1_577_836_800_000_000  # 2020-01-01 UTC in epoch µs
+    w = 100_000
+    for n in ns:
+        df = _open(spark, n)
+        df["t"] = f"astype(i8 * 1000000 + {base_us}, 'datetime64[us]')"
+        print(f"-- temporal_rolling N={_tag(n)} w={w}")
+        r, _ = _wall("rolling_mean_ts_w100k", lambda:
+                     _noop(df.rolling(w, column="t").mean().spark))
+        chk = r.agg(
+            F.sum(F.col("t").isNull().cast("long")).alias("nulls"),
+            F.max("t").alias("mx")).collect()[0]
+        assert chk["nulls"] == w - 1, dict(chk.asDict())
+        want_mx_us = base_us + ((n - 1) - (w - 1) / 2) * 1_000_000
+        got_mx_us = int(chk["mx"].timestamp() * 1e6)
+        assert abs(got_mx_us - want_mx_us) <= 1_000_000, (got_mx_us, want_mx_us)
+        r2, _ = _wall("rolling_sum_ts_w100k", lambda:
+                      _noop(df.rolling(w, column="t").sum().spark))
+        chk2 = r2.agg(F.max(F.col("t").cast("decimal(38,0)")).alias("mx"),
+                      F.sum(F.col("t").isNull().cast("long")).alias("nulls")
+                      ).collect()[0]
+        want_sum = w * base_us + sum(range(n - w, n)) * 1_000_000
+        assert int(chk2["mx"]) == want_sum, (int(chk2["mx"]), want_sum)
+        assert chk2["nulls"] == w - 1
+
+
 def stringops(spark, ns):
     """strings.py at 1e7: the reference's string-op sweep, each
     materialized with a noop write (its .nop())."""
@@ -535,6 +570,7 @@ PROBES = {"stats": stats, "binby_cat": binby_cat, "binby_grid": binby_grid,
           "value_counts": value_counts, "shift_rolling": shift_rolling,
           "partitioned_window": partitioned_window,
           "wide_rolling_tail": wide_rolling_tail,
+          "temporal_rolling": temporal_rolling,
           "stringops": stringops}
 
 

@@ -322,8 +322,12 @@ class Expression:
     }
 
     def astype(self, dtype: str):
-        """Cast (functions.py:2512); numpy dtype names map to Spark SQL types."""
-        return self._wrap(self.col.cast(self._ASTYPE.get(str(dtype), str(dtype))))
+        """Cast (functions.py:2512); numpy dtype names map to Spark SQL
+        types.  datetime64[unit] targets follow numpy's UNITS-SINCE-EPOCH
+        semantics on numeric inputs (r14 — Spark's ``cast(bigint AS
+        timestamp)`` reads SECONDS, so ``astype(µs_int,
+        'datetime64[us]')`` silently produced year-294k timestamps)."""
+        return self._wrap(astype_column(self.df, self.col, dtype))
 
     def to_string(self):
         return self._wrap(self.col.cast("string"))
@@ -618,6 +622,59 @@ class Expression:
 
     def jit_metal(self, verbose=False):
         return self
+
+
+# µs per unit for numpy datetime64[unit] targets on NUMERIC inputs
+_DT64_US_PER_UNIT = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000,
+                     "ms": 1_000, "us": 1}
+
+
+def astype_column(df, col: Column, dtype) -> Column:
+    """numpy-semantics ``astype`` on a Spark Column (r14).
+
+    Non-temporal targets map through ``Expression._ASTYPE`` and cast.
+    ``datetime64[unit]`` targets branch on the SOURCE type (one
+    driver-side analysis round-trip, no job):
+
+    * numeric source — numpy reads the value as UNITS SINCE EPOCH
+      (reference = plain ``arr.astype('datetime64[us]')``), so convert
+      via ``timestamp_micros`` at the unit's scale ([ns] floors to µs —
+      Spark timestamps are µs); ``[D]`` via ``date_from_unix_date``.
+      Spark's own ``cast(bigint AS timestamp)`` reads SECONDS — using
+      it for µs ints silently produced year-294k timestamps (caught by
+      the temporal_rolling scale probe's fixture).
+    * anything else (string parse, timestamp/date re-cast) — Spark's
+      cast already matches numpy/pandas.
+    """
+    t = str(dtype)
+    target = Expression._ASTYPE.get(t, t)
+    if not (t.startswith("datetime64") and "[" in t):
+        return col.cast(target)
+    in_dt = ""
+    if df is not None:
+        try:
+            in_dt = df._spark_df().select(col.alias("_t")).schema[0] \
+                .dataType.simpleString()
+        except Exception:
+            in_dt = ""
+    numeric = (in_dt in ("tinyint", "smallint", "int", "bigint",
+                         "float", "double")
+               or in_dt.startswith("decimal"))
+    if not numeric:
+        return col.cast(target)
+    unit = t[t.find("[") + 1:t.find("]")]
+    if unit == "D":
+        return F.date_from_unix_date(col.cast("int"))
+    if unit == "ns":
+        return F.timestamp_micros((col.cast("bigint") / F.lit(1000))
+                                  .cast("bigint"))
+    scale = _DT64_US_PER_UNIT.get(unit)
+    if scale is None:
+        raise ValueError(
+            f"astype: unsupported datetime64 unit {unit!r} for a numeric "
+            f"column (supported: D, s, m, h, ms, us, ns)")
+    b = col.cast("bigint")
+    return F.timestamp_micros(b if scale == 1 else b * F.lit(scale))
 
 
 def _safe_isnan(c: Column) -> Column:

@@ -201,6 +201,13 @@ class _Compiler:
         return F.when(cond, self._as_col(self.visit(node.body))).otherwise(
             self._as_col(self.visit(node.orelse)))
 
+    def _astype(self, args):
+        # astype needs the SOURCE dtype (numpy units-since-epoch
+        # semantics for datetime64 targets) — resolve against self.df
+        # here; the registry fallback has no schema context (r14)
+        from .expression import astype_column
+        return astype_column(self.df, self._as_col(args[0]), args[1])
+
     def visit_Call(self, node):
         from .functions import registry as fn_registry
         args = [self.visit(a) for a in node.args]
@@ -208,6 +215,8 @@ class _Compiler:
         func = node.func
         if isinstance(func, ast.Name):
             name = func.id
+            if name == "astype":
+                return self._astype(args)
             fn = fn_registry.lookup(name)
             if fn is None:
                 self.err(node, f"unknown function {name!r}")
@@ -225,6 +234,8 @@ class _Compiler:
                 if fn is None:
                     self.err(node, f"unknown accessor function {func.attr!r}")
                 return fn(target.base, *args, **kwargs)
+            if func.attr == "astype":
+                return self._astype([target] + list(args))
             fn = fn_registry.lookup(func.attr)
             if fn is not None:
                 return fn(target, *args, **kwargs)

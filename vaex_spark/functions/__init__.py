@@ -189,7 +189,16 @@ registry.register("list_sum", lambda x: F.aggregate(_c(x), F.lit(0.0), lambda a,
 registry.register("array_sum", lambda x: F.aggregate(_c(x), F.lit(0.0), lambda a, v: a + v.cast("double")))
 registry.register("getitem", lambda x, i: F.try_element_at(_c(x), F.lit(int(i) + 1 if int(i) >= 0 else int(i))))
 registry.register("stack", lambda *xs: F.array(*[_c(x) for x in xs]))
-registry.register("astype", lambda x, t: _c(x).cast({"float64": "double", "float32": "float", "int64": "bigint", "int32": "int", "str": "string", "bool": "boolean"}.get(str(t), str(t))))
+def _astype(x, t):
+    # SAME numpy-name table as Expression.astype — the two astype
+    # spellings (method vs expression-string) must agree; the string
+    # path previously mapped only six names and had no datetime64
+    # spellings at all (r14)
+    from ..expression import Expression
+    return _c(x).cast(Expression._ASTYPE.get(str(t), str(t)))
+
+
+registry.register("astype", _astype)
 registry.register("to_string", lambda x: _c(x).cast("string"))
 registry.register("format", lambda fmt, *xs: F.format_string(str(fmt).replace("{}", "%s"), *[_c(x) for x in xs]))
 registry.register("scalar_datetime", lambda s: F.lit(s).cast("timestamp"))

@@ -636,7 +636,49 @@ class Rolling:
                 # back to timestamp, std to a day-time interval
                 # (timedelta64 in pandas); var/sum stay float µs.
                 # DATE columns join via the timestamp cast (r14).
+                # sum/mean numerators are exact decimal(38,0): an
+                # int64 frame sum wraps silently at ~5,400 timestamps
+                # (one epoch ~1.7e15 µs) and ANSI-on raises (r14).
                 src = F.unix_micros(_fcol(c).cast("timestamp"))
+                dsrc = src.cast("decimal(38,0)")
+                if use_prefix:
+                    # r14: temporal frames previously always slid —
+                    # O(n·w), hours at 1e8 × w=100k — while the
+                    # numeric twin had the O(n) growing-frame rewrite.
+                    # Same difference-of-prefixes here; sum/mean stay
+                    # EXACT (decimal has no cancellation), var/std
+                    # reuse the numeric path's first-value centering
+                    # (variance is shift-invariant; epoch µs as raw
+                    # doubles would cancel catastrophically).
+                    grow = w.rowsBetween(Window.unboundedPreceding, after)
+                    prev = w.rowsBetween(Window.unboundedPreceding,
+                                         -(before + 1))
+
+                    def fsum(e):
+                        return (F.sum(e).over(grow)
+                                - F.coalesce(F.sum(e).over(prev), F.lit(0)))
+
+                    n = F.count(src).over(grow) - F.count(src).over(prev)
+                    if kind == "sum":
+                        val = fsum(dsrc)
+                    elif kind == "mean":
+                        val = F.timestamp_micros(
+                            F.round(F.try_divide(fsum(dsrc), n)).cast("long"))
+                    else:
+                        x = src.cast("double")
+                        off = F.first(x, ignorenulls=True).over(
+                            w.rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow))
+                        xc = x - off
+                        m1, m2 = fsum(xc), fsum(xc * xc)
+                        v = F.greatest(
+                            F.try_divide(m2 - F.try_divide(m1 * m1, n), n),
+                            F.lit(0.0))
+                        val = (v if kind == "var" else F.make_dt_interval(
+                            F.lit(0), F.lit(0), F.lit(0),
+                            F.sqrt(v) / F.lit(1e6)))
+                    return F.struct(F.when(n >= self.window, val).alias("v"),
+                                    n.alias(need_n))
                 frame = w.rowsBetween(-before, after)
                 n = F.count(src).over(frame)
                 if kind == "mean":
@@ -649,12 +691,7 @@ class Rolling:
                 elif kind == "var":
                     val = F.var_pop(src).over(frame)
                 else:
-                    # exact epoch-µs frame sum in decimal(38,0): an
-                    # int64 window sum wraps silently once the frame
-                    # holds ~5,400 timestamps (one epoch ~1.7e15 µs)
-                    # and ANSI-on raises — decimal is exact to 1e38
-                    # and ANSI-independent (r14)
-                    val = F.sum(src.cast("decimal(38,0)")).over(frame)
+                    val = F.sum(dsrc).over(frame)
                 return F.struct(F.when(n >= self.window, val).alias("v"),
                                 n.alias(need_n))
             if use_prefix:
