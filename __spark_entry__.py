@@ -3629,6 +3629,52 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def _q113_interval_gap_stats(spark, sf_dir):
+    """INTERVAL (timedelta64) moment statistics (r14): the reference's
+    stat kernels are plain numpy over m8 values so timedelta moments
+    just work (datatype.py:255 is_temporal = datetime OR timedelta);
+    Spark's avg/stddev over DayTimeIntervalType are type errors, so the
+    engine anchors intervals at the epoch (timestamp_micros(0) + iv →
+    unix_micros — no interval→µs cast exists) into the same decimal/µs
+    chokepoint as timestamps.  The interval column is produced by the
+    engine's OWN surface — diff() over the event timestamps per type —
+    so this certifies the full pipeline: keyed diff → interval column →
+    groupby mean/sum/std descriptors.  sum is the exact decimal µs sum
+    converted back to an interval; mean/std round to whole ms on both
+    sides (double averages; sub-µs summation-order ties are pytest-
+    pinned instead)."""
+    df = _t(spark, sf_dir, "events")
+    d = df.diff(column="ts", order_key="event_id", partition_by="event_type")
+    g = d.groupby("event_type",
+                  agg={"mean_gap": vagg.mean("ts"), "sum_gap": vagg.sum("ts"),
+                       "sd_gap": vagg.std("ts"), "n_gaps": vagg.count("ts")},
+                  sort=True)
+    anchor = F.timestamp_micros(F.lit(0))
+    return g.spark.select(
+        "event_type",
+        F.round(F.unix_micros(anchor + F.col("mean_gap")) / 1e3)
+        .cast("long").alias("mean_gap_ms"),
+        F.unix_micros(anchor + F.col("sum_gap")).alias("sum_gap_us"),
+        F.round(F.unix_micros(anchor + F.col("sd_gap")) / 1e3)
+        .cast("long").alias("sd_gap_ms"),
+        F.col("n_gaps").cast("long").alias("n_gaps"))
+
+
+_Q113_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts - LAG(ts) OVER (PARTITION BY event_type
+                                     ORDER BY event_id)) AS gap_us
+  FROM events)
+SELECT event_type,
+       CAST(ROUND(AVG(gap_us) / 1e3) AS BIGINT) AS mean_gap_ms,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(ROUND(stddev_pop(gap_us) / 1e3) AS BIGINT) AS sd_gap_ms,
+       COUNT(gap_us) AS n_gaps
+FROM gaps GROUP BY event_type
+"""
+
+
 def _q111_take_fancy(spark, sf_dir):
     """take() with numpy fancy-indexing semantics (reference
     dataframe.py:4444 → ColumnIndexed column.py:295 = plain
@@ -3773,6 +3819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_positional_window": _q110_positional_window,
         "q111_take_fancy": _q111_take_fancy,
         "q112_date_stats": _q112_date_stats,
+        "q113_interval_gap_stats": _q113_interval_gap_stats,
     }
 
 
@@ -3892,4 +3939,5 @@ def oracle_sql() -> dict[str, str]:
         "q110_positional_window": _Q110_SQL,
         "q111_take_fancy": _Q111_SQL,
         "q112_date_stats": _Q112_SQL,
+        "q113_interval_gap_stats": _Q113_SQL,
     }

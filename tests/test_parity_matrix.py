@@ -40,10 +40,16 @@ MU = TS.astype("datetime64[us]").astype("int64").astype("float64")  # µs
 DMU = DATES.to_numpy().astype("datetime64[us]").astype("int64").astype("float64")
 
 
+TD = np.array([1_000_000, 2_500_000, -4_000_000, 86_400_000_000,
+               7_200_000_000, 120_000_000, 3_600_000_000, 59_000_000],
+              dtype="timedelta64[us]")
+TMU = TD.astype("int64").astype("float64")  # µs
+
+
 @pytest.fixture(scope="module")
 def pdf(spark):
     return vs.from_arrays(spark=spark, i=np.arange(N), b=BOOLS, t=TS,
-                          d=np.array(DATES.date), g=GROUPS)
+                          d=np.array(DATES.date), td=TD, g=GROUPS)
 
 
 def _as_us_datetime(v) -> float:
@@ -178,6 +184,116 @@ def test_describe_date(pdf):
     _check_ts("mean", d["d"]["mean"], DMU.mean())
     assert isinstance(d["d"]["std"], (pd.Timedelta, np.timedelta64))
     assert str(d["d"]["min"]) == str(DATES.date[0])
+
+
+# ------------------------------------------- INTERVAL columns (r14)
+# The reference's stat kernels are plain numpy over m8 values, so every
+# timedelta64 moment works there (datatype.py:255: is_temporal =
+# datetime OR timedelta); every Spark moment over an interval column
+# was a DATATYPE_MISMATCH here (even min/max — _dropnan's isnan cast).
+# r14 anchors intervals at the epoch into the same µs chokepoint.
+def _td_us(v) -> float:
+    if isinstance(v, (pd.Timedelta,)):
+        return v.value / 1e3
+    if isinstance(v, np.timedelta64):
+        return float(v.astype("timedelta64[us]").astype("int64"))
+    import datetime as _dt
+    if isinstance(v, _dt.timedelta):
+        return v.total_seconds() * 1e6
+    return float(v)
+
+
+@pytest.mark.parametrize("stat", MOMENTS)
+def test_scalar_interval(pdf, stat):
+    got = getattr(pdf, stat)("td")
+    want = {"sum": TMU.sum(), "mean": TMU.mean(),
+            "std": _pop_std(TMU), "var": _pop_var(TMU)}[stat]
+    if stat == "var":
+        assert abs(got - want) / abs(want) < 1e-9
+    else:
+        # sum/mean/std of a timedelta column ARE timedeltas (numpy)
+        assert isinstance(got, (pd.Timedelta, np.timedelta64)), (stat, got)
+        assert abs(_td_us(got) - want) <= 1.0 or \
+            abs(_td_us(got) - want) / abs(want) < 1e-9
+
+
+def test_scalar_interval_minmax_skew(pdf):
+    assert _td_us(pdf.min("td")) == TMU.min()
+    assert _td_us(pdf.max("td")) == TMU.max()
+    assert abs(pdf.skew("td") - _skew(TMU)) < 1e-9
+    assert abs(pdf.kurtosis("td") - _kurt(TMU)) < 1e-9
+    got = pdf.percentile_exact("td", 50)
+    assert abs(_td_us(got) - float(np.percentile(TMU, 50))) <= 1.0
+
+
+@pytest.mark.parametrize("stat", ["mean", "std", "sum"])
+def test_groupby_interval(pdf, stat):
+    out = pdf.groupby("g", agg={"o": getattr(vagg, stat)("td")}) \
+        .to_pandas_df().sort_values("g")
+    fn = {"sum": np.sum, "mean": np.mean, "std": np.std}[stat]
+    for g, w in zip(out.o.tolist(), [fn(TMU[:4]), fn(TMU[4:])]):
+        assert abs(_td_us(g) - float(w)) <= 1.0, (stat, g, w)
+
+
+def test_binby_interval_value(pdf):
+    got = pdf.mean("td", binby="i", shape=2, limits=[0, 8])
+    arr = np.asarray(got)
+    assert arr.dtype.kind == "m"
+    for g, w in zip(arr.astype("timedelta64[us]").astype("int64").tolist(),
+                    [TMU[:4].mean(), TMU[4:].mean()]):
+        assert abs(g - w) <= 1.0
+
+
+def test_binby_over_interval_dimension(pdf):
+    # interval as the BINBY KEY: epoch-anchored seconds double
+    grid = pdf.count(binby="td", shape=4,
+                     limits=[np.timedelta64(0, "us"),
+                             np.timedelta64(86_400_000_000, "us")])
+    arr = np.asarray(grid)
+    # engine convention (== vaex/np.histogram): the upper limit value
+    # itself lands in the LAST bin
+    inside = ((TMU >= 0) & (TMU <= 86_400_000_000)).sum()
+    assert int(arr.sum()) == inside
+
+
+def test_rolling_interval(pdf):
+    for stat, oracle in [("mean", pd.Series(TMU).rolling(3).mean()),
+                         ("sum", pd.Series(TMU).rolling(3).sum())]:
+        out = getattr(pdf.rolling(3, column="td", order_key="i"), stat)()
+        got = out.to_pandas_df().sort_values("i").td
+        for g, w in zip(got.tolist(), oracle.tolist()):
+            if g is None or g is pd.NaT:
+                assert np.isnan(w)
+                continue
+            assert abs(_td_us(g) - w) <= 1.0, (stat, g, w)
+
+
+def test_describe_interval(pdf):
+    d = pdf.describe()
+    assert isinstance(d["td"]["mean"], pd.Timedelta)
+    assert isinstance(d["td"]["std"], pd.Timedelta)
+    assert abs(_td_us(d["td"]["mean"]) - TMU.mean()) <= 1.0
+    assert _td_us(d["td"]["min"]) == TMU.min()
+
+
+def test_interval_sum_overflow_is_loud(spark):
+    # numpy silently wraps a timedelta64 sum past int64; we stay exact
+    # (decimal) and RAISE — same documented-divergence class as
+    # SATURATE (SURVEY §1.2)
+    big = vs.from_arrays(
+        spark=spark, i=np.arange(4),
+        td=np.full(4, 4_000_000_000_000_000_000, dtype="timedelta64[us]"))
+    with pytest.raises(OverflowError):
+        big.sum("td")
+
+
+def test_diff_timestamp_pipeline(pdf):
+    # the engine's own diff() over timestamps yields the interval
+    # column class — mean gap must come back a timedelta
+    d = pdf.diff(column="t", order_key="i")
+    assert d.data_type("t").startswith("interval")
+    gap = d.mean("t")
+    assert abs(_td_us(gap) - 3_600_000_000.0) <= 1.0  # hourly grid
 
 
 # ------------------------------------------------- multi-selection lists

@@ -52,6 +52,14 @@ CASES = {
         "the position — no cartesian, no per-index plan nodes.",
         [r"BroadcastHashJoin", r"ReadSchema: struct<>",
          r"rangepartitioning\(__take_pos", r"!CartesianProduct"]),
+    "q112_date_stats": (
+        "DATE-typed groupby moments (r14): one partial+final "
+        "HashAggregate pair over a single hashpartitioning exchange on "
+        "the group key; the sum aggregates decimal(38,0) epoch-µs "
+        "(exactness is visible IN the plan — an int64 sum here wraps at "
+        "~5,400 rows), and no Window/row-at-a-time stage appears.",
+        [r"HashAggregate", r"decimal\(38,0\)", r"!Window",
+         r"!BatchEvalPython"]),
     "q26_dedup_exact": (
         "Exact dedup: map-side combined aggregation over fingerprints; "
         "the surviving-row selection never moves text through an extra "

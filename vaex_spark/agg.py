@@ -117,6 +117,34 @@ class _SimpleAgg(AggDescriptor):
                 dt = None
             if dt == "boolean":
                 c = c.cast("int")
+            elif dt is not None and dt.startswith("interval") and \
+                    self.short_name in ("mean", "std", "var", "skew",
+                                        "kurtosis", "sum", "sum_moment"):
+                # timedelta64 parity (r14): the reference's kernels are
+                # plain numpy over m8, so every moment works there;
+                # Spark has no interval→µs cast (CAST(iv AS BIGINT)
+                # reads the END-FIELD unit, seconds truncated), so
+                # anchor at the epoch and read back with unix_micros —
+                # exact µs over the full range.  mean/std come back as
+                # intervals (make_dt_interval, decimal(18,6) seconds =
+                # exact µs across the whole interval range), sum is the
+                # exact decimal µs sum converted back (NULL once the
+                # total leaves the interval range — identical under
+                # both ANSI modes via the range guard).
+                src = F.unix_micros(F.timestamp_micros(F.lit(0)) + c)
+                if self.short_name == "sum":
+                    out = self.fn(src.cast("decimal(38,0)"))
+                    lim = F.lit(9223372036854775807).cast("decimal(38,0)")
+                    secs = (out / F.lit(1_000_000)).cast("decimal(18,6)")
+                    return F.when(
+                        F.abs(out) <= lim,
+                        F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs))
+                out = self.fn(src)
+                if self.short_name in ("mean", "std"):
+                    return F.make_dt_interval(
+                        F.lit(0), F.lit(0), F.lit(0),
+                        (F.round(out) / F.lit(1e6)).cast("decimal(18,6)"))
+                return out
             elif dt is not None and \
                     (dt.startswith("timestamp") or dt == "date") and \
                     self.short_name in ("mean", "std", "var", "skew",

@@ -1621,13 +1621,20 @@ class DataFrame:
         found live building the q112 oracle at sf0.1) — decimal is
         exact to 1e38 and identical under both ANSI modes.  Scalars
         come back as exact Python ints; binby grids are float64."""
-        if self._is_timestamp(expression):
-            expr = Expression(self, self._micros_expr(expression).col
-                              .cast("decimal(38,0)"))
+        if self._is_timestamp(expression) or self._is_interval(expression):
+            mexpr, kind = self._temporal_micros(expression)
+            expr = Expression(self, mexpr.col.cast("decimal(38,0)"))
+            # intervals: numpy sums timedeltas to a TIMEDELTA (wrapping
+            # int64 silently); we keep the type but stay exact — decimal
+            # internally, OverflowError if the total leaves the
+            # timedelta64[us] range (loud where numpy is silent, the
+            # same divergence class as SATURATE in SURVEY §1.2)
+            post = (_decimal_sum_td_post if kind == "m"
+                    else _decimal_sum_post)
             return self._compute_agg(
                 lambda c: F.coalesce(F.sum(c), F.lit(0)), expr, binby,
                 shape, limits, selection, delay, edges, progress=progress,
-                post=_decimal_sum_post)
+                post=post)
         return self._compute_agg(lambda c: F.coalesce(F.sum(_dropnan(c)), F.lit(0)),
                                  self._bool_as_int(expression), binby, shape, limits, selection, delay, edges, progress=progress)
 
@@ -1654,35 +1661,78 @@ class DataFrame:
         return Expression(self, F.unix_micros(
             self._to_expr(expression).col.cast("timestamp")))
 
+    def _is_interval(self, expression) -> bool:
+        """True for day-time INTERVAL expressions — numpy timedelta64
+        (r14: the reference's is_temporal covers timedelta too — its
+        kernels are plain numpy over m8 values — while every Spark
+        moment over an interval column was a DATATYPE_MISMATCH here;
+        intervals arise naturally from our own surface: diff() over a
+        timestamp column yields one)."""
+        try:
+            return self.data_type(expression).startswith("interval")
+        except Exception:
+            return False
+
+    def _interval_micros_expr(self, expression) -> "Expression":
+        """Interval expression as exact µs longs.  No interval→integral
+        µs cast exists (``CAST(iv AS BIGINT)`` reads the END-FIELD unit
+        — seconds, truncated); anchoring at the epoch and reading back
+        with ``unix_micros`` is exact µs arithmetic across the full
+        ±day-time-interval range."""
+        c = self._to_expr(expression).col
+        return Expression(self, F.unix_micros(F.timestamp_micros(F.lit(0)) + c))
+
+    def _temporal_micros(self, expression):
+        """(micros_expr, post_kind) for any temporal column class:
+        datetimes convert back to datetime64 ('M'), intervals to
+        timedelta64 ('m')."""
+        if self._is_interval(expression):
+            return self._interval_micros_expr(expression), "m"
+        return self._micros_expr(expression), "M"
+
     def mean(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False, progress=None):
-        if self._is_timestamp(expression):
-            # temporal parity: datetime mean, not epoch seconds — on the
-            # scalar, binby-grid, AND multi-selection paths
-            return self._compute_agg(lambda c: F.avg(c), self._micros_expr(expression),
+        if self._is_timestamp(expression) or self._is_interval(expression):
+            # temporal parity: datetime/timedelta mean, not epoch
+            # seconds — on the scalar, binby-grid, AND multi-selection
+            # paths (intervals joined the class in r14)
+            expr, kind = self._temporal_micros(expression)
+            return self._compute_agg(lambda c: F.avg(c), expr,
                                      binby, shape, limits, selection, delay, edges,
-                                     progress=progress, post=_micros_post("M"), fill=np.nan)
+                                     progress=progress, post=_micros_post(kind), fill=np.nan)
         return self._compute_agg(lambda c: F.avg(_dropnan(c)), self._bool_as_int(expression), binby, shape, limits, selection, delay, edges, progress=progress)
 
     def min(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False, progress=None):
-        if binby is not None and self._is_timestamp(expression):
-            # the dense grid is float64; route timestamps through micros
-            # and view the grid back as datetime64[us] (empty bins → NaT)
-            return self._compute_agg(lambda c: F.min(c), self._micros_expr(expression),
+        if binby is not None and (self._is_timestamp(expression)
+                                  or self._is_interval(expression)):
+            # the dense grid is float64; route temporals through micros
+            # and view the grid back as datetime64/timedelta64[us]
+            # (empty bins → NaT)
+            expr, kind = self._temporal_micros(expression)
+            return self._compute_agg(lambda c: F.min(c), expr,
                                      binby, shape, limits, selection, delay, edges,
-                                     progress=progress, post=_micros_post("M"), fill=np.nan)
+                                     progress=progress, post=_micros_post(kind), fill=np.nan)
+        if self._is_interval(expression):
+            # native interval min works; _dropnan's isnan(cast double)
+            # is the one thing that DOESN'T (NaN can't occur anyway)
+            return self._compute_agg(lambda c: F.min(c), expression, binby, shape, limits, selection, delay, edges, progress=progress)
         return self._compute_agg(lambda c: F.min(_dropnan(c)), expression, binby, shape, limits, selection, delay, edges, progress=progress)
 
     def max(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, edges=False, progress=None):
-        if binby is not None and self._is_timestamp(expression):
-            return self._compute_agg(lambda c: F.max(c), self._micros_expr(expression),
+        if binby is not None and (self._is_timestamp(expression)
+                                  or self._is_interval(expression)):
+            expr, kind = self._temporal_micros(expression)
+            return self._compute_agg(lambda c: F.max(c), expr,
                                      binby, shape, limits, selection, delay, edges,
-                                     progress=progress, post=_micros_post("M"), fill=np.nan)
+                                     progress=progress, post=_micros_post(kind), fill=np.nan)
+        if self._is_interval(expression):
+            return self._compute_agg(lambda c: F.max(c), expression, binby, shape, limits, selection, delay, edges, progress=progress)
         return self._compute_agg(lambda c: F.max(_dropnan(c)), expression, binby, shape, limits, selection, delay, edges, progress=progress)
 
     def minmax(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False):
         if binby is None:
-            cols = [F.min(_dropnan(self._agg_expr_col(expression, selection))),
-                    F.max(_dropnan(self._agg_expr_col(expression, selection)))]
+            _nan = (lambda c: c) if self._is_interval(expression) else _dropnan
+            cols = [F.min(_nan(self._agg_expr_col(expression, selection))),
+                    F.max(_nan(self._agg_expr_col(expression, selection)))]
             if delay:
                 return self.executor.schedule(cols, unwrap=False)
             row = self._spark_df().agg(cols[0].alias("_lo"), cols[1].alias("_hi")).collect()[0]
@@ -1700,42 +1750,48 @@ class DataFrame:
         is no squared-duration numpy type (the reference computes over
         the raw int64 representation too)."""
         fn = F.var_pop if ddof == 0 else F.var_samp
-        if self._is_timestamp(expression):
+        if self._is_timestamp(expression) or self._is_interval(expression):
             # fill=NaN: an EMPTY bin must read NaN, not 0.0 µs² — 0
             # is indistinguishable from a real constant-valued bin,
             # while the sibling temporal stats return NaT (r13 ADVICE)
-            return self._compute_agg(lambda c: fn(c), self._micros_expr(expression),
+            expr, _ = self._temporal_micros(expression)
+            return self._compute_agg(lambda c: fn(c), expr,
                                      binby, shape, limits, selection, delay,
                                      progress=progress, fill=np.nan)
         return self._compute_agg(lambda c: fn(_dropnan(c)), self._bool_as_int(expression), binby, shape, limits, selection, delay, progress=progress)
 
     def std(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, ddof=0, progress=None):
         fn = F.stddev_pop if ddof == 0 else F.stddev_samp
-        if self._is_timestamp(expression):
-            # spread of a datetime column is a TIMEDELTA (reference
-            # is_temporal branch); Spark's stddev(timestamp) is a type
-            # error, so compute over epoch micros — scalar, binby, and
-            # multi-selection forms alike
-            return self._compute_agg(lambda c: fn(c), self._micros_expr(expression),
+        if self._is_timestamp(expression) or self._is_interval(expression):
+            # spread of a datetime OR timedelta column is a TIMEDELTA
+            # (reference is_temporal branch); Spark's stddev over either
+            # is a type error, so compute over epoch micros — scalar,
+            # binby, and multi-selection forms alike
+            expr, _ = self._temporal_micros(expression)
+            return self._compute_agg(lambda c: fn(c), expr,
                                      binby, shape, limits, selection, delay,
                                      progress=progress, post=_micros_post("m"), fill=np.nan)
         return self._compute_agg(lambda c: fn(_dropnan(c)), self._bool_as_int(expression), binby, shape, limits, selection, delay, progress=progress)
 
     def _moment_expr(self, expression):
         """Input column for dimensionless moment stats: booleans as 0/1;
-        timestamps as epoch micros (skew/kurtosis are affine-invariant,
-        so the epoch basis does not change the value)."""
-        if self._is_timestamp(expression):
-            return self._micros_expr(expression)
+        timestamps/dates/intervals as epoch micros (skew/kurtosis are
+        affine-invariant, so the epoch basis does not change the
+        value)."""
+        if self._is_timestamp(expression) or self._is_interval(expression):
+            return self._temporal_micros(expression)[0]
         return self._bool_as_int(expression)
 
+    def _is_temporal_like(self, expression) -> bool:
+        return self._is_timestamp(expression) or self._is_interval(expression)
+
     def skew(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, progress=None):
-        kw = dict(fill=np.nan) if self._is_timestamp(expression) else {}
+        kw = dict(fill=np.nan) if self._is_temporal_like(expression) else {}
         return self._compute_agg(lambda c: F.skewness(_dropnan(c)), self._moment_expr(expression), binby, shape, limits, selection, delay, progress=progress, **kw)
 
     def kurtosis(self, expression, binby=None, shape=128, limits=None, selection=None, delay=False, progress=None):
         """vaex population excess kurtosis (agg.py:458-518) == Spark F.kurtosis."""
-        kw = dict(fill=np.nan) if self._is_timestamp(expression) else {}
+        kw = dict(fill=np.nan) if self._is_temporal_like(expression) else {}
         return self._compute_agg(lambda c: F.kurtosis(_dropnan(c)), self._moment_expr(expression), binby, shape, limits, selection, delay, progress=progress, **kw)
 
     def nunique(self, expression, dropna: bool = False, selection=None, delay=False, **kw):
@@ -1838,11 +1894,12 @@ class DataFrame:
         F.percentile takes an array of fractions (r12; the loop form
         paid one full aggregation job per requested percentile)."""
         conv = None
-        if self._is_timestamp(expression):
+        if self._is_timestamp(expression) or self._is_interval(expression):
             # F.percentile needs numerics: interpolate over epoch micros
-            # and hand back datetimes (median_approx already supports
-            # timestamps via approx_percentile natively)
-            expr, conv = self._micros_expr(expression), _micros_post("M")
+            # and hand back datetimes/timedeltas (median_approx already
+            # supports timestamps via approx_percentile natively)
+            expr, kind = self._temporal_micros(expression)
+            conv = _micros_post(kind)
         else:
             expr = self._bool_as_int(expression)
         col = self._agg_expr_col(expr, selection)
@@ -1957,7 +2014,8 @@ class DataFrame:
         for i, c in enumerate(cols):
             col = self[c].col
             non_float = self.data_type(c).startswith(
-                ("string", "timestamp", "array", "struct", "boolean", "date", "binary"))
+                ("string", "timestamp", "array", "struct", "boolean",
+                 "date", "binary", "interval"))
             na = col.isNull() if non_float else (col.isNull() | _safe_isnan(col))
             aggs += [F.count(col).alias(f"_d{i}__count"),
                      F.count(F.when(na, 1)).alias(f"_d{i}__na")]
@@ -1978,6 +2036,14 @@ class DataFrame:
                 aggs += [F.avg(e).alias(f"_d{i}__mean_us"),
                          F.stddev_pop(e).alias(f"_d{i}__std_us"),
                          F.min(col).alias(f"_d{i}__min"), F.max(col).alias(f"_d{i}__max")]
+            elif self.data_type(c).startswith("interval"):
+                # timedelta64 columns are temporal in the reference too
+                # (datatype kind 'm'): timedelta mean + std, native
+                # min/max (r14 — every stat was a DATATYPE_MISMATCH)
+                e = F.unix_micros(F.timestamp_micros(F.lit(0)) + col)
+                aggs += [F.avg(e).alias(f"_d{i}__mean_td_us"),
+                         F.stddev_pop(e).alias(f"_d{i}__std_us"),
+                         F.min(col).alias(f"_d{i}__min"), F.max(col).alias(f"_d{i}__max")]
             elif not self.data_type(c).startswith(
                     ("string", "array", "struct", "date", "binary")):
                 aggs += [F.avg(col).alias(f"_d{i}__mean"), F.stddev_pop(col).alias(f"_d{i}__std"),
@@ -1991,6 +2057,10 @@ class DataFrame:
             if "mean_us" in d:
                 mu, su = d.pop("mean_us"), d.pop("std_us")
                 d["mean"] = None if mu is None else pd.Timestamp(int(mu), unit="us")
+                d["std"] = None if su is None else pd.Timedelta(int(su), unit="us")
+            elif "mean_td_us" in d:
+                mu, su = d.pop("mean_td_us"), d.pop("std_us")
+                d["mean"] = None if mu is None else pd.Timedelta(int(mu), unit="us")
                 d["std"] = None if su is None else pd.Timedelta(int(su), unit="us")
             out[c] = d
         return pd.DataFrame(out)
@@ -2827,6 +2897,28 @@ def _decimal_sum_post(v):
         flat = [float(x) if x is not None else np.nan for x in arr.ravel()]
         return np.array(flat, dtype="float64").reshape(arr.shape)
     return v
+
+
+def _decimal_sum_td_post(v):
+    """decimal(38,0) µs sums of an INTERVAL column back to timedeltas:
+    numpy sums timedelta64 to a timedelta64 (silently wrapping int64);
+    we keep the TYPE but stay exact — OverflowError once the total
+    leaves the timedelta64[us] range, loud where numpy is silent (the
+    same documented-divergence class as SATURATE, SURVEY §1.2)."""
+    v = _decimal_sum_post(v)
+    lim = np.iinfo("int64").max
+    if isinstance(v, int):
+        if abs(v) > lim:
+            raise OverflowError(
+                f"timedelta sum {v} µs exceeds the timedelta64[us] range "
+                f"(numpy would silently wrap here)")
+        return np.timedelta64(v, "us")
+    arr = np.asarray(v, dtype="float64")
+    if np.any(np.abs(arr[~np.isnan(arr)]) > lim):
+        raise OverflowError(
+            "timedelta sum grid exceeds the timedelta64[us] range")
+    ints = np.where(np.isnan(arr), float(np.iinfo("int64").min), arr).astype("int64")
+    return ints.view("timedelta64[us]")
 
 
 def _micros_post(kind: str):

@@ -40,6 +40,12 @@ def _limit_float(v) -> float:
                             tzinfo=_dt.timezone.utc).timestamp()
     if isinstance(v, np.datetime64):
         return float(v.astype("datetime64[us]").astype("int64")) / 1e6
+    if isinstance(v, (np.timedelta64, _dt.timedelta)):
+        # timedelta limits: SECONDS, matching _bin_col's epoch-anchored
+        # interval→seconds double (r14 — intervals joined the contract)
+        if isinstance(v, _dt.timedelta):
+            return v.total_seconds()
+        return float(v.astype("timedelta64[us]").astype("int64")) / 1e6
     return float(v)
 
 
@@ -51,8 +57,14 @@ def _bin_col(df, b):
     ``_limit_float``'s scale."""
     c = df._to_expr(b).col
     try:
-        if df.data_type(b) == "date":
+        dt = df.data_type(b)
+        if dt == "date":
             return c.cast("timestamp")
+        if dt.startswith("interval"):
+            # interval→double cast is invalid; epoch-anchor to SECONDS
+            # (float) to match _limit_float's timedelta scale (r14)
+            return (F.unix_micros(F.timestamp_micros(F.lit(0)) + c)
+                    / F.lit(1e6))
     except Exception:
         pass
     return c

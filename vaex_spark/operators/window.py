@@ -613,10 +613,11 @@ class Rolling:
                       and self.window >= _PREFIX_FRAME_MIN_WINDOW)
 
         def make(c, w):
-            is_ts = is_bool = False
+            is_ts = is_bool = is_iv = False
             try:
                 dt = self.df.data_type(c)
                 is_ts = dt.startswith("timestamp") or dt == "date"
+                is_iv = dt.startswith("interval")
                 is_bool = dt == "boolean"
             except Exception:
                 pass
@@ -628,18 +629,52 @@ class Rolling:
             col0 = (_fcol(c).cast("int")
                     if is_bool and kind in ("sum", "mean", "std", "var")
                     else _fcol(c))
-            if is_ts and kind in ("mean", "std", "var", "sum"):
+            if (is_ts or is_iv) and kind in ("mean", "std", "var", "sum"):
                 # temporal parity (r13): rolling moments over a
                 # timestamp column compute on epoch micros (Spark's
                 # avg(timestamp) silently yields epoch SECONDS as a
                 # double; sum/stddev are type errors) — mean converts
                 # back to timestamp, std to a day-time interval
                 # (timedelta64 in pandas); var/sum stay float µs.
-                # DATE columns join via the timestamp cast (r14).
+                # DATE columns join via the timestamp cast (r14);
+                # INTERVAL (timedelta64) columns via the epoch anchor
+                # (no interval→µs cast exists), mean/sum converting
+                # back to intervals (r14).
                 # sum/mean numerators are exact decimal(38,0): an
                 # int64 frame sum wraps silently at ~5,400 timestamps
                 # (one epoch ~1.7e15 µs) and ANSI-on raises (r14).
-                src = F.unix_micros(_fcol(c).cast("timestamp"))
+                if is_iv:
+                    src = F.unix_micros(F.timestamp_micros(F.lit(0))
+                                        + _fcol(c))
+
+                    def _us_back(us_col):
+                        # µs → interval; decimal(18,6) seconds is exact
+                        # µs across the full interval range
+                        return F.make_dt_interval(
+                            F.lit(0), F.lit(0), F.lit(0),
+                            (F.round(us_col) / F.lit(1e6))
+                            .cast("decimal(18,6)"))
+
+                    def _mean_back(us_col):
+                        return _us_back(us_col)
+
+                    def _dsum_back(dec_col):
+                        lim = F.lit(9223372036854775807).cast("decimal(38,0)")
+                        return F.when(
+                            F.abs(dec_col) <= lim,
+                            F.make_dt_interval(
+                                F.lit(0), F.lit(0), F.lit(0),
+                                (dec_col / F.lit(1_000_000))
+                                .cast("decimal(18,6)")))
+                else:
+                    src = F.unix_micros(_fcol(c).cast("timestamp"))
+
+                    def _mean_back(us_col):
+                        return F.timestamp_micros(
+                            F.round(us_col).cast("long"))
+
+                    def _dsum_back(dec_col):
+                        return dec_col
                 dsrc = src.cast("decimal(38,0)")
                 if use_prefix:
                     # r14: temporal frames previously always slid —
@@ -660,10 +695,9 @@ class Rolling:
 
                     n = F.count(src).over(grow) - F.count(src).over(prev)
                     if kind == "sum":
-                        val = fsum(dsrc)
+                        val = _dsum_back(fsum(dsrc))
                     elif kind == "mean":
-                        val = F.timestamp_micros(
-                            F.round(F.try_divide(fsum(dsrc), n)).cast("long"))
+                        val = _mean_back(F.try_divide(fsum(dsrc), n))
                     else:
                         x = src.cast("double")
                         off = F.first(x, ignorenulls=True).over(
@@ -682,8 +716,7 @@ class Rolling:
                 frame = w.rowsBetween(-before, after)
                 n = F.count(src).over(frame)
                 if kind == "mean":
-                    val = F.timestamp_micros(
-                        F.round(F.avg(src).over(frame)).cast("long"))
+                    val = _mean_back(F.avg(src).over(frame))
                 elif kind == "std":
                     val = F.make_dt_interval(
                         F.lit(0), F.lit(0), F.lit(0),
@@ -691,7 +724,7 @@ class Rolling:
                 elif kind == "var":
                     val = F.var_pop(src).over(frame)
                 else:
-                    val = F.sum(dsrc).over(frame)
+                    val = _dsum_back(F.sum(dsrc).over(frame))
                 return F.struct(F.when(n >= self.window, val).alias("v"),
                                 n.alias(need_n))
             if use_prefix:
