@@ -268,6 +268,29 @@ def test_rolling_interval(pdf):
             assert abs(_td_us(g) - w) <= 1.0, (stat, g, w)
 
 
+@pytest.mark.parametrize("stat", ["mean", "std", "sum"])
+def test_selection_list_interval(pdf, stat):
+    got = getattr(pdf, stat)("td", selection=[None, "i >= 4"])
+    fn = {"sum": np.sum, "mean": np.mean, "std": np.std}[stat]
+    for g, w in zip(np.asarray(got).tolist(), [fn(TMU), fn(TMU[4:])]):
+        assert abs(_td_us(g) - float(w)) <= 1.0, (stat, g, w)
+
+
+def test_rolling_range_interval(spark):
+    # trailing time window over an interval VALUE column: native
+    # F.sum(interval) clashes with the growing-frame coalesce and
+    # raises on overflow — routed through the same µs/decimal
+    # chokepoint, results back as intervals (r14)
+    from vaex_spark.operators.window import rolling_range
+    ts = pd.date_range("2024-01-01", periods=6, freq="10s").to_numpy()
+    tdv = np.array([1, 2, 3, 4, 5, 6], dtype="timedelta64[s]")
+    df2 = vs.from_arrays(spark=spark, t=ts, td=tdv)
+    for stat, want in [("sum", 6.0), ("mean", 2.0)]:
+        out = (rolling_range(df2, 25, on="t", column="td", agg=stat)
+               .to_pandas_df().sort_values("t")[f"td_rolling_{stat}"])
+        assert abs(out.iloc[2].total_seconds() - want) < 1e-6, (stat, out.iloc[2])
+
+
 def test_describe_interval(pdf):
     d = pdf.describe()
     assert isinstance(d["td"]["mean"], pd.Timedelta)

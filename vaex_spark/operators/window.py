@@ -870,6 +870,9 @@ def rolling_range(df, window_seconds, on, column=None, agg="mean",
         dt = dtypes0.get(c, "")
         return dt.startswith("timestamp") or dt == "date"
 
+    def _is_iv(c):
+        return dtypes0.get(c, "").startswith("interval")
+
     def _src(c):
         if agg in ("sum", "mean"):
             if dtypes0.get(c) == "boolean":
@@ -879,11 +882,29 @@ def rolling_range(df, window_seconds, on, column=None, agg="mean",
                 # sum: exact in decimal(38,0) — int64 wraps at ~5,400
                 # timestamps per frame, ANSI-on raises (r14)
                 return src.cast("decimal(38,0)") if agg == "sum" else src
+            if _is_iv(c):
+                # intervals: native F.sum(interval) exists but clashes
+                # with the growing-frame coalesce(…, 0) and raises on
+                # int64 overflow — same epoch-anchored µs/decimal route
+                # as everywhere else in the temporal contract (r14)
+                src = F.unix_micros(F.timestamp_micros(F.lit(0)) + _fcol(c))
+                return src.cast("decimal(38,0)") if agg == "sum" else src
         return _fcol(c)
 
     def _post(c, val):
         if agg == "mean" and _is_ts(c):
             return F.timestamp_micros(F.round(val).cast("long"))
+        if agg in ("sum", "mean") and _is_iv(c):
+            # µs back to an interval; decimal(18,6) seconds is exact µs
+            # across the whole interval range (out-of-range sums null
+            # under BOTH ANSI modes via the guard)
+            us = F.round(val).cast("decimal(38,0)")
+            lim = F.lit(9223372036854775807).cast("decimal(38,0)")
+            return F.when(
+                F.abs(us) <= lim,
+                F.make_dt_interval(
+                    F.lit(0), F.lit(0), F.lit(0),
+                    (us / F.lit(1_000_000)).cast("decimal(18,6)")))
         return val
     global_bucketed = False
     if partition_by is not None:
