@@ -91,6 +91,10 @@ EXTENDED = [
     # dense crossover fixed a 12.9-31.2s blocked wall at sf0.1 that
     # the sf0.001 job-ceiling test could not see)
     "q44_embedding_near_dups",
+    # r14 temporal-contract queries: DATE groupby moments (decimal-
+    # exact sums) and the diff(ts)->interval->groupby-moments pipeline
+    "q112_date_stats",
+    "q113_interval_gap_stats",
 ]
 # q93_group_delta_min stays OUT of the timed sections deliberately: it
 # exists to oracle-check the GroupBy.apply(engine='arrow') machinery,

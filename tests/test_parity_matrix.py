@@ -299,6 +299,45 @@ def test_describe_interval(pdf):
     assert _td_us(d["td"]["min"]) == TMU.min()
 
 
+def test_interval_extreme_range_exact(spark):
+    # us_to_interval decomposition net: the naive make_dt_interval(
+    # 0,0,0, µs/1e6) form cast-overflows decimal(18,6) for any value
+    # past ~1e12 s — the TOP DECADE of valid timedeltas (range runs to
+    # ±9.22e12 s) would null non-ANSI and RAISE ANSI-on.  Pin groupby
+    # mean/std/sum and rolling mean on values deep in that band,
+    # positive and negative.
+    big = np.array([4_000_000_000_000_000_000, 4_100_000_000_000_000_000,
+                    -3_900_000_000_000_000_000, 8_000_000_000_000_000_000],
+                   dtype="timedelta64[us]")
+    bmu = big.astype("int64").astype("float64")
+    df2 = vs.from_arrays(spark=spark, i=np.arange(4), td=big,
+                         g=np.array([0, 0, 1, 1]))
+    m = df2.mean("td")
+    assert abs(_td_us(m) - bmu.mean()) / abs(bmu.mean()) < 1e-9
+    s = df2.std("td")
+    assert abs(_td_us(s) - _pop_std(bmu)) / _pop_std(bmu) < 1e-9
+    # COLUMN results read back JVM-side: pandas Timedelta is int64
+    # NANOSECONDS (max ±9.2e15 µs), so toPandas of this band wraps in
+    # pandas itself — the engine's interval values are what matters
+    # (and the old form CRASHED ANSI-on here instead of nulling)
+    from pyspark.sql import functions as FF
+
+    from vaex_spark.temporal import interval_to_us
+    gb = df2.groupby("g", agg={"m": vagg.mean("td"), "s": vagg.sum("td")})
+    rows = {r["g"]: r for r in gb.spark.select(
+        "g", interval_to_us(FF.col("m")).alias("m_us"),
+        interval_to_us(FF.col("s")).alias("s_us")).collect()}
+    assert abs(rows[0]["m_us"] - bmu[:2].mean()) <= 2.0
+    # group-0 sum (8.1e18 µs) is WITHIN the interval range — the old
+    # decimal(18,6) path nulled it (and raised under ANSI)
+    assert rows[0]["s_us"] == int(bmu[0]) + int(bmu[1])
+    assert rows[1]["s_us"] == int(bmu[2]) + int(bmu[3])  # neg+pos
+    roll = df2.rolling(2, column="td", order_key="i").mean()
+    got = (roll.spark.select("i", interval_to_us(FF.col("td")).alias("us"))
+           .toPandas().sort_values("i").us)
+    assert abs(got.iloc[1] - bmu[:2].mean()) <= 2.0
+
+
 def test_interval_sum_overflow_is_loud(spark):
     # numpy silently wraps a timedelta64 sum past int64; we stay exact
     # (decimal) and RAISE — same documented-divergence class as

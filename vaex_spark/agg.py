@@ -126,24 +126,18 @@ class _SimpleAgg(AggDescriptor):
                 # reads the END-FIELD unit, seconds truncated), so
                 # anchor at the epoch and read back with unix_micros —
                 # exact µs over the full range.  mean/std come back as
-                # intervals (make_dt_interval, decimal(18,6) seconds =
-                # exact µs across the whole interval range), sum is the
-                # exact decimal µs sum converted back (NULL once the
-                # total leaves the interval range — identical under
+                # intervals (us_to_interval: exact days+secs
+                # decomposition over the WHOLE interval range), sum is
+                # the exact decimal µs sum converted back (NULL once
+                # the total leaves the interval range — identical under
                 # both ANSI modes via the range guard).
-                src = F.unix_micros(F.timestamp_micros(F.lit(0)) + c)
+                from .temporal import interval_to_us, us_to_interval
+                src = interval_to_us(c)
                 if self.short_name == "sum":
-                    out = self.fn(src.cast("decimal(38,0)"))
-                    lim = F.lit(9223372036854775807).cast("decimal(38,0)")
-                    secs = (out / F.lit(1_000_000)).cast("decimal(18,6)")
-                    return F.when(
-                        F.abs(out) <= lim,
-                        F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs))
+                    return us_to_interval(self.fn(src.cast("decimal(38,0)")))
                 out = self.fn(src)
                 if self.short_name in ("mean", "std"):
-                    return F.make_dt_interval(
-                        F.lit(0), F.lit(0), F.lit(0),
-                        (F.round(out) / F.lit(1e6)).cast("decimal(18,6)"))
+                    return us_to_interval(out)
                 return out
             elif dt is not None and \
                     (dt.startswith("timestamp") or dt == "date") and \
@@ -172,8 +166,12 @@ class _SimpleAgg(AggDescriptor):
                 if self.short_name == "mean":
                     return F.timestamp_micros(F.round(out).cast("long"))
                 if self.short_name == "std":
-                    return F.make_dt_interval(
-                        F.lit(0), F.lit(0), F.lit(0), out / F.lit(1e6))
+                    # us_to_interval: exact over the full interval
+                    # range — the naive make_dt_interval(0,0,0, µs/1e6)
+                    # form cast-overflows decimal(18,6) for spreads
+                    # past ~1e12 s (null/error ANSI divergence, r14)
+                    from .temporal import us_to_interval
+                    return us_to_interval(out)
                 return out
         return self.fn(c)
 

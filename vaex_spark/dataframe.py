@@ -1679,8 +1679,8 @@ class DataFrame:
         — seconds, truncated); anchoring at the epoch and reading back
         with ``unix_micros`` is exact µs arithmetic across the full
         ±day-time-interval range."""
-        c = self._to_expr(expression).col
-        return Expression(self, F.unix_micros(F.timestamp_micros(F.lit(0)) + c))
+        from .temporal import interval_to_us
+        return Expression(self, interval_to_us(self._to_expr(expression).col))
 
     def _temporal_micros(self, expression):
         """(micros_expr, post_kind) for any temporal column class:
@@ -2040,7 +2040,8 @@ class DataFrame:
                 # timedelta64 columns are temporal in the reference too
                 # (datatype kind 'm'): timedelta mean + std, native
                 # min/max (r14 — every stat was a DATATYPE_MISMATCH)
-                e = F.unix_micros(F.timestamp_micros(F.lit(0)) + col)
+                from .temporal import interval_to_us
+                e = interval_to_us(col)
                 aggs += [F.avg(e).alias(f"_d{i}__mean_td_us"),
                          F.stddev_pop(e).alias(f"_d{i}__std_us"),
                          F.min(col).alias(f"_d{i}__min"), F.max(col).alias(f"_d{i}__max")]

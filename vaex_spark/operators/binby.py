@@ -63,8 +63,8 @@ def _bin_col(df, b):
         if dt.startswith("interval"):
             # interval→double cast is invalid; epoch-anchor to SECONDS
             # (float) to match _limit_float's timedelta scale (r14)
-            return (F.unix_micros(F.timestamp_micros(F.lit(0)) + c)
-                    / F.lit(1e6))
+            from ..temporal import interval_to_us
+            return interval_to_us(c) / F.lit(1e6)
     except Exception:
         pass
     return c

@@ -643,29 +643,10 @@ class Rolling:
                 # sum/mean numerators are exact decimal(38,0): an
                 # int64 frame sum wraps silently at ~5,400 timestamps
                 # (one epoch ~1.7e15 µs) and ANSI-on raises (r14).
+                from ..temporal import interval_to_us, us_to_interval
                 if is_iv:
-                    src = F.unix_micros(F.timestamp_micros(F.lit(0))
-                                        + _fcol(c))
-
-                    def _us_back(us_col):
-                        # µs → interval; decimal(18,6) seconds is exact
-                        # µs across the full interval range
-                        return F.make_dt_interval(
-                            F.lit(0), F.lit(0), F.lit(0),
-                            (F.round(us_col) / F.lit(1e6))
-                            .cast("decimal(18,6)"))
-
-                    def _mean_back(us_col):
-                        return _us_back(us_col)
-
-                    def _dsum_back(dec_col):
-                        lim = F.lit(9223372036854775807).cast("decimal(38,0)")
-                        return F.when(
-                            F.abs(dec_col) <= lim,
-                            F.make_dt_interval(
-                                F.lit(0), F.lit(0), F.lit(0),
-                                (dec_col / F.lit(1_000_000))
-                                .cast("decimal(18,6)")))
+                    src = interval_to_us(_fcol(c))
+                    _mean_back = _dsum_back = us_to_interval
                 else:
                     src = F.unix_micros(_fcol(c).cast("timestamp"))
 
@@ -708,9 +689,8 @@ class Rolling:
                         v = F.greatest(
                             F.try_divide(m2 - F.try_divide(m1 * m1, n), n),
                             F.lit(0.0))
-                        val = (v if kind == "var" else F.make_dt_interval(
-                            F.lit(0), F.lit(0), F.lit(0),
-                            F.sqrt(v) / F.lit(1e6)))
+                        val = (v if kind == "var"
+                               else us_to_interval(F.sqrt(v)))
                     return F.struct(F.when(n >= self.window, val).alias("v"),
                                     n.alias(need_n))
                 frame = w.rowsBetween(-before, after)
@@ -718,9 +698,7 @@ class Rolling:
                 if kind == "mean":
                     val = _mean_back(F.avg(src).over(frame))
                 elif kind == "std":
-                    val = F.make_dt_interval(
-                        F.lit(0), F.lit(0), F.lit(0),
-                        F.stddev_pop(src).over(frame) / F.lit(1e6))
+                    val = us_to_interval(F.stddev_pop(src).over(frame))
                 elif kind == "var":
                     val = F.var_pop(src).over(frame)
                 else:
@@ -887,7 +865,8 @@ def rolling_range(df, window_seconds, on, column=None, agg="mean",
                 # with the growing-frame coalesce(…, 0) and raises on
                 # int64 overflow — same epoch-anchored µs/decimal route
                 # as everywhere else in the temporal contract (r14)
-                src = F.unix_micros(F.timestamp_micros(F.lit(0)) + _fcol(c))
+                from ..temporal import interval_to_us
+                src = interval_to_us(_fcol(c))
                 return src.cast("decimal(38,0)") if agg == "sum" else src
         return _fcol(c)
 
@@ -895,16 +874,10 @@ def rolling_range(df, window_seconds, on, column=None, agg="mean",
         if agg == "mean" and _is_ts(c):
             return F.timestamp_micros(F.round(val).cast("long"))
         if agg in ("sum", "mean") and _is_iv(c):
-            # µs back to an interval; decimal(18,6) seconds is exact µs
-            # across the whole interval range (out-of-range sums null
-            # under BOTH ANSI modes via the guard)
-            us = F.round(val).cast("decimal(38,0)")
-            lim = F.lit(9223372036854775807).cast("decimal(38,0)")
-            return F.when(
-                F.abs(us) <= lim,
-                F.make_dt_interval(
-                    F.lit(0), F.lit(0), F.lit(0),
-                    (us / F.lit(1_000_000)).cast("decimal(18,6)")))
+            # µs back to an interval, exact over the full range
+            # (out-of-range sums null under BOTH ANSI modes)
+            from ..temporal import us_to_interval
+            return us_to_interval(val)
         return val
     global_bucketed = False
     if partition_by is not None:
