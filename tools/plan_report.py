@@ -60,6 +60,15 @@ CASES = {
         "~5,400 rows), and no Window/row-at-a-time stage appears.",
         [r"HashAggregate", r"decimal\(38,0\)", r"!Window",
          r"!BatchEvalPython"]),
+    "q113_interval_gap_stats": (
+        "diff(ts)→interval→groupby pipeline (r14): ONE data exchange — "
+        "the keyed diff's Window partitions by event_type and the "
+        "partial+final HashAggregate pair RIDES that partitioning (no "
+        "second hash exchange; the only other Exchange is the 5-row "
+        "rangepartitioning for sort=True).  All interval↔µs conversion "
+        "is JVM expression work (no Python stage).",
+        [r"Window", r"HashAggregate", r"Exchange hashpartitioning\(event_type",
+         r"!BatchEvalPython", r"!ArrowEvalPython"]),
     "q26_dedup_exact": (
         "Exact dedup: map-side combined aggregation over fingerprints; "
         "the surviving-row selection never moves text through an extra "
