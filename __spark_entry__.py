@@ -2640,22 +2640,26 @@ def _q86_top_trigrams_per_source(spark, sf_dir):
     from pyspark.sql import Window
     from vaex_spark.datapipe.dedup import _spread
     docs = _spread(_t(spark, sf_dir, "documents").spark)
-    words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")),
-                                            r"\s+", " ")), " ")
-    # arrays_zip of three shifted slices instead of a transform/slice/
-    # array_join higher-order chain: HOF lambdas evaluate interpreted
-    # per element (measured 4.2s for ~1M trigrams at sf0.1), while
-    # zip+explode+concat_ws stays inside whole-stage codegen and needs
-    # NO per-doc window shuffle; _spread fans the single-file corpus
-    # across cores first (0.77s, ~5x)
-    n = F.size(words)
-    ln = F.greatest(n - 2, F.lit(0))
-    z = F.arrays_zip(F.slice(words, 1, ln).alias("a"),
-                     F.slice(words, 2, ln).alias("b"),
-                     F.slice(words, 3, ln).alias("c"))
-    tri = (docs.select("source", F.explode(z).alias("t"))
-           .select("source", F.concat_ws(" ", F.col("t.a"), F.col("t.b"),
-                                         F.col("t.c")).alias("trigram")))
+    # r14: per-doc trigram ARRAY via transform + three element_at
+    # references, then explode the strings — beats both earlier forms
+    # (r5's transform/slice/array_join chain: 4.2s for ~1M trigrams;
+    # r5's arrays_zip-of-3-shifted-slices + per-row concat_ws: the
+    # Generate carried 3-string structs per row and the slices copied
+    # the word array 3×; A/B at sf0.1 noop: explode 0.13 vs 0.27 s
+    # med, count aggregate on top 0.47/0.54 vs 0.67/0.78 s min/med).
+    # Assembled as ONE parsed SQL expression — each py4j round-trip
+    # costs 1-2 ms on this driver and HOF lambdas ~10 ms (see
+    # similarity._cos_sql).  _spread fans the single-file corpus
+    # across cores first.
+    words = "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"
+    tri_arr = F.expr(
+        f"CASE WHEN size({words}) >= 3 THEN "
+        f"element_at(transform(array({words}), wd -> "
+        f"transform(sequence(1, size(wd) - 2), "
+        f"i -> concat_ws(' ', element_at(wd, i), element_at(wd, i + 1), "
+        f"element_at(wd, i + 2)))), 1) "
+        f"ELSE cast(array() as array<string>) END")
+    tri = (docs.select("source", F.explode(tri_arr).alias("trigram")))
     counted = (tri.groupBy("source", "trigram")
                .agg(F.count(F.lit(1)).cast("long").alias("n")))
     w = Window.partitionBy("source").orderBy(F.col("n").desc(),
@@ -2700,7 +2704,15 @@ def _q87_quality_deciles(spark, sf_dir):
     bit-identical to the one-task window form."""
     from vaex_spark.operators.window import ntile_exact
     from vaex_spark.datapipe.text import quality_score
-    docs = _t(spark, sf_dir, "documents").spark
+    from vaex_spark.datapipe.dedup import _spread
+    # r14: _spread the raw docs BEFORE scoring — quality_score is ~6
+    # regex passes per doc, and a single-file corpus arrives as ONE
+    # scan split, so both the range-partitioner sample pass and the
+    # scoring stage ran on one core (profiled: a 0.26 s single-task
+    # job at sf0.1).  Stats-gated like every _spread site: a corpus
+    # with >= defaultParallelism splits is untouched at scale.
+    docs = _spread(_t(spark, sf_dir, "documents").spark
+                   .select("doc_id", "n_chars", "text"))
     scored = docs.select(F.col("doc_id"), F.col("n_chars"),
                          F.round(quality_score(F.col("text")), 6).alias("q"))
     return (ntile_exact(scored, 10, ["q", "doc_id"], out_col="decile")

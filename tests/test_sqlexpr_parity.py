@@ -1,0 +1,101 @@
+"""r14 optimization round: the hot literal/HOF expression sites are
+assembled as parsed SQL text (one py4j round-trip) instead of Column
+calls (1-2 ms per round-trip, ~10 ms per HOF lambda on this driver).
+These tests pin that every SQL-text twin is VALUE-IDENTICAL to the
+Column form it replaced, including the degenerate inputs (NaN/inf
+coordinates, NULL text) where a naive string format would diverge."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_lit_vec_roundtrips_special_floats(spark):
+    from vaex_spark.datapipe.similarity import _lit_vec
+    vals = [0.1, -0.0, 1e-300, 1.7976931348623157e308, float("nan"),
+            float("inf"), float("-inf"), 2.5000000000000004]
+    out = spark.range(1).select(_lit_vec(vals).alias("v")).collect()[0]["v"]
+    for a, b in zip(vals, out):
+        if math.isnan(a):
+            assert math.isnan(b)
+        else:
+            assert a == b and math.copysign(1, a) == math.copysign(1, b)
+
+
+def test_hyperplane_bucket_sql_matches_column(spark):
+    """str-input (SQL text, dot let-bound once) == Column input
+    (dot inlined twice) on real embeddings AND on planted degenerate
+    vectors (NaN coordinate, zeros)."""
+    from vaex_spark.datapipe.similarity import _hyperplanes, hyperplane_bucket
+    planes = _hyperplanes(4, 5, seed=7)
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 2.0, 1.0]), (2, [0.0, 0.0, 0.0, 0.0]),
+         (3, [float("nan"), 1.0, 1.0, 1.0]), (4, [-1.0, -2.0, -3.0, 4.0])],
+        "id bigint, embedding array<double>")
+    a = df.select("id", hyperplane_bucket(F.col("embedding"),
+                                          planes).alias("b")).collect()
+    b = df.select("id", hyperplane_bucket("embedding",
+                                          planes).alias("b")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_assign_sql_matches_column(spark):
+    import numpy as np
+    from vaex_spark.datapipe.similarity import ivf_assign
+    rng = np.random.RandomState(3)
+    cent = rng.randn(5, 4)
+    rows = [(i, [float(x) for x in rng.randn(4)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "id bigint, embedding array<double>")
+    a = df.select("id", ivf_assign(F.col("embedding"), cent).alias("c")).collect()
+    b = df.select("id", ivf_assign("embedding", cent).alias("c")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_assign_cluster_sql_matches_column(spark):
+    import numpy as np
+    from vaex_spark.datapipe.similarity import assign_cluster
+    rng = np.random.RandomState(4)
+    cent = rng.randn(6, 4)
+    rows = [(i, [float(x) for x in rng.randn(4)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "id bigint, embedding array<double>")
+    a = df.select("id", assign_cluster(F.col("embedding"), cent,
+                                       round_to=6).alias("c")).collect()
+    b = df.select("id", assign_cluster("embedding", cent,
+                                       round_to=6).alias("c")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_gram_hashes_null_doc_emits_no_rows(spark):
+    """The r14 array-form gram hasher must keep the zip form's NULL
+    contract: a NULL text contributes ZERO gram rows (the unguarded
+    array form would manufacture one phantom xxhash64('') gram), and
+    values equal xxhash64 over shingles() for normal docs."""
+    from vaex_spark.datapipe.dedup import _gram_hashes, shingles
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, None), (3, ""), (4, "one two"),
+         (5, "x y z w v u t s r q")],
+        "doc_id bigint, text string")
+    got = sorted(map(tuple, _gram_hashes(df, "doc_id", "text", 5).collect()))
+    want = sorted(map(tuple, df.select(
+        "doc_id", F.explode(shingles(F.col("text"), k=5)).alias("g"))
+        .select("doc_id", F.xxhash64("g").alias("__h")).collect()))
+    assert got == want
+    assert not any(i == 2 for i, _ in got)
+
+
+def test_cos_sql_matches_cosine_column(spark):
+    from vaex_spark.datapipe.similarity import _cos_sql, cosine
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0], [3.0, 2.0, 1.0]),
+         (2, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),     # zero norm -> null
+         (3, [float("nan"), 1.0, 1.0], [1.0, 1.0, 1.0])],
+        "id bigint, a array<double>, b array<double>")
+    col = df.select("id", cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    sql = df.select("id", F.expr(_cos_sql("a", "b")).alias("c")).collect()
+    for x, y in zip(sorted(col), sorted(sql)):
+        assert x["id"] == y["id"]
+        if x["c"] is None or (x["c"] != x["c"]):
+            assert y["c"] is None or (y["c"] != y["c"])
+        else:
+            assert x["c"] == y["c"]

@@ -218,23 +218,37 @@ def minhash_bands_col(sig: Column, num_bands: int, rows_per_band: int) -> Column
 
 def _gram_hashes(sdf, id_col, text_col, shingle_k):
     """(id, __h): one row per k-gram occurrence, hash of the space-
-    joined gram — the winnow zip-of-shifted-slices form (arrays_zip of
-    k shifted slices + row-level concat_ws + xxhash64, all whole-stage
-    codegen; a short doc's missing slices pad to null, which concat_ws
-    skips — the whole-text gram, exactly matching shingles()'s n<k
-    branch).  Gram VALUES are identical to shingles(), so the hashes
-    are identical too."""
-    words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
-                                            r"\s+", " ")), " ")
-    n = F.size(words)
-    ln = F.greatest(n - (shingle_k - 1), F.lit(1))
-    z = F.arrays_zip(*[F.slice(words, j + 1, ln).alias(f"w{j}")
-                       for j in range(shingle_k)])
-    return (sdf.select(F.col(id_col), F.explode(z).alias("__t"))
-            .select(id_col,
-                    F.xxhash64(F.concat_ws(" ", *[F.col(f"__t.w{j}")
-                                                  for j in range(shingle_k)]))
-                    .alias("__h")))
+    joined gram.  r14 form: the per-doc HASH ARRAY is built in one
+    transform (k ``try_element_at`` references per gram — no
+    per-position slice allocation, no string-struct rows) and the
+    8-byte longs are exploded, replacing the r13 arrays_zip-of-
+    k-shifted-slices + per-row concat_ws form whose Generate carried
+    k strings per gram row; A/B at sf0.1 (250k grams, noop):
+    0.19/0.28 s vs 0.27/0.46 s min/med, and the downstream 64-perm
+    signature aggregate 0.54/0.59 s vs 0.69/0.95 s.  ``try_element_at``
+    past the end is NULL, which ``concat_ws`` skips — a short doc
+    (n < k) emits one whole-text gram, exactly matching shingles()'s
+    n<k branch.  Gram VALUES are identical to shingles(), so the
+    hashes are identical too (exceptAll-pinned in tests)."""
+    # assembled as ONE parsed SQL expression — on this driver a py4j
+    # round-trip is 1-2 ms and a HOF lambda ~10 ms to construct, so
+    # the Column form of this cost ~50 ms of plan build per call
+    from ..colname import quote_name
+    qn = quote_name(text_col)
+    words = f"split(trim(regexp_replace(lower({qn}), '\\\\s+', ' ')), ' ')"
+    refs = ", ".join(f"try_element_at(wd, i + {j})"
+                     for j in range(shingle_k))
+    harr = (f"transform(sequence(1, greatest(size(wd) - "
+            f"{shingle_k - 1}, 1)), "
+            f"i -> xxhash64(concat_ws(' ', {refs})))")
+    # NULL text must emit an EMPTY array (explode drops the doc) — the
+    # r13 zip form got that for free (explode(NULL) yields no rows);
+    # without the guard a NULL doc would manufacture one phantom
+    # xxhash64("") gram (the _winnow_fps_expr trap)
+    sel = (f"CASE WHEN {qn} IS NOT NULL THEN "
+           f"element_at(transform(array({words}), wd -> {harr}), 1) "
+           f"ELSE cast(array() as array<bigint>) END")
+    return sdf.select(F.col(id_col), F.explode(F.expr(sel)).alias("__h"))
 
 
 def _banded_long(sdf, id_col, text_col, num_perm, num_bands, shingle_k):
@@ -255,16 +269,21 @@ def _banded_long(sdf, id_col, text_col, num_perm, num_bands, shingle_k):
     yield the same values so persisted indexes remain compatible."""
     rows_per_band = num_perm // num_bands
     grams = _gram_hashes(sdf, id_col, text_col, shingle_k)
+    # F.expr strings instead of nested Column calls: the 64-perm agg
+    # list plus 32 band hashes are ~400 py4j round-trips as Columns
+    # (~0.4 s of plan build on this driver at 1-2 ms/round-trip), one
+    # parsed expression each as strings (r14)
     sig = grams.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__s{i}")
+        *[F.expr(f"min(xxhash64(__h, {i})) as __s{i}")
           for i in range(num_perm)])
-    band_exprs = [
-        F.xxhash64(F.concat_ws("_", *[
-            F.col(f"__s{b * rows_per_band + i}").cast("string")
-            for i in range(rows_per_band)]), F.lit(b + 1000))
-        for b in range(num_bands)]
+    bands = ", ".join(
+        "xxhash64(concat_ws('_', " + ", ".join(
+            f"cast(__s{b * rows_per_band + i} as string)"
+            for i in range(rows_per_band)) + f"), {b + 1000})"
+        for b in range(num_bands))
     return sig.select(F.col(id_col),
-                      F.posexplode(F.array(*band_exprs)).alias("band", "bucket"))
+                      F.posexplode(F.expr(f"array({bands})"))
+                      .alias("band", "bucket"))
 
 
 def _banded_auto(sdf, id_col, text_col, num_perm, num_bands, shingle_k):
@@ -418,10 +437,14 @@ def near_dup_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     # the docs down to ids that appear in a candidate pair, and compute
     # shingle sets only for those (duplicate rates are low, so this is
     # a sliver of the table; the full-corpus alternative is persisting
-    # every shingle set — several times the raw text size)
-    involved = (pairs.select(F.col("id_a").alias(id_col))
-                .union(pairs.select(F.col("id_b").alias(id_col)))
-                .distinct())
+    # every shingle set — several times the raw text size).  r14: ONE
+    # explode pass over the persisted pairs instead of union of two
+    # projections + distinct — a left_semi probe side needs neither
+    # the distinct (the join dedups by construction) nor two reads of
+    # the pair cache; drops one exchange + one cache read at every
+    # scale (A/B at sf0.1: 1.26 vs 1.68 s full-query min)
+    involved = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col))
     # no broadcast hint: at a high duplicate rate the involved-id set is
     # billions of ids (tens of GB) and a forced broadcast bypasses
     # Spark's size check and OOMs the executors.  AQE sees the real

@@ -84,6 +84,70 @@ def _stack_f64(vals) -> np.ndarray:
     return np.stack([_vec_f64(v) for v in vals])
 
 
+def _lit_vec(c) -> Column:
+    """Literal double-array Column via ONE parsed SQL expression.
+
+    ``F.lit(list)`` expands to one ``lit()`` py4j round-trip PER
+    ELEMENT plus the CreateArray call — a 64-dim vector is ~65 driver
+    round-trips, and a centroid/plane loop multiplies that (r14
+    measurement: the 8×64 ivf_topk distance array cost 1.6 s of pure
+    plan construction; the parsed-string form 3 ms, values
+    bit-identical).  ``repr(float)`` is the shortest exact round-trip
+    decimal, and Java's Double.parseDouble restores it exactly; NaN
+    and ±Infinity spell the cast-string forms Spark's parser accepts.
+    """
+    return F.expr(_lit_vec_sql(c))
+
+
+def _qn(name: str) -> str:
+    from ..colname import quote_name
+    return quote_name(name)
+
+
+def _lit_vec_sql(c) -> str:
+    """SQL text of a literal double array (see :func:`_lit_vec`)."""
+    def _f(x):
+        x = float(x)
+        if x != x:
+            return "cast('NaN' as double)"
+        if x == float("inf"):
+            return "cast('Infinity' as double)"
+        if x == float("-inf"):
+            return "cast('-Infinity' as double)"
+        return f"cast('{x!r}' as double)"
+    return "array(" + ",".join(_f(x) for x in c) + ")"
+
+
+def _let_sql(val: str, var: str, body: str) -> str:
+    """SQL let-binding: evaluate ``val`` once per row, reference it as
+    ``var`` inside ``body`` (the transform-of-singleton idiom — the
+    SQL-text twin of text._let)."""
+    return f"element_at(transform(array({val}), {var} -> {body}), 1)"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of :func:`dot` — same math, same order."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double)"
+            f" * cast(y as double)), 0.0D, (acc, v) -> acc + v)")
+
+
+def _l2_sql(a: str) -> str:
+    """SQL text of :func:`l2_norm`."""
+    return (f"sqrt(aggregate({a}, 0.0D, (acc, v) -> acc + "
+            f"cast(v as double) * cast(v as double)))")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """SQL text of :func:`cosine` (try_divide degenerate contract
+    included).  Why SQL text at the hot call sites (r14): on this
+    driver a py4j round-trip costs 1-2 ms and each higher-order-
+    function LAMBDA ~10 ms to construct, so one Column-API cosine
+    (5 lambdas) is ~50 ms of plan-build; a centroid/plane loop
+    multiplies that into whole seconds.  The parsed string is ~1 ms
+    and yields the identical expression tree."""
+    return f"try_divide({_dot_sql(a, b)}, {_l2_sql(a)} * {_l2_sql(b)})"
+
+
 def dot(a: Column, b: Column) -> Column:
     """Deterministic dot product of two array columns (array-order sum)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -244,7 +308,7 @@ def brute_force_topk(corpus, queries, k: int = 10,
                   .crossJoin(q)
                   .select("query_id", F.col(id_col).alias("neighbor_id"),
                           _null_if_nan(F.round(
-                              cosine(F.col("__qvec"), F.col(vec_col)),
+                              F.expr(_cos_sql("__qvec", _qn(vec_col))),
                               round_to)).alias("cos")))
     else:
         import pandas as pd
@@ -295,7 +359,7 @@ def pairwise_cosine(corpus, subset_filter: Column, vec_col: str = "embedding",
                                             F.col(vec_col).alias("__va"))
     right = sdf.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (F.broadcast(left).crossJoin(right)
-            .select("id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), round_to).alias("cos")))
+            .select("id_a", "id_b", F.round(F.expr(_cos_sql("__va", "__vb")), round_to).alias("cos")))
 
 
 # --------------------------------------------------------------------------
@@ -334,16 +398,40 @@ def hyperplane_bucket(vec: Column, planes: np.ndarray) -> Column:
     ``NaN > 0`` is False (bit clear).  Degenerate rows never pair
     anyway (NULL unit / null cosine gates the verify), so this aligns
     stored index bytes across builder strategies, not results."""
-    out = F.lit(0).cast("long")
+    if not isinstance(vec, str):
+        # Column input (external composition): route through the same
+        # SQL builder via an alias binding is impossible — keep the
+        # Column construction for this rare path
+        out = F.lit(0).cast("long")
+        for b, plane in enumerate(planes):
+            d = F.aggregate(
+                F.zip_with(vec, _lit_vec(plane),
+                           lambda x, p: x.cast("double") * p),
+                F.lit(0.0), lambda acc, v: acc + v)
+            out = out + F.when((d > 0) & ~F.isnan(d),
+                               F.lit(1 << b).cast("long")).otherwise(
+                                   F.lit(0).cast("long"))
+        return out
+    return F.expr(_hyperplane_bucket_sql(vec, planes))
+
+
+def _hyperplane_bucket_sql(vec_sql: str, planes: np.ndarray) -> str:
+    """SQL text of :func:`hyperplane_bucket` (r14 — see _cos_sql for
+    why the hot sites build SQL text).  Each plane's dot product is
+    LET-BOUND so it evaluates once per row — the Column form inlined
+    it twice (once in ``> 0``, once in ``isnan``); same value, half
+    the flops, and ~(2·bits·n_tables) fewer lambda constructions."""
+    terms = []
     for b, plane in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(vec, F.lit([float(x) for x in plane]),
-                       lambda x, p: x.cast("double") * p),
-            F.lit(0.0), lambda acc, v: acc + v)
-        out = out + F.when((d > 0) & ~F.isnan(d),
-                           F.lit(1 << b).cast("long")).otherwise(
-                               F.lit(0).cast("long"))
-    return out
+        d = (f"aggregate(zip_with({vec_sql}, {_lit_vec_sql(plane)}, "
+             f"(x, p) -> cast(x as double) * p), 0.0D, "
+             f"(acc, v) -> acc + v)")
+        terms.append(_let_sql(
+            d, f"d{b}",
+            f"CASE WHEN d{b} > 0 AND NOT isnan(d{b}) "
+            f"THEN cast({1 << b} as bigint) "
+            f"ELSE cast(0 as bigint) END"))
+    return "(" + " + ".join(terms) + ")"
 
 
 def _bucket_long(sdf, id_col, vec_col, dim, bits, n_tables, seed,
@@ -410,9 +498,11 @@ def _bucket_auto(sdf, id_col, vec_col, dim, bits, n_tables, seed,
         est_rows = float("inf")
     est_coords = est_rows * int(n_tables) * int(bits) * int(dim)
     if (_range_partition_count(sdf) or 2) <= 1 and est_coords <= 500_000:
-        buckets = F.array(*[hyperplane_bucket(F.col(vec_col),
-                                              _hyperplanes(dim, bits, seed + t))
-                            for t in range(n_tables)])
+        from ..colname import quote_name
+        buckets = F.expr("array(" + ", ".join(
+            _hyperplane_bucket_sql(quote_name(vec_col),
+                                   _hyperplanes(dim, bits, seed + t))
+            for t in range(n_tables)) + ")")
         keep = ([F.col(id_col), F.col(vec_col)] if carry_vec
                 else [F.col(id_col)])
         return sdf.select(*keep,
@@ -460,9 +550,9 @@ def lsh_topk(corpus, queries, k: int = 10, bits: int = 8, n_tables: int = 2,
                     F.col("__q_vec").alias("__qv"), F.col("__c_vec").alias("__cv"))
             .distinct())
     scored = cand.select("query_id", "neighbor_id",
-                         _null_if_nan(F.round(cosine(F.col("__qv"),
-                                                     F.col("__cv")),
-                                              round_to)).alias("cos"))
+                         _null_if_nan(F.round(
+                             F.expr(_cos_sql("__qv", "__cv")),
+                             round_to)).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -753,9 +843,11 @@ def _bucket_packed(sdf, id_col, vec_col, dim, bits, n_tables, seed):
         est_rows = float("inf")
     est_coords = est_rows * int(n_tables) * int(bits) * int(dim)
     if (_range_partition_count(sdf) or 2) <= 1 and est_coords <= 500_000:
-        buckets = F.array(*[hyperplane_bucket(F.col(vec_col),
-                                              _hyperplanes(dim, bits, seed + t))
-                            for t in range(n_tables)])
+        from ..colname import quote_name
+        buckets = F.expr("array(" + ", ".join(
+            _hyperplane_bucket_sql(quote_name(vec_col),
+                                   _hyperplanes(dim, bits, seed + t))
+            for t in range(n_tables)) + ")")
         # degenerate norm (zero, NaN coordinate, null element) -> NULL
         # __unit in BOTH branches: without the isnan() term Spark's
         # NaN-greatest comparison lets a NaN norm pass `> 0` and store
@@ -1134,15 +1226,34 @@ def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
     naive chained-when argmin nests every previous distance inside each
     comparison — exponential expression size that OOMs plan construction
     at realistic dim × n_cells; same pathology as the lang_id argmax.)
-    Ties keep the first (lowest) cell id, matching a strict-less scan."""
+    Ties keep the first (lowest) cell id, matching a strict-less scan.
+
+    r14: built as ONE parsed SQL expression (``vec`` may be a column
+    NAME for the fast path; Column inputs keep the Column-API build —
+    see _cos_sql for the py4j-latency numbers)."""
+    if isinstance(vec, str):
+        from ..colname import quote_name
+        return F.expr(_ivf_assign_sql(quote_name(vec), centroids))
     from .text import _let
     dists = F.array(*[
         F.aggregate(
-            F.zip_with(vec, F.lit([float(x) for x in c]),
+            F.zip_with(vec, _lit_vec(c),
                        lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc)),
             F.lit(0.0), lambda acc, v: acc + v)
         for c in centroids])
     return _let(dists, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"))
+
+
+def _ivf_assign_sql(vec_sql: str, centroids) -> str:
+    """SQL text of :func:`ivf_assign`: per-centroid squared distances
+    via one transform over the literal centroid matrix, argmin via
+    let-bound array_position(array_min)."""
+    vecs = ",".join(_lit_vec_sql(c) for c in centroids)
+    dists = (f"transform(array({vecs}), c -> aggregate(zip_with("
+             f"{vec_sql}, c, (x, cc) -> (cast(x as double) - cc) * "
+             f"(cast(x as double) - cc)), 0.0D, (acc, v) -> acc + v))")
+    return _let_sql(dists, "ds",
+                    "cast(array_position(ds, array_min(ds)) - 1 as int)")
 
 
 def corpus_ivf_index(corpus, n_cells: int = 16, vec_col: str = "embedding",
@@ -1172,7 +1283,7 @@ def corpus_ivf_index(corpus, n_cells: int = 16, vec_col: str = "embedding",
     # with zero centroid rows (consumers' _ivf_index_parts raises its
     # documented loud error), not an ivf_assign analysis crash over a
     # zero-length literal array (round-10 fuzz finding)
-    cell = (ivf_assign(F.col(vec_col), cent) if len(cent)
+    cell = (ivf_assign(vec_col, cent) if len(cent)
             else F.lit(None).cast("int"))
     assigned = (sdf.select(F.col(id_col), F.col(vec_col))
                 .withColumn("__cell", cell)
@@ -1258,7 +1369,7 @@ def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
         # the empty result below — ivf_assign over zero centroids is
         # an untyped-empty-array analysis error (round-10 fuzz)
         assigned = (corpus_sdf.withColumn(
-            "__cell", ivf_assign(F.col(vec_col), cent)) if len(cent)
+            "__cell", ivf_assign(vec_col, cent)) if len(cent)
             else corpus_sdf.withColumn("__cell",
                                        F.lit(None).cast("int")))
     if isinstance(queries, (list, tuple)):
@@ -1281,22 +1392,31 @@ def ivf_topk(corpus, queries, k: int = 10, n_cells: int = 16, n_probe: int = 4,
                                                F.col("neighbor_id").asc())
     if strategy == "expr":
         # per-query probe cells, computed distributed (no driver loop):
-        # sort (distance, cell) structs, take the first n_probe cell ids
-        dists = F.array(*[
-            F.aggregate(F.zip_with(F.col(vec_col), F.lit([float(x) for x in c]),
-                                   lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc)),
-                        F.lit(0.0), lambda acc, v: acc + v)
-            for c in cent])
-        zipped = F.arrays_zip(dists.alias("d"), F.sequence(F.lit(0), F.lit(len(cent) - 1)).alias("i"))
-        probe_cells = F.slice(F.transform(F.array_sort(zipped), lambda s: s.getField("i")), 1, n_probe)
+        # sort (distance, cell) structs, take the first n_probe cell
+        # ids.  ONE parsed SQL expression (r14 — see _cos_sql: the
+        # Column-API form of this block alone cost ~0.6 s of py4j
+        # plan-build per call; the string is ~1 ms, same tree)
+        from ..colname import quote_name
+        v = quote_name(vec_col)
+        vecs = ",".join(_lit_vec_sql(c) for c in cent)
+        dists = (f"transform(array({vecs}), c -> aggregate(zip_with("
+                 f"{v}, c, (x, cc) -> (cast(x as double) - cc) * "
+                 f"(cast(x as double) - cc)), 0.0D, "
+                 f"(acc, vv) -> acc + vv))")
+        probe_cells = F.expr(_let_sql(
+            dists, "ds",
+            f"slice(transform(array_sort(transform("
+            f"sequence(0, {len(cent) - 1}), "
+            f"i -> named_struct('d', try_element_at(ds, i + 1), "
+            f"'i', i))), s -> s.i), 1, {int(n_probe)})"))
         q = F.broadcast(qdf.select(F.col(id_col).alias("query_id"),
                                    F.col(vec_col).alias("__qvec"),
                                    F.explode(probe_cells).alias("__cell")))
         scored = (assigned.join(q, on="__cell")
                   .select("query_id", F.col(id_col).alias("neighbor_id"),
-                          _null_if_nan(F.round(cosine(F.col("__qvec"),
-                                                      F.col(vec_col)),
-                                               round_to)).alias("cos")))
+                          _null_if_nan(F.round(
+                              F.expr(_cos_sql("__qvec", v)),
+                              round_to)).alias("cos")))
     else:
         Q = np.asarray([v for _, v in qrows], dtype=np.float64)
         qids = np.asarray([i for i, _ in qrows])
@@ -1390,16 +1510,29 @@ def assign_cluster(vec: Column, centroids: np.ndarray, round_to: int = 6) -> Col
     """Nearest-centroid cell by ROUNDED cosine (argmax, ties -> lowest
     cluster id).  Let-bound cosine array so each centroid's expression
     appears once in the plan (same pathology note as ivf_assign).
-    One F.lit per centroid ROW (a list literal is a single py4j call) —
-    per-element lits cost a round-trip each and dominate plan build.
+    One ``_lit_vec`` per centroid ROW (ONE parsed expression per
+    vector; r14 — ``F.lit(list)`` expands to a py4j round-trip per
+    ELEMENT and dominated plan build at ~0.2 s per 64-dim centroid).
 
     Literal-expression form: right for SMALL k (IVF cells).  For k that
     grows with the corpus (SemDeDup's k ~ sqrt(n)) use the broadcast
     centroid-table join inside semantic_dedup — k=50k centroids cannot
-    be an expression tree."""
+    be an expression tree.
+
+    r14: ``vec`` may be a column NAME — the whole argmax is then ONE
+    parsed SQL expression (see _cos_sql for why)."""
+    if isinstance(vec, str):
+        from ..colname import quote_name
+        v = quote_name(vec)
+        vecs = ",".join(_lit_vec_sql(c) for c in centroids)
+        coss = (f"transform(array({vecs}), "
+                f"c -> round({_cos_sql(v, 'c')}, {int(round_to)}))")
+        return F.expr(_let_sql(
+            coss, "cs",
+            "cast(array_position(cs, array_max(cs)) - 1 as int)"))
     from .text import _let
     coss = F.array(*[
-        F.round(cosine(vec, F.lit([float(x) for x in c])), round_to)
+        F.round(cosine(vec, _lit_vec(c)), round_to)
         for c in centroids])
     return _let(coss, lambda cs: (F.array_position(cs, F.array_max(cs)) - 1).cast("int"))
 

@@ -154,7 +154,14 @@ def shingles(text, k: int = 5) -> Column:
     The inlined ``words`` reference inside the transform lambda is
     fine: a let-bound variant measured a wash at sf0.1 (34 vs 43 ms —
     the split is not re-evaluated per element in practice), so the
-    simpler form stays."""
+    simpler form stays.
+
+    r14: grams are built from k ``element_at`` references instead of
+    ``array_join(slice(words, i+1, k))`` — no per-position array
+    allocation, ~2× on the interpreted-HOF CPU of every shingle pass
+    (measured on the winnow twin of the same shape; values identical:
+    the loop stops at n-k so every window is full-width and no
+    reference runs past the end)."""
     t = _c(text)
     words = F.split(F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")), " ")
     n = F.size(words)
@@ -162,7 +169,8 @@ def shingles(text, k: int = 5) -> Column:
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(t.isNull(), F.lit(None).cast("array<string>")).when(
         n < k, F.array(F.array_join(words, " "))).otherwise(
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")))
+        F.transform(idx, lambda i: F.concat_ws(" ", *[
+            F.try_element_at(words, i + 1 + j) for j in range(k)])))
 
 
 def _winnow_fps_expr(text_col: str, k: int, window: int, gram: bool) -> Column:
@@ -197,12 +205,46 @@ def _winnow_fps_expr(text_col: str, k: int, window: int, gram: bool) -> Column:
     UTF8String binary order, the same order ``F.min`` sorts strings
     by.  Short docs (n < k) emit ``slice(words, 1, k)`` = the whole
     text as their single gram, matching shingles()' n<k branch.
-    O(n·window) comparisons per doc — winnow windows are small (the
-    SIGMOD'03 guarantee needs window+k-1-word runs, so window ~4–50);
-    measured at sf0.1 (250k grams): 0.31–0.33 s vs 0.68–0.95 s for an
-    Arrow mapInPandas sliding-min kernel of the same selection (the
-    Arrow hop + per-doc numpy dispatch cost more than interpreted
-    HOFs at window=4), and ~1.0–1.4 s for the window twin.
+    O(n·log window) comparisons per doc (r14 doubling rewrite below);
+    winnow windows are small anyway (the SIGMOD'03 guarantee needs
+    window+k-1-word runs, so window ~4–50); r14 A/B at sf0.1 (250k
+    grams, noop sink): 0.13–0.17 s vs 0.32–0.38 s for the r13
+    per-position ``array_min(slice(h, i, window))`` form, vs
+    0.68–0.95 s for an Arrow mapInPandas sliding-min kernel of the
+    same selection (the Arrow hop + per-doc numpy dispatch cost more
+    than interpreted HOFs at window=4), and ~1.0–1.4 s for the window
+    twin.  The two r14 changes, each ~2× on the interpreted-HOF CPU
+    (guide §4.1 "prefer built-ins" applied INSIDE the lambda bodies):
+
+    * grams via k ``try_element_at`` references instead of
+      ``concat_ws(slice(words, i, k))`` — no per-position array
+      allocation; trailing truncation is identical because
+      ``try_element_at`` past the end is NULL and ``concat_ws``
+      skips NULLs (exactly what ``slice``'s truncation produced);
+      NULL-safe under ANSI (``element_at`` would raise).
+    * sliding minima by doubling: ``m1 = zip_with(h, shift(h, s),
+      least)`` turns per-position minima over width ``2s`` into
+      width-``s`` minima — ceil(log2 window) cheap two-arg passes
+      instead of per-position ``slice`` + ``array_min`` (min is
+      idempotent, so the final partial shift may overlap).
+      ``zip_with`` pads the shorter (shifted) array with NULL and
+      ``least`` skips NULLs — the trailing truncated windows of the
+      spec fall out for free.
+
+    Both rewrites are value-identical to the r13 form (pinned by the
+    exceptAll parity sweep in tests and the q96 DuckDB oracle, which
+    replays the selection declaratively).
+
+    The whole expression is assembled as ONE SQL string and parsed by
+    a single ``F.expr`` call (r14): on this driver a py4j round-trip
+    costs 1–2 ms and a higher-order-function lambda ~10 ms to
+    construct, so the Column-API form of this expression alone cost
+    ~0.2 s of plan-build per query; the parsed-string twin is ~1 ms
+    (guide §5 — driver work is part of query latency).  Every
+    doubling level is let-bound via the ``element_at(transform(
+    array(x), v -> body), 1)`` idiom so no subtree is ever inlined
+    twice (an UNBOUND doubling chain re-evaluates the previous level
+    2× per level — O(n·window) again at large windows).
 
     NULL texts emit an EMPTY array (explode drops the row), matching
     the window twin where ``posexplode`` of the null gram zip yields
@@ -210,21 +252,49 @@ def _winnow_fps_expr(text_col: str, k: int, window: int, gram: bool) -> Column:
     ``greatest(null, 1)`` = 1 manufactures one phantom gram that
     ``concat_ws`` renders as ``""`` — a NULL doc would then share a
     fingerprint with every empty-string doc."""
-    def _with_words(wd):
-        m = F.greatest(F.size(wd) - (k - 1), F.lit(1))
-        grams = F.transform(F.sequence(F.lit(1), m),
-                            lambda i: F.concat_ws(" ", F.slice(wd, i, k)))
-        keys = grams if gram else F.transform(grams,
-                                              lambda g: F.xxhash64(g))
-        return _let(keys, lambda h: F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.size(h)),
-            lambda i: F.array_min(F.slice(h, i, window)))))
-    words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
-                                            r"\s+", " ")), " ")
-    sel = _let(words, _with_words)
-    return F.when(F.col(text_col).isNotNull(), sel).otherwise(
-        F.array().cast("array<string>") if gram
-        else F.array().cast("array<bigint>"))
+    from ..colname import quote_name
+    qn = quote_name(text_col)
+
+    def slet(val: str, var: str, body: str) -> str:
+        # SQL let-binding: evaluate `val` once, reference it as `var`
+        return (f"element_at(transform(array({val}), {var} -> {body}),"
+                f" 1)")
+
+    words = f"split(trim(regexp_replace(lower({qn}), '\\\\s+', ' ')), ' ')"
+    refs = ", ".join(f"try_element_at(wd, i + {j})" for j in range(k))
+    grams = (f"transform(sequence(1, greatest(size(wd) - {k - 1}, 1)), "
+             f"i -> concat_ws(' ', {refs}))")
+    keys = grams if gram else f"transform({grams}, g -> xxhash64(g))"
+
+    # sliding minima by doubling.  Shift schedule: 1, 2, 4, ... plus a
+    # final partial shift to land exactly on `window` (overlap is fine,
+    # min is idempotent).  Each level is LET-BOUND so its input is a
+    # variable — zip_with(var, slice(var, ...)) references it twice,
+    # and an unbound chain would re-evaluate the whole previous level
+    # per reference.
+    shifts = []
+    shift = 1
+    while shift < window:
+        shifts.append(shift)
+        shift *= 2
+        if shift * 2 > window and shift < window:
+            shifts.append(window - shift)
+            break
+
+    def level(var: str, s: int) -> str:
+        return (f"zip_with({var}, slice({var}, {s + 1}, "
+                f"greatest(size({var}) - {s}, 0)), "
+                f"(a, b) -> least(a, b))")
+
+    # fold outside-in: body over h{n} ... wrapped down to h0
+    body = f"array_distinct(h{len(shifts)})"
+    for i in range(len(shifts), 0, -1):
+        body = slet(level(f"h{i - 1}", shifts[i - 1]), f"h{i}", body)
+    sel = slet(words, "wd", slet(keys, "h0", body))
+    empty = ("cast(array() as array<string>)" if gram
+             else "cast(array() as array<bigint>)")
+    return F.expr(f"CASE WHEN {qn} IS NOT NULL THEN {sel} "
+                  f"ELSE {empty} END")
 
 
 def winnow_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
@@ -1036,11 +1106,19 @@ def build_vocab(df, text_col: str = "text", top_n: int = 1000):
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("count"))
     from ..cache import _register_persist
     counts = _register_persist(counts)  # read twice: total + top-N
-    # empty/all-null corpus: SUM over zero rows is NULL — float(None)
-    # would crash three lines down; the top-N relation is empty anyway,
-    # so any non-zero denominator yields the same (empty) result
-    # (round-10 empty-input sweep, the _vec_f64 defect class)
-    total = counts.agg(F.sum("count")).collect()[0][0] or 1
+    # r14: the exact total token count rides the SAME lazy plan as a
+    # broadcast 1-row cross join instead of an eager .collect() at
+    # plan-BUILD time — the collect serialized a full job (plus its
+    # persist materialization) into every call that merely constructs
+    # the vocabulary plan, and a driver round-trip into the query path
+    # (guide §5: the driver should do almost no data work).  Value-
+    # identical: count/total both compute in float64 either way.
+    # empty/all-null corpus: SUM over zero rows is NULL — coalesce to
+    # 1; the top-N relation is empty anyway, so any non-zero
+    # denominator yields the same (empty) result (round-10
+    # empty-input sweep, the _vec_f64 defect class)
+    total = F.broadcast(counts.agg(F.coalesce(
+        F.sum("count"), F.lit(1)).cast("double").alias("__vocab_total")))
     from pyspark.sql import Window
     top = (counts.orderBy(F.col("count").desc(), F.col("token"))
            .limit(int(top_n))
@@ -1049,8 +1127,9 @@ def build_vocab(df, text_col: str = "text", top_n: int = 1000):
            # sized by construction
            .withColumn("rank", F.row_number().over(
                Window.orderBy(F.col("count").desc(), F.col("token"))))
+           .crossJoin(total)
            .withColumn("coverage",
-                       F.round(F.col("count") / F.lit(float(total)), 9))
+                       F.round(F.col("count") / F.col("__vocab_total"), 9))
            .select("rank", "token", F.col("count").cast("long").alias("count"),
                    "coverage"))
     return DataFrame(top) if wrapped else top
