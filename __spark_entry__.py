@@ -2714,7 +2714,7 @@ def _q87_quality_deciles(spark, sf_dir):
     docs = _spread(_t(spark, sf_dir, "documents").spark
                    .select("doc_id", "n_chars", "text"))
     scored = docs.select(F.col("doc_id"), F.col("n_chars"),
-                         F.round(quality_score(F.col("text")), 6).alias("q"))
+                         F.round(quality_score("text"), 6).alias("q"))
     return (ntile_exact(scored, 10, ["q", "doc_id"], out_col="decile")
             .groupBy(F.col("decile").cast("long").alias("decile"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -2817,7 +2817,7 @@ def _q92_kmeans_profile(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").spark
     feat = vs.DataFrame(docs.select(
         F.col("n_chars").cast("double").alias("len_chars"),
-        quality_score(F.col("text")).alias("q")))
+        quality_score("text").alias("q")))
     km = KMeans(features=["len_chars", "q"], n_clusters=4, random_state=5,
                 max_iter=25)
     km.fit(feat)

@@ -857,10 +857,12 @@ def _bucket_packed(sdf, id_col, vec_col, dim, bits, n_tables, seed):
         # stored shape for every degenerate class (round 10).  The
         # screens already treat NULL unit and NaN cosine identically
         # (never pairs), so this changes stored bytes, not results.
-        _n = l2_norm(F.col(vec_col))
-        unit = F.when((_n > 0) & ~F.isnan(_n),
-                      normalize(F.col(vec_col))
-                      ).otherwise(F.lit(None).cast("array<double>"))
+        v = quote_name(vec_col)
+        unit = F.expr(_let_sql(
+            _l2_sql(v), "nrm",
+            f"CASE WHEN nrm > 0 AND NOT isnan(nrm) THEN "
+            f"transform({v}, vv -> try_divide(cast(vv as double), nrm)) "
+            f"ELSE cast(null as array<double>) END"))
         return sdf.select(F.col(id_col), buckets.alias("__buckets"),
                           unit.alias("__unit"))
     import pandas as pd

@@ -86,7 +86,31 @@ def quality_features(text) -> dict[str, Column]:
 
 def quality_score(text) -> Column:
     """Scalar quality score in [0,1]: product of clipped signal scores.
-    Deterministic, expression-only."""
+    Deterministic, expression-only.
+
+    ``text`` may be a column NAME (r14): the whole score is then ONE
+    parsed SQL expression mirroring the Column tree exactly — ~30
+    Column-API calls at 1-2 ms py4j latency each were ~0.1 s of plan
+    build per query (see similarity._cos_sql)."""
+    if isinstance(text, str):
+        from ..colname import quote_name
+        t = quote_name(text)
+        ntok = (f"CASE WHEN length(trim({t})) = 0 THEN 0 "
+                f"ELSE size(split(trim({t}), '\\\\s+')) END")
+        safe_chars = f"cast(greatest(length({t}), 1) as double)"
+        stop_re = "\\\\b(" + "|".join(_STOPWORDS_EN) + ")\\\\b"
+        stop_hits = (f"size(regexp_extract_all(lower({t}), "
+                     f"'{stop_re}', 0))")
+        len_score = f"least(cast({ntok} as double) / 20.0D, 1.0D)"
+        alpha = (f"(cast(length(regexp_replace({t}, '[^A-Za-z]', '')) "
+                 f"as double) / {safe_chars})")
+        stop_score = (f"least(cast({stop_hits} as double) / "
+                      f"greatest({ntok}, 1) * 4.0D, 1.0D)")
+        not_digit = (f"greatest(0.0D, 1.0D - "
+                     f"cast(length(regexp_replace({t}, '[^0-9]', '')) "
+                     f"as double) / {safe_chars} * 3.0D)")
+        return F.expr(f"round({len_score} * {alpha} * {stop_score} * "
+                      f"{not_digit}, 6)")
     f = quality_features(text)
     # each component scaled into [0,1]
     len_score = F.least(f["n_tokens"].cast("double") / 20.0, F.lit(1.0))
@@ -1120,14 +1144,21 @@ def build_vocab(df, text_col: str = "text", top_n: int = 1000):
     total = F.broadcast(counts.agg(F.coalesce(
         F.sum("count"), F.lit(1)).cast("double").alias("__vocab_total")))
     from pyspark.sql import Window
-    top = (counts.orderBy(F.col("count").desc(), F.col("token"))
+    # the crossJoin sits BELOW the top-N limit deliberately: the
+    # broadcast side builds before the main stage runs, so it is the
+    # branch that materializes the counts persist — the TakeOrdered
+    # branch then reads the cache instead of racing a second cold
+    # computation of the token counts (the same persist-race class as
+    # the LSH self-join; one extra constant column through the
+    # TakeOrdered is free)
+    top = (counts.crossJoin(total)
+           .orderBy(F.col("count").desc(), F.col("token"))
            .limit(int(top_n))
            # rank over the already-limited top-N relation (top_n rows),
            # not the full vocabulary — the single partition is state-
            # sized by construction
            .withColumn("rank", F.row_number().over(
                Window.orderBy(F.col("count").desc(), F.col("token"))))
-           .crossJoin(total)
            .withColumn("coverage",
                        F.round(F.col("count") / F.col("__vocab_total"), 9))
            .select("rank", "token", F.col("count").cast("long").alias("count"),
