@@ -3551,10 +3551,16 @@ def _q109_percentile_exact_mode(spark, sf_dir):
     tie-free in TPC-H (count strictly decreases with line number).
     ROUND(6) absorbs interpolation ulp."""
     df = _t(spark, sf_dir, "lineitem")
-    # list form: ONE aggregation job for all four percentiles (r12)
-    vals = [float(v) for v in df.percentile_exact(
-        "l_extendedprice", [25.0, 50.0, 75.0, 90.0])]
-    md = int(df.mode("l_linenumber"))
+    # list form: ONE aggregation job for all four percentiles (r12);
+    # r14: the mode rides the SAME job via the executor's delayed
+    # batch (percentile_exact previously always paid its own job —
+    # 2 × ~1.4 s sort-heavy aggregations, now one)
+    dp = df.percentile_exact("l_extendedprice", [25.0, 50.0, 75.0, 90.0],
+                             delay=True)
+    dm = df.mode("l_linenumber", delay=True)
+    df.execute()
+    vals = [float(v) for v in dp.get()]
+    md = int(dm.get())
     row = [(vals[0], vals[1], vals[2], vals[3], md)]
     return (spark.createDataFrame(
                 row, "p25 double, p50 double, p75 double, p90 double, "

@@ -1888,11 +1888,15 @@ class DataFrame:
             return self.executor.schedule([col])
         return self._agg_scalar(col)
 
-    def percentile_exact(self, expression, percentage=50.0, selection=None):
+    def percentile_exact(self, expression, percentage=50.0, selection=None,
+                         delay=False):
         """Exact percentile (linear interpolation on the sorted
         multiset).  A LIST of percentages computes in ONE job —
         F.percentile takes an array of fractions (r12; the loop form
-        paid one full aggregation job per requested percentile)."""
+        paid one full aggregation job per requested percentile).
+        ``delay=True`` (r14) joins the executor's one-job batch like
+        every other scalar stat — previously this was the one scalar
+        surface that always paid its own aggregation job."""
         conv = None
         if self._is_timestamp(expression) or self._is_interval(expression):
             # F.percentile needs numerics: interpolate over epoch micros
@@ -1902,19 +1906,28 @@ class DataFrame:
             conv = _micros_post(kind)
         else:
             expr = self._bool_as_int(expression)
-        col = self._agg_expr_col(expr, selection)
         if isinstance(percentage, (list, tuple, np.ndarray)):
             fracs = F.array(*[F.lit(float(p) / 100.0) for p in percentage])
-            out = np.array(self._agg_scalar(F.percentile(col, fracs)))
-            return conv(out) if conv is not None else out
-        out = self._agg_scalar(F.percentile(col, float(percentage) / 100.0))
-        return conv(out) if conv is not None else out
+
+            def make(c):
+                return F.percentile(c, fracs)
+
+            def post(v, _conv=conv):
+                out = np.array(v)
+                return _conv(out) if _conv is not None else out
+        else:
+            def make(c):
+                return F.percentile(c, float(percentage) / 100.0)
+            post = conv
+        return self._compute_agg(make, expr, selection=selection,
+                                 delay=delay, post=post)
 
     def median_approx(self, expression, selection=None, delay=False, **kw):
         return self.percentile_approx(expression, 50.0, selection=selection, delay=delay)
 
-    def mode(self, expression, selection=None, **kw):
-        return self._agg_scalar(F.mode(self._agg_expr_col(expression, selection)))
+    def mode(self, expression, selection=None, delay=False, **kw):
+        return self._compute_agg(lambda c: F.mode(c), expression,
+                                 selection=selection, delay=delay)
 
     def limits(self, expression, value=None, selection=None):
         """dataframe.py:1844 — bound finding for grids."""

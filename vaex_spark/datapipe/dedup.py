@@ -528,6 +528,38 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _simhash_long(sdf, id_col, text_col, num_bits):
+    """(id, __sim): row-space codegen twin of the :func:`simhash`
+    Column form — BIT-IDENTICAL values (the per-bit vote is an
+    order-independent integer sum, so explode + 64 map-side-combined
+    SUM aggregates equal the Column form's 64 interpreted
+    ``aggregate()`` passes over the token-hash array).  Same move as
+    minhash's ``_banded_long`` (r5): Spark HOFs are CodegenFallback,
+    so the Column form evaluates num_bits × n_tokens interpreted
+    lambdas per document — measured 7.5 s of the 9 s q36 wall at
+    sf0.1 — while this form keeps every vote inside whole-stage
+    codegen behind one doc-keyed exchange of (id, token-hash) longs.
+    NULL-text docs drop at the explode, which IS the Column form's
+    contract downstream (a NULL simhash never blocks, never pairs).
+    """
+    from ..colname import quote_name
+    qn = quote_name(text_col)
+    toks = sdf.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"split(trim(regexp_replace(lower({qn}), '\\\\s+', ' ')), "
+            f"' ')")).alias("__t"))
+    hashed = toks.select(id_col, F.xxhash64("__t").alias("__h"))
+    votes = hashed.groupBy(id_col).agg(
+        *[F.expr(f"sum(CASE WHEN (shiftright(__h, {b}) & 1) = 1 "
+                 f"THEN 1 ELSE -1 END) as __v{b}")
+          for b in range(num_bits)])
+    sim = " + ".join(
+        f"(CASE WHEN __v{b} > 0 THEN shiftleft(cast(1 as bigint), {b}) "
+        f"ELSE cast(0 as bigint) END)" for b in range(num_bits))
+    return votes.select(F.col(id_col), F.expr(sim).alias("__sim"))
+
+
 def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id",
                       max_hamming: int = 3, num_bits: int = 64) -> SparkDataFrame:
     """Near-dups by simhash within blocking buckets.
@@ -536,14 +568,21 @@ def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id",
     docs within the distance share at least one exact chunk (pigeonhole),
     so the self-join runs per chunk bucket, not all-pairs."""
     sdf = _spread(_sdf(df).select(F.col(id_col), F.col(text_col)))
-    sh = simhash(F.col(text_col), num_bits=num_bits).alias("__sim")
-    base = sdf.select(F.col(id_col), sh)
+    base = _simhash_long(sdf, id_col, text_col, num_bits)
     n_chunks = max_hamming + 1
     bits = num_bits // n_chunks
     chunks = [F.shiftrightunsigned(F.col("__sim"), i * bits).bitwiseAND(F.lit((1 << bits) - 1)).alias("chunk")
               for i in range(n_chunks)]
-    blocked = base.select(F.col(id_col), F.col("__sim"),
-                          F.posexplode(F.array(*[c for c in chunks])).alias("ci", "chunk"))
+    # persist the narrow blocked relation (same discipline as
+    # near_dup_pairs' banded persist): the self-join's two children
+    # would otherwise EACH recompute the signature aggregate — and
+    # each child stage recompiles the 64-sum codegen separately
+    # (distinct expression ids -> Janino cache miss).  Interleaved
+    # ABAB at sf0.1: 1.4/1.6 s vs 8.9/9.3 s min/med (r14).
+    blocked = _register_persist(
+        base.select(F.col(id_col), F.col("__sim"),
+                    F.posexplode(F.array(*[c for c in chunks]))
+                    .alias("ci", "chunk")))
     l, r = blocked.alias("l"), blocked.alias("r")
     pairs = (l.join(r, on=[F.col("l.ci") == F.col("r.ci"),
                            F.col("l.chunk") == F.col("r.chunk"),
@@ -588,11 +627,21 @@ def connected_components(pairs: SparkDataFrame, max_iter: int = 32,
     converged = False
     for _ in range(max_iter):
         # candidate label for each node: min over its own label and its
-        # neighbors' labels
+        # neighbors' labels.  The node's OWN old label rides the union
+        # as __old (each id has exactly one labels row, so max() over
+        # the group recovers it; neighbor rows carry NULL) — the
+        # convergence check below then reads a per-row flag off the
+        # checkpoint instead of re-joining new labels against old,
+        # which cost one full labels-join + exchange PER ROUND (r14).
+        comp_dt = dict(labels.dtypes)["comp"]
         neighbor = (edges.join(labels, edges["dst"] == labels["id"])
-                    .select(edges["src"].alias("id"), F_.col("comp")))
-        new_labels = (labels.select("id", "comp").union(neighbor)
-                      .groupBy("id").agg(F_.min("comp").alias("comp")))
+                    .select(edges["src"].alias("id"), F_.col("comp"),
+                            F_.lit(None).cast(comp_dt).alias("__old")))
+        new_labels = (labels.select("id", "comp",
+                                    F_.col("comp").alias("__old"))
+                      .union(neighbor)
+                      .groupBy("id").agg(F_.min("comp").alias("comp"),
+                                         F_.max("__old").alias("__old")))
         if shortcut:
             # comp values are node ids, and every node has a label row,
             # so label(comp) always exists; it is <= comp (labels only
@@ -600,7 +649,10 @@ def connected_components(pairs: SparkDataFrame, max_iter: int = 32,
             l2 = new_labels.select(F_.col("id").alias("__cid"),
                                    F_.col("comp").alias("__ccomp"))
             new_labels = (new_labels.join(l2, new_labels["comp"] == l2["__cid"])
-                          .select("id", F_.least("comp", "__ccomp").alias("comp")))
+                          .select("id", F_.least("comp", "__ccomp").alias("comp"),
+                                  "__old"))
+        new_labels = new_labels.select(
+            "id", "comp", (F_.col("comp") != F_.col("__old")).alias("__chg"))
         # localCheckpoint, not persist: each round references the
         # previous labels 2-3x, so without lineage truncation the
         # logical plan TRIPLES per round and Catalyst re-optimization
@@ -609,11 +661,8 @@ def connected_components(pairs: SparkDataFrame, max_iter: int = 32,
         # discipline; executor-loss recomputation is not a concern for
         # per-round temporary state).
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), on="id")
-                   .filter(F_.col("n.comp") != F_.col("o.comp"))
-                   .limit(1).count())
-        labels = new_labels
+        changed = new_labels.filter(F_.col("__chg")).limit(1).count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             converged = True
             break
@@ -658,11 +707,23 @@ def simhash_verified_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     near-identical documents (simhash of heavily-overlapping token
     multisets differs in few bits) and is what the oracle checks.
     """
-    pairs = simhash_near_dups(df, text_col=text_col, id_col=id_col,
-                              max_hamming=max_hamming)
+    from ..cache import _register_persist
+    pairs = _register_persist(
+        simhash_near_dups(df, text_col=text_col, id_col=id_col,
+                          max_hamming=max_hamming))
     sdf = _spread(_sdf(df).select(F.col(id_col), F.col(text_col)))
-    sets_df = sdf.select(F.col(id_col),
-                         F.array_distinct(shingles(F.col(text_col), k=shingle_k)).alias("__set"))
+    # r14: verification scales with the PAIR set, not the corpus —
+    # the same pruned-verify shape as near_dup_pairs (shingle sets
+    # were previously computed for the FULL corpus in BOTH join
+    # branches); one explode pass over the persisted pairs feeds a
+    # left_semi, and the sliver's sets are persisted for the two
+    # verify joins
+    involved = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col))
+    small = sdf.join(involved, on=id_col, how="left_semi")
+    sets_df = _register_persist(small.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), k=shingle_k)).alias("__set")))
     a, b = sets_df.alias("a"), sets_df.alias("b")
     return (pairs
             .join(a, pairs["id_a"] == F.col(f"a.{id_col}"))

@@ -175,26 +175,29 @@ def shingles(text, k: int = 5) -> Column:
     duplicates and fed the MinHash Column form a signature the
     exploding ``_banded_long`` twin never computes).
 
-    The inlined ``words`` reference inside the transform lambda is
-    fine: a let-bound variant measured a wash at sf0.1 (34 vs 43 ms —
-    the split is not re-evaluated per element in practice), so the
-    simpler form stays.
-
-    r14: grams are built from k ``element_at`` references instead of
-    ``array_join(slice(words, i+1, k))`` — no per-position array
-    allocation, ~2× on the interpreted-HOF CPU of every shingle pass
-    (measured on the winnow twin of the same shape; values identical:
-    the loop stops at n-k so every window is full-width and no
-    reference runs past the end)."""
+    r14: grams are built from k ``try_element_at`` references on a
+    LET-BOUND words array instead of ``array_join(slice(words, i+1,
+    k))`` on the raw split expression.  The let-binding is load-
+    bearing, not a style choice: interpreted HOF evaluation re-runs
+    every occurrence of a non-variable subexpression, so k references
+    to the INLINE ``words`` re-ran the regex+split chain k times PER
+    GRAM — measured 0.34 → 1.17 s at k=8 on the exploded sf0.1 corpus
+    (a 5.7× q50 regression this round's own 113-query profile caught)
+    — while k references to a lambda VARIABLE are k array accesses
+    (0.34 → 0.21 s, the intended ~2× win; values identical — the loop
+    stops at n-k so every window is full-width)."""
     t = _c(text)
     words = F.split(F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")), " ")
-    n = F.size(words)
-    # transform over 0..n-k producing space-joined k-grams
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(t.isNull(), F.lit(None).cast("array<string>")).when(
-        n < k, F.array(F.array_join(words, " "))).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", *[
-            F.try_element_at(words, i + 1 + j) for j in range(k)])))
+
+    def _body(wd):
+        n = F.size(wd)
+        # transform over 0..n-k producing space-joined k-grams
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(n < k, F.array(F.array_join(wd, " "))).otherwise(
+            F.transform(idx, lambda i: F.concat_ws(" ", *[
+                F.try_element_at(wd, i + 1 + j) for j in range(k)])))
+    return F.when(t.isNull(), F.lit(None).cast("array<string>")).otherwise(
+        _let(words, _body))
 
 
 def _winnow_fps_expr(text_col: str, k: int, window: int, gram: bool) -> Column:
