@@ -266,6 +266,23 @@ def test_semantic_dedup_single_pass_no_cartesian(spark):
     assert "hashpartitioning(cluster" in plan, plan
 
 
+def test_semantic_dedup_exchange_carries_input_width(spark):
+    """r14 opt: the cluster exchange ships the INPUT-width vector
+    (__raw, array<float> for a float parquet corpus — 4 bytes/coord),
+    not a float64 unit-vector copy; the unit form is re-derived inside
+    the per-cluster pass (bit-identical, pinned by the property test)."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.similarity import semantic_dedup
+    emb = vs.open("/root/testdata/sf0.001/embeddings.parquet", spark=spark)
+    sdf = semantic_dedup(emb, n_clusters=4, threshold=0.42)
+    plan = _plan(sdf)
+    assert "__raw" in plan, plan
+    assert "__u" not in plan.replace("__raw", ""), plan
+    schema = dict(sdf.sparkSession.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").dtypes)
+    assert schema["embedding"] == "array<float>"  # fixture precondition
+
+
 def test_duplicated_spans_narrow_persist_reused(spark):
     """duplicated_spans: the exploded relation is (id, hash) ONLY —
     span text never shuffles — and is persisted so the dup-hash filter

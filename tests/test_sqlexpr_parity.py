@@ -99,3 +99,45 @@ def test_cos_sql_matches_cosine_column(spark):
             assert y["c"] is None or (y["c"] != y["c"])
         else:
             assert x["c"] == y["c"]
+
+
+@pytest.fixture(scope="module")
+def _edge_docs(spark):
+    return spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog again and again"),
+         (1, "short doc"), (2, None), (3, ""), (4, "  Spaced   out\tTABS\nhere  "),
+         (5, "a b c d e"), (6, "one"), (7, "x " * 200)],
+        "doc_id long, text string")
+
+
+@pytest.mark.parametrize("k", [1, 2, 5, 8])
+def test_shingles_sql_matches_column(spark, _edge_docs, k):
+    """shingles(name) (one parsed SQL string) == shingles(Column) on
+    NULL / empty / short / whitespace-heavy / long docs."""
+    from vaex_spark.datapipe.text import shingles
+    a = _edge_docs.select("doc_id", shingles(F.col("text"), k=k).alias("s"))
+    b = _edge_docs.select("doc_id", shingles("text", k=k).alias("s"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+@pytest.mark.parametrize("num_perm,num_bands", [(64, 32), (16, 8), (8, 8)])
+def test_minhash_sql_twins_match_column(spark, _edge_docs, num_perm, num_bands):
+    """The one-parse signature and band-table SQL twins (the
+    _banded_auto column-branch fast path) == the Column builders —
+    same base hashes, permutation family, band seeds, NULL contract."""
+    from vaex_spark.datapipe.text import _shingles_sql
+    from vaex_spark.datapipe.dedup import (
+        minhash_signature, minhash_bands_col,
+        _minhash_signature_sql, _minhash_bands_sql)
+    rpb = num_perm // num_bands
+    col_sig = minhash_signature(F.col("text"), num_perm=num_perm, shingle_k=5)
+    a = _edge_docs.select(
+        "doc_id", minhash_bands_col(col_sig, num_bands, rpb).alias("b"))
+    b = _edge_docs.select("doc_id", F.expr(_minhash_bands_sql(
+        _minhash_signature_sql(_shingles_sql("text", 5), num_perm),
+        num_bands, rpb)).alias("b"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    c = _edge_docs.select("doc_id", minhash_signature(
+        "text", num_perm=num_perm, shingle_k=5).alias("s"))
+    d = _edge_docs.select("doc_id", col_sig.alias("s"))
+    assert c.exceptAll(d).count() == 0 and d.exceptAll(c).count() == 0

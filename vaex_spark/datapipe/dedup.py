@@ -190,6 +190,15 @@ def minhash_signature(text, num_perm: int = 64, shingle_k: int = 5,
     "signature" the exploding :func:`_banded_long` twin never emits
     (explode of the null gram zip drops the doc).  One contract both
     ways: NULL docs are not near-dup candidates."""
+    if precomputed_shingles is None and isinstance(text, str):
+        # ONE-parse SQL-text fast path (r14 opt): the Column form below
+        # is ~5 HOF-lambda constructions ≈ 70 ms of py4j plan-build per
+        # call on this driver; the parsed string is ~1 ms, same tree
+        # (parity pinned in tests/test_sqlexpr_parity.py)
+        from ..colname import quote_name
+        from .text import _shingles_sql
+        return F.expr(_minhash_signature_sql(
+            _shingles_sql(quote_name(text), shingle_k), num_perm))
     sh = precomputed_shingles if precomputed_shingles is not None else shingles(_colify(text), k=shingle_k)
     base = F.transform(sh, lambda s: F.xxhash64(s))
     return _let(base, lambda arr: F.when(
@@ -198,6 +207,32 @@ def minhash_signature(text, num_perm: int = 64, shingle_k: int = 5,
             F.sequence(F.lit(0), F.lit(num_perm - 1)),
             lambda i: F.array_min(F.transform(arr, lambda h: F.xxhash64(h, i))))
     ).otherwise(F.lit(None).cast("array<bigint>")))
+
+
+def _minhash_signature_sql(sh_sql: str, num_perm: int) -> str:
+    """SQL text of :func:`minhash_signature` over a shingle-array SQL
+    expression — identical tree to the Column form (base hashes
+    let-bound once, null-signature guard, per-permutation array_min)."""
+    base = f"transform({sh_sql}, s -> xxhash64(s))"
+    body = (f"CASE WHEN arr IS NOT NULL THEN "
+            f"transform(sequence(0, {int(num_perm) - 1}), "
+            f"i -> array_min(transform(arr, h -> xxhash64(h, i)))) "
+            f"ELSE cast(null as array<bigint>) END")
+    return f"element_at(transform(array({base}), arr -> {body}), 1)"
+
+
+def _minhash_bands_sql(sig_sql: str, num_bands: int, rows_per_band: int) -> str:
+    """SQL text of :func:`minhash_bands_col` over a signature SQL
+    expression — identical tree to the Column form (signature
+    let-bound, null guard, xxhash64 of the '_'-joined slice per band,
+    seed b + 1000)."""
+    rpb = int(rows_per_band)
+    body = (f"CASE WHEN s IS NOT NULL THEN "
+            f"transform(sequence(0, {int(num_bands) - 1}), "
+            f"b -> xxhash64(array_join(transform(slice(s, b * {rpb} + 1, "
+            f"{rpb}), x -> cast(x as string)), '_'), b + 1000)) "
+            f"ELSE cast(null as array<bigint>) END")
+    return f"element_at(transform(array({sig_sql}), s -> {body}), 1)"
 
 
 def minhash_bands_col(sig: Column, num_bands: int, rows_per_band: int) -> Column:
@@ -302,10 +337,16 @@ def _banded_auto(sdf, id_col, text_col, num_perm, num_bands, shingle_k):
       dispatch dominates)."""
     from ..operators.window import _range_partition_count
     if (_range_partition_count(sdf) or 2) <= 1:
+        # whole band table as ONE parsed SQL expression (r14 opt:
+        # shingles + signature + bands as Columns cost ~0.25 s of py4j
+        # HOF-lambda construction per plan build; same tree)
+        from ..colname import quote_name
+        from .text import _shingles_sql
         rows_per_band = num_perm // num_bands
-        sig = minhash_signature(F.col(text_col), num_perm=num_perm,
-                                shingle_k=shingle_k)
-        bands = minhash_bands_col(sig, num_bands, rows_per_band)
+        bands = F.expr(_minhash_bands_sql(
+            _minhash_signature_sql(
+                _shingles_sql(quote_name(text_col), shingle_k), num_perm),
+            num_bands, rows_per_band))
         return sdf.select(F.col(id_col),
                           F.posexplode(bands).alias("band", "bucket"))
     return _banded_long(sdf, id_col, text_col, num_perm, num_bands, shingle_k)
@@ -372,7 +413,7 @@ def ngram_jaccard(df, pairs: SparkDataFrame | None = None, text_col: str = "text
     sdf = _spread(_sdf(df).select(F.col(id_col), F.col(text_col)))
     if pairs is None:
         pairs = minhash_lsh_candidates(df, text_col=text_col, id_col=id_col, shingle_k=shingle_k)
-    sets_df = sdf.select(F.col(id_col), F.array_distinct(shingles(F.col(text_col), k=shingle_k)).alias("__set"))
+    sets_df = sdf.select(F.col(id_col), F.array_distinct(shingles(text_col, k=shingle_k)).alias("__set"))
     a = sets_df.alias("a")
     b = sets_df.alias("b")
     out = (pairs
@@ -454,7 +495,7 @@ def near_dup_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     small = sdf.join(involved, on=id_col, how="left_semi")
     sets_df = small.select(
         F.col(id_col),
-        F.array_distinct(shingles(F.col(text_col), k=shingle_k)).alias("__set"))
+        F.array_distinct(shingles(text_col, k=shingle_k)).alias("__set"))
     sets_df = _register_persist(sets_df)
     a, b = sets_df.alias("a"), sets_df.alias("b")
     out = (pairs
@@ -723,7 +764,7 @@ def simhash_verified_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     small = sdf.join(involved, on=id_col, how="left_semi")
     sets_df = _register_persist(small.select(
         F.col(id_col),
-        F.array_distinct(shingles(F.col(text_col), k=shingle_k)).alias("__set")))
+        F.array_distinct(shingles(text_col, k=shingle_k)).alias("__set")))
     a, b = sets_df.alias("a"), sets_df.alias("b")
     return (pairs
             .join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
@@ -761,10 +802,10 @@ def contamination(docs, probes, k: int = 8, text_col: str = "text",
     d = _sdf(docs)
     p = _sdf(probes)
     dg = (d.select(F.col(id_col).alias("doc_id"),
-                   F.explode(shingles(F.col(text_col), k=k)).alias("_g"))
+                   F.explode(shingles(text_col, k=k)).alias("_g"))
           .withColumn("_h", F.xxhash64("_g")).drop("_g").distinct())
     pg = (p.select(F.col(probe_id_col).alias("probe_id"),
-                   F.explode(shingles(F.col(probe_text_col), k=k)).alias("_g"))
+                   F.explode(shingles(probe_text_col, k=k)).alias("_g"))
           .withColumn("_h", F.xxhash64("_g")).drop("_g").distinct())
     out = (dg.join(F.broadcast(pg), on="_h")
            .groupBy("doc_id", "probe_id")
@@ -1157,7 +1198,7 @@ def near_dup_against_corpus(batch, corpus, text_col: str = "text",
         .distinct())
     sets = lambda sdf, idc: sdf.select(  # noqa: E731
         F.col(id_col).alias(idc),
-        F.array_distinct(shingles(F.col(text_col), k=shingle_k)).alias(f"__s_{idc}"))
+        F.array_distinct(shingles(text_col, k=shingle_k)).alias(f"__s_{idc}"))
     bsets = sets(bsdf.join(cand.select(F.col("__bid").alias(id_col)).distinct(),
                            on=id_col, how="left_semi"), "__bid")
     csets = sets(csdf.join(cand.select(F.col("__cid").alias(id_col)).distinct(),

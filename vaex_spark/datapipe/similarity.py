@@ -1558,7 +1558,11 @@ def semantic_dedup(corpus, n_clusters: int = 8, threshold: float = 0.95,
     clusters only — shuffle keyed on cluster id, per-cluster work
     O((n/k)^2), no all-pairs stage anywhere.  The assigned (id,
     cluster, vec) relation is persisted so the two pair-join branches
-    share one assignment pass.
+    share one assignment pass.  The cluster exchange carries the
+    INPUT-width vector (r14: a float corpus shuffles 4 bytes/coord,
+    not an 8-byte float64 unit-vector copy) — the per-cluster pass
+    re-derives the unit form with the identical numpy expression,
+    bit-identical downstream.
 
     ``centroids='first-k'`` picks the k lowest-id vectors (deterministic,
     used by the correctness oracle); ``'kmeans'`` uses train_centroids.
@@ -1613,12 +1617,19 @@ def semantic_dedup(corpus, n_clusters: int = 8, threshold: float = 0.95,
                     upd = v > best
                     best[upd] = v[upd]
                     bidx[upd] = a[upd] + j
+                # r14 opt: the INPUT vector rides through unchanged
+                # (__raw, input width — float corpora shuffle 4 bytes/
+                # coord, not an 8-byte unit-vector copy); the per-
+                # cluster pass re-normalizes with the SAME numpy ops,
+                # so downstream values are bit-identical while the
+                # Arrow out-leg and the cluster exchange halve.
                 yield pd.DataFrame({idc0: pdf[idc0].astype("int64"),
-                                    "__u": list(Xn),
+                                    "__raw": pdf[vc0],
                                     "cluster": bidx.astype("int32")})
 
+        vec_dt = dict(sdf.dtypes)[vec_col]
         assigned = sdf.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-            _assign, schema=f"{id_col} long, __u array<double>, cluster int")
+            _assign, schema=f"{id_col} long, __raw {vec_dt}, cluster int")
     else:
         # production k (~sqrt(n)): centroids are a broadcast TABLE —
         # a 50k-branch argmax expression is unbuildable/uncompilable.
@@ -1654,7 +1665,15 @@ def semantic_dedup(corpus, n_clusters: int = 8, threshold: float = 0.95,
         ids = pdf[idc].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        X = _stack_f64(pdf["__u"].to_numpy()[order])
+        if "__raw" in pdf.columns:
+            # Arrow-assignment branch ships the raw input vector;
+            # normalize here with the same expression _assign used so
+            # the unit vectors (and every downstream rounded cosine)
+            # are bit-identical to the previous __u-shipping form
+            X = _stack_f64(pdf["__raw"].to_numpy()[order])
+            X = X / np.sqrt((X ** 2).sum(axis=1, keepdims=True))
+        else:
+            X = _stack_f64(pdf["__u"].to_numpy()[order])
         n_rows = len(ids)
         out_id, out_dup = [], []
         # bound the n_rows×B similarity block to ~1 GB regardless of

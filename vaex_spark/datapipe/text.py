@@ -185,7 +185,17 @@ def shingles(text, k: int = 5) -> Column:
     (a 5.7× q50 regression this round's own 113-query profile caught)
     — while k references to a lambda VARIABLE are k array accesses
     (0.34 → 0.21 s, the intended ~2× win; values identical — the loop
-    stops at n-k so every window is full-width)."""
+    stops at n-k so every window is full-width).
+
+    A plain column NAME takes the ONE-parse SQL-text fast path (r14
+    opt: the Column form is ~6 HOF-lambda constructions ≈ 90 ms of
+    py4j plan-build per call on this driver; the parsed string is
+    ~1 ms and yields the identical tree — same mechanism as
+    _winnow_fps_expr / _gram_hashes, parity pinned in
+    tests/test_sqlexpr_parity.py)."""
+    if isinstance(text, str):
+        from ..colname import quote_name
+        return F.expr(_shingles_sql(quote_name(text), k))
     t = _c(text)
     words = F.split(F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")), " ")
 
@@ -198,6 +208,22 @@ def shingles(text, k: int = 5) -> Column:
                 F.try_element_at(wd, i + 1 + j) for j in range(k)])))
     return F.when(t.isNull(), F.lit(None).cast("array<string>")).otherwise(
         _let(words, _body))
+
+
+def _shingles_sql(qn: str, k: int) -> str:
+    """SQL text of :func:`shingles` for a quoted column name — the
+    same tree :func:`shingles` builds through the Column API (null
+    guard, let-bound words, n<k whole-text branch, k try_element_at
+    references per gram), assembled with zero py4j round-trips."""
+    k = int(k)
+    words = f"split(trim(regexp_replace(lower({qn}), '\\\\s+', ' ')), ' ')"
+    refs = ", ".join(f"try_element_at(wd, i + {1 + j})" for j in range(k))
+    body = (f"CASE WHEN size(wd) < {k} THEN array(array_join(wd, ' ')) "
+            f"ELSE transform(sequence(0, greatest(size(wd) - {k}, 0)), "
+            f"i -> concat_ws(' ', {refs})) END")
+    return (f"CASE WHEN {qn} IS NULL THEN cast(null as array<string>) "
+            f"ELSE element_at(transform(array({words}), wd -> {body}), 1) "
+            f"END")
 
 
 def _winnow_fps_expr(text_col: str, k: int, window: int, gram: bool) -> Column:
