@@ -49,6 +49,46 @@ def test_simhash_hamming(spark):
     assert (1, 3) not in got
 
 
+@pytest.mark.parametrize("max_hamming", [3, 6, 12])
+def test_simhash_blocking_exact_and_exactly_once(spark, max_hamming):
+    """Pins the r14 blocking internals: variable-width disjoint chunks
+    (64 % (h+1) chunks get an extra bit, so ALL hash bits block) and
+    the canonical-first-chunk dedup that replaced `.distinct()`.
+
+    Oracle = brute force: collect every doc's simhash, enumerate all
+    pairs within the distance in Python.  The operator must return
+    exactly that set — completeness is the pigeonhole guarantee the
+    chunking must preserve — and EXACTLY ONCE per pair (a pair shares
+    several chunks; without the canonical-chunk filter the join emits
+    one row per shared chunk)."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe import dedup
+    rng = np.random.RandomState(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    base = [vocab[i] for i in rng.randint(0, len(vocab), 12)]
+    texts = []
+    for i in range(36):
+        words = list(base)
+        # mutate 0-4 positions: a spread of hamming distances, many
+        # pairs landing inside the threshold (and sharing many chunks)
+        for _ in range(int(rng.randint(0, 5))):
+            words[int(rng.randint(0, len(words)))] = \
+                vocab[int(rng.randint(0, len(vocab)))]
+        texts.append(" ".join(words))
+    df = vs.from_arrays(spark=spark, doc_id=list(range(36)), text=texts)
+    sims = {r["doc_id"]: r["__sim"] for r in
+            dedup._simhash_long(df._spark_df(), "doc_id", "text",
+                                64).collect()}
+    expect = {(a, b) for a in sims for b in sims if a < b
+              and bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+              <= max_hamming}
+    rows = dedup.simhash_near_dups(df, max_hamming=max_hamming).collect()
+    got = [(r["id_a"], r["id_b"]) for r in rows]
+    assert set(got) == expect
+    assert len(got) == len(expect), "each pair must be emitted exactly once"
+
+
 def test_cosine_topk_exact(spark):
     import vaex_spark as vs
     from vaex_spark.datapipe import similarity

@@ -605,15 +605,30 @@ def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id",
                       max_hamming: int = 3, num_bits: int = 64) -> SparkDataFrame:
     """Near-dups by simhash within blocking buckets.
 
-    Blocking: split the 64-bit hash into (max_hamming+1) chunks — two
-    docs within the distance share at least one exact chunk (pigeonhole),
-    so the self-join runs per chunk bucket, not all-pairs."""
+    Blocking: split the 64-bit hash into (max_hamming+1) DISJOINT
+    chunks — two docs within the distance share at least one exact
+    chunk (pigeonhole), so the self-join runs per chunk bucket, not
+    all-pairs.  Chunk widths are variable (r14): ``num_bits %
+    n_chunks`` chunks get one extra bit, so ALL hash bits block.  The
+    uniform-width form dropped the remainder bits — at max_hamming=12
+    that left 12 of 64 bits unblocked and every chunk at 4 bits (16
+    buckets), versus twelve 5-bit + one 4-bit chunk here: candidate
+    volume halves per widened chunk while the pigeonhole argument
+    (only disjointness + chunk count matter) and therefore the exact
+    ``hamming <= max_hamming`` output are unchanged."""
     sdf = _spread(_sdf(df).select(F.col(id_col), F.col(text_col)))
     base = _simhash_long(sdf, id_col, text_col, num_bits)
     n_chunks = max_hamming + 1
     bits = num_bits // n_chunks
-    chunks = [F.shiftrightunsigned(F.col("__sim"), i * bits).bitwiseAND(F.lit((1 << bits) - 1)).alias("chunk")
-              for i in range(n_chunks)]
+    extra = num_bits % n_chunks
+    offs = []
+    off = 0
+    for i in range(n_chunks):
+        w = bits + (1 if i < extra else 0)
+        offs.append((off, w))
+        off += w
+    chunks = [F.shiftrightunsigned(F.col("__sim"), o).bitwiseAND(F.lit((1 << w) - 1)).alias("chunk")
+              for o, w in offs]
     # persist the narrow blocked relation (same discipline as
     # near_dup_pairs' banded persist): the self-join's two children
     # would otherwise EACH recompute the signature aggregate — and
@@ -625,14 +640,29 @@ def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id",
                     F.posexplode(F.array(*[c for c in chunks]))
                     .alias("ci", "chunk")))
     l, r = blocked.alias("l"), blocked.alias("r")
+    # canonical-chunk dedup (r14): a pair within distance shares one
+    # chunk per pigeonhole but typically MATCHES several (measured at
+    # sf0.1 h=12: 5.5M hamming-passing join rows for 1.05M unique
+    # pairs), and the old `.distinct()` shuffled that multiplicity.
+    # Emitting a pair ONLY from its FIRST matching chunk — ci equals
+    # the smallest j whose chunk bits of l.__sim XOR r.__sim are all
+    # zero, a per-row codegen CASE over the chunk masks — produces
+    # each pair exactly once, so the distinct exchange disappears
+    # from the plan entirely.  Masks are two's-complement signed-long
+    # literals (the top chunk's mask overflows an unsigned SQL long).
+    def _sl(m):
+        return m - (1 << 64) if m >= (1 << 63) else m
+    first = "CASE " + " ".join(
+        f"WHEN ((l.`__sim` ^ r.`__sim`) & {_sl(((1 << w) - 1) << o)}L) = 0 "
+        f"THEN {i}" for i, (o, w) in enumerate(offs)) + " END"
     pairs = (l.join(r, on=[F.col("l.ci") == F.col("r.ci"),
                            F.col("l.chunk") == F.col("r.chunk"),
                            F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+             .filter(F.expr(f"l.ci = ({first})"))
              .select(F.col(f"l.{id_col}").alias("id_a"),
                      F.col(f"r.{id_col}").alias("id_b"),
                      hamming64(F.col("l.__sim"), F.col("r.__sim")).alias("hamming"))
-             .filter(F.col("hamming") <= max_hamming)
-             .distinct())
+             .filter(F.col("hamming") <= max_hamming))
     return pairs
 
 
