@@ -1587,49 +1587,55 @@ def semantic_dedup(corpus, n_clusters: int = 8, threshold: float = 0.95,
         # Arrow pass (numpy argmax over X @ C.T) — a pure map stage, NO
         # shuffle before the cluster exchange, no k-branch expression
         # tree (plan build is O(1), and BLAS beats interpreted
-        # higher-order functions by orders of magnitude)
-        idc0, vc0, rnd0, Cu0 = id_col, vec_col, int(round_to), Cu
+        # higher-order functions by orders of magnitude).  r14 form: a
+        # Series->Series pandas_udf returning ONLY the cluster int —
+        # the vector crosses INTO Python once and never back (the
+        # previous mapInPandas shipped it out again as __raw: the
+        # Python->JVM return leg carried ~4·d bytes/row; an
+        # ArrowEvalPython projection keeps the JVM-side column and the
+        # out-leg is 4 bytes/row).  Per-row math is unchanged, so the
+        # assignment is bit-identical batch composition aside, and the
+        # computation is batch-independent.
+        rnd0, Cu0 = int(round_to), Cu
 
-        def _assign(batches):
-            import pandas as pd
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                X = _stack_f64(pdf[vc0])
-                Xn = X / np.sqrt((X ** 2).sum(axis=1, keepdims=True))
-                # centroid BLOCKS with a running (max, argmax): the full
-                # n×k cosine matrix is DRAM traffic that makes every
-                # worker queue on the memory bus at large k (the KMeans
-                # lesson, ml.py:_assign_arrow) — each n×512 block stays
-                # cache-resident.  Strict > keeps the FIRST max across
-                # blocks -> lowest cluster id, matching np.argmax and
-                # the oracle's (cos DESC, cid ASC) tie-break.  float64
-                # throughout: the rounded-cosine compare spaces values
-                # 1e-6 apart, inside float32's error band.
-                n_r = len(Xn)
-                best = np.full(n_r, -np.inf)
-                bidx = np.zeros(n_r, dtype=np.int64)
-                rows_ix = np.arange(n_r)
-                for j in range(0, len(Cu0), 512):
-                    cos = _round_half_up(Xn @ Cu0[j:j + 512].T, rnd0)
-                    a = cos.argmax(axis=1)
-                    v = cos[rows_ix, a]
-                    upd = v > best
-                    best[upd] = v[upd]
-                    bidx[upd] = a[upd] + j
-                # r14 opt: the INPUT vector rides through unchanged
-                # (__raw, input width — float corpora shuffle 4 bytes/
-                # coord, not an 8-byte unit-vector copy); the per-
-                # cluster pass re-normalizes with the SAME numpy ops,
-                # so downstream values are bit-identical while the
-                # Arrow out-leg and the cluster exchange halve.
-                yield pd.DataFrame({idc0: pdf[idc0].astype("int64"),
-                                    "__raw": pdf[vc0],
-                                    "cluster": bidx.astype("int32")})
+        def _cluster_of(vals):
+            if not len(vals):
+                return pd.Series([], dtype="int32")
+            X = _stack_f64(vals)
+            Xn = X / np.sqrt((X ** 2).sum(axis=1, keepdims=True))
+            # centroid BLOCKS with a running (max, argmax): the full
+            # n×k cosine matrix is DRAM traffic that makes every
+            # worker queue on the memory bus at large k (the KMeans
+            # lesson, ml.py:_assign_arrow) — each n×512 block stays
+            # cache-resident.  Strict > keeps the FIRST max across
+            # blocks -> lowest cluster id, matching np.argmax and
+            # the oracle's (cos DESC, cid ASC) tie-break.  float64
+            # throughout: the rounded-cosine compare spaces values
+            # 1e-6 apart, inside float32's error band.
+            n_r = len(Xn)
+            best = np.full(n_r, -np.inf)
+            bidx = np.zeros(n_r, dtype=np.int64)
+            rows_ix = np.arange(n_r)
+            for j in range(0, len(Cu0), 512):
+                cos = _round_half_up(Xn @ Cu0[j:j + 512].T, rnd0)
+                a = cos.argmax(axis=1)
+                v = cos[rows_ix, a]
+                upd = v > best
+                best[upd] = v[upd]
+                bidx[upd] = a[upd] + j
+            return pd.Series(bidx.astype("int32"))
 
-        vec_dt = dict(sdf.dtypes)[vec_col]
-        assigned = sdf.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-            _assign, schema=f"{id_col} long, __raw {vec_dt}, cluster int")
+        # Series->Series eval type via REAL annotation objects: the
+        # module-wide `from __future__ import annotations` stringifies
+        # inline hints, which PySpark 4's type-hint inference rejects
+        _cluster_of.__annotations__ = {"vals": pd.Series, "return": pd.Series}
+        assign_udf = F.pandas_udf(_cluster_of, "int")
+        # the INPUT-width vector rides to the cluster exchange
+        # JVM-side (__raw: float corpora shuffle 4 bytes/coord, not an
+        # 8-byte unit-vector copy); the per-cluster pass re-normalizes
+        # with the identical numpy expression, bit-identical downstream
+        assigned = sdf.select(F.col(id_col), F.col(vec_col).alias("__raw"),
+                              assign_udf(F.col(vec_col)).alias("cluster"))
     else:
         # production k (~sqrt(n)): centroids are a broadcast TABLE —
         # a 50k-branch argmax expression is unbuildable/uncompilable.
