@@ -250,16 +250,21 @@ def test_partition_sensitive_queries_invariant_under_tiny_partitions(spark):
 
 def test_semantic_dedup_single_pass_no_cartesian(spark):
     """semantic_dedup: one corpus scan -> vectorized Arrow assignment
-    (mapInPandas) -> ONE exchange keyed on cluster -> per-cluster
-    matmul (applyInPandas).  Never a cartesian product, never a
-    corpus-level pair join, no second scan."""
+    (a Series->Series pandas_udf: ArrowEvalPython returns ONLY the
+    int32 cluster id, the vector column never crosses back — r14) ->
+    ONE exchange keyed on cluster -> per-cluster matmul
+    (applyInPandas).  Never a cartesian product, never a corpus-level
+    pair join, no second scan."""
     import vaex_spark as vs
     from vaex_spark.datapipe.similarity import semantic_dedup
     emb = vs.open("/root/testdata/sf0.001/embeddings.parquet", spark=spark)
     sdf = semantic_dedup(emb, n_clusters=4, threshold=0.42)
     plan = _plan(sdf)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
-    assert "FlatMapGroupsInPandas" in plan and "MapInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan and "ArrowEvalPython" in plan, plan
+    # the assignment hop must not ship the vector back out of Python:
+    # a mapInPandas form would reappear as MapInPandas in the plan
+    assert "MapInPandas" not in plan, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     # exactly one data exchange: the hash partition on cluster id
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
