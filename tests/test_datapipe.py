@@ -603,6 +603,38 @@ def test_pack_sequences_chunk(spark):
     assert out[2]["offset"] == 600 % 512
 
 
+def test_pack_chunk_partition_count_invariance(spark):
+    """Pins the r14 scale-adaptive range-partition count: chunk
+    packing's global cumsum (_before_local + _poff) must yield
+    IDENTICAL bin/end_bin/offset at ANY partition count.  Forcing a
+    tiny advisory partition size makes _range_partition_count pick a
+    different (larger) n than the default run — outputs must match
+    row for row."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.packing import pack_sequences
+    rng = np.random.RandomState(3)
+    lens = [int(x) for x in rng.randint(1, 900, 500)]
+    df = vs.from_arrays(doc_id=list(range(len(lens))), n=lens, spark=spark)
+
+    def run():
+        rows = pack_sequences(df, "n", 512, order_key="doc_id").spark.collect()
+        return sorted((r["doc_id"], r["bin"], r["end_bin"], r["offset"])
+                      for r in rows)
+
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    old = spark.conf.get(key, None)
+    base = run()
+    try:
+        spark.conf.set(key, "1KB")
+        tiny = run()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert tiny == base
+
+
 def test_pack_sequences_nextfit(spark):
     import vaex_spark as vs
     from vaex_spark.datapipe.packing import pack_sequences

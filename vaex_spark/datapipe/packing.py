@@ -43,8 +43,22 @@ def pack_sequences(df, length_col: str, max_tokens: int,
         from pyspark.sql import Window
         base = sdf.select(F.col(id_col), n.alias("n_tokens"), F.col(order_key).alias("_ok"))
         # global running sum: range-partitioned sort, not a single task —
-        # repartitionByRange + per-partition cumsum + broadcast offsets
-        part = base.repartitionByRange(32, "_ok").withColumn("_pid", F.spark_partition_id())
+        # repartitionByRange + per-partition cumsum + broadcast offsets.
+        # The partition count is scale-adaptive (r14): Catalyst size
+        # stats via the window machinery's ceil(size/advisory) helper
+        # (with its parallelism floor and 16x cap), falling back to the
+        # session's shuffle.partitions when stats are unknown — a
+        # hard-coded 32 under-parallelizes a 100 TB pack and
+        # over-partitions a KB-sized frame for nothing.  The global
+        # cumsum (_before_local + _poff) is partition-count-INVARIANT
+        # for unique order keys, so bin/end_bin/offset are identical at
+        # any n; only nextfit's bin ids depend on the layout, which is
+        # why that branch keeps its pinned constant.
+        from ..operators.window import _range_partition_count
+        n_range = _range_partition_count(base)
+        part = (base.repartitionByRange(n_range, "_ok") if n_range
+                else base.repartitionByRange("_ok")) \
+            .withColumn("_pid", F.spark_partition_id())
         w_local = (Window.partitionBy("_pid").orderBy("_ok")
                    .rowsBetween(Window.unboundedPreceding, -1))
         # persist: the offsets branch and the main join below both read
@@ -69,6 +83,11 @@ def pack_sequences(df, length_col: str, max_tokens: int,
                        (F.col("_before") % max_tokens).alias("offset")))
     elif strategy == "nextfit":
         import pandas as pd
+        # pinned 32: next-fit bins NEVER span partitions, so the bin
+        # assignment itself depends on the partition layout — a
+        # size-adaptive count would make the output vary with cluster
+        # stats.  Deterministic output wins here; see the chunk branch
+        # for the scale-adaptive form.
         base = (sdf.select(F.col(id_col), n.alias("n_tokens"), F.col(order_key).alias("_ok"))
                 .repartitionByRange(32, "_ok")
                 .withColumn("_pid", F.spark_partition_id()))
