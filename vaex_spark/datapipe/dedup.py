@@ -1229,9 +1229,13 @@ def near_dup_against_corpus(batch, corpus, text_col: str = "text",
     sets = lambda sdf, idc: sdf.select(  # noqa: E731
         F.col(id_col).alias(idc),
         F.array_distinct(shingles(text_col, k=shingle_k)).alias(f"__s_{idc}"))
-    bsets = sets(bsdf.join(cand.select(F.col("__bid").alias(id_col)).distinct(),
+    # no .distinct() on the semi-join probe sides (r14, the q35 lesson
+    # applied here too): left_semi dedups by construction, so the
+    # projection of the persisted cand relation probes directly — one
+    # aggregate exchange fewer per side at every scale
+    bsets = sets(bsdf.join(cand.select(F.col("__bid").alias(id_col)),
                            on=id_col, how="left_semi"), "__bid")
-    csets = sets(csdf.join(cand.select(F.col("__cid").alias(id_col)).distinct(),
+    csets = sets(csdf.join(cand.select(F.col("__cid").alias(id_col)),
                            on=id_col, how="left_semi"), "__cid")
     jac = F.try_divide(F.size(F.array_intersect("__s___bid", "__s___cid")).cast("double"),
                        F.size(F.array_union("__s___bid", "__s___cid")))
