@@ -402,28 +402,87 @@ def minhash_lsh_candidates(df, text_col: str = "text", id_col: str = "doc_id",
     return pairs
 
 
+def _union_jaccard(na: Column, nb: Column, set_a: Column, set_b: Column) -> Column:
+    """Exact Jaccard from the union size alone (r15): the inputs are
+    DISTINCT arrays, so |A∩B| = |A|+|B|−|A∪B| — one array_union per
+    pair instead of union + intersect (the two were the dominant
+    per-pair cost of every verify stage; sizes are integers, so the
+    division sees bit-identical operands and the value is unchanged).
+    try_divide: empty-set pairs (union size 0) stay null-jaccard under
+    ANSI-on sessions instead of raising."""
+    u = F.size(F.array_union(set_a, set_b))
+    return F.try_divide((na + nb - u).cast("double"), u)
+
+
+def _size_ratio_ok(na: Column, nb: Column, threshold: float) -> Column:
+    """Necessary condition for jaccard >= threshold on set sizes (r15):
+    |A∩B| <= min and |A∪B| >= max, so J >= t forces min >= t·max — a
+    codegen integer compare that prunes pairs BEFORE the array_union.
+    The 1e-6 slack covers the 6-decimal rounding applied to the
+    reported jaccard (round-up of a J = t − 5e-7 pair) plus double
+    arithmetic; false positives only cost the union they would have
+    paid anyway, false negatives are impossible.  Measured at sf0.1
+    (q36, t=0.9): keeps 19.0% of 1.05M candidate pairs."""
+    return F.least(na, nb) >= (float(threshold) - 1e-6) * F.greatest(na, nb)
+
+
+def _verified_jaccard(pairs, sets_df, id_col: str, threshold: float):
+    """Shared verify tail for the persisted-sliver paths (r15): prune
+    candidate pairs on the size-ratio condition via joins that carry
+    ONLY (id, |set|) — guide §8's rule, decide with small rows, move
+    the heavy shingle arrays once for the survivors.  The in-join form
+    (filter after the array joins) measured ~nothing at sf0.1 because
+    Catalyst folds the prune and the jaccard into one join condition
+    and every candidate row still streams both arrays; splitting the
+    prune into its own narrow joins dropped q36's verify tail 2.59 s →
+    0.98 s on identical inputs (242 output rows, bit-identical).
+
+    ``sets_df`` must be the persisted (id, __set, __n) sliver so the
+    sizes projection is a cache read, not a shingle recompute."""
+    sizes = sets_df.select(F.col(id_col), "__n")
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    pruned = (pairs
+              .join(na, pairs["id_a"] == F.col(f"na.{id_col}"))
+              .join(nb, pairs["id_b"] == F.col(f"nb.{id_col}"))
+              .filter(_size_ratio_ok(F.col("na.__n"), F.col("nb.__n"),
+                                     threshold))
+              .select("id_a", "id_b"))
+    a, b = sets_df.alias("a"), sets_df.alias("b")
+    jac = F.round(_union_jaccard(F.col("a.__n"), F.col("b.__n"),
+                                 F.col("a.__set"), F.col("b.__set")), 6)
+    return (pruned
+            .join(a, pruned["id_a"] == F.col(f"a.{id_col}"))
+            .join(b, pruned["id_b"] == F.col(f"b.{id_col}"))
+            .select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
 def ngram_jaccard(df, pairs: SparkDataFrame | None = None, text_col: str = "text",
                   id_col: str = "doc_id", shingle_k: int = 5,
                   threshold: float | None = None) -> SparkDataFrame:
     """Exact shingle-set Jaccard for candidate pairs (LSH verification).
 
     With pairs=None, verifies minhash_lsh_candidates output.  The join
-    brings each side's shingle set to the pair; array_intersect/union
-    are codegen'd."""
+    brings each side's shingle set to the pair; the union (and the
+    size identity |A∩B| = |A|+|B|−|A∪B|) are codegen'd."""
     sdf = _spread(_sdf(df).select(F.col(id_col), F.col(text_col)))
     if pairs is None:
         pairs = minhash_lsh_candidates(df, text_col=text_col, id_col=id_col, shingle_k=shingle_k)
-    sets_df = sdf.select(F.col(id_col), F.array_distinct(shingles(text_col, k=shingle_k)).alias("__set"))
+    sets_df = sdf.select(F.col(id_col),
+                         F.array_distinct(shingles(text_col, k=shingle_k)).alias("__set"))
+    sets_df = sets_df.select(F.col(id_col), "__set", F.size("__set").alias("__n"))
     a = sets_df.alias("a")
     b = sets_df.alias("b")
     out = (pairs
            .join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
-           .join(b, pairs["id_b"] == F.col(f"b.{id_col}"))
-           .select("id_a", "id_b",
-                   # try_divide: empty-set pairs (union size 0) stay null-
-                   # jaccard under ANSI-on sessions instead of raising
-                   F.try_divide(F.size(F.array_intersect("a.__set", "b.__set")).cast("double"),
-                                F.size(F.array_union("a.__set", "b.__set"))).alias("jaccard")))
+           .join(b, pairs["id_b"] == F.col(f"b.{id_col}")))
+    if threshold is not None:
+        # size-ratio prune before the per-pair union — sound, see
+        # _size_ratio_ok
+        out = out.filter(_size_ratio_ok(F.col("a.__n"), F.col("b.__n"), threshold))
+    out = out.select("id_a", "id_b",
+                     _union_jaccard(F.col("a.__n"), F.col("b.__n"),
+                                    F.col("a.__set"), F.col("b.__set")).alias("jaccard"))
     if threshold is not None:
         out = out.filter(F.col("jaccard") >= threshold)
     return out
@@ -496,16 +555,13 @@ def near_dup_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     sets_df = small.select(
         F.col(id_col),
         F.array_distinct(shingles(text_col, k=shingle_k)).alias("__set"))
-    sets_df = _register_persist(sets_df)
-    a, b = sets_df.alias("a"), sets_df.alias("b")
-    out = (pairs
-           .join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
-           .join(b, pairs["id_b"] == F.col(f"b.{id_col}"))
-           .select("id_a", "id_b",
-                   F.round(F.try_divide(F.size(F.array_intersect("a.__set", "b.__set")).cast("double"),
-                                         F.size(F.array_union("a.__set", "b.__set"))), 6).alias("jaccard"))
-           .filter(F.col("jaccard") >= threshold))
-    return out
+    # carry |set| on the persisted sliver: size-ratio prune + union-only
+    # jaccard (r15, see _size_ratio_ok/_union_jaccard) — the per-pair
+    # verify work drops from union+intersect on every candidate to one
+    # integer compare, plus one union on the surviving sliver
+    sets_df = _register_persist(sets_df.select(
+        F.col(id_col), "__set", F.size("__set").alias("__n")))
+    return _verified_jaccard(pairs, sets_df, id_col, threshold)
 
 
 def minhash_lsh_dedup(df, text_col: str = "text", id_col: str = "doc_id",
@@ -792,17 +848,19 @@ def simhash_verified_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     involved = pairs.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col))
     small = sdf.join(involved, on=id_col, how="left_semi")
+    # r15: persist |set| with the set, prune pairs on the size-ratio
+    # necessary condition BEFORE any per-pair array work, and compute
+    # jaccard from the union size alone (|A∩B| = |A|+|B|−|A∪B|).  The
+    # verify stage was q36's wall (5.0 s full vs 1.7 s candidate stage
+    # at sf0.1): 1.05M candidate pairs each paid array_intersect +
+    # array_union over ~200-shingle sets; the prune keeps 19%, the
+    # survivors pay ONE union — both effects scale with the pair set,
+    # not the bench.
     sets_df = _register_persist(small.select(
         F.col(id_col),
-        F.array_distinct(shingles(text_col, k=shingle_k)).alias("__set")))
-    a, b = sets_df.alias("a"), sets_df.alias("b")
-    return (pairs
-            .join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
-            .join(b, pairs["id_b"] == F.col(f"b.{id_col}"))
-            .select("id_a", "id_b",
-                    F.round(F.try_divide(F.size(F.array_intersect("a.__set", "b.__set")).cast("double"),
-                                          F.size(F.array_union("a.__set", "b.__set"))), 6).alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+        F.array_distinct(shingles(text_col, k=shingle_k)).alias("__set"))
+        .select(F.col(id_col), "__set", F.size("__set").alias("__n")))
+    return _verified_jaccard(pairs, sets_df, id_col, threshold)
 
 
 def _colify(x):
@@ -1228,7 +1286,8 @@ def near_dup_against_corpus(batch, corpus, text_col: str = "text",
         .distinct())
     sets = lambda sdf, idc: sdf.select(  # noqa: E731
         F.col(id_col).alias(idc),
-        F.array_distinct(shingles(text_col, k=shingle_k)).alias(f"__s_{idc}"))
+        F.array_distinct(shingles(text_col, k=shingle_k)).alias(f"__s_{idc}"))\
+        .select(idc, f"__s_{idc}", F.size(f"__s_{idc}").alias(f"__n_{idc}"))
     # no .distinct() on the semi-join probe sides (r14, the q35 lesson
     # applied here too): left_semi dedups by construction, so the
     # projection of the persisted cand relation probes directly — one
@@ -1237,9 +1296,13 @@ def near_dup_against_corpus(batch, corpus, text_col: str = "text",
                            on=id_col, how="left_semi"), "__bid")
     csets = sets(csdf.join(cand.select(F.col("__cid").alias(id_col)),
                            on=id_col, how="left_semi"), "__cid")
-    jac = F.try_divide(F.size(F.array_intersect("__s___bid", "__s___cid")).cast("double"),
-                       F.size(F.array_union("__s___bid", "__s___cid")))
+    # r15: size-ratio prune before the per-pair array work + union-only
+    # jaccard (see _size_ratio_ok/_union_jaccard — values unchanged)
+    jac = _union_jaccard(F.col("__n___bid"), F.col("__n___cid"),
+                         F.col("__s___bid"), F.col("__s___cid"))
     dupes = (cand.join(bsets, on="__bid").join(csets, on="__cid")
+             .filter(_size_ratio_ok(F.col("__n___bid"), F.col("__n___cid"),
+                                    threshold))
              .filter(F.round(jac, 6) >= threshold)
              .select(F.col("__bid").alias(id_col)).distinct())
     out = _sdf(batch).join(dupes, on=id_col, how="left_anti")
