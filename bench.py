@@ -95,7 +95,22 @@ EXTENDED = [
     # exact sums) and the diff(ts)->interval->groupby-moments pipeline
     "q112_date_stats",
     "q113_interval_gap_stats",
+    # r15 (VERDICT_r14 #2): the r14/r15 optimization targets, added so
+    # the driver's bench sees them round-over-round (additions only)
+    "q36_simhash_near_dups",   # simhash blocking + size-pruned verify
+    "q50_contamination",       # probe-gram contamination screen
+    "q52_pack_sequences",      # scale-adaptive concat-and-chunk packing
+    "q56_curation_pipeline",   # quality->gopher->dedup->pack composite
+    "q61_fuzzy_incremental_dedup",  # batch-vs-corpus MinHash screen
 ]
+
+# EXTENDED members whose oracle SQL is intractable on the DuckDB side
+# at sf0.1 (measured r15: q36 >15 min, q61 >9 min — both are inverted-
+# index all-pairs Jaccard shapes that DuckDB executes without the LSH/
+# blocking prune).  The Spark side is still timed and reported; the
+# extended DuckDB yardstick and its ratio band already pair only the
+# queries BOTH engines ran, so skipping these keeps the band honest.
+DUCKDB_SKIP = {"q36_simhash_near_dups", "q61_fuzzy_incremental_dedup"}
 # q93_group_delta_min stays OUT of the timed sections deliberately: it
 # exists to oracle-check the GroupBy.apply(engine='arrow') machinery,
 # and per-group Python against DuckDB's window function is not a
@@ -274,7 +289,7 @@ def _duckdb_yardstick(sf_dir: str, n_runs: int, names=None):
     run_samples = {}
     for name in (names if names is not None else HEADLINE):
         sql = oracles.get(name)
-        if sql is None:
+        if sql is None or name in DUCKDB_SKIP:
             continue
         con.execute(sql).fetchall()  # warm: page cache + plan
         samples = []

@@ -635,6 +635,36 @@ def test_pack_chunk_partition_count_invariance(spark):
     assert tiny == base
 
 
+def test_pack_sequences_carry(spark):
+    """Pins the r15 carry-columns variant: carrying extra columns
+    through the range exchange must not change bin/end_bin/offset
+    (carry never feeds the range sampler or the cumsum), must bring
+    the carried values back intact, and must reject collisions with
+    pack internals / non-chunk strategies."""
+    import pytest
+
+    import vaex_spark as vs
+    from vaex_spark.datapipe.packing import pack_sequences
+    rng = np.random.RandomState(7)
+    lens = [int(x) for x in rng.randint(1, 900, 300)]
+    texts = [f"t{i}" for i in range(len(lens))]
+    df = vs.from_arrays(doc_id=list(range(len(lens))), n=lens,
+                        text=texts, spark=spark)
+    plain = {r["doc_id"]: (r["bin"], r["end_bin"], r["offset"])
+             for r in pack_sequences(df, "n", 512,
+                                     order_key="doc_id").spark.collect()}
+    carried = pack_sequences(df, "n", 512, order_key="doc_id",
+                             carry=["text"]).spark.collect()
+    assert {r["doc_id"]: (r["bin"], r["end_bin"], r["offset"])
+            for r in carried} == plain
+    assert all(r["text"] == f"t{r['doc_id']}" for r in carried)
+    with pytest.raises(ValueError, match="collide"):
+        pack_sequences(df, "n", 512, order_key="doc_id", carry=["bin"])
+    with pytest.raises(ValueError, match="chunk"):
+        pack_sequences(df, "n", 512, order_key="doc_id",
+                       strategy="nextfit", carry=["text"])
+
+
 def test_pack_sequences_nextfit(spark):
     import vaex_spark as vs
     from vaex_spark.datapipe.packing import pack_sequences

@@ -313,6 +313,60 @@ def test_chunk_documents_no_shuffle(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_jaccard_verify_union_only_and_size_prune(spark):
+    """r15 verify-stage shape (fe08fb4), pinned so it can't silently
+    revert: every LSH/blocking verify computes exact Jaccard from the
+    UNION size alone (|A∩B| = |A|+|B|−|A∪B| on distinct arrays — no
+    array_intersect anywhere in the plan), and the persisted-sliver
+    paths (q35/q36) prune candidates on the (id, |set|) size-ratio
+    condition through narrow joins BEFORE any array-carrying join."""
+    import __spark_entry__ as e
+    qs = e.queries()
+    sf = "/root/testdata/sf0.001"
+    for name in ("q35_minhash_near_dups", "q36_simhash_near_dups",
+                 "q61_fuzzy_incremental_dedup"):
+        plan = _plan(qs[name](spark, sf))
+        assert "array_intersect" not in plan, name
+        assert "array_union" in plan, name
+    # narrow prune-join sliver: an output of exactly (id, __n) — the
+    # size column travels without the shingle array
+    plan36 = _plan(qs["q36_simhash_near_dups"](spark, sf))
+    assert re.search(r"Output \[2\]: \[doc_id#\d+L?, __n#\d+\]", plan36), plan36
+
+
+def test_q35_involved_ids_via_explode_not_union(spark):
+    """r14 shape (VERDICT_r14 #2 evidence debt): the survivor tail
+    derives involved ids with explode(array(id_a, id_b)) — one
+    generate — not union + distinct."""
+    import __spark_entry__ as e
+    plan = _plan(e.queries()["q35_minhash_near_dups"](
+        spark, "/root/testdata/sf0.001"))
+    assert "explode(array(id_a" in plan, plan
+
+
+def test_q50_grams_via_element_at_not_slice_join(spark):
+    """r14 shape: contamination's k-gram generator builds grams with
+    let-bound element_at references (transform(sequence(0, greatest(...
+    window), not per-position array_join(slice(...)) allocations.  The
+    probe-span extraction legitimately uses array_join(slice(...)) on
+    ONE 20-word row — the gram path must not."""
+    import __spark_entry__ as e
+    plan = _plan(e.queries()["q50_contamination"](
+        spark, "/root/testdata/sf0.001"))
+    assert "transform(sequence(0, greatest(" in plan, plan
+
+
+def test_curate_pack_carries_columns_no_rejoin(spark):
+    """r15 carry-columns pack (VERDICT_r14 #3): curate's packing tail
+    rides the range exchange with the document columns instead of
+    joining bins back on id — the join form computed the whole
+    upstream pipeline twice (25 parquet scans at any SF vs 15 here)."""
+    import __spark_entry__ as e
+    plan = _plan(e.queries()["q56_curation_pipeline"](
+        spark, "/root/testdata/sf0.001"))
+    assert plan.count("Scan parquet") < 20, plan.count("Scan parquet")
+
+
 def test_sample_replace_no_global_sort(spark):
     """Weighted with-replacement sampling aggregates per draw via
     max_by (map-side partial) — no global Sort, no window over a

@@ -66,10 +66,20 @@ def curate(df, text_col: str = "text", id_col: str = "doc_id",
     elif dedup is not None:
         raise ValueError(f"dedup={dedup!r} (exact|minhash|None)")
     if pack_tokens is not None:
+        # carry the document columns THROUGH pack_sequences' range
+        # exchange (r15) instead of joining bins back on id: the join
+        # form computed the whole upstream plan (quality + gopher +
+        # dedup) twice — once under the pack, once as the probe side —
+        # and paid the join's exchanges on top.  Bin assignment is
+        # unchanged (partition-count-invariant cumsum; carry never
+        # feeds the range sampler).
         sized = sdf.withColumn("__n_tok", token_count_whitespace(t))
+        others = [c for c in sdf.columns if c != id_col]
         packed = pack_sequences(sized, "__n_tok", int(pack_tokens),
-                                id_col=id_col, order_key=id_col)
+                                id_col=id_col, order_key=id_col,
+                                carry=others)
         packed = packed if not isinstance(packed, DataFrame) else packed._spark_df()
-        sdf = (sdf.join(packed.select(id_col, "bin"), on=id_col)
-               .drop("__n_tok"))
+        # same output surface as the join form: id, document columns,
+        # bin
+        sdf = packed.select(id_col, *others, "bin")
     return DataFrame(sdf) if wrapped else sdf

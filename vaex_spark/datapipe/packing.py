@@ -28,20 +28,45 @@ from pyspark.sql import functions as F
 __all__ = ["pack_sequences"]
 
 
+_PACK_INTERNAL = {"n_tokens", "_ok", "_pid", "_before_local", "_ptot",
+                  "_poff", "_before", "bin", "end_bin", "offset"}
+
+
 def pack_sequences(df, length_col: str, max_tokens: int,
                    id_col: str = "doc_id", order_key: str | None = None,
-                   strategy: str = "chunk"):
+                   strategy: str = "chunk", carry=None):
     """See module docstring.  ``order_key`` defaults to ``id_col`` —
-    packing order must be explicit to be reproducible."""
+    packing order must be explicit to be reproducible.
+
+    ``carry`` (chunk strategy only, r15): extra input columns to ride
+    the range exchange and come back on the output rows, appended
+    after ``offset``.  This exists so pipeline tails (curate) can skip
+    the ``join(packed, on=id)`` that re-attaches bins — without it the
+    whole upstream plan is computed TWICE (once under the pack, once
+    as the join's probe side) and the join adds its own exchanges.
+    Bin/end_bin/offset are unchanged by carrying: the global cumsum is
+    partition-count-invariant for unique order keys (pytest-pinned)
+    and range boundaries are sampled from the KEY column only."""
     from ..dataframe import DataFrame
     wrapped = isinstance(df, DataFrame)
     sdf = df._spark_df() if wrapped else df
     order_key = order_key or id_col
     n = F.col(length_col).cast("long")
+    carry = list(carry or [])
+    if carry:
+        if strategy != "chunk":
+            raise ValueError("carry= is only supported for strategy='chunk'")
+        bad = (set(carry) & _PACK_INTERNAL) | {c for c in carry
+                                               if c == id_col}
+        if bad:
+            raise ValueError(f"carry columns collide with pack internals "
+                             f"or id_col: {sorted(bad)}")
 
     if strategy == "chunk":
         from pyspark.sql import Window
-        base = sdf.select(F.col(id_col), n.alias("n_tokens"), F.col(order_key).alias("_ok"))
+        base = sdf.select(F.col(id_col), n.alias("n_tokens"),
+                          F.col(order_key).alias("_ok"),
+                          *[F.col(c) for c in carry])
         # global running sum: range-partitioned sort, not a single task —
         # repartitionByRange + per-partition cumsum + broadcast offsets.
         # The partition count is scale-adaptive (r14): Catalyst size
@@ -80,7 +105,8 @@ def pack_sequences(df, length_col: str, max_tokens: int,
                        # integer div, not `/`: stays exact at any scale
                        F.expr(f"_before div {int(max_tokens)}").alias("bin"),
                        F.expr(f"(_before + n_tokens - 1) div {int(max_tokens)}").alias("end_bin"),
-                       (F.col("_before") % max_tokens).alias("offset")))
+                       (F.col("_before") % max_tokens).alias("offset"),
+                       *carry))
     elif strategy == "nextfit":
         import pandas as pd
         # pinned 32: next-fit bins NEVER span partitions, so the bin
