@@ -89,6 +89,33 @@ def test_simhash_blocking_exact_and_exactly_once(spark, max_hamming):
     assert len(got) == len(expect), "each pair must be emitted exactly once"
 
 
+def test_simhash_long_twin_matches_column_form(spark):
+    """Pins the r15 packed-lane rewrite of _simhash_long (one SUM per
+    bit PAIR, votes reconstructed as 2*ones_b > n_tokens) against the
+    interpreted Column form bit-for-bit, including empty and
+    whitespace-heavy docs (NULL text drops at the explode, which is
+    the long form's documented contract — the Column form emits NULL,
+    and neither blocks nor pairs)."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe import dedup
+    rng = np.random.RandomState(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [" ".join(vocab[i] for i in rng.randint(0, len(vocab),
+                                                    int(rng.randint(1, 40))))
+             for _ in range(40)]
+    texts += ["", "   ", "one", "a  b\tc\nd"]
+    ids = list(range(len(texts)))
+    df = vs.from_arrays(spark=spark, doc_id=ids, text=texts)
+    long_form = {r["doc_id"]: r["__sim"] for r in
+                 dedup._simhash_long(df._spark_df(), "doc_id", "text",
+                                     64).collect()}
+    col_form = {r["doc_id"]: r["s"] for r in
+                df._spark_df().select(
+                    "doc_id",
+                    dedup.simhash("text", num_bits=64).alias("s")).collect()}
+    assert long_form == {k: v for k, v in col_form.items() if v is not None}
+
+
 def test_cosine_topk_exact(spark):
     import vaex_spark as vs
     from vaex_spark.datapipe import similarity

@@ -140,6 +140,65 @@ def test_percentile_and_median(base_df):
     np.testing.assert_allclose(got, np.percentile(X, [25, 50, 90]))
 
 
+def test_percentile_distributed_selection_bit_identical(spark):
+    """Pins the r15 scale path (operators/percentile.py): distributed
+    histogram-narrowing selection must return BIT-IDENTICAL values to
+    F.percentile — duplicates, NaN (sorts above +Inf), ±Inf, long
+    dtype, and deep narrowing (tiny cap_rows/n_buckets force several
+    recursion levels, including constant buckets)."""
+    from pyspark.sql import functions as F
+
+    from vaex_spark.operators.percentile import (
+        percentiles_exact_distributed, stats_exceed_single_task_budget)
+    rng = np.random.RandomState(5)
+    fracs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.987654, 1.0]
+    doubles = np.concatenate([
+        rng.lognormal(2.0, 3.0, 400),
+        np.repeat(7.25, 137),               # heavy duplicate mass
+        [np.nan] * 9, [np.inf] * 4, [-np.inf] * 3,
+        [1e-300, 1e300, 0.0, -0.0]])
+    rng.shuffle(doubles)
+    sdf = spark.createDataFrame([(float(x),) for x in doubles], "v double")
+    expect = sdf.agg(F.percentile(
+        "v", F.array(*[F.lit(f) for f in fracs])).alias("r")).collect()[0]["r"]
+    got = percentiles_exact_distributed(sdf, F.col("v"), fracs,
+                                        cap_rows=16, n_buckets=7)
+    for g, e in zip(got, expect):
+        assert (g == e) or (np.isnan(g) and np.isnan(e)), (g, e, expect)
+    # long dtype (the temporal-micros route), big magnitudes
+    longs = list(rng.randint(-2**62, 2**62, 300)) + [5] * 50
+    sl = spark.createDataFrame([(int(x),) for x in longs], "v long")
+    e2 = sl.agg(F.percentile(
+        "v", F.array(*[F.lit(f) for f in fracs])).alias("r")).collect()[0]["r"]
+    g2 = percentiles_exact_distributed(sl, F.col("v"), fracs,
+                                       cap_rows=16, n_buckets=7)
+    assert all(a == b for a, b in zip(g2, e2)), (g2, e2)
+    # the stats gate needs KNOWN size stats — LocalRelations report
+    # Long.MaxValue ("unknown", never big); parquet scans report real
+    # sizes.  With the budget floored the surface must route to the
+    # distributed path (same values) and the delay path must fail loud.
+    import pytest
+
+    import vaex_spark as vs
+    vdf = vs.open("/root/testdata/sf0.001/lineitem.parquet", spark=spark)
+    proj = vdf._spark_df().select(F.col("l_extendedprice").alias("_v"))
+    pexpect = vdf._spark_df().agg(F.percentile(
+        "l_extendedprice",
+        F.array(*[F.lit(f) for f in fracs])).alias("r")).collect()[0]["r"]
+    key = "vaex_spark.percentile.maxSingleTaskBytes"
+    assert not stats_exceed_single_task_budget(proj)  # default 256MB
+    try:
+        spark.conf.set(key, "1")
+        assert stats_exceed_single_task_budget(proj)
+        got50 = vdf.percentile_exact("l_extendedprice",
+                                     [f * 100 for f in fracs])
+        assert all(a == b for a, b in zip(got50, pexpect)), (got50, pexpect)
+        with pytest.raises(RuntimeError, match="delay=False"):
+            vdf.percentile_exact("l_extendedprice", 50.0, delay=True)
+    finally:
+        spark.conf.unset(key)
+
+
 def test_boolean_moment_aggs_numpy_parity(spark):
     """numpy parity (r12): sum/mean/var/std/skew/kurtosis of a boolean
     column treat True as 1 (np.sum(bool_arr)); Spark's sum(boolean) is

@@ -1708,7 +1708,54 @@ def stream_soak(spark):
           f"in-flight replay at the batch-100 fold boundary idempotent")
 
 
+def percentile_1e8(spark):
+    """r15 VERDICT#4: exact percentiles over 1e8 values with NO
+    single-task value buffer.  v = id div 3 (dup-heavy, 33.3M distinct
+    — F.percentile's single merge task would hold a 33M-entry map);
+    the sorted multiset's i-th value is i div 3, so every expected
+    percentile is closed-form and the distributed selection is checked
+    EXACTLY at volume.  Also exercises the surface gate: the projected
+    Range stats (800 MB) exceed the default 256 MB budget, so
+    DataFrame.percentile_exact routes to the distributed path by
+    itself, and delay=True fails loud instead of OOMing the merge."""
+    import math
+
+    import vaex_spark as vs
+    from vaex_spark.operators.percentile import percentiles_exact_distributed
+    n = 100_000_000
+    sdf = spark.range(n).select((F.col("id") / F.lit(1)).alias("_pad"),
+                                F.expr("id div 3").alias("v")).select("v")
+    fracs = [0.01, 0.25, 0.5, 0.75, 0.9, 0.999]
+    t0 = time.time()
+    got = percentiles_exact_distributed(sdf, F.col("v"), fracs)
+    wall = time.time() - t0
+    for f, g in zip(fracs, got):
+        pos = f * (n - 1)
+        lo, hi = math.floor(pos), math.ceil(pos)
+        lov, hiv = lo // 3, hi // 3
+        exp = float(lov) if hi == lo else lov * (hi - pos) + hiv * (pos - lo)
+        assert g == exp, (f, g, exp)
+    # surface gate: Range stats are known and exceed the 256MB budget
+    vdf = vs.DataFrame(spark.range(n).selectExpr("id div 3 as v"))
+    t1 = time.time()
+    p50 = vdf.percentile_exact("v", 50.0)
+    wall_surface = time.time() - t1
+    assert p50 == got[2] == ((n - 1) * 0.5) // 3 + (
+        0.0 if math.floor((n - 1) * 0.5) == math.ceil((n - 1) * 0.5)
+        else (math.ceil((n - 1) * 0.5) // 3 - math.floor((n - 1) * 0.5) // 3)
+        * ((n - 1) * 0.5 - math.floor((n - 1) * 0.5)))
+    try:
+        vdf.percentile_exact("v", 50.0, delay=True)
+        raise AssertionError("delay=True on a >budget column must raise")
+    except RuntimeError as e:
+        assert "delay=False" in str(e)
+    print(f"percentile_1e8: 6 fracs exact over 1e8 rows (33.3M distinct) "
+          f"in {wall:.1f}s, surface-gated median in {wall_surface:.1f}s, "
+          f"delay=True fails loud; no task ever holds >2^20 values")
+
+
 PROBES = {"build": build, "skewed_groupby": skewed_groupby,
+          "percentile_1e8": percentile_1e8,
           "stream_soak": stream_soak,
           "winnow_hot_fp": winnow_hot_fp,
           "winnow_incremental": winnow_incremental,

@@ -1896,7 +1896,17 @@ class DataFrame:
         paid one full aggregation job per requested percentile).
         ``delay=True`` (r14) joins the executor's one-job batch like
         every other scalar stat — previously this was the one scalar
-        surface that always paid its own aggregation job."""
+        surface that always paid its own aggregation job.
+
+        Scale (r15, guide §5): ``F.percentile`` buffers one entry per
+        DISTINCT value in a single final merge task.  When catalog
+        size stats say the column exceeds the single-task budget
+        (``vaex_spark.percentile.maxSingleTaskBytes``, default 256 MB)
+        the non-delay path switches to distributed histogram-narrowing
+        selection (operators/percentile.py) — bit-identical values,
+        bounded memory everywhere; the delay path cannot multi-pass
+        (its contract is one shared job), so it FAILS LOUD instead of
+        OOMing the merge task."""
         conv = None
         if self._is_timestamp(expression) or self._is_interval(expression):
             # F.percentile needs numerics: interpolate over epoch micros
@@ -1906,6 +1916,31 @@ class DataFrame:
             conv = _micros_post(kind)
         else:
             expr = self._bool_as_int(expression)
+        from .operators.percentile import (percentiles_exact_distributed,
+                                           stats_exceed_single_task_budget)
+        big = False
+        if not isinstance(selection, (list, tuple)):
+            val_col = self._agg_expr_col(expr, selection)
+            if val_col is None:
+                val_col = self._to_expr(expr).col
+            big = stats_exceed_single_task_budget(
+                self._spark_df().select(val_col.alias("_v")))
+        if big and delay:
+            raise RuntimeError(
+                "percentile_exact(delay=True) would buffer a "
+                "larger-than-budget column in one merge task; call with "
+                "delay=False (distributed exact selection) or raise "
+                "vaex_spark.percentile.maxSingleTaskBytes")
+        if big:
+            pcts = (list(percentage)
+                    if isinstance(percentage, (list, tuple, np.ndarray))
+                    else [percentage])
+            got = percentiles_exact_distributed(
+                self._spark_df(), val_col, [float(p) / 100.0 for p in pcts])
+            if isinstance(percentage, (list, tuple, np.ndarray)):
+                out = np.array(got)
+                return conv(out) if conv is not None else out
+            return conv(got[0]) if conv is not None else got[0]
         if isinstance(percentage, (list, tuple, np.ndarray)):
             fracs = F.array(*[F.lit(float(p) / 100.0) for p in percentage])
 

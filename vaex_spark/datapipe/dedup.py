@@ -647,14 +647,33 @@ def _simhash_long(sdf, id_col, text_col, num_bits):
             f"split(trim(regexp_replace(lower({qn}), '\\\\s+', ' ')), "
             f"' ')")).alias("__t"))
     hashed = toks.select(id_col, F.xxhash64("__t").alias("__h"))
-    votes = hashed.groupBy(id_col).agg(
-        *[F.expr(f"sum(CASE WHEN (shiftright(__h, {b}) & 1) = 1 "
-                 f"THEN 1 ELSE -1 END) as __v{b}")
-          for b in range(num_bits)])
-    sim = " + ".join(
-        f"(CASE WHEN __v{b} > 0 THEN shiftleft(cast(1 as bigint), {b}) "
-        f"ELSE cast(0 as bigint) END)" for b in range(num_bits))
-    return votes.select(F.col(id_col), F.expr(sim).alias("__sim"))
+    # packed-lane vote sums (r15): one SUM per PAIR of bits instead of
+    # one per bit.  SUM((__h >> k) & 0x0000000100000001) accumulates
+    # bit k in the low 32 lane and bit k+32 in the high 32 lane of one
+    # long (each token contributes 0/1 per lane; 32-bit lanes cannot
+    # carry into each other below 2^32 tokens per doc, far beyond any
+    # real document).  The per-bit vote sum(+1/-1) equals
+    # 2*ones_b - n_tokens, so bit b is set iff 2*ones_b > n_tokens —
+    # exact integer arithmetic, bit-identical __sim (probed on the
+    # sf0.1 corpus: 0 mismatches; also pinned vs the Column form by
+    # test_property).  Measured noop-sink at sf0.1: 64-sum 1.37 s →
+    # 0.94 s vs the 0.87 s explode+exchange floor — half the aggregate
+    # columns, and (h>>k)&mask drops the per-row CASE branch.
+    lane_mask = 0x0000000100000001
+    n_lanes = min(32, num_bits)
+    aggs = [F.expr(f"sum(shiftright(__h, {k}) & {lane_mask}) as __L{k}")
+            for k in range(n_lanes)]
+    aggs.append(F.expr("count(*) as __nt"))
+    lanes = hashed.groupBy(id_col).agg(*aggs)
+    terms = []
+    for b in range(num_bits):
+        ones = (f"(__L{b} & 4294967295)" if b < 32
+                else f"(__L{b - 32} >> 32)")
+        terms.append(f"(CASE WHEN 2 * {ones} > __nt "
+                     f"THEN shiftleft(cast(1 as bigint), {b}) "
+                     f"ELSE cast(0 as bigint) END)")
+    sim = " + ".join(terms)
+    return lanes.select(F.col(id_col), F.expr(sim).alias("__sim"))
 
 
 def simhash_near_dups(df, text_col: str = "text", id_col: str = "doc_id",
