@@ -120,6 +120,29 @@ def test_shingles_sql_matches_column(spark, _edge_docs, k):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+@pytest.mark.parametrize("n", [1, 2, 5, 8])
+def test_word_ngrams_forms_match_r14_semantics(spark, _edge_docs, n):
+    """word_ngrams' r15 rewrite (let-bound try_element_at grams; SQL
+    twin for string names) against the pre-r15 reference expression
+    (per-gram array_join(slice(...))) — values identical on NULL /
+    empty / short / whitespace-heavy / long docs, including the
+    empty-array n<size contract that distinguishes it from shingles."""
+    from vaex_spark.datapipe.repetition import word_ngrams
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                            r"\s+", " ")), " ")
+    size = F.size(words)
+    old = F.when(size < n, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), size - n),
+                    lambda i: F.array_join(F.slice(words, i + 1, n), " ")))
+    ref = _edge_docs.select("doc_id", old.alias("g"))
+    col_form = _edge_docs.select("doc_id",
+                                 word_ngrams(F.col("text"), n).alias("g"))
+    sql_form = _edge_docs.select("doc_id", word_ngrams("text", n).alias("g"))
+    for got in (col_form, sql_form):
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0
+
+
 @pytest.mark.parametrize("num_perm,num_bands", [(64, 32), (16, 8), (8, 8)])
 def test_minhash_sql_twins_match_column(spark, _edge_docs, num_perm, num_bands):
     """The one-parse signature and band-table SQL twins (the

@@ -33,31 +33,72 @@ def _norm_words(text: Column) -> Column:
     return F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
 
 
+def _word_ngrams_sql(qn: str, n: int) -> str:
+    """SQL text of :func:`word_ngrams` for a quoted column name — the
+    identical tree assembled with ~1 py4j round-trip instead of the
+    ~10 HOF-lambda constructions of the Column form (driver plan-build
+    cost is query latency at any scale, guide §5; same mechanism as
+    text._shingles_sql)."""
+    n = int(n)
+    words = f"split(trim(regexp_replace(lower({qn}), '\\\\s+', ' ')), ' ')"
+    refs = ", ".join(f"try_element_at(wd, i + {1 + j})" for j in range(n))
+    body = (f"CASE WHEN size(wd) < {n} THEN cast(array() as array<string>) "
+            f"ELSE transform(sequence(0, size(wd) - {n}), "
+            f"i -> concat_ws(' ', {refs})) END")
+    return f"element_at(transform(array({words}), wd -> {body}), 1)"
+
+
 def word_ngrams(text, n: int = 2) -> Column:
     """Array of space-joined word n-grams of the normalized text
-    (empty array when the document has fewer than n words)."""
-    words = _norm_words(text if isinstance(text, Column) else F.col(text))
-    size = F.size(words)
-    idx = F.sequence(F.lit(0), size - n)
-    return F.when(size < n, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")))
+    (empty array when the document has fewer than n words).
+
+    r15: grams are n let-bound ``try_element_at`` references joined by
+    ``concat_ws`` instead of per-gram ``array_join(slice(...))``
+    allocations — the same rewrite text.shingles() got in r14 (values
+    identical: every window is in-range so the refs are the slice's
+    elements; the let-binding keeps the split evaluated once, which is
+    load-bearing under interpreted HOF evaluation — see shingles()'s
+    5.7x-regression war story).  A string column name takes the
+    one-parse SQL-text twin."""
+    if isinstance(text, str):
+        from ..colname import quote_name
+        return F.expr(_word_ngrams_sql(quote_name(text), n))
+    from .text import _let
+    words = _norm_words(text)
+
+    def _body(wd):
+        size = F.size(wd)
+        return F.when(size < n, F.array().cast("array<string>")).otherwise(
+            F.transform(F.sequence(F.lit(0), size - n),
+                        lambda i: F.concat_ws(" ", *[
+                            F.try_element_at(wd, i + 1 + j)
+                            for j in range(n)])))
+    return _let(words, _body)
 
 
-def _gram_stats(sdf, id_col: str, gram_col: Column, out_top: str, out_dup: str):
-    """Shared explode->count->ratio pipeline for one n-gram size."""
-    g = (sdf.select(F.col(id_col), F.explode(gram_col).alias("_g"))
-         .groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_cnt")))
-    glen = F.length(F.col("_g"))
+def _gram_stats(sdf, id_col: str, gram_sql: str, out_top: str, out_dup: str):
+    """Shared explode->count->ratio pipeline for one n-gram size.
+
+    r15: assembled as SQL text (selectExpr / F.expr aggregates) — the
+    Column form of this one helper measured 408 py4j round-trips of
+    plan build per call, and repetition_stats pays it twice (plus
+    line stats) in q51/q54/q56's build; the parsed strings build the
+    identical trees (max-by-struct tie-break, plain `/` ratios) in
+    ~20 round-trips.  ``gram_sql`` is the gram array's SQL text."""
+    from ..colname import quote_name
+    qid = quote_name(id_col)
+    g = (sdf.selectExpr(qid, f"explode({gram_sql}) as _g")
+         .groupBy(id_col, "_g").agg(F.expr("count(1) as _cnt")))
     per_doc = g.groupBy(id_col).agg(
-        # max_by on a struct -> deterministic (count first, then gram text)
-        F.max(F.struct(F.col("_cnt"), F.col("_g"))).alias("_top"),
-        F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt") * glen).otherwise(0)).alias("_dupchars"),
-        F.sum(F.col("_cnt") * glen).alias("_allchars"))
-    return per_doc.select(
-        F.col(id_col),
-        (F.col("_top._cnt") * F.length(F.col("_top._g")) /
-         F.col("_allchars")).alias(out_top),
-        (F.col("_dupchars") / F.col("_allchars")).alias(out_dup))
+        # max on a struct -> deterministic (count first, then gram text)
+        F.expr("max(struct(_cnt, _g)) as _top"),
+        F.expr("sum(CASE WHEN _cnt > 1 THEN _cnt * length(_g) "
+               "ELSE 0 END) as _dupchars"),
+        F.expr("sum(_cnt * length(_g)) as _allchars"))
+    return per_doc.selectExpr(
+        qid,
+        f"(_top._cnt * length(_top._g)) / _allchars as {quote_name(out_top)}",
+        f"_dupchars / _allchars as {quote_name(out_dup)}")
 
 
 def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id",
@@ -72,25 +113,31 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id",
     :func:`gopher_filter`, which judges repetition, not emptiness —
     compose a length/quality filter for that).
     """
+    from ..colname import quote_name
     from ..dataframe import DataFrame
     wrapped = isinstance(df, DataFrame)
     sdf = df._spark_df() if wrapped else df
-    t = F.col(text_col)
+    qid, qt = quote_name(id_col), quote_name(text_col)
 
-    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
-    line_counts = (sdf.select(F.col(id_col), F.explode(lines).alias("_l"))
-                   .groupBy(id_col, "_l").agg(F.count(F.lit(1)).alias("_cnt")))
-    llen = F.length(F.col("_l"))
+    # one-parse SQL text throughout (r15): the Column form of these
+    # stats measured ~1,280 py4j round-trips of plan build — driver
+    # latency paid per query at any scale (guide §5); the strings
+    # build the identical trees
+    line_counts = (sdf.selectExpr(
+        qid, f"explode(filter(split({qt}, '\\n'), x -> trim(x) != '')) as _l")
+        .groupBy(id_col, "_l").agg(F.expr("count(1) as _cnt")))
     line_stats = line_counts.groupBy(id_col).agg(
-        F.sum("_cnt").cast("long").alias("n_lines"),
-        ((F.sum("_cnt") - F.count(F.lit(1))) / F.sum("_cnt")).alias("dup_line_frac"),
-        (F.sum(F.when(F.col("_cnt") > 1, (F.col("_cnt") - 1) * llen).otherwise(0)) /
-         F.sum(F.col("_cnt") * llen)).alias("dup_line_char_frac"))
+        F.expr("cast(sum(_cnt) as long) as n_lines"),
+        F.expr("(sum(_cnt) - count(1)) / sum(_cnt) as dup_line_frac"),
+        F.expr("sum(CASE WHEN _cnt > 1 THEN (_cnt - 1) * length(_l) "
+               "ELSE 0 END) / sum(_cnt * length(_l)) as dup_line_char_frac"))
 
     top_name = f"top{top_n}gram_char_frac"
     dup_name = f"dup{dup_n}gram_char_frac"
-    tops = _gram_stats(sdf, id_col, word_ngrams(t, top_n), top_name, "_ignore_dup")
-    dups = _gram_stats(sdf, id_col, word_ngrams(t, dup_n), "_ignore_top", dup_name)
+    tops = _gram_stats(sdf, id_col, _word_ngrams_sql(qt, top_n),
+                       top_name, "_ignore_dup")
+    dups = _gram_stats(sdf, id_col, _word_ngrams_sql(qt, dup_n),
+                       "_ignore_top", dup_name)
 
     out = (sdf.select(F.col(id_col))
            .join(line_stats, on=id_col, how="left")
