@@ -1087,6 +1087,28 @@ def test_chunk_documents_cover_and_overlap(spark):
     assert got.filter(F.col("doc_id") == 3).count() == 2
 
 
+def test_bigram_pmi_null_empty_docs_no_phantom_tokens(spark):
+    """Pins the r15 single-pass (word, next-or-null) rewrite's NULL
+    guard: a NULL doc must contribute NO tokens (without the guard,
+    non-ANSI size(NULL) = -1 makes sequence(1, -1) a descending range
+    emitting phantom (NULL, NULL) pairs that poison the totals); an
+    empty doc contributes exactly its one '' token and no bigram."""
+    import vaex_spark as vs
+    from vaex_spark.datapipe.text import bigram_pmi
+    docs = vs.from_arrays(spark=spark,
+                          doc_id=[0, 1, 2, 3],
+                          text=["a b a b a b a b a b", None, "", "solo"])
+    out = bigram_pmi(docs, min_count=1).collect()
+    pairs = {(r["w1"], r["w2"]): r["c_ab"] for r in out}
+    assert None not in {w for p in pairs for w in p}
+    assert pairs[("a", "b")] == 5 and pairs[("b", "a")] == 4
+    # unigram totals feed pmi: N_uni must be 10 + 1('') + 1(solo) = 12,
+    # N_bi = 9 — ln(c_ab * N_uni^2 / (N_bi * c_a * c_b))
+    import math
+    got = next(r["pmi"] for r in out if (r["w1"], r["w2"]) == ("a", "b"))
+    assert got == round(math.log(5 * 12 * 12 / (9 * 5 * 5)), 6), got
+
+
 def test_bigram_pmi_favors_exclusive_pairs(spark):
     """A bigram whose words only ever co-occur outranks one built from
     high-frequency words; counts respect min_count."""

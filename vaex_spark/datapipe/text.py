@@ -1000,34 +1000,43 @@ def bigram_pmi(df, text_col: str = "text", min_count: int = 5):
     Returns (w1, w2, c_ab, pmi) for bigrams with c_ab >= min_count
     (unordered — callers sort/limit).
 
-    Scale design: two count aggregates over the exploded token stream
-    (map-side partial combine, hash-keyed shuffles only); the totals are
-    1-row aggregates crossJoin-broadcast into the scoring projection —
-    no driver collect, no window.  The bigram relation is persisted so
-    the N_bi total and the per-bigram counts share one pass.
+    Scale design (r15): ONE corpus scan/tokenization — the exploded
+    stream is (word, next-word-or-NULL-at-doc-end) pairs, so the
+    single counted relation pc = count by (w1, w2) yields BOTH the
+    bigram counts (w2 non-null rows) and the exact unigram counts
+    (every token appears exactly once as w1; uni = sum of pc over w1)
+    — the previous form exploded tokens and bigrams separately, i.e.
+    two full scans + two corpus-sized exchanges.  Totals are 1-row
+    aggregates crossJoin-broadcast into the scoring projection — no
+    driver collect, no window.  Only COUNTED (vocab-sized) relations
+    persist, never the token stream.
     """
     from ..cache import _register_persist
+    from ..colname import quote_name
     from ..dataframe import DataFrame
     sdf = df._spark_df() if isinstance(df, DataFrame) else df
-    base = sdf.select(_norm_words(text_col).alias("__w"))
-    toks = base.select(F.explode("__w").alias("__t"))
-    bigrams = (
-        base.filter(F.size("__w") >= 2)
-        .select(F.explode(
-            F.transform(F.sequence(F.lit(0), F.size("__w") - 2),
-                        lambda i: F.struct(
-                            F.element_at("__w", i + 1).alias("w1"),
-                            F.element_at("__w", i + 2).alias("w2"))))
-            .alias("__b"))
-        .select(F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2")))
-    # persist the COUNTED relations (vocab-sized, << token stream) and
-    # derive the totals from them: one pass over the exploded tokens,
-    # one over the exploded bigrams, everything downstream reuses.
-    uni = _register_persist(
-        toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__c")))
-    n_uni = uni.agg(F.sum("__c").alias("__nu"))
-    bic = _register_persist(
-        bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab")))
+    qt = quote_name(text_col)
+    words = f"split(trim(regexp_replace(lower({qt}), '\\\\s+', ' ')), ' ')"
+    # try_element_at: the i+1 ref runs off the end on the last token
+    # (NULL = end-of-doc marker) and must stay NULL, not raise, under
+    # ANSI-on sessions.  The outer NULL guard is load-bearing: without
+    # it a NULL doc reaches sequence(1, size(NULL)) = sequence(1, -1)
+    # under non-ANSI size-of-null (-1), a DESCENDING 3-element range
+    # that would emit three phantom (NULL, NULL) pairs per null doc.
+    pair_sql = (f"explode(CASE WHEN {qt} IS NULL THEN "
+                f"cast(null as array<struct<w1:string,w2:string>>) "
+                f"ELSE element_at(transform(array({words}), wd -> "
+                f"transform(sequence(1, size(wd)), "
+                f"i -> struct(try_element_at(wd, i) as w1, "
+                f"try_element_at(wd, i + 1) as w2))), 1) END)")
+    pairs = sdf.selectExpr(f"{pair_sql} as __b").selectExpr(
+        "__b.w1 as w1", "__b.w2 as w2")
+    pc = _register_persist(
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab")))
+    uni = pc.groupBy("w1").agg(F.sum("c_ab").alias("__c")) \
+            .select(F.col("w1").alias("__t"), "__c")
+    n_uni = pc.agg(F.sum("c_ab").alias("__nu"))
+    bic = pc.filter(F.col("w2").isNotNull())
     n_bi = bic.agg(F.sum("c_ab").alias("__nb"))
     ua = uni.select(F.col("__t").alias("w1"), F.col("__c").alias("__ca"))
     ub = uni.select(F.col("__t").alias("w2"), F.col("__c").alias("__cb"))
