@@ -317,9 +317,13 @@ def test_jaccard_verify_union_only_and_size_prune(spark):
     """r15 verify-stage shape (fe08fb4), pinned so it can't silently
     revert: every LSH/blocking verify computes exact Jaccard from the
     UNION size alone (|A∩B| = |A|+|B|−|A∪B| on distinct arrays — no
-    array_intersect anywhere in the plan), and the persisted-sliver
-    paths (q35/q36) prune candidates on the (id, |set|) size-ratio
-    condition through narrow joins BEFORE any array-carrying join."""
+    array_intersect anywhere in the plan), and the loose-blocking
+    simhash path (q36, where the size prune keeps only 19% of pairs)
+    prunes candidates on the (id, |set|) size-ratio condition through
+    narrow joins BEFORE any array-carrying join.  q35's recall-1
+    minhash banding keeps the plain two-join verify on purpose — its
+    candidates ≈ the answer, so a structural prune would add stages to
+    drop ~nothing (dedup.py:near_dup_pairs)."""
     import __spark_entry__ as e
     qs = e.queries()
     sf = "/root/testdata/sf0.001"

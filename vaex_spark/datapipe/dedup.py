@@ -427,7 +427,8 @@ def _size_ratio_ok(na: Column, nb: Column, threshold: float) -> Column:
 
 
 def _verified_jaccard(pairs, sets_df, id_col: str, threshold: float):
-    """Shared verify tail for the persisted-sliver paths (r15): prune
+    """Verify tail for persisted-sliver paths whose blocking is LOOSE
+    enough that the size-ratio prune is selective (r15): prune
     candidate pairs on the size-ratio condition via joins that carry
     ONLY (id, |set|) — guide §8's rule, decide with small rows, move
     the heavy shingle arrays once for the survivors.  The in-join form
@@ -555,13 +556,25 @@ def near_dup_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     sets_df = small.select(
         F.col(id_col),
         F.array_distinct(shingles(text_col, k=shingle_k)).alias("__set"))
-    # carry |set| on the persisted sliver: size-ratio prune + union-only
-    # jaccard (r15, see _size_ratio_ok/_union_jaccard) — the per-pair
-    # verify work drops from union+intersect on every candidate to one
-    # integer compare, plus one union on the surviving sliver
     sets_df = _register_persist(sets_df.select(
         F.col(id_col), "__set", F.size("__set").alias("__n")))
-    return _verified_jaccard(pairs, sets_df, id_col, threshold)
+    # union-only jaccard in the plain two-join shape — deliberately NOT
+    # _verified_jaccard's narrow-join size prune (r15, measured): the
+    # recall-1 banding above makes candidates ≈ the verified answer
+    # (size-ratio keeps 94.5% of q35's pairs even at t=0.9, and the
+    # default threshold is 0.5), so a structural prune would add two
+    # joins' worth of stages at every scale to drop ~nothing — the
+    # opposite of the simhash path, whose loose hamming blocking leaves
+    # 81% of candidates size-prunable.  Flipped-order isolated ABAB at
+    # sf0.1: structural 1.33 s vs this form ~0.97 s on q35.
+    a, b = sets_df.alias("a"), sets_df.alias("b")
+    jac = F.round(_union_jaccard(F.col("a.__n"), F.col("b.__n"),
+                                 F.col("a.__set"), F.col("b.__set")), 6)
+    return (pairs
+            .join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
+            .join(b, pairs["id_b"] == F.col(f"b.{id_col}"))
+            .select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
 
 
 def minhash_lsh_dedup(df, text_col: str = "text", id_col: str = "doc_id",
