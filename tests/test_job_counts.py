@@ -212,3 +212,29 @@ def test_compact_index_dir_job_ceiling(spark, tmp_path):
         stats = compact_index_dir(spark, d, keep_latest=1)
     assert stats["compacted"] and stats["batches_folded"] == 5
     assert n[0] <= 3, n[0]
+
+
+def test_connected_components_one_action_per_round(spark):
+    """r15: each CC round runs ONE action — the convergence count's
+    full scan materializes the lazy localCheckpoint in the same job
+    (the eager=True form paid a materialization job AND a separate
+    limit(1).count() job per round, 5 jobs/round measured vs 4 now).
+    Pinned as the per-round job delta between two path graphs whose
+    round counts are deterministic under shortcut=False (a path of n
+    nodes converges in n-1 propagation rounds + 1 detection round):
+    4 = 3 AQE stage jobs for the union+groupBy agg + the fused
+    materialize-and-count."""
+    from vaex_spark.datapipe import dedup
+
+    def cc_jobs(n_nodes):
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n_nodes - 1)], "id_a long, id_b long")
+        dedup.connected_components(pairs, shortcut=False).count()  # warm
+        n = []
+        with count_jobs(spark, n):
+            dedup.connected_components(pairs, shortcut=False).count()
+        return n[0]
+
+    j8, j16 = cc_jobs(8), cc_jobs(16)
+    per_round = (j16 - j8) / 8.0
+    assert per_round <= 4.0, (j8, j16, per_round)

@@ -819,8 +819,16 @@ def connected_components(pairs: SparkDataFrame, max_iter: int = 32,
         # per-round plan constant-size (the standard iterative-algorithm
         # discipline; executor-loss recomputation is not a concern for
         # per-round temporary state).
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F_.col("__chg")).limit(1).count()
+        #
+        # eager=False + a FULL count (r15): the count action computes
+        # every partition of the checkpoint-marked RDD, so it both
+        # materializes the checkpoint AND returns the convergence
+        # signal in ONE job — eager=True paid a materialization job and
+        # then a second limit(1).count() job per round.  No limit: a
+        # limit'd scan could leave partitions uncomputed, and
+        # LocalRDDCheckpointData would launch its own job to fill them.
+        new_labels = new_labels.localCheckpoint(eager=False)
+        changed = new_labels.filter(F_.col("__chg")).count()
         labels = new_labels.select("id", "comp")
         if changed == 0:
             converged = True
